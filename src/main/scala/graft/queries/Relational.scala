@@ -1,0 +1,494 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.4), re-expressed on the
+  * Spark DataFrame API so Catalyst owns pushdown, join selection and codegen.
+  *
+  * Conventions shared with the DuckDB oracles in [[Relational.oracle]]:
+  *   - computed double aggregates (sum/avg) are rounded (2–6 dp) on BOTH sides
+  *     so partial-aggregation order cannot flip low bits of the comparison;
+  *     pass-through / per-row deterministic values are left untouched;
+  *   - every query ends in an explicit ORDER BY on a unique key set so row
+  *     order is deterministic regardless of partitioning;
+  *   - column names are aliased identically on both sides (driver hash-compares
+  *     by sorted column name).
+  *
+  * Reference semantics cites are in each query's comment (SeccoSQL paths are
+  * relative to /root/reference/src/main/scala/org/apache/spark/secco/).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 flavor: scan + filter + groupBy/agg (Aggregate, unaryOperators.scala:193).
+    // Partial+final agg is native; the filter is pushed to the parquet scan.
+    "q1_agg" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // σ filter + projection (Filter/Project, unaryOperators.scala:91,112); the
+    // predicate and the 4-column ReadSchema both reach the parquet scan.
+    "q2_filter" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // reference `project` = distinct-producing π (SeccoDataFrame.scala:143-165).
+    "q3_project_distinct" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // binary equi join + agg (BinaryJoin, binaryOperators.scala:94). customer is
+    // the small side; AQE broadcast-joins it under the threshold.
+    "q4_join_agg" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q5 flavor: 6-table multiway equi join (MultiwayJoin,
+    // multiwayOperators.scala:57) — Catalyst reorders; dims broadcast.
+    "q5_join5" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // theta join: equi + inequality residual (HashJoinExec residual condition,
+    // execution/plan/computation/localExec/HashJoinExec.scala:109-140).
+    "q6_theta_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val n1 = t.nation.select(col("n_regionkey"), col("n_nationkey").as("k1"), col("n_name").as("nation1"))
+      val n2 = t.nation.select(col("n_regionkey").as("rk2"), col("n_nationkey").as("k2"), col("n_name").as("nation2"))
+      n1.join(n2, col("n_regionkey") === col("rk2") && col("k1") < col("k2"))
+        .select("nation1", "nation2").orderBy("nation1", "nation2")
+    }),
+
+    // left outer join (joinTypes.scala:74) + null-skipping count.
+    "q7_left_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // left semi join = EXISTS/IN (joinTypes.scala:86).
+    "q8_semi_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(
+          t.orders.filter(col("o_totalprice") > 400000), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // left anti join = NOT EXISTS (joinTypes.scala:90).
+    "q9_anti_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // UNION with distinct semantics — reference default (SeccoDataFrame.scala:246).
+    "q10_union" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")
+    }),
+
+    // UNION ALL (multiwayOperators.scala:38) folded into a stable aggregate.
+    "q11_union_all" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
+    // EXCEPT — intended semantics, NOT the reference's lowering bug
+    // (LogicalPlanBuilder.scala:219-220 lowers EXCEPT to Intersection).
+    "q12_except" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // INTERSECT (binaryOperators.scala:39).
+    "q13_intersect" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders.select(col("o_custkey").as("custkey"))
+        .intersect(t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // DISTINCT operator (unaryOperators.scala:134).
+    "q14_distinct" -> ((s, d) => {
+      Tables(s, d).orders.select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // ORDER BY + LIMIT = top-k (Sort+Limit, unaryOperators.scala:153,173);
+    // Spark plans TakeOrderedAndProject — no global sort at scale.
+    "q15_topk" -> ((s, d) => {
+      Tables(s, d).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice").limit(10)
+    }),
+
+    // global Sort (range-partitioned in Spark; reference only sorts in-partition,
+    // execution/plan/computation/localExec/SortExec.scala:27).
+    "q16_sort" -> ((s, d) => {
+      Tables(s, d).supplier.select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    }),
+
+    // CartesianProduct (binaryOperators.scala:75).
+    "q17_cross_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.region.crossJoin(t.nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+    }),
+
+    // natural join on a shared column name (ResolveNaturalAndUsingJoin,
+    // analysis/rules/resolve.scala:451) — merged join column, Spark `using` join.
+    "q18_natural_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val c = t.customer.select(col("c_nationkey").as("nationkey"))
+      val n = t.nation.select(col("n_nationkey").as("nationkey"), col("n_name"))
+      c.join(n, Seq("nationkey"))
+        .groupBy("nationkey", "n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("nationkey")
+    }),
+
+    // HAVING = Filter over Aggregate (LogicalPlanBuilder.scala:121-163).
+    "q19_having" -> ((s, d) => {
+      Tables(s, d).orders
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    // global aggregate, no grouping (ResolveGlobalAggregatesInSelect, resolve.scala:529).
+    "q20_global_agg" -> ((s, d) => {
+      Tables(s, d).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("total_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+    }),
+
+    // COUNT(DISTINCT) — beyond the reference parser (SURVEY §2.4), native here.
+    "q21_count_distinct" -> ((s, d) => {
+      Tables(s, d).lineitem.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // conditional If expression (conditionExpressions.scala:8) via when/otherwise.
+    "q22_case_when" -> ((s, d) => {
+      Tables(s, d).orders
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")
+    }),
+
+    // IN (subquery) — parsed but unresolvable in the reference
+    // (SQLParser.scala:103-108); native semi join here.
+    "q23_in_subquery" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.part.join(t.lineitem.filter(col("l_quantity") >= 49.5).select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
+
+    // correlated EXISTS (ExistsExpr, SQLParser.scala:84; no-op resolver in ref).
+    "q24_exists" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.supplier.join(t.lineitem.filter(col("l_quantity") > 49.5),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    }),
+
+    // scalar subquery: compare to a global aggregate. Broadcast the 1-row agg —
+    // no driver collect, stays distributed at any scale.
+    "q25_scalar_subquery" -> ((s, d) => {
+      val t = Tables(s, d)
+      val avgBal = t.customer.agg(avg("c_acctbal").as("avg_bal"))
+      t.customer.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select("c_custkey", "c_acctbal").orderBy("c_custkey")
+    }),
+
+    // window ranking — absent from the reference (SURVEY §2.4), native Spark.
+    "q26_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, d).customer
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // windowed running sum. RANGE frame, not ROWS: (l_orderkey, l_linenumber)
+    // is not unique in the data, and a ROWS frame over tied sort keys is
+    // nondeterministic across engines.
+    "q27_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sum("l_quantity").over(w), 2).as("running_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ROLLUP — grouping-set aggregates (absent in reference).
+    "q28_rollup" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // CUBE.
+    "q29_cube" -> ((s, d) => {
+      Tables(s, d).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+        .orderBy("status", "priority")
+    }),
+
+    // WITH CTE (With, multiwayOperators.scala:306) = DataFrame chaining.
+    "q30_cte" -> ((s, d) => {
+      val t = Tables(s, d)
+      val spend = t.orders.groupBy("o_custkey").agg(sum("o_totalprice").as("spend"))
+      t.customer.join(spend, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), round(sum("spend"), 2).as("total_spend"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // arithmetic / greatest / least (expression/arithmetic.scala).
+    "q31_arith" -> ((s, d) => {
+      Tables(s, d).lineitem.filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+          (col("l_quantity") % 7).as("qty_mod7"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+          least(col("l_tax"), col("l_discount")).as("l"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Cast matrix (expression/Cast.scala:668-690): numeric↔numeric, →string,
+    // timestamp→date. floor() first: DuckDB rounds double→int, Spark truncates.
+    "q32_cast" -> ((s, d) => {
+      Tables(s, d).orders
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_int"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderdate").cast("date").as("odate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // null handling: IsNull / Coalesce (nullExpressions.scala) over outer-join nulls.
+    "q33_nulls" -> ((s, d) => {
+      val t = Tables(s, d)
+      val lastOrder = t.orders.groupBy("o_custkey").agg(max("o_orderkey").as("max_okey"))
+      t.customer.join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("max_okey"), lit(-1L)).as("okey"),
+          col("max_okey").isNull.as("no_order"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_project_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q4_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_join5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_theta_join" ->
+      """SELECT n1.n_name AS nation1, n2.n_name AS nation2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY nation1, nation2""".stripMargin,
+    "q7_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q11_union_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q12_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q13_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+    "q14_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+    "q15_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q16_sort" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey",
+    "q17_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q18_natural_join" ->
+      """SELECT nationkey, n_name, count(*) AS n_customers
+        |FROM (SELECT c_nationkey AS nationkey FROM customer) c
+        | JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n USING (nationkey)
+        |GROUP BY nationkey, n_name ORDER BY nationkey""".stripMargin,
+    "q19_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "q20_global_agg" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS total_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem""".stripMargin,
+    "q21_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+    "q22_case_when" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'big'
+        |      WHEN o_totalprice > 100000 THEN 'mid'
+        |      ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q23_in_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.5)
+        |ORDER BY p_partkey""".stripMargin,
+    "q24_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49.5)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q25_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q26_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q27_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q28_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        | coalesce(l_linestatus,'ALL') AS linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q29_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q30_cte" ->
+      """WITH spend AS (
+        | SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers, round(sum(spend),2) AS total_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q31_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS charge,
+        | l_quantity % 7 AS qty_mod7,
+        | greatest(l_quantity, l_discount*100) AS g,
+        | least(l_tax, l_discount) AS l
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q32_cast" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        | CAST(o_orderkey AS VARCHAR) AS key_str, CAST(o_orderdate AS DATE) AS odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q33_nulls" ->
+      """SELECT c_custkey, coalesce(m.max_okey, -1) AS okey, m.max_okey IS NULL AS no_order
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, max(o_orderkey) AS max_okey FROM orders GROUP BY o_custkey) m
+        | ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
