@@ -1,0 +1,106 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.expr
+
+/** DataFrame façade with the reference's user-facing API
+  * (SeccoDataFrame.scala:48-314). Deliberate semantics kept from the
+  * reference, documented where they differ from SQL intuition:
+  *
+  *   - `select(pred)` is a σ FILTER, not projection (SeccoDataFrame.scala:125-141);
+  *   - `project(cols)` is a DISTINCT-producing π (SeccoDataFrame.scala:143-165);
+  *   - `union` is UNION DISTINCT; `unionAll` keeps duplicates (:246-262);
+  *   - `difference` is EXCEPT with the *intended* semantics, not the
+  *     reference's EXCEPT→INTERSECT lowering bug (LogicalPlanBuilder.scala:219).
+  *
+  * Every method delegates to Catalyst-visible DataFrame ops so pushdown,
+  * join selection, AQE and whole-stage codegen all apply unchanged.
+  */
+final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
+
+  private def wrap(d: DataFrame): EngineDataFrame = copy(df = d)
+
+  /* == relational operations (SeccoDataFrame.scala §2.1) == */
+
+  /** σ filter from a string predicate — reference `select`. */
+  def select(predicate: String): EngineDataFrame = filter(predicate)
+
+  /** σ filter from a string predicate. */
+  def filter(predicate: String): EngineDataFrame = wrap(df.filter(expr(predicate)))
+
+  /** Distinct-producing projection (reference `project`, SeccoDataFrame.scala:143-146). */
+  def project(columns: String): EngineDataFrame =
+    wrap(df.selectExpr(columns.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq: _*).distinct())
+
+  /** Projection without dedup — the plain SQL π. */
+  def projectAll(columns: String): EngineDataFrame =
+    wrap(df.selectExpr(columns.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq: _*))
+
+  /** Binary theta/equi join (SeccoDataFrame.scala:171-187). All Spark join
+    * type strings are accepted — strictly more than the reference executes
+    * (only inner works there, SURVEY §2.2 caution).
+    */
+  def join(other: EngineDataFrame, condition: String, joinType: String = "inner"): EngineDataFrame =
+    wrap(df.join(other.df, expr(condition), joinType))
+
+  /** Natural join on all same-named columns (ResolveNaturalAndUsingJoin,
+    * analysis/rules/resolve.scala:451).
+    */
+  def naturalJoin(other: EngineDataFrame, joinType: String = "inner"): EngineDataFrame = {
+    val common = df.columns.filter(other.df.columns.contains(_)).toIndexedSeq
+    require(common.nonEmpty, "natural join requires at least one common column")
+    wrap(df.join(other.df, common, joinType))
+  }
+
+  /** Group-by aggregation from expression strings, e.g.
+    * aggregate(Seq("sum(b) as sum_b"), Seq("a")) (SeccoDataFrame.scala:193-224).
+    */
+  def aggregate(aggExprs: Seq[String], groupByExprs: Seq[String]): EngineDataFrame = {
+    val aggs = aggExprs.map(expr)
+    val out =
+      if (groupByExprs.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupByExprs.map(expr): _*).agg(aggs.head, aggs.tail: _*)
+    wrap(out)
+  }
+
+  def subqueryAlias(name: String): EngineDataFrame = wrap(df.alias(name))
+
+  /** n-ary UNION DISTINCT — reference default (SeccoDataFrame.scala:246-251). */
+  def union(others: EngineDataFrame*): EngineDataFrame =
+    wrap(others.foldLeft(df)(_ union _.df).distinct())
+
+  /** n-ary UNION ALL (SeccoDataFrame.scala:257-262). */
+  def unionAll(others: EngineDataFrame*): EngineDataFrame =
+    wrap(others.foldLeft(df)(_ union _.df))
+
+  /** EXCEPT (intended semantics; see class doc). */
+  def difference(other: EngineDataFrame): EngineDataFrame = wrap(df.except(other.df))
+
+  def intersection(other: EngineDataFrame): EngineDataFrame = wrap(df.intersect(other.df))
+
+  def distinct(): EngineDataFrame = wrap(df.distinct())
+
+  def limit(k: Int): EngineDataFrame = wrap(df.limit(k))
+
+  def sort(sortExprs: String*): EngineDataFrame =
+    wrap(df.sort(sortExprs.map(expr): _*))
+
+  /* == actions (SeccoDataFrame.scala:59-117) == */
+
+  def collect(): Array[Row] = df.collect()
+  def count(): Long = df.count()
+  def show(n: Int = 20): Unit = df.show(n)
+  def explain(extended: Boolean = false): Unit = df.explain(extended)
+  def cache(): EngineDataFrame = wrap(df.cache())
+  def createOrReplaceTable(name: String): Unit = df.createOrReplaceTempView(name)
+
+  /* == graph construction (SeccoDataFrame.scala:312-314) == */
+
+  /** Treat this DataFrame as an edge list and lift to a property graph; the
+    * vertex set is derived from edge endpoints.
+    */
+  def toGraph(srcCol: String = "src", dstCol: String = "dst"): graft.graph.PropertyGraph =
+    graft.graph.PropertyGraph.fromEdges(df, srcCol, dstCol)
+
+  def columnExpr(e: String): Column = expr(e)
+}

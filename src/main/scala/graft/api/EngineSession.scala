@@ -1,0 +1,69 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Session façade with the capabilities of the reference's `SeccoSession`
+  * (SeccoSession.scala:18-135), delegating to a [[SparkSession]].
+  *
+  * Extras the reference keeps in its private catalog:
+  *   - a primary-key registry (catalog/interface.scala:102) consumed by the
+  *     PK-FK join-reorder rule — Spark has no native PK concept, so it lives
+  *     here as session-scoped metadata.
+  */
+final class EngineSession(val spark: SparkSession) {
+
+  /** table name -> primary key columns (reference: CatalogTable.primaryKeys). */
+  private val primaryKeys = TrieMap.empty[String, Seq[String]]
+
+  /** SQL entry point (SeccoSession.scala:89-91) — full Spark SQL, a strict
+    * superset of the reference's hand-rolled grammar (SURVEY §2.7).
+    */
+  def sql(text: String): EngineDataFrame = EngineDataFrame(spark.sql(text), this)
+
+  /** Temp-view lookup (SeccoSession.scala:78-85). */
+  def table(name: String): EngineDataFrame = EngineDataFrame(spark.table(name), this)
+
+  /** Leaf construction from local rows (SeccoSession.scala:27-45). */
+  def createDatasetFromSeq(rows: Seq[Row], schema: StructType): EngineDataFrame =
+    EngineDataFrame(spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema), this)
+
+  /** Leaf construction from an existing DataFrame (SeccoDataFrame.scala:421-454). */
+  def createDatasetFromSparkSQL(df: DataFrame): EngineDataFrame = EngineDataFrame(df, this)
+
+  /** Empty dataset with schema (SeccoSession.scala:60-68). */
+  def createEmptyDataset(schema: StructType): EngineDataFrame =
+    EngineDataFrame(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), this)
+
+  /** Register a table's primary key for the PK-FK join optimizer. */
+  def registerPrimaryKey(table: String, keys: Seq[String]): Unit =
+    primaryKeys.put(table, keys)
+
+  def primaryKeyOf(table: String): Option[Seq[String]] = primaryKeys.get(table)
+
+  def dropTable(name: String): Unit = spark.catalog.dropTempView(name)
+}
+
+object EngineSession {
+  /** Local default mirroring SeccoSession.newDefaultSession. Shuffle
+    * partitions sized to cores (not 200) and AQE on — at cluster scale these
+    * come from spark-submit conf instead.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): EngineSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new EngineSession(spark)
+  }
+
+  def apply(spark: SparkSession): EngineSession = new EngineSession(spark)
+}

@@ -1,0 +1,253 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import PatternParser._
+
+/** Property graph over two DataFrames — the reference's `SeccoGraphFrame`
+  * (SeccoGraphFrame.scala:24-146) re-expressed GraphFrames-style:
+  * a vertex relation (id, label?, props...) and an edge relation
+  * (src, dst, label?, props...). All graph ops lower to DataFrame plans so
+  * Catalyst owns distribution; iterative ops are driver loops with lineage
+  * truncation (the reference's Recursion operator, graphOperators.scala:189).
+  *
+  * Scale notes: pattern matching emits a join-only plan (shuffle/broadcast
+  * chosen by AQE); message passing shuffles on vertex id each round — edges
+  * are hash-partitioned by src once and persisted so the per-round join
+  * reuses the edge-side layout.
+  */
+final case class PropertyGraph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    idCol: String = "id",
+    srcCol: String = "src",
+    dstCol: String = "dst",
+    vLabelCol: String = "label",
+    eLabelCol: String = "label") {
+
+  /** Reference: node() — a `???` stub there (SeccoGraphFrame.scala:52). */
+  def node(): DataFrame = vertices
+
+  /** Reference: edge() (SeccoGraphFrame.scala:55). */
+  def edge(): DataFrame = edges
+
+  /** Filtered subgraph (SeccoGraphFrame.scala:57-67): vertices by vFilter,
+    * edges by eFilter AND both endpoints surviving the vertex filter.
+    */
+  def subgraph(vFilter: Option[String], eFilter: Option[String]): PropertyGraph = {
+    val v = vFilter.map(f => vertices.filter(expr(f))).getOrElse(vertices)
+    val e0 = eFilter.map(f => edges.filter(expr(f))).getOrElse(edges)
+    val e =
+      if (vFilter.isEmpty) e0
+      else {
+        val ids = v.select(col(idCol))
+        e0.join(ids.withColumnRenamed(idCol, srcCol), Seq(srcCol), "left_semi")
+          .join(ids.withColumnRenamed(idCol, dstCol), Seq(dstCol), "left_semi")
+      }
+    copy(vertices = v, edges = e)
+  }
+
+  /** Subgraph matching (SeccoGraphFrame.scala:80-94): each pattern edge
+    * becomes a filtered copy of the edge relation with columns renamed to its
+    * variable names (MatchingEdgeRelation), a bidirectional edge becomes the
+    * union of both directions, copies combine by natural inner join, and the
+    * named node variables are projected
+    * (ResolveSubgraphQuery, analysis/rules/resolve.scala:356-421).
+    *
+    * Bag semantics: parallel edges yield one row per distinct edge binding,
+    * like the SQL self-join it lowers to. `.distinct()` the result for set
+    * semantics.
+    */
+  def pattern(p: String): DataFrame = {
+    val pat = PatternParser.parse(p)
+
+    def edgeCopy(pe: PatternEdge): DataFrame = {
+      def directional(src: NodePat, dst: NodePat): DataFrame = {
+        var e = pe.edge.labels.foldLeft(edges)((d, l) => d.filter(col(eLabelCol) === l))
+        e = pe.edge.props.foldLeft(e) { case (d, (k, v)) => d.filter(col(k) === expr(v)) }
+        val base =
+          if (src.name == dst.name) // self-loop pattern (a)-[]->(a)
+            e.filter(col(srcCol) === col(dstCol)).select(col(srcCol).as(src.name))
+          else e.select(col(srcCol).as(src.name), col(dstCol).as(dst.name))
+        Seq(src, dst).distinct.foldLeft(base)((d, n) => nodeConstrain(d, n))
+      }
+      pe.direction match {
+        case Left2Right => directional(pe.src, pe.dst)
+        case Right2Left => directional(pe.dst, pe.src)
+        // unionByName: the reversed copy's columns come out in (dst, src)
+        // order and Spark's union is positional.
+        case BiDirection => directional(pe.src, pe.dst).unionByName(directional(pe.dst, pe.src))
+      }
+    }
+
+    /** node label/prop filters = semi join against the vertex relation. */
+    def nodeConstrain(df: DataFrame, n: NodePat): DataFrame =
+      if (n.labels.isEmpty && n.props.isEmpty) df
+      else {
+        var v = n.labels.foldLeft(vertices)((d, l) => d.filter(col(vLabelCol) === l))
+        v = n.props.foldLeft(v) { case (d, (k, value)) => d.filter(col(k) === expr(value)) }
+        df.join(v.select(col(idCol).as(n.name)), Seq(n.name), "left_semi")
+      }
+
+    val joined = pat.edges.map(edgeCopy).reduce { (l, r) =>
+      val common = l.columns.intersect(r.columns).toIndexedSeq
+      if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
+    }
+    val vars = pat.nodeVariables.filter(joined.columns.contains)
+    if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
+  }
+
+  /** Pregel-style message passing (SeccoGraphFrame.scala:104-146), rounds
+    * unrolled as a driver loop (the reference wraps in Recursion(plan, round)).
+    *
+    * Expression vocabulary, all Spark SQL strings:
+    *   - `initialMessage`: over vertex columns → initial `state`
+    *   - `message`: over edge columns + `state` (source vertex's) → `msg`
+    *     emitted to the edge's destination
+    *   - `mergeFunction`: aggregate over `msg` grouped by destination → `newState`
+    *   - `updateFunction`: over `state`, `newState` (null when no message) → next `state`
+    *
+    * Returns (id, state). Lineage is truncated every round via
+    * localCheckpoint — the iterative-plan blowup risk called out in
+    * SURVEY §7.3.
+    */
+  def messagePassing(
+      message: String,
+      mergeFunction: String,
+      updateFunction: String,
+      initialMessage: Option[String] = None,
+      round: Int = 1): DataFrame = {
+    require(round >= 1, "number of round should be greater or equal than 1")
+    val edgesBySrc = edges
+      .withColumnRenamed(srcCol, "__src").withColumnRenamed(dstCol, "__dst")
+      .repartition(col("__src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices
+      .select(col(idCol).as("id"), expr(initialMessage.getOrElse("null")).as("state"))
+    var i = 0
+    while (i < round) {
+      val msgs = edgesBySrc
+        .join(state.withColumnRenamed("id", "__src"), Seq("__src"))
+        .select(col("__dst").as("id"), expr(message).as("msg"))
+      val merged = msgs.groupBy("id").agg(expr(mergeFunction).as("newState"))
+      state = state
+        .join(merged, Seq("id"), "left")
+        .select(col("id"), expr(updateFunction).as("state"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    edgesBySrc.unpersist(false)
+    state
+  }
+
+  /** Directed 3-cycle count — the reference's flagship subgraph query S1
+    * (benchmark/testcases/subgraphQuery.scala:25). Each cycle {a,b,c} is
+    * counted once (a < b, a < c canonicalization).
+    */
+  def triangleCount(): Long = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a").as("c"), col("b").as("a"))
+    e.join(e2, "b" :: Nil).join(e3, Seq("c", "a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .count()
+  }
+
+  /** PageRank, fixed iterations (reference benchmark I1,
+    * benchmark/testcases/graphAnalytic.scala:11-75): contributions along
+    * out-edges, damping 0.85, dangling nodes keep the base term.
+    */
+  def pageRank(iterations: Int, damping: Double = 0.85): DataFrame = {
+    val nodes = vertices.select(col(idCol).as("id"))
+    val outDeg = edges.groupBy(col(srcCol).as("id")).agg(count(lit(1)).as("deg"))
+    val ranked = nodes.join(outDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), lit(1.0).as("rank"))
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("dst"))
+      .repartition(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = ranked
+    var i = 0
+    while (i < iterations) {
+      val contribs = e.join(state.filter(col("deg") > 0), Seq("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+      val sums = contribs.groupBy("id").agg(sum("contrib").as("contrib"))
+      state = state.join(sums, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist(false)
+    state.select(col("id"), col("rank"))
+  }
+
+  /** Connected components by iterative hash-min label propagation over the
+    * undirected edge set (reference benchmark I2 "WCC"). Runs to convergence;
+    * `maxIterations` bounds the loop.
+    */
+  def connectedComponents(maxIterations: Int = 50): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col(idCol).as("id"), col(idCol).cast("long").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val nbrMin = und.join(state.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min("component").as("nbrComponent"))
+      val next = state.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.alias("n").join(state.alias("s"), "id" :: Nil)
+        .filter(col("n.component") =!= col("s.component")).limit(1).count()
+      state = next
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist(false)
+    state
+  }
+
+  /** Single-source shortest paths over unit edge weights (reference benchmark
+    * I3 "SSSP" with weight support via `weightExpr`).
+    */
+  def sssp(source: Column, weightExpr: Option[String] = None, maxIterations: Int = 50): DataFrame = {
+    val w = weightExpr.map(expr).getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("dst"), w.cast("double").as("w"))
+      .repartition(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col(idCol).as("id"),
+      when(col(idCol) === source, 0.0).otherwise(lit(Double.PositiveInfinity)).as("dist"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val relax = e.join(state.filter(col("dist") =!= Double.PositiveInfinity), Seq("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      val next = state.join(relax, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      val changed = next.alias("n").join(state.alias("s"), "id" :: Nil)
+        .filter(col("n.dist") =!= col("s.dist")).limit(1).count()
+      state = next
+      converged = changed == 0
+      i += 1
+    }
+    e.unpersist(false)
+    state
+  }
+}
+
+object PropertyGraph {
+  /** Lift an edge list to a graph; vertex set derived from edge endpoints
+    * (SeccoDataFrame.toGraph, SeccoDataFrame.scala:312-314).
+    */
+  def fromEdges(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): PropertyGraph = {
+    val vertices = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    PropertyGraph(vertices, edges, "id", srcCol, dstCol)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.PropertyGraph
+
+/** Graph operator inventory (SURVEY.md §2.6): subgraph pattern matching,
+  * message passing, and the reference's graph-analytic benchmarks I1-I3
+  * (PageRank / WCC / SSSP, benchmark/testcases/graphAnalytic.scala), driven
+  * through [[PropertyGraph]].
+  *
+  * The graphs are derived relationally from the `orders` table so the DuckDB
+  * oracle can build the identical graph:
+  *   - dense graph: (o_custkey % 211) -> (o_orderkey % 211), ~13k edges / 211 nodes
+  *   - sparse graph: same modulo 997, thinned to o_orderkey % 17 = 0
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dense derived edge list — both sides of the oracle build exactly this. */
+  private def denseEdges(t: Tables): DataFrame =
+    t.orders
+      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val denseEdgesSql =
+    """SELECT DISTINCT o_custkey % 211 AS src, o_orderkey % 211 AS dst
+      |FROM orders WHERE o_custkey % 211 <> o_orderkey % 211""".stripMargin
+
+  private def sparseEdges(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val sparseEdgesSql =
+    """SELECT DISTINCT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+      |FROM orders WHERE o_orderkey % 17 = 0 AND o_custkey % 997 <> o_orderkey % 997""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // directed triangle (3-cycle) via the Cypher-ish pattern API — reference
+    // subgraph query S1; exercises PatternParser + natural-join lowering.
+    "q40_triangle" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.pattern("(a)-[]->(b)-[]->(c); (c)-[]->(a)")
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // 2-hop path pattern (a)->(b)->(c), a != c.
+    "q41_pattern_2hop" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.pattern("(a)-[]->(b)-[]->(c)")
+        .filter(col("a") =!= col("c"))
+        .agg(count(lit(1)).as("n_paths"))
+    }),
+
+    // PageRank, 3 fixed iterations (reference I1).
+    "q42_pagerank" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.pageRank(3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
+    // weakly-connected components to convergence (reference I2).
+    "q43_wcc" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(sparseEdges(Tables(s, d)))
+      g.connectedComponents().orderBy("id")
+    }),
+
+    // unit-weight SSSP from node 0 on the dense graph (reference I3);
+    // unreachable nodes excluded on both sides.
+    "q44_sssp" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.sssp(lit(0L))
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("id"), col("dist").cast("long").as("dist"))
+        .orderBy("id")
+    }),
+
+    // one-round message passing: in-degree via msg=1/sum/coalesce — the
+    // messagePassing surface of SeccoGraphFrame.scala:104-146.
+    "q45_msgpass_indegree" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.messagePassing(
+          message = "1",
+          mergeFunction = "sum(msg)",
+          updateFunction = "CAST(coalesce(newState, 0) AS BIGINT)",
+          initialMessage = Some("0"),
+          round = 1)
+        .withColumnRenamed("state", "in_degree")
+        .orderBy("id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_triangle" ->
+      s"""WITH edges AS ($denseEdgesSql)
+         |SELECT count(*) AS n_triangles
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,
+    "q41_pattern_2hop" ->
+      s"""WITH edges AS ($denseEdgesSql)
+         |SELECT count(*) AS n_paths
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         |WHERE e1.src <> e2.dst""".stripMargin,
+    "q42_pagerank" ->
+      s"""WITH edges AS ($denseEdgesSql),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+         |r1 AS (SELECT n.id, 0.15 + 0.85 * coalesce(sum(r0.rank / deg.deg), 0) AS rank
+         |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r0 ON r0.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id),
+         |r2 AS (SELECT n.id, 0.15 + 0.85 * coalesce(sum(r1.rank / deg.deg), 0) AS rank
+         |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r1 ON r1.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id),
+         |r3 AS (SELECT n.id, 0.15 + 0.85 * coalesce(sum(r2.rank / deg.deg), 0) AS rank
+         |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r2 ON r2.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id)
+         |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+    "q43_wcc" ->
+      s"""WITH RECURSIVE edges AS ($sparseEdgesSql),
+         |und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+         |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+         |SELECT id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q44_sssp" ->
+      s"""WITH RECURSIVE edges AS ($denseEdgesSql),
+         |paths(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION
+         |  SELECT e.dst, p.d + 1 FROM paths p JOIN edges e ON e.src = p.id WHERE p.d < 30)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist
+         |FROM paths GROUP BY id ORDER BY id""".stripMargin,
+    "q45_msgpass_indegree" ->
+      s"""WITH edges AS ($denseEdgesSql),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |indeg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
+         |SELECT n.id, CAST(coalesce(indeg.c, 0) AS BIGINT) AS in_degree
+         |FROM nodes n LEFT JOIN indeg ON n.id = indeg.id ORDER BY n.id""".stripMargin
+  )
+}
