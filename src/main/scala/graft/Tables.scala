@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read natively;
+    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and this converts
+    * the nano longs to TimestampType. Lossless here: the generator emits
+    * microsecond-aligned values (verified: epoch_ns % 1000 == 0 for all rows).
+    */
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+  }
+
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
   def customer: DataFrame   = table("customer")
@@ -19,7 +29,6 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

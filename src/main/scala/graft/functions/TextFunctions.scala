@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All are composed from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs), so they inline into
+  * whole-stage codegen and run per-row with zero shuffle — the property that
+  * matters when the documents table is 100 TB.
+  *
+  * Every function has a DuckDB-expressible twin used by the correctness gate
+  * (graft.queries.Pipeline).
+  */
+object TextFunctions {
+
+  /** whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** distinct-token count — type/token ratio ingredient. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** stopword-profile hit ratio: |tokens ∩ profile| / |tokens|. */
+  def stopwordRatio(text: Column, profile: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, tok => tok.isin(profile.map(_.asInstanceOf[Any]): _*)))
+    hits.cast("double") / size(t)
+  }
+
+  /** punctuation character ratio (explicit class, locale-free). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Heuristic quality score in [0,1]: length saturation × (1 − punct ratio)
+    * × stopword presence bonus. The formula is arbitrary but fixed — the
+    * point is a deterministic, shuffle-free per-document score.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text), lit(200)).cast("double") / 200.0
+    val punctTerm = lit(1.0) - punctRatio(text)
+    val stopTerm = lit(0.5) + lit(0.5) * stopwordRatio(text, LangProfiles.en)
+    round(lenTerm * punctTerm * stopTerm, 6)
+  }
+
+  /** Stopword profiles for the n-gram-free language-ID heuristic. */
+  object LangProfiles {
+    val en = Seq("the", "a", "of", "and", "to", "is", "in")
+    val de = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+    val fr = Seq("le", "la", "les", "et", "est", "une", "dans")
+    val es = Seq("el", "los", "y", "es", "una", "que", "por")
+  }
+
+  /** Language ID by stopword-profile scoring with a fixed priority tie-break
+    * (en > de > fr > es > und). An n-gram-model-free heuristic that stays
+    * inside codegen; swap profiles for real fastText-style models offline.
+    */
+  def langId(text: Column): Column = {
+    import LangProfiles._
+    val sEn = stopwordRatio(text, en)
+    val sDe = stopwordRatio(text, de)
+    val sFr = stopwordRatio(text, fr)
+    val sEs = stopwordRatio(text, es)
+    when(sEn > 0 && sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+      .when(sDe > 0 && sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr > 0 && sFr >= sEs, "fr")
+      .when(sEs > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set (bag-of-words hash). Word-order-invariant dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** distinct character n-grams (shingles) of the document. Guarded: Spark's
+    * sequence(1, 0) would produce a *descending* [1,0], not empty.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+      .otherwise(array())
+}

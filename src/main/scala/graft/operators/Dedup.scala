@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale corpus pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure DataFrame plans —
+  * shuffles only on groupBy/join keys, no driver-side state — so the same
+  * code runs on a 1000-executor cluster.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the lowest id per identical text.
+    * One shuffle on the 128-bit hash — never on the raw text bytes.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fixed MinHash permutation parameters (aᵢ·tid + bᵢ) mod P. */
+  final case class Perm(a: Long, b: Long)
+  val DefaultPerms: Seq[Perm] = Seq(
+    Perm(2, 1), Perm(3, 5), Perm(5, 11), Perm(7, 17),
+    Perm(11, 23), Perm(13, 31), Perm(17, 41), Perm(19, 47))
+  val MinHashMod = 10007L
+
+  /** (doc_id, tok) distinct token pairs — the exploded set representation. */
+  def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+
+  /** Global token dictionary: tok → dense id by lexicographic rank.
+    *
+    * Scale note: the single-partition window here is the textbook global-rank
+    * bottleneck; at 100 TB swap for `zipWithIndex`-style rank or hash the
+    * token directly. It is kept because the DuckDB oracle needs an identical,
+    * engine-independent id assignment (row_number over sorted tokens).
+    */
+  def tokenDict(tokenSets: DataFrame): DataFrame =
+    tokenSets.select("tok").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+
+  /** K MinHash signature columns sig_0..sig_{k-1} per doc. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      perms: Seq[Perm] = DefaultPerms): DataFrame = {
+    val ts = tokenSet(df, textCol, idCol)
+    val withTid = ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
+    val aggs = perms.zipWithIndex.map { case (p, i) =>
+      min((col("tid") * p.a + p.b) % MinHashMod).as(s"sig_$i")
+    }
+    withTid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Signatures are banded (`bandSize` sigs per band); docs sharing any band
+    * value become candidates (the only pairwise work — never O(N²)); each
+    * candidate pair is verified with exact Jaccard over token-id sets and
+    * kept if ≥ `threshold`. Returns (doc1, doc2, jaccard).
+    */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 2): DataFrame = {
+    val ts = tokenSet(df, textCol, idCol)
+    val withTid = ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
+    val aggs = perms.zipWithIndex.map { case (p, i) =>
+      min((col("tid") * p.a + p.b) % MinHashMod).as(s"sig_$i")
+    }
+    val sigs = withTid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+    val nBands = perms.size / bandSize
+    val candidates = (0 until nBands).map { b =>
+      val bandCols = (0 until bandSize).map(j => s"sig_${b * bandSize + j}")
+      val l = sigs.select(col("doc_id").as("doc1"), concat_ws("_", bandCols.map(col): _*).as("band"))
+      val r = sigs.select(col("doc_id").as("doc2"), concat_ws("_", bandCols.map(col): _*).as("band"))
+      l.join(r, "band" :: Nil).filter(col("doc1") < col("doc2")).select("doc1", "doc2")
+    }.reduce(_ unionByName _).distinct()
+
+    val sizes = withTid.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val t1 = withTid.select(col("doc_id").as("doc1"), col("tid"))
+    val t2 = withTid.select(col("doc_id").as("doc2"), col("tid"))
+    val interCount = candidates.join(t1, "doc1" :: Nil).join(t2, Seq("doc2", "tid"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    interCount
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1" :: Nil)
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2" :: Nil)
+      .select(col("doc1"), col("doc2"),
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** LCG token hash for SimHash — engine-independent (DuckDB twin uses the
+    * same constants; BIGINT math avoids INT32 overflow there).
+    */
+  private def lcg(tid: Column): Column = (tid * 1103515245L + 12345L) % 2147483648L
+
+  /** `bits`-bit SimHash per document over dictionary token ids: per bit j,
+    * sign of Σ_tokens (2·bitⱼ(h(tid)) − 1); simhash = Σ 2ʲ·[sum > 0].
+    */
+  def simHash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val ts = tokenSet(df, textCol, idCol)
+    val withTid = ts.join(tokenDict(ts), "tok" :: Nil)
+      .select(col("doc_id"), lcg(col("tid")).as("h"))
+    val bitSums = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"bs_$j")
+    }
+    val simhash = (0 until bits).map { j =>
+      when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withTid.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs within cheap blocking keys
+    * (candidate pairs only form inside a block — the blocking column set
+    * must be low-cardinality-per-block at scale).
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"), struct(blockCols.map(col): _*).as("blk"),
+        explode(TextFunctions.charNgrams(col(textCol), n)).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val g1 = grams.select(col("doc_id").as("doc1"), col("blk"), col("gram"))
+    val g2 = grams.select(col("doc_id").as("doc2"), col("blk"), col("gram"))
+    val inter = g1.join(g2, Seq("blk", "gram")).filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1" :: Nil)
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2" :: Nil)
+      .select(col("doc1"), col("doc2"),
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold within a blocking column
+    * (e.g. a cluster/label id). Pairwise work bounded per block.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val v1 = df.select(col(idCol).as("id1"), col(blockCol).as("blk"), col(vecCol).as("v1"))
+    val v2 = df.select(col(idCol).as("id2"), col(blockCol).as("blk"), col(vecCol).as("v2"))
+    v1.join(v2, "blk" :: Nil).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths:
+  *   - [[cosineTopK]]: exact brute force — broadcast the (small) query set,
+  *     score every candidate, per-query top-k via window. The baseline, and
+  *     the right answer whenever |queries| is small: one scan, no N² blow-up.
+  *   - [[bucketedTopK]]: sign-LSH bucketed — candidates pruned to the query's
+  *     bucket before scoring. The scale path: the candidate side shrinks
+  *     ~2^bits× at the cost of recall.
+  *
+  * Similarities are rounded to 6 dp before ranking so ordering is stable
+  * across engines (ties broken by candidate id).
+  */
+object Similarity {
+
+  /** Exact top-k: (query_id, vec_id, cos, rank), rank 1..k per query. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH top-k: exact ranking *within* the query's bucket. */
+  def bucketedTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket" :: Nil)
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsofJoin
+import graft.streaming.EventStreams
+
+/** Event-stream operator inventory (batch twins of the streaming layer):
+  * windowed aggregation, sessionization, as-of join. DuckDB oracles use
+  * native date_trunc / window / ASOF JOIN.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // hourly tumbling-window aggregate (streaming twin: EventStreams.windowedAgg
+    // with watermark over readStream).
+    "q70_events_hourly" -> ((s, d) => {
+      EventStreams.windowedAgg(Tables(s, d).events, "1 hour")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // 30-minute-gap sessionization per user.
+    "q71_sessionize" -> ((s, d) => {
+      EventStreams.sessionize(Tables(s, d).events, gapSeconds = 1800)
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id")
+    }),
+
+    // as-of join: each event picks the user's latest order at-or-before the
+    // event time (left outer; -1 when none). Orders deduped to one per
+    // (custkey, date) = max orderkey, for tie determinism on both sides.
+    "q72_asof_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val dedupOrders = t.orders.groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsofJoin.asofJoin(
+          t.events.select("event_id", "user_id", "ts"), dedupOrders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          valueCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_o_orderkey"), lit(-1L)).as("last_order"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q71_sessionize" ->
+      """SELECT event_id, user_id,
+        | sum(CASE WHEN prev_ts IS NULL
+        |          OR epoch_ns(ts) - epoch_ns(prev_ts) > CAST(1800 AS BIGINT) * 1000000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q72_asof_join" ->
+      """WITH d AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, coalesce(d.o_orderkey, -1) AS last_order
+        |FROM events e ASOF LEFT JOIN d
+        |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

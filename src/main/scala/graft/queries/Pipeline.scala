@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), ANN similarity search, and text analysis. The DuckDB
+  * oracles re-express the identical deterministic formulas (several are
+  * generated programmatically below to keep the two sides in lockstep).
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /* ---------- shared oracle SQL fragments ---------- */
+
+  private val toksSql =
+    """toks AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents))""".stripMargin
+  private val dictSql =
+    """dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT tok FROM toks))""".stripMargin
+  private val tSql = "t AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok))"
+
+  private def sigExprsSql: String =
+    Dedup.DefaultPerms.zipWithIndex.map { case (p, i) =>
+      s"min((tid*${p.a}+${p.b})%${Dedup.MinHashMod}) AS sig_$i"
+    }.mkString(", ")
+
+  private val duckTokens = """string_split_regex(trim(text), '\s+')"""
+
+  private def stopRatioSql(profile: Seq[String]): String = {
+    val set = profile.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($duckTokens, tk -> tk IN ($set)))::DOUBLE / len($duckTokens)"
+  }
+
+  /* ---------- queries ---------- */
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup by content hash (keep lowest id per identical text).
+    "q50_dedup_exact" -> ((s, d) => {
+      Dedup.exactDedup(Tables(s, d).documents, "text", "doc_id").orderBy("content_hash")
+    }),
+
+    // token counting (whitespace tokenizer).
+    "q51_token_count" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: length/punct/stopword components + composite score.
+    "q52_quality" -> ((s, d) => {
+      Tables(s, d).documents.select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles.en), 6).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID heuristic (stopword-profile scoring).
+    "q53_langid" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // order-insensitive document fingerprint (md5 of sorted distinct tokens).
+    "q54_fingerprint" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash(8) + LSH(4 bands × 2) candidate pairs, exact-Jaccard verified.
+    "q55_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLsh(Tables(s, d).documents, "text", "doc_id", threshold = 0.3)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // 16-bit SimHash signature per document.
+    "q56_simhash" -> ((s, d) => {
+      Dedup.simHash(Tables(s, d).documents, "text", "doc_id", bits = 16).orderBy("doc_id")
+    }),
+
+    // char-3-gram Jaccard near-dup pairs, blocked on (lang, n_chars).
+    "q57_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccard(Tables(s, d).documents, "text", "doc_id",
+          blockCols = Seq("lang", "n_chars"), n = 3, threshold = 0.3)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // brute-force cosine top-10 for query vectors vec_id < 5.
+    "q58_ann_topk" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.cosineTopK(e.filter(col("vec_id") < 5), e, "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // sign-LSH bucketed top-5 (exact rank within the query's bucket).
+    "q59_ann_lsh" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.bucketedTopK(e.filter(col("vec_id") < 5), e, "embedding", "vec_id", k = 5, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-dup pairs: cosine ≥ 0.8 within the same label block.
+    "q60_near_dup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearDup(Tables(s, d).embeddings, "embedding", "vec_id", "label", 0.8)
+        .orderBy("id1", "id2")
+    })
+  )
+
+  /* ---------- oracles ---------- */
+
+  private val cosSql = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
+    s"round(${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})), 6)"
+  }
+
+  private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
+    s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "q51_token_count" ->
+      s"SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    "q52_quality" ->
+      s"""SELECT doc_id,
+         | CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+         | round(${stopRatioSql(TextFunctions.LangProfiles.en)}, 6) AS stop_ratio,
+         | round(least(len($duckTokens), 200) / 200.0
+         |   * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+         |   * (0.5 + 0.5 * ${stopRatioSql(TextFunctions.LangProfiles.en)}), 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_langid" -> {
+      import TextFunctions.LangProfiles._
+      s"""WITH scored AS (SELECT doc_id,
+         |  ${stopRatioSql(en)} AS s_en, ${stopRatioSql(de)} AS s_de,
+         |  ${stopRatioSql(fr)} AS s_fr, ${stopRatioSql(es)} AS s_es
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |      WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |      WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |      WHEN s_es > 0 THEN 'es'
+         |      ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q54_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_minhash_lsh" -> {
+      val bandConds = (0 until 4).map { b =>
+        s"(s1.sig_${2 * b} = s2.sig_${2 * b} AND s1.sig_${2 * b + 1} = s2.sig_${2 * b + 1})"
+      }.mkString(" OR ")
+      s"""WITH $toksSql,
+         |$dictSql,
+         |$tSql,
+         |sigs AS (SELECT doc_id, $sigExprsSql FROM t GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
+         |  FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id AND ($bandConds)),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+         |inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
+         |  FROM cand c JOIN t t1 ON t1.doc_id = c.doc1
+         |   JOIN t t2 ON t2.doc_id = c.doc2 AND t2.tid = t1.tid
+         |  GROUP BY c.doc1, c.doc2)
+         |SELECT i.doc1, i.doc2,
+         | round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) AS jaccard
+         |FROM inter i JOIN szs s1 ON s1.doc_id = i.doc1 JOIN szs s2 ON s2.doc_id = i.doc2
+         |WHERE round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) >= 0.3
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+    "q56_simhash" -> {
+      val bitSums = (0 until 16).map { j =>
+        s"sum(((h >> $j) & 1) * 2 - 1) AS bs_$j"
+      }.mkString(", ")
+      val recompose = (0 until 16).map { j =>
+        s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $toksSql,
+         |$dictSql,
+         |$tSql,
+         |h AS (SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS h FROM t),
+         |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs ORDER BY doc_id""".stripMargin
+    },
+    "q57_ngram_jaccard" ->
+      """WITH grams AS (SELECT DISTINCT doc_id, lang, n_chars, gram FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |   unnest(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS gram
+        |  FROM documents)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS inter
+        |  FROM grams g1 JOIN grams g2
+        |   ON g1.lang = g2.lang AND g1.n_chars = g2.n_chars AND g1.gram = g2.gram
+        |   AND g1.doc_id < g2.doc_id
+        |  GROUP BY g1.doc_id, g2.doc_id)
+        |SELECT i.doc1, i.doc2,
+        | round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN szs s1 ON s1.doc_id = i.doc1 JOIN szs s2 ON s2.doc_id = i.doc2
+        |WHERE round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) >= 0.3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q58_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id, $cosSql AS cos
+         |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) e CROSS JOIN q),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q59_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSqlFor("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id, $cosSql AS cos
+         |  FROM (SELECT vec_id, embedding AS cv, bucket FROM b) e JOIN q USING (bucket)),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q60_near_dup_embedding" -> {
+      def dotE(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
+      val cos = s"round(${dotE("v1", "v2")} / (sqrt(${dotE("v1", "v1")}) * sqrt(${dotE("v2", "v2")})), 6)"
+      s"""WITH pairs AS (SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+         |  e1.embedding AS v1, e2.embedding AS v2
+         | FROM embeddings e1 JOIN embeddings e2
+         |  ON e1.label = e2.label AND e1.vec_id < e2.vec_id)
+         |SELECT id1, id2, $cos AS cos FROM pairs
+         |WHERE $cos >= 0.8 ORDER BY id1, id2""".stripMargin
+    }
+  )
+}
