@@ -82,8 +82,21 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
 
   def limit(k: Int): EngineDataFrame = wrap(df.limit(k))
 
-  def sort(sortExprs: String*): EngineDataFrame =
-    wrap(df.sort(sortExprs.map(expr): _*))
+  /** Sort with reference-style "(expr, asc)" pairs as strings: "v desc",
+    * "k asc", "k" (unaryOperators.scala:173-185 Sort). NOTE: a bare
+    * `expr("v desc")` would silently parse as `v AS desc` (implicit alias) —
+    * the direction suffix must be handled here.
+    */
+  def sort(sortExprs: String*): EngineDataFrame = {
+    val cols = sortExprs.map { s =>
+      val t = s.trim
+      val lower = t.toLowerCase
+      if (lower.endsWith(" desc")) expr(t.dropRight(5)).desc
+      else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
+      else expr(t).asc
+    }
+    wrap(df.sort(cols: _*))
+  }
 
   /* == actions (SeccoDataFrame.scala:59-117) == */
 

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles repeated whitespace and padding") {
+    val df = Seq("  a  b\tc ", "one", "x y z w").toDF("text")
+    assert(df.select(TextFunctions.tokenCount($"text")).as[Int].collect().toSeq === Seq(3, 1, 4))
+  }
+
+  test("fingerprint is word-order invariant, distinct-sensitive") {
+    val df = Seq(("a", "the cat sat"), ("b", "sat the cat"), ("c", "the cat sat sat"), ("d", "the dog sat"))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.fingerprint($"text").as("fp"))
+      .as[(String, String)].collect().toMap
+    assert(fps("a") === fps("b")) // order-insensitive
+    assert(fps("a") === fps("c")) // duplicate tokens collapse
+    assert(fps("a") !== fps("d"))
+  }
+
+  test("charNgrams of short and exact-length strings") {
+    val df = Seq("ab", "abc", "abcd").toDF("text")
+    val r = df.select(TextFunctions.charNgrams($"text", 3)).as[Seq[String]].collect()
+    assert(r(0) === Seq.empty)
+    assert(r(1) === Seq("abc"))
+    assert(r(2) === Seq("abc", "bcd"))
+  }
+
+  test("langId picks profile with most stopword hits") {
+    val df = Seq(
+      ("e", "the cat and the dog is here"),
+      ("g", "der hund und die katze ist da"),
+      ("f", "le chat et la maison est dans"),
+      ("u", "xyzzy plugh quux")).toDF("id", "text")
+    val r = df.select($"id", TextFunctions.langId($"text")).as[(String, String)].collect().toMap
+    assert(r("e") === "en" && r("g") === "de" && r("f") === "fr" && r("u") === "und")
+  }
+
+  test("cosine and dot on float arrays") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val cos = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(cos(0)) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+    assert(df.select(VectorFunctions.dot($"a", $"b")).as[Double].collect().toSeq === Seq(0.0, 2.0))
+  }
+
+  test("signBucket maps sign pattern to bits") {
+    val df = Seq(Seq(1.0f, -1.0f, 0.5f), Seq(-1.0f, -1.0f, -1.0f)).toDF("v")
+    assert(df.select(VectorFunctions.signBucket($"v", 3)).as[Long].collect().toSeq === Seq(5L, 0L))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val df = Seq("the quick brown fox!", "", "a b c").toDF("text")
+    val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+}

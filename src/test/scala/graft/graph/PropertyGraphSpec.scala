@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PropertyGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny known graph: 1->2, 2->1, 2->3, 1->3, 4->1
+  lazy val v = Seq((1L, "Person"), (2L, "Person"), (3L, "City"), (4L, "Person")).toDF("id", "label")
+  lazy val e = Seq((1L, 2L, "KNOWS"), (2L, 1L, "KNOWS"), (2L, 3L, "LIVES"), (1L, 3L, "LIVES"), (4L, 1L, "KNOWS"))
+    .toDF("src", "dst", "label")
+  lazy val g = PropertyGraph(v, e)
+
+  test("pattern with labels") {
+    val rows = g.pattern("(a:Person)-[:KNOWS]->(b:Person)-[:LIVES]->(c:City)")
+      .orderBy("a").as[(Long, Long, Long)].collect()
+    assert(rows.toSet === Set((1L, 2L, 3L), (2L, 1L, 3L), (4L, 1L, 3L)))
+  }
+
+  test("bidirectional pattern keeps variable orientation (unionByName regression)") {
+    val rows = g.pattern("(a)-[:KNOWS]-(b)").as[(Long, Long)].collect()
+    // edge 4->1 must yield both (4,1) and (1,4)
+    assert(rows.count(_ == (4L, 1L)) === 1)
+    assert(rows.count(_ == (1L, 4L)) === 1)
+  }
+
+  test("self-loop pattern") {
+    val withLoop = PropertyGraph(v, e.union(Seq((2L, 2L, "SELF")).toDF("src", "dst", "label")))
+    assert(withLoop.pattern("(a)-[]->(a)").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("subgraph filters vertices and induced edges") {
+    val sub = g.subgraph(Some("label = 'Person'"), None)
+    assert(sub.node().count() === 3)
+    // edges into City 3 are dropped
+    assert(sub.edge().select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("triangleCount on known cycle") {
+    // graph with one directed 3-cycle: 1->2->3->1 plus noise edge
+    val te = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    assert(PropertyGraph.fromEdges(te).triangleCount() === 1L)
+  }
+
+  test("pageRank: source-only node gets base rank, sink accumulates") {
+    val pr = g.pageRank(5).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(4L) - 0.15) < 1e-12) // no in-edges -> base term only
+    assert(pr(3L) > pr(4L))                 // node 3 receives from 1 and 2
+    assert(pr.values.forall(_ >= 0.15))
+  }
+
+  test("connectedComponents labels two separate components") {
+    val ce = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc = PropertyGraph.fromEdges(ce).connectedComponents()
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
+  test("sssp unit distances") {
+    val se = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("src", "dst")
+    val d = PropertyGraph.fromEdges(se).sssp(lit(0L)).as[(Long, Double)].collect().toMap
+    assert(d(0L) === 0.0 && d(1L) === 1.0 && d(2L) === 2.0 && d(3L) === 1.0)
+  }
+
+  test("messagePassing single round computes in-degree") {
+    val st = g.messagePassing("1", "sum(msg)", "coalesce(newState, 0)", Some("0"), round = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(st === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: inclusive tie, latest-preceding, no-match, missing key") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"), (3L, 50L, "t4"))
+      .toDF("key", "time", "trade")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 6L, 200.0))
+      .toDF("key", "qtime", "price")
+    val out = AsofJoin.asofJoin(trades, quotes, "key", "key", "time", "qtime", Seq("price"))
+      .select("trade", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(out("t1") === Some(100.0)) // tie at t=10 matches (>= semantics)
+    assert(out("t2") === Some(101.0)) // latest preceding
+    assert(out("t3") === None)        // right row is in the future
+    assert(out("t4") === None)        // key absent on right
+  }
+
+  test("asof join tie-break picks last by rightOrder") {
+    val l = Seq((1L, 10L)).toDF("key", "time")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("key", "qtime", "qid")
+    val out = AsofJoin.asofJoin(l, r, "key", "key", "time", "qtime", Seq("qid"), rightOrder = Some("qid"))
+    assert(out.select("asof_qid").as[Long].head() === 9L)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per identical text") {
+    val r = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minHashLsh finds exact pair with jaccard 1.0 and near pair high") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.get((1L, 3L)).forall(_ > 0.5)) // candidate only if some band collides
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simHash identical docs share signature; different docs differ") {
+    val sh = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("ngramJaccard finds near-identical pair within block") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccard(blocked, "text", "doc_id", Seq("blk"), n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("embeddingNearDup within block by cosine") {
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.999f, 0.01f)), (3L, 0, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", "label", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, -0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks self first, antipode last") {
+    val r = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs, "embedding", "vec_id", 4)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(r(0L) === 1) // self similarity 1.0
+    assert(r(1L) === 2)
+    assert(r(3L) === 4) // cosine -1
+  }
+
+  test("bucketedTopK only scores same-bucket candidates") {
+    val r = Similarity.bucketedTopK(vecs.filter($"vec_id" === 0), vecs, "embedding", "vec_id", 4, bits = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r.contains(0L) && r.contains(1L)) // bucket 1 (dim0 > 0)
+    assert(!r.contains(3L))                  // bucket 0
+  }
+}
