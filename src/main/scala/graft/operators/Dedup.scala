@@ -31,6 +31,21 @@ object Dedup {
   def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
 
+  /** (doc_id, tok) distinct k-token shingles. Shingles, not unigrams, are
+    * what MinHash needs for discrimination: on a corpus with a small shared
+    * vocabulary every unigram set is near-identical (this test corpus has 31
+    * distinct tokens!) and LSH degenerates to all-pairs; k-shingles grow the
+    * universe to |V|^k and make Jaccard meaningful.
+    */
+  def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val shingles = when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array())
+    df.select(col(idCol).as("doc_id"), explode(shingles).as("tok"))
+  }
+
   /** Global token dictionary: tok → dense id by lexicographic rank.
     *
     * Scale note: the single-partition window here is the textbook global-rank
@@ -61,13 +76,19 @@ object Dedup {
     * kept if ≥ `threshold`. Returns (doc1, doc2, jaccard).
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 2): DataFrame = {
-    val ts = tokenSet(df, textCol, idCol)
+      threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    val ts = if (shingle <= 1) tokenSet(df, textCol, idCol) else shingleSet(df, textCol, idCol, shingle)
+    // persist: the token-id set feeds signatures, sizes and both sides of the
+    // intersection join — without it Spark recomputes the explode+dict join
+    // in every branch. Small relative to the corpus (ids, not text).
     val withTid = ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = perms.zipWithIndex.map { case (p, i) =>
       min((col("tid") * p.a + p.b) % MinHashMod).as(s"sig_$i")
     }
     val sigs = withTid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nBands = perms.size / bandSize
     val candidates = (0 until nBands).map { b =>

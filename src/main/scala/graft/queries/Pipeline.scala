@@ -20,6 +20,14 @@ object Pipeline {
   private val toksSql =
     """toks AS (SELECT DISTINCT doc_id, tok FROM (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents))""".stripMargin
+
+  /** 3-token shingle set — twin of Dedup.shingleSet(k=3). */
+  private val shinglesSql =
+    """toks AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS tok FROM (
+      |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |    unnest(range(1, len(w) - 1)) AS u(i)
+      |  WHERE len(w) >= 3))""".stripMargin
   private val dictSql =
     """dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
       |  FROM (SELECT DISTINCT tok FROM toks))""".stripMargin
@@ -77,7 +85,10 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // MinHash(8) + LSH(4 bands × 2) candidate pairs, exact-Jaccard verified.
+    // MinHash(8) over 3-token shingles + LSH(2 bands × 4), exact-Jaccard
+    // verified. Shingles + 4-sig bands: the corpus has a 31-token shared
+    // vocabulary, so unigram sets are near-identical and permissive bands
+    // degenerate candidate generation to O(N²).
     "q55_minhash_lsh" -> ((s, d) => {
       Dedup.minHashLsh(Tables(s, d).documents, "text", "doc_id", threshold = 0.3)
         .orderBy("doc1", "doc2")
@@ -161,10 +172,10 @@ object Pipeline {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_minhash_lsh" -> {
-      val bandConds = (0 until 4).map { b =>
-        s"(s1.sig_${2 * b} = s2.sig_${2 * b} AND s1.sig_${2 * b + 1} = s2.sig_${2 * b + 1})"
+      val bandConds = (0 until 2).map { b =>
+        (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      s"""WITH $toksSql,
+      s"""WITH $shinglesSql,
          |$dictSql,
          |$tSql,
          |sigs AS (SELECT doc_id, $sigExprsSql FROM t GROUP BY doc_id),
