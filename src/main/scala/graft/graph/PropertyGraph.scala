@@ -91,10 +91,11 @@ final case class PropertyGraph(
         df.join(v.select(col(idCol).as(n.name)), Seq(n.name), "left_semi")
       }
 
-    val joined = pat.edges.map(edgeCopy).reduce { (l, r) =>
-      val common = l.columns.intersect(r.columns).toIndexedSeq
-      if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
-    }
+    // combine edge copies via the GHD-guided multiway-join planner: cyclic
+    // patterns (triangles, cycles, cliques) get their cyclic core grouped in
+    // one bag instead of a blow-up-prone left-to-right chain (SURVEY §7.5).
+    val copies = pat.edges.map(edgeCopy)
+    val joined = graft.plans.MultiwayJoin.join(copies.map(c => (c, c.columns.toSeq)))
     val vars = pat.nodeVariables.filter(joined.columns.contains)
     if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
   }

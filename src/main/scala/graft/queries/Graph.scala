@@ -29,6 +29,19 @@ object Graph {
     """SELECT DISTINCT o_custkey % 211 AS src, o_orderkey % 211 AS dst
       |FROM orders WHERE o_custkey % 211 <> o_orderkey % 211""".stripMargin
 
+  /** Medium-density graph (~avg degree 14 at sf0.01): has 4-cycles at every
+    * SF (sparse has none; dense makes path-3 enumeration explode).
+    */
+  private def mediumEdges(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val mediumEdgesSql =
+    """SELECT DISTINCT o_custkey % 211 AS src, o_orderkey % 211 AS dst
+      |FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey % 211 <> o_orderkey % 211""".stripMargin
+
   private def sparseEdges(t: Tables): DataFrame =
     t.orders.filter(col("o_orderkey") % 17 === 0)
       .select((col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
@@ -79,6 +92,15 @@ object Graph {
         .filter(col("dist") =!= Double.PositiveInfinity)
         .select(col("id"), col("dist").cast("long").as("dist"))
         .orderBy("id")
+    }),
+
+    // directed 4-cycle count on the sparse graph — a cyclic query whose join
+    // order comes from the GHD planner (pattern() → MultiwayJoin).
+    "q46_ghd_4cycle" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+      g.pattern("(a)-[]->(b)-[]->(c)-[]->(e); (e)-[]->(a)")
+        .filter(col("a") < col("b") && col("a") < col("c") && col("a") < col("e"))
+        .agg(count(lit(1)).as("n_cycles"))
     }),
 
     // one-round message passing: in-degree via msg=1/sum/coalesce — the
@@ -144,6 +166,13 @@ object Graph {
          |  SELECT e.dst, p.d + 1 FROM paths p JOIN edges e ON e.src = p.id WHERE p.d < 30)
          |SELECT id, CAST(min(d) AS BIGINT) AS dist
          |FROM paths GROUP BY id ORDER BY id""".stripMargin,
+    "q46_ghd_4cycle" ->
+      s"""WITH edges AS ($mediumEdgesSql)
+         |SELECT count(*) AS n_cycles
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src AND e4.dst = e1.src
+         |WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.src < e3.dst""".stripMargin,
     "q45_msgpass_indegree" ->
       s"""WITH edges AS ($denseEdgesSql),
          |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),

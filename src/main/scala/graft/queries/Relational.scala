@@ -325,6 +325,21 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // n-ary natural join through the GHD-guided MultiwayJoin planner
+    // (acyclic star: degenerates to the ordinary join chain, Catalyst
+    // broadcasts the dims; cyclic inputs are exercised by q46_ghd_4cycle).
+    "q34_multiway_star" -> ((s, d) => {
+      val t = Tables(s, d)
+      val c = t.customer.select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val o = t.orders.select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"))
+      val l = t.lineitem.select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      graft.plans.MultiwayJoin.join(Seq(
+          (c, Seq("custkey")), (o, Seq("orderkey", "custkey")), (l, Seq("orderkey"))))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("c_mktsegment")
+    }),
+
     // null handling: IsNull / Coalesce (nullExpressions.scala) over outer-join nulls.
     "q33_nulls" -> ((s, d) => {
       val t = Tables(s, d)
@@ -484,6 +499,11 @@ object Relational {
       """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int,
         | CAST(o_orderkey AS VARCHAR) AS key_str, CAST(o_orderdate AS DATE) AS odate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q34_multiway_star" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q33_nulls" ->
       """SELECT c_custkey, coalesce(m.max_okey, -1) AS okey, m.max_okey IS NULL AS no_order
         |FROM customer LEFT JOIN (

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class FractionalEdgeCoverSpec extends AnyFunSuite {
+
+  test("triangle cover number is 1.5") {
+    val (rho, x) = FractionalEdgeCover.solve(3, Seq(Set(0, 1), Set(1, 2), Set(0, 2)))
+    assert(math.abs(rho - 1.5) < 1e-9)
+    assert(x.forall(w => w >= -1e-9))
+    assert(math.abs(x.sum - 1.5) < 1e-9)
+  }
+
+  test("path A-B-C needs ρ* = 2 vertices... edges AB,BC cover with 1 each end") {
+    val (rho, _) = FractionalEdgeCover.solve(3, Seq(Set(0, 1), Set(1, 2)))
+    assert(math.abs(rho - 2.0) < 1e-9)
+  }
+
+  test("single edge covers itself with weight 1") {
+    val (rho, x) = FractionalEdgeCover.solve(2, Seq(Set(0, 1)))
+    assert(math.abs(rho - 1.0) < 1e-9 && math.abs(x(0) - 1.0) < 1e-9)
+  }
+
+  test("5-cycle cover number is 2.5") {
+    val edges = (0 until 5).map(i => Set(i, (i + 1) % 5))
+    val (rho, _) = FractionalEdgeCover.solve(5, edges)
+    assert(math.abs(rho - 2.5) < 1e-9)
+  }
+
+  test("uncoverable vertex rejected") {
+    intercept[IllegalArgumentException](FractionalEdgeCover.solve(2, Seq(Set(0))))
+  }
+}
+
+class JoinHyperGraphSpec extends AnyFunSuite {
+  import JoinHyperGraph._
+
+  test("GYO: path and star are acyclic, triangle and 4-cycle are not") {
+    assert(isAcyclic(Seq(Set("a", "b"), Set("b", "c"), Set("c", "d"))))
+    assert(isAcyclic(Seq(Set("k", "x"), Set("k", "y"), Set("k", "z"))))
+    assert(!isAcyclic(Seq(Set("a", "b"), Set("b", "c"), Set("a", "c"))))
+    assert(!isAcyclic(Seq(Set("a", "b"), Set("b", "c"), Set("c", "d"), Set("d", "a"))))
+  }
+
+  test("triangle decomposes to a single bag of width 1.5") {
+    val d = decompose(Seq(Edge(0, Set("a", "b")), Edge(1, Set("b", "c")), Edge(2, Set("a", "c"))))
+    assert(d.bags.size === 1)
+    assert(math.abs(d.fhtw - 1.5) < 1e-9)
+  }
+
+  test("acyclic path keeps width 1") {
+    val d = decompose(Seq(Edge(0, Set("a", "b")), Edge(1, Set("b", "c")), Edge(2, Set("c", "d"))))
+    assert(math.abs(d.fhtw - 1.0) < 1e-9)
+    assert(d.bags.size === 3)
+    assert(d.treeEdges.size === 2)
+  }
+
+  test("4-cycle fhtw is at most 2 and decomposition is a valid tree") {
+    val d = decompose(Seq(
+      Edge(0, Set("a", "b")), Edge(1, Set("b", "c")), Edge(2, Set("c", "e")), Edge(3, Set("e", "a"))))
+    assert(d.fhtw <= 2.0 + 1e-9)
+    assert(d.treeEdges.size === d.bags.size - 1)
+  }
+
+  test("large inputs fall back without blowing up") {
+    val edges = (0 until 12).map(i => Edge(i, Set(s"v$i", s"v${i + 1}")))
+    val d = decompose(edges)
+    assert(d.bags.size === 12)
+  }
+}
+
+class MultiwayJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangle join result matches manual 3-way join") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r1 = e.select($"src".as("a"), $"dst".as("b"))
+    val r2 = e.select($"src".as("b"), $"dst".as("c"))
+    val r3 = e.select($"src".as("c"), $"dst".as("a"))
+    val got = MultiwayJoin.join(Seq((r1, Seq("a", "b")), (r2, Seq("b", "c")), (r3, Seq("c", "a"))))
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+    // directed triangles: 1->2->3->1 and its rotations
+    assert(got === Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("disconnected relations cross-join") {
+    val x = Seq(1).toDF("x")
+    val y = Seq(2, 3).toDF("y")
+    assert(MultiwayJoin.join(Seq((x, Seq("x")), (y, Seq("y")))).count() === 2)
+  }
+
+  test("planner groups cyclic core into one bag") {
+    val p = MultiwayJoin.plan(Seq(Seq("a", "b"), Seq("b", "c"), Seq("a", "c"), Seq("c", "d")))
+    // triangle abc in one bag, pendant cd attached
+    assert(p.bags.exists(_.edgeIds.toSet === Set(0, 1, 2)))
+    assert(p.fhtw <= 1.5 + 1e-9)
+  }
+}
