@@ -98,6 +98,48 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
     wrap(df.sort(cols: _*))
   }
 
+  /** Keyed upsert-union — the reference's `UnionByUpdate`
+    * (binaryOperators.scala:155-171; SQL `(q) UNION BY UPDATE cols (q)`,
+    * SQLParser.scala:328-336): rows of `other` replace same-keyed rows of
+    * this, unmatched rows of both survive. One shuffle (the anti join).
+    */
+  def unionByUpdate(other: EngineDataFrame, keyCols: Seq[String]): EngineDataFrame =
+    wrap(other.df.unionByName(df.join(other.df.select(keyCols.map(org.apache.spark.sql.functions.col): _*), keyCols, "left_anti")))
+
+  /** Fixed-round iteration — the reference's `Recursion(plan, round)` /
+    * `Iterative` operators (graphOperators.scala:189, unaryOperators.scala:298).
+    * Lineage is truncated each round (SURVEY §7.3 iterative-state risk).
+    */
+  def iterate(rounds: Int)(step: EngineDataFrame => EngineDataFrame): EngineDataFrame = {
+    require(rounds >= 0)
+    var cur = this
+    var i = 0
+    while (i < rounds) {
+      cur = wrap(step(cur).df.localCheckpoint(true))
+      i += 1
+    }
+    cur
+  }
+
+  /** Iterate to fixpoint with a round cap — `WITH RECURSIVE(n)` CTE
+    * semantics (multiwayOperators.scala:306-326): stops when a round adds
+    * no change (same row multiset) or after `maxRounds`.
+    */
+  def iterateToFixpoint(maxRounds: Int)(step: EngineDataFrame => EngineDataFrame): EngineDataFrame = {
+    var cur = wrap(df.localCheckpoint(true))
+    var i = 0
+    var done = false
+    while (i < maxRounds && !done) {
+      val next = wrap(step(cur).df.localCheckpoint(true))
+      val changed = next.df.exceptAll(cur.df).limit(1).count() +
+        cur.df.exceptAll(next.df).limit(1).count()
+      done = changed == 0
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
   /* == actions (SeccoDataFrame.scala:59-117) == */
 
   def collect(): Array[Row] = df.collect()

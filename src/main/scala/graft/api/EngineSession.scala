@@ -18,6 +18,14 @@ final class EngineSession(val spark: SparkSession) {
   /** table name -> primary key columns (reference: CatalogTable.primaryKeys). */
   private val primaryKeys = TrieMap.empty[String, Seq[String]]
 
+  // install the PK-FK join-reorder rule (SURVEY §7.6); idempotent on a
+  // shared session. Also installable at submit time via
+  // spark.sql.extensions=graft.plans.GraftExtensions.
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.PkFkJoinReorder)) {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PkFkJoinReorder
+  }
+
   /** SQL entry point (SeccoSession.scala:89-91) — full Spark SQL, a strict
     * superset of the reference's hand-rolled grammar (SURVEY §2.7).
     */
@@ -38,8 +46,10 @@ final class EngineSession(val spark: SparkSession) {
     EngineDataFrame(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), this)
 
   /** Register a table's primary key for the PK-FK join optimizer. */
-  def registerPrimaryKey(table: String, keys: Seq[String]): Unit =
+  def registerPrimaryKey(table: String, keys: Seq[String]): Unit = {
     primaryKeys.put(table, keys)
+    graft.plans.PkFkJoinReorder.registerPrimaryKey(table, keys)
+  }
 
   def primaryKeyOf(table: String): Option[Seq[String]] = primaryKeys.get(table)
 

@@ -340,6 +340,27 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // typed UDAF through functions.udaf (reference UDAF surface, SURVEY §2.4)
+    // with partial+final aggregation planned by Catalyst.
+    "q35_udaf_geomean" -> ((s, d) => {
+      Tables(s, d).orders
+        .groupBy("o_orderpriority")
+        .agg(round(graft.functions.Udafs.geometricMean(col("o_totalprice")), 2).as("geo_mean"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // SQL entry point (SeccoSession.sql) — full Spark SQL text over temp views.
+    "q36_sql_entry" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("orders")
+      t.customer.createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders JOIN customer ON c_custkey = o_custkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // null handling: IsNull / Coalesce (nullExpressions.scala) over outer-join nulls.
     "q33_nulls" -> ((s, d) => {
       val t = Tables(s, d)
@@ -499,6 +520,14 @@ object Relational {
       """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int,
         | CAST(o_orderkey AS VARCHAR) AS key_str, CAST(o_orderdate AS DATE) AS odate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q35_udaf_geomean" ->
+      """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 2) AS geo_mean
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q36_sql_entry" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q34_multiway_star" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM customer JOIN orders ON c_custkey = o_custkey
