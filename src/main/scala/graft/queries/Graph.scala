@@ -94,6 +94,20 @@ object Graph {
         .orderBy("id")
     }),
 
+    // triangle count again, but through the worst-case-optimal LeapFrog
+    // multiway join (graft.wcoj) instead of binary hash joins — same oracle
+    // as the binary-join formulation, different physical algorithm.
+    "q47_wcoj_triangle" -> ((s, d) => {
+      val e = denseEdges(Tables(s, d))
+      graft.wcoj.WcojJoin.leapfrog(s, Seq(
+          (e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+          (e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+          (e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))),
+        Seq("a", "b", "c"))
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // directed 4-cycle count on the sparse graph — a cyclic query whose join
     // order comes from the GHD planner (pattern() → MultiwayJoin).
     "q46_ghd_4cycle" -> ((s, d) => {
@@ -166,6 +180,12 @@ object Graph {
          |  SELECT e.dst, p.d + 1 FROM paths p JOIN edges e ON e.src = p.id WHERE p.d < 30)
          |SELECT id, CAST(min(d) AS BIGINT) AS dist
          |FROM paths GROUP BY id ORDER BY id""".stripMargin,
+    "q47_wcoj_triangle" ->
+      s"""WITH edges AS ($denseEdgesSql)
+         |SELECT count(*) AS n_triangles
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,
     "q46_ghd_4cycle" ->
       s"""WITH edges AS ($mediumEdgesSql)
          |SELECT count(*) AS n_cycles

@@ -1,0 +1,85 @@
+package graft.wcoj
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed worst-case-optimal multiway join (SURVEY §7.5 step (b)): the
+  * reference's PullPairExchange + LeapFrogJoin path re-expressed as a
+  * single-attribute Shares partitioning over Spark.
+  *
+  * Partitioning scheme ("Shares-lite"): hash-partition every relation that
+  * contains the FIRST attribute of the global order on that attribute;
+  * broadcast the relations that don't. Each partition then runs the full
+  * LeapFrog enumeration locally — correct because every output binding fixes
+  * a value of the first attribute and therefore lands in exactly one
+  * partition, while broadcast relations are visible everywhere.
+  *
+  * Scale envelope: the broadcast side must fit in executor memory (true for
+  * pattern queries where every relation is a projection of the same edge
+  * table and the edge table fits; the reference's full HyperCube/Shares
+  * shuffle with per-attribute share vectors is the generalization — future
+  * work, tracked in README). Skew on the first attribute behaves like any
+  * hash-partitioned hot key; pick the highest-cardinality attribute first.
+  *
+  * v1 restriction: join attributes must be LongType (graph ids).
+  */
+object WcojJoin {
+
+  /** Natural-join `relations` (DataFrame + its attribute names, which must
+    * be Long columns) worst-case-optimally, emitting one row per binding of
+    * `attrOrder`.
+    */
+  def leapfrog(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
+      attrOrder: Seq[String], numPartitions: Int = 0): DataFrame = {
+    require(relations.nonEmpty)
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+
+    val order = attrOrder.toArray
+    val first = order.head
+
+    // project each relation to its attrs REORDERED to follow the global
+    // attribute order, as Array[Long] rows
+    def prepared(df: DataFrame, attrs: Seq[String]): (Array[String], org.apache.spark.rdd.RDD[Array[Long]]) = {
+      val sortedAttrs = attrs.sortBy(order.indexOf(_)).toArray
+      val rdd = df.select(sortedAttrs.map(c => col(c).cast(LongType)): _*)
+        .rdd.map(r => Array.tabulate(sortedAttrs.length)(i => r.getLong(i)))
+      (sortedAttrs, rdd)
+    }
+
+    val prep = relations.map { case (df, attrs) => prepared(df, attrs) }
+    val (withFirst, without) = prep.partition(_._1.contains(first))
+    require(withFirst.nonEmpty, s"no relation contains leading attribute $first")
+
+    // broadcast the relations lacking the partitioning attribute
+    val bc = spark.sparkContext.broadcast(
+      without.map { case (attrs, rdd) =>
+        LeapFrog.Relation(attrs, LeapFrog.sortRows(rdd.collect()))
+      })
+
+    // tag rows with their relation index, then ONE shuffle on hash(first)
+    val partitioner = new HashPartitioner(parts)
+    val tagged = withFirst.zipWithIndex.map { case ((attrs, rdd), idx) =>
+      val firstPos = attrs.indexOf(first)
+      rdd.map(row => (row(firstPos), (idx, row)))
+    }.reduce(_ union _)
+    val routed = tagged.partitionBy(partitioner)
+
+    val attrsByIdx = withFirst.map(_._1).toArray
+    val resultRdd = routed.mapPartitions { it =>
+      val buckets = Array.fill(attrsByIdx.length)(new scala.collection.mutable.ArrayBuffer[Array[Long]]())
+      it.foreach { case (_, (idx, row)) => buckets(idx) += row }
+      val local = attrsByIdx.indices.map { i =>
+        LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
+      }
+      val all = local ++ bc.value
+      if (local.exists(_.rows.isEmpty)) Iterator.empty
+      else LeapFrog.join(all, order).map(b => Row.fromSeq(b.toIndexedSeq))
+    }
+
+    val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
+    spark.createDataFrame(resultRdd, schema)
+  }
+}
