@@ -33,6 +33,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) top-k: the production ANN shape. A deterministic
+    * centroid subset (ids ≡ 0 mod `centroidMod` — swap for k-means offline)
+    * partitions the corpus into cells (each candidate assigned to its
+    * max-cosine centroid); a query scores only the cells of its `probes`
+    * nearest centroids. Candidate-side work per query drops from O(N) to
+    * O(probes · N / |centroids|); both assignment joins broadcast the small
+    * centroid set, so the corpus is scanned exactly twice regardless of
+    * query count.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int, centroidMod: Int = 100, probes: Int = 2): DataFrame = {
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
+
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+    val assigned = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cv"), col("cent_id"),
+        round(cosine(col("cv"), col("cv0")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select("vec_id", "cv", "cent_id")
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id").asc)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        round(cosine(col("qv"), col("cv0")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= probes)
+      .select("query_id", "qv", "cent_id")
+
+    val scored = assigned.join(probed, "cent_id" :: Nil)
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH top-k: exact ranking *within* the query's bucket. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {

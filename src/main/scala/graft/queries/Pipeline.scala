@@ -120,6 +120,14 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: centroid cells (ids ≡ 0 mod 100) + 2-probe search.
+    "q61_ann_ivf" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "embedding", "vec_id",
+          k = 10, centroidMod = 100, probes = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding near-dup pairs: cosine ≥ 0.8 within the same label block.
     "q60_near_dup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDup(Tables(s, d).embeddings, "embedding", "vec_id", "label", 0.8)
@@ -239,6 +247,28 @@ object Pipeline {
          |  FROM scored)
          |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q61_ann_ivf" -> {
+      def dotE(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
+      def cosE(a: String, b: String) =
+        s"round(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})), 6)"
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv0 FROM embeddings WHERE vec_id % 100 = 0),
+         |asg AS (SELECT vec_id, cv, cent_id FROM (
+         |  SELECT c.vec_id, c.cv, ct.cent_id,
+         |   row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cosE("c.cv", "ct.cv0")} DESC, ct.cent_id) AS rn
+         |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) c CROSS JOIN cents ct) WHERE rn = 1),
+         |probe AS (SELECT query_id, qv, cent_id FROM (
+         |  SELECT q.query_id, q.qv, ct.cent_id,
+         |   row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosE("q.qv", "ct.cv0")} DESC, ct.cent_id) AS rn
+         |  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+         |   CROSS JOIN cents ct) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id, ${cosE("p.qv", "a.cv")} AS cos
+         |  FROM asg a JOIN probe p USING (cent_id))
+         |SELECT query_id, vec_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q60_near_dup_embedding" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"

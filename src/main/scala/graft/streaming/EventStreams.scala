@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming surface over the `events` table shape
@@ -40,6 +43,78 @@ object EventStreams {
     * The streaming twin of this is mapGroupsWithState with a session timeout;
     * the batch form is what the oracle can check.
     */
+  /** Event row for the stateful session path. */
+  final case class Evt(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  /** Closed session summary emitted by [[sessionizeStateful]]. */
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start: Timestamp, end: Timestamp, total_value: Double)
+
+  /** open-session state as a tuple (idx, n, startMicros, lastMicros, total) —
+    * tuple encoders serialize cleanly through the streaming state store where
+    * object-nested case classes trip Janino.
+    */
+  private type SessState = (Long, Long, Long, Long, Double)
+
+  /** Streaming sessionization with custom state — `flatMapGroupsWithState`
+    * over user_id with a processing-time timeout (the KeyValueGroupedDataset
+    * custom-state path the reference has no analog for). Emits one row per
+    * CLOSED session: a session closes when a gap > `gapSeconds` is observed
+    * or the state times out. Works on batch Datasets too (state spans the
+    * whole group; all sessions close at group end).
+    */
+  def sessionizeStateful(events: Dataset[Evt], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    // capture NOW: the Dataset handle is not usable inside the executor-side
+    // state function (its logicalPlan is null there)
+    val streaming = events.isStreaming
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[List[SessState]]) =>
+          // sort this batch's events; carry open-session state across batches
+          val sorted = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = Vector.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            open match {
+              case Some((idx, n, st, last, tot)) if t - last <= gapMicros =>
+                open = Some((idx, n + 1, st, t, tot + e.value))
+              case Some((idx, n, st, last, tot)) =>
+                closed += Session(user, idx, n,
+                  new Timestamp(st / 1000), new Timestamp(last / 1000), tot)
+                open = Some((idx + 1, 1L, t, t, e.value))
+              case None =>
+                open = Some((1L, 1L, t, t, e.value))
+            }
+          }
+          open match {
+            case Some(s) => state.update(List(s))
+            case None    => state.remove()
+          }
+          // batch semantics: each group is seen once, so flush the open
+          // session as closed when the source is not streaming
+          if (!streaming) {
+            open.foreach { case (idx, n, st, last, tot) =>
+              closed += Session(user, idx, n,
+                new Timestamp(st / 1000), new Timestamp(last / 1000), tot)
+            }
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Stream-static enrichment join: the static side behaves like a broadcast
+    * dimension on every micro-batch.
+    */
+  def enrich(stream: DataFrame, static: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(static, keys, "left")
+
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -20,6 +20,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("stateful sessionization closes sessions on gap, batch flushes open") {
+    import EventStreams.{Evt, Session}
+    val ds = Seq(
+      Evt(1, 100, ts(0), 1.0), Evt(2, 100, ts(10), 2.0),  // session 1
+      Evt(3, 100, ts(50), 4.0),                           // gap 40min -> session 2
+      Evt(4, 200, ts(5), 8.0))
+      .toDS()
+    val sessions = EventStreams.sessionizeStateful(ds, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_idx) -> s).toMap
+    assert(sessions.size === 3)
+    assert(sessions((100L, 1L)).n_events === 2 && sessions((100L, 1L)).total_value === 3.0)
+    assert(sessions((100L, 2L)).n_events === 1 && sessions((100L, 2L)).total_value === 4.0)
+    assert(sessions((200L, 1L)).n_events === 1)
+    assert(sessions((100L, 1L)).start === ts(0) && sessions((100L, 1L)).end === ts(10))
+  }
+
+  test("stateful sessionization over a real stream emits closed sessions") {
+    import EventStreams.Evt
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    Seq(Evt(1, 1, ts(0), 1.0), Evt(2, 1, ts(10), 1.0), Evt(3, 1, ts(60), 1.0))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir).as[Evt]
+    val q = EventStreams.sessionizeStateful(stream, gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    // only the CLOSED session (gap before minute 60) is emitted; the open one stays in state
+    val out = spark.table("sess_out").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_events") === 2)
+  }
+
   test("streaming windowedAgg equals batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
     val df = Seq(
