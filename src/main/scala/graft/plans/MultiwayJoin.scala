@@ -18,8 +18,15 @@ object MultiwayJoin {
 
   /** Natural-join the relations (join attributes = same-named columns),
     * ordering the joins by the minimum-fhtw GHD of the join hypergraph.
+    *
+    * @param reduce Yannakakis semijoin reduction: before joining bags, run a
+    *   leaves→root then root→leaves `left_semi` sweep along the GHD tree so
+    *   every bag keeps only rows that participate in the final result. Two
+    *   extra semijoin passes (cheap shuffles) buy intermediate results that
+    *   never exceed the output size — the right trade when bags are
+    *   selective or the data is large; off by default for small queries.
     */
-  def join(relations: Seq[(DataFrame, Seq[String])]): DataFrame = {
+  def join(relations: Seq[(DataFrame, Seq[String])], reduce: Boolean = false): DataFrame = {
     require(relations.nonEmpty, "no relations to join")
     if (relations.size == 1) return relations.head._1
 
@@ -34,7 +41,26 @@ object MultiwayJoin {
     }
 
     // join inside each bag (relation order within a bag: as given)
-    val bagDfs = ghd.bags.map(b => b.edgeIds.map(relations(_)._1).reduce(naturalJoin))
+    val bagDfs0 = ghd.bags.map(b => b.edgeIds.map(relations(_)._1).reduce(naturalJoin))
+
+    def semiReduce(target: DataFrame, by: DataFrame): DataFrame = {
+      val common = target.columns.intersect(by.columns).toIndexedSeq
+      if (common.isEmpty) target else target.join(by, common, "left_semi")
+    }
+
+    // Yannakakis: leaves→root (attachment order reversed), then root→leaves
+    val bagDfs =
+      if (!reduce || bagDfs0.size == 1) bagDfs0
+      else {
+        val arr = bagDfs0.toArray
+        ghd.treeEdges.reverse.foreach { case (parent, child) =>
+          arr(parent) = semiReduce(arr(parent), arr(child))
+        }
+        ghd.treeEdges.foreach { case (parent, child) =>
+          arr(child) = semiReduce(arr(child), arr(parent))
+        }
+        arr.toSeq
+      }
 
     // join bags along the GHD tree edges, parent-first; tree edges were
     // produced in attachment order so each (t, b) has t already joined.

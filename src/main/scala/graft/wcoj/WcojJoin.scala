@@ -82,4 +82,74 @@ object WcojJoin {
     val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
     spark.createDataFrame(resultRdd, schema)
   }
+
+  /** Full HyperCube/Shares leapfrog: ONE communication round for the whole
+    * n-way join with NO broadcast requirement — each relation's tuples are
+    * replicated only across the grid dimensions of attributes it lacks,
+    * with shares chosen by [[HyperCube.optimalShares]] to minimize that
+    * replication. This is the reference's PullPairExchange capability; use
+    * it when no single attribute covers enough relations for [[leapfrog]]'s
+    * broadcast complement to fit in memory.
+    */
+  def leapfrogHyperCube(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
+      attrOrder: Seq[String], maxCells: Int = 0): DataFrame = {
+    require(relations.nonEmpty)
+    val cells = if (maxCells > 0) maxCells else spark.sparkContext.defaultParallelism
+    val order = attrOrder.toArray
+
+    def prep(df: DataFrame, attrs: Seq[String]): (Array[String], org.apache.spark.rdd.RDD[Array[Long]]) = {
+      val sortedAttrs = attrs.sortBy(order.indexOf(_)).toArray
+      val rdd = df.select(sortedAttrs.map(c => col(c).cast(LongType)): _*)
+        .rdd.map(r => Array.tabulate(sortedAttrs.length)(i => r.getLong(i)))
+      (sortedAttrs, rdd)
+    }
+    val prepped = relations.map { case (df, attrs) => prep(df, attrs) }
+
+    val sizes = relations.zip(prepped).map { case ((df, _), (attrs, _)) =>
+      (attrs.toSet, df.count()) // one pass for the share optimizer's |R|
+    }
+    val shares = HyperCube.optimalShares(order.toSeq, sizes, cells)
+    val bcShares = spark.sparkContext.broadcast(shares)
+    val nCells = shares.numCells
+
+    // route every tuple to all consistent cells
+    val tagged = prepped.zipWithIndex.map { case ((attrs, rdd), idx) =>
+      val attrIdx = attrs.map(a => order.indexOf(a))
+      rdd.flatMap { row =>
+        val sh = bcShares.value
+        // fixed buckets for owned attributes, free dimensions enumerate
+        val bucket = new Array[Int](order.length)
+        val free = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = 0
+        while (j < order.length) { bucket(j) = -1; j += 1 }
+        attrs.indices.foreach { k =>
+          bucket(attrIdx(k)) = sh.bucketOf(attrs(k), row(k))
+        }
+        (0 until order.length).foreach(j => if (bucket(j) < 0) free += j)
+        def cellsFor(fi: Int, acc: Array[Int]): Iterator[Int] =
+          if (fi == free.length) Iterator.single(sh.cellId(acc))
+          else (0 until sh.p(free(fi))).iterator.flatMap { b =>
+            val a2 = acc.clone(); a2(free(fi)) = b; cellsFor(fi + 1, a2)
+          }
+        cellsFor(0, bucket).map(c => (c, (idx, row)))
+      }
+    }.reduce(_ union _)
+
+    val routed = tagged.partitionBy(new HashPartitioner(nCells) {
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+
+    val attrsByIdx = prepped.map(_._1).toArray
+    val resultRdd = routed.mapPartitions { it =>
+      val buckets = Array.fill(attrsByIdx.length)(new scala.collection.mutable.ArrayBuffer[Array[Long]]())
+      it.foreach { case (_, (idx, row)) => buckets(idx) += row }
+      val local = attrsByIdx.indices.map { i =>
+        LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
+      }
+      if (local.exists(_.rows.isEmpty)) Iterator.empty
+      else LeapFrog.join(local, order).map(b => Row.fromSeq(b.toIndexedSeq))
+    }
+    val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
+    spark.createDataFrame(resultRdd, schema)
+  }
 }

@@ -90,6 +90,19 @@ class MultiwayJoinSpec extends SparkSpec {
     assert(MultiwayJoin.join(Seq((x, Seq("x")), (y, Seq("y")))).count() === 2)
   }
 
+  test("Yannakakis reduction preserves results on a selective path join") {
+    val r = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+    val s = Seq((10L, 100L), (20L, 200L), (99L, 999L)).toDF("b", "c")
+    val t = Seq((100L, 7L)).toDF("c", "d")
+    val rels = Seq((r, Seq("a", "b")), (s, Seq("b", "c")), (t, Seq("c", "d")))
+    val plain = MultiwayJoin.join(rels).select("a", "b", "c", "d")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val reduced = MultiwayJoin.join(rels, reduce = true).select("a", "b", "c", "d")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(reduced === plain)
+    assert(reduced === Set((1L, 10L, 100L, 7L)))
+  }
+
   test("planner groups cyclic core into one bag") {
     val p = MultiwayJoin.plan(Seq(Seq("a", "b"), Seq("b", "c"), Seq("a", "c"), Seq("c", "d")))
     // triangle abc in one bag, pendant cd attached

@@ -48,6 +48,29 @@ class LeapFrogSpec extends AnyFunSuite {
   }
 }
 
+class HyperCubeSpec extends AnyFunSuite {
+
+  test("triangle with symmetric sizes gets a balanced cube") {
+    val s = HyperCube.optimalShares(Seq("a", "b", "c"),
+      Seq((Set("a", "b"), 1000L), (Set("b", "c"), 1000L), (Set("a", "c"), 1000L)), maxCells = 27)
+    assert(s.p.toSeq === Seq(3, 3, 3))
+  }
+
+  test("shared attribute absorbs the whole budget when it splits all relations") {
+    // R(a,b) huge, S(b,c) tiny: partitioning on the shared b splits both
+    // relations with ZERO replication — p_b takes everything
+    val s = HyperCube.optimalShares(Seq("a", "b", "c"),
+      Seq((Set("a", "b"), 1000000L), (Set("b", "c"), 10L)), maxCells = 16)
+    assert(s.p.toSeq === Seq(1, 16, 1))
+  }
+
+  test("cell ids are a bijection over the grid") {
+    val s = HyperCube.Shares(Array("x", "y"), Array(3, 4))
+    val ids = for (i <- 0 until 3; j <- 0 until 4) yield s.cellId(Array(i, j))
+    assert(ids.toSet === (0 until 12).toSet)
+  }
+}
+
 class WcojJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -70,5 +93,35 @@ class WcojJoinSpec extends SparkSpec {
 
     assert(viaWcoj === viaDf)
     assert(viaWcoj.nonEmpty) // non-vacuous on this density
+  }
+
+  test("hypercube triangle equals DataFrame 3-way join (no broadcast side)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+
+    val viaDf = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), "b" :: Nil)
+      .join(edges.select($"dst".as("a"), $"src".as("c")), Seq("c", "a"))
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+
+    val viaCube = WcojJoin.leapfrogHyperCube(spark, Seq(
+        (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+        (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+        (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c"))),
+      Seq("a", "b", "c"), maxCells = 8)
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(viaCube === viaDf)
+    assert(viaCube.nonEmpty)
+  }
+
+  test("hypercube disconnected join degenerates to a partitioned cross product") {
+    val x = Seq(1L, 2L).toDF("x")
+    val y = Seq(10L, 20L, 30L).toDF("y")
+    val got = WcojJoin.leapfrogHyperCube(spark,
+        Seq((x, Seq("x")), (y, Seq("y"))), Seq("x", "y"), maxCells = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got === (for (a <- Seq(1L, 2L); b <- Seq(10L, 20L, 30L)) yield (a, b)).toSet)
   }
 }
