@@ -144,6 +144,19 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
 
   def collect(): Array[Row] = df.collect()
   def count(): Long = df.count()
+  def rdd: org.apache.spark.rdd.RDD[Row] = df.rdd
+
+  /** The `Partition` communication operator (unaryOperators.scala:235-253):
+    * hash-repartition on the given columns — Catalyst's ShuffleExchange
+    * replaces the reference's hypercube exchange for unary repartitioning.
+    */
+  def partitionBy(cols: String*): EngineDataFrame =
+    wrap(df.repartition(cols.map(org.apache.spark.sql.functions.col): _*))
+
+  def writeParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def writeCsv(path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def writeJson(path: String): Unit = df.write.mode("overwrite").json(path)
   def show(n: Int = 20): Unit = df.show(n)
   def explain(extended: Boolean = false): Unit = df.explain(extended)
   def cache(): EngineDataFrame = wrap(df.cache())

@@ -41,6 +41,24 @@ final class EngineSession(val spark: SparkSession) {
   /** Leaf construction from an existing DataFrame (SeccoDataFrame.scala:421-454). */
   def createDatasetFromSparkSQL(df: DataFrame): EngineDataFrame = EngineDataFrame(df, this)
 
+  /** Leaf construction from an RDD (SeccoSession.createDatasetFromRDD,
+    * SeccoSession.scala:46-59).
+    */
+  def createDatasetFromRDD(rdd: org.apache.spark.rdd.RDD[Row], schema: StructType): EngineDataFrame =
+    EngineDataFrame(spark.createDataFrame(rdd, schema), this)
+
+  /* == file sources/sinks — the reference has none (SURVEY §2.5: collect-only
+   * output, programmatic ingestion + a text DataLoader); Spark natively
+   * provides them, surfaced here for facade completeness. == */
+
+  def readParquet(path: String): EngineDataFrame = EngineDataFrame(spark.read.parquet(path), this)
+  def readCsv(path: String, header: Boolean = true, inferSchema: Boolean = true): EngineDataFrame =
+    EngineDataFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path), this)
+  def readJson(path: String): EngineDataFrame = EngineDataFrame(spark.read.json(path), this)
+  /** text-file loader with a delimiter — the reference's util DataLoader capability. */
+  def readDelimited(path: String, delimiter: String): EngineDataFrame =
+    EngineDataFrame(spark.read.option("header", "false").option("delimiter", delimiter).csv(path), this)
+
   /** Empty dataset with schema (SeccoSession.scala:60-68). */
   def createEmptyDataset(schema: StructType): EngineDataFrame =
     EngineDataFrame(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), this)

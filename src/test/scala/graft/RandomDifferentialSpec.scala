@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.MultiwayJoin
+import graft.wcoj.WcojJoin
+
+/** Randomized differential testing in the spirit of the reference's
+  * TestQueryGenerator (src/test/scala/util/TestQueryGenerator.scala): random
+  * join hypergraphs evaluated four ways — naive left-to-right natural join,
+  * GHD-planned MultiwayJoin, Yannakakis-reduced MultiwayJoin, and the
+  * HyperCube worst-case-optimal path — must all agree.
+  */
+class RandomDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val attrPool = Vector("a", "b", "c", "d", "e")
+
+  private def naive(rels: Seq[(DataFrame, Seq[String])]): DataFrame =
+    rels.map(_._1).reduce { (l, r) =>
+      val common = l.columns.intersect(r.columns).toIndexedSeq
+      if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
+    }
+
+  private def canon(df: DataFrame, cols: Seq[String]): Set[Seq[Long]] =
+    df.select(cols.map(col): _*).collect().map(r => cols.indices.map(r.getLong)).toSet
+
+  test("random hypergraphs: naive == GHD == Yannakakis == hypercube") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 8) {
+      val nRels = 2 + rnd.nextInt(3)
+      // connected hypergraph: each relation shares >=1 attr with the previous
+      var used = Vector(attrPool(rnd.nextInt(2)))
+      val rels = (0 until nRels).map { _ =>
+        val shared = used(rnd.nextInt(used.size))
+        val fresh = attrPool(rnd.nextInt(attrPool.size))
+        val attrs = Seq(shared, fresh).distinct
+        used = (used ++ attrs).distinct
+        val arity = attrs.size
+        val rows = Seq.fill(30 + rnd.nextInt(40))(
+          Seq.fill(arity)(rnd.nextInt(6).toLong)).distinct
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq(_))),
+          org.apache.spark.sql.types.StructType(attrs.map(a =>
+            org.apache.spark.sql.types.StructField(a, org.apache.spark.sql.types.LongType, nullable = false))))
+        (df, attrs)
+      }
+      val outCols = rels.flatMap(_._2).distinct.sorted
+      withClue(s"trial $trial over ${rels.map(_._2.mkString("")).mkString(",")}: ") {
+        val base = canon(naive(rels), outCols)
+        assert(canon(MultiwayJoin.join(rels), outCols) === base, "GHD")
+        assert(canon(MultiwayJoin.join(rels, reduce = true), outCols) === base, "Yannakakis")
+        // hypercube needs SET-semantics inputs (they are: .distinct rows) and
+        // an attr order; output arity == all attrs
+        val cube = WcojJoin.leapfrogHyperCube(spark, rels, outCols, maxCells = 4)
+        assert(canon(cube, outCols) === base, "hypercube")
+      }
+    }
+  }
+}

@@ -97,3 +97,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.contains(3L))                  // bucket 0
   }
 }
+
+class SaltingSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // hot key 1 dominates
+    val left = (Seq.fill(500)(1L) ++ (2L to 50L)).map(k => (k, k * 2)).toDF("k", "lv")
+    val right = (1L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, "k" :: Nil).collect().map(_.toSeq)
+    val salted = Salting.saltedJoin(left, right, "k", factor = 8).collect().map(_.toSeq)
+    assert(salted.toSet === plain.toSet)
+    assert(salted.length === plain.length) // multiset: hot-key rows join once each
+  }
+
+  test("salted left join keeps unmatched rows once") {
+    val left = Seq((1L, "a"), (9L, "x")).toDF("k", "lv")
+    val right = Seq((1L, "r")).toDF("k", "rv")
+    val out = Salting.saltedJoin(left, right, "k", 4, "left").collect()
+    assert(out.length === 2)
+    assert(out.count(_.isNullAt(2)) === 1) // key 9 unmatched exactly once
+  }
+
+  test("hotKeys surfaces the dominant key") {
+    val df = (Seq.fill(100)(7L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val top = Salting.hotKeys(df, "k", 1).collect().head
+    assert(top.getLong(0) === 7L && top.getLong(1) === 100L)
+  }
+}
