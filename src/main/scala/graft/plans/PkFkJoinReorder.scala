@@ -158,5 +158,6 @@ object PkFkJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PkFkJoinReorder)
+    e.injectPlannerStrategy(_ => graft.wcoj.WcojStrategy)
   }
 }

@@ -95,11 +95,12 @@ object Graph {
     }),
 
     // triangle count again, but through the worst-case-optimal LeapFrog
-    // multiway join (graft.wcoj) instead of binary hash joins — same oracle
-    // as the binary-join formulation, different physical algorithm.
+    // multiway join as a Catalyst plan node (LeapFrogJoinPlan/Exec via
+    // WcojStrategy) instead of binary hash joins — same oracle as the
+    // binary-join formulation, different physical algorithm.
     "q47_wcoj_triangle" -> ((s, d) => {
       val e = denseEdges(Tables(s, d))
-      graft.wcoj.WcojJoin.leapfrog(s, Seq(
+      graft.wcoj.WcojJoin.leapfrogCatalyst(s, Seq(
           (e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
           (e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
           (e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))),

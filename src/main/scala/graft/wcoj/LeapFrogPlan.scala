@@ -1,0 +1,133 @@
+package graft.wcoj
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types.LongType
+
+/** The worst-case-optimal join as a first-class Catalyst operator
+  * (SURVEY §7.2: "custom SparkStrategy + physical op") — the (c) route of
+  * the custom-operator preference order, replacing the mapPartitions
+  * wrapper with a plan node Catalyst sees, optimizes around, and shows in
+  * `.explain()`.
+  *
+  * Children must each emit exactly their attribute list (Long columns,
+  * ordered consistently with `attrOrder`); output is one row per binding of
+  * `attrOrder`.
+  */
+final case class LeapFrogJoinPlan(
+    children: Seq[LogicalPlan],
+    childAttrs: Seq[Seq[String]],
+    attrOrder: Seq[String],
+    override val output: Seq[Attribute]) extends LogicalPlan {
+
+  // output attributes are constructor state, NOT recomputed per instance:
+  // tree transforms copy() the node, and fresh exprIds would orphan every
+  // downstream reference (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+
+  // the bindings are NEW attributes, not pass-throughs of child columns —
+  // declare them produced or the analyzer reports MISSING_ATTRIBUTES.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    outputSet
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = copy(children = newChildren)
+}
+
+object LeapFrogJoinPlan {
+  def create(children: Seq[LogicalPlan], childAttrs: Seq[Seq[String]],
+      attrOrder: Seq[String]): LeapFrogJoinPlan =
+    LeapFrogJoinPlan(children, childAttrs, attrOrder,
+      attrOrder.map(a => AttributeReference(a, LongType, nullable = false)()))
+}
+
+/** Physical operator: HyperCube/Shares routing + per-cell leapfrog.
+  * Distribution is performed internally (flatMap-replicate + partitionBy),
+  * like CartesianProductExec handles its own cross-distribution, so no
+  * requiredChildDistribution contract is imposed on the children.
+  */
+final case class LeapFrogJoinExec(
+    children: Seq[SparkPlan],
+    childAttrs: Seq[Seq[String]],
+    attrOrder: Seq[String],
+    maxCells: Int,
+    override val output: Seq[Attribute]) extends SparkPlan {
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan = copy(children = newChildren)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val order = attrOrder.toArray
+    val sc = sparkContext
+    val cells = if (maxCells > 0) maxCells else sc.defaultParallelism
+
+    // children -> RDD[Array[Long]] in global-order column layout
+    val prepped = children.zip(childAttrs).map { case (child, attrs) =>
+      val sortedAttrs = attrs.sortBy(order.indexOf(_)).toArray
+      val perm = sortedAttrs.map(attrs.indexOf(_))
+      val n = attrs.length
+      (sortedAttrs, child.execute().map { row =>
+        Array.tabulate(n)(i => row.getLong(perm(i)))
+      })
+    }
+
+    val sizes = prepped.map { case (attrs, rdd) => (attrs.toSet, rdd.count()) }
+    val shares = HyperCube.optimalShares(order.toSeq, sizes, cells)
+    val bcShares = sc.broadcast(shares)
+    val nCells = shares.numCells
+
+    val tagged = prepped.zipWithIndex.map { case ((attrs, rdd), idx) =>
+      val attrIdx = attrs.map(a => order.indexOf(a))
+      rdd.flatMap { row =>
+        val sh = bcShares.value
+        val bucket = Array.fill(order.length)(-1)
+        attrs.indices.foreach(k => bucket(attrIdx(k)) = sh.bucketOf(attrs(k), row(k)))
+        val free = (0 until order.length).filter(bucket(_) < 0)
+        def cellsFor(fi: Int, acc: Array[Int]): Iterator[Int] =
+          if (fi == free.length) Iterator.single(sh.cellId(acc))
+          else (0 until sh.p(free(fi))).iterator.flatMap { b =>
+            val a2 = acc.clone(); a2(free(fi)) = b; cellsFor(fi + 1, a2)
+          }
+        cellsFor(0, bucket).map(c => (c, (idx, row)))
+      }
+    }.reduce(_ union _)
+
+    val routed = tagged.partitionBy(new HashPartitioner(nCells) {
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+
+    val attrsByIdx = prepped.map(_._1).toArray
+    val schema = output
+    routed.mapPartitions { it =>
+      val buckets = Array.fill(attrsByIdx.length)(new scala.collection.mutable.ArrayBuffer[Array[Long]]())
+      it.foreach { case (_, (idx, row)) => buckets(idx) += row }
+      val local = attrsByIdx.indices.map { i =>
+        LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
+      }
+      if (local.exists(_.rows.isEmpty)) Iterator.empty
+      else {
+        val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+        LeapFrog.join(local, order).map { b =>
+          proj(new GenericInternalRow(b.map(v => v: Any)))
+        }
+      }
+    }
+  }
+}
+
+/** Planner strategy turning the logical node into the exec (SURVEY §7.5(b)). */
+object WcojStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p @ LeapFrogJoinPlan(children, childAttrs, attrOrder, _) =>
+      LeapFrogJoinExec(children.map(planLater), childAttrs, attrOrder,
+        maxCells = 0, p.output) :: Nil
+    case _ => Nil
+  }
+}

@@ -83,6 +83,27 @@ object WcojJoin {
     spark.createDataFrame(resultRdd, schema)
   }
 
+  /** The Catalyst-native WCOJ path: builds a [[LeapFrogJoinPlan]] logical
+    * node (planned by [[WcojStrategy]] into [[LeapFrogJoinExec]]) so the
+    * operator appears in `.explain()` and composes with downstream Catalyst
+    * optimization like any built-in. Registers the strategy on the session
+    * on first use (also installable via GraftExtensions).
+    */
+  def leapfrogCatalyst(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
+      attrOrder: Seq[String]): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(WcojStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ WcojStrategy
+    }
+    val order = attrOrder.toArray
+    val children = relations.map { case (df, attrs) =>
+      val sortedAttrs = attrs.sortBy(order.indexOf(_))
+      val projected = df.select(sortedAttrs.map(c => col(c).cast(LongType)): _*)
+      (org.apache.spark.sql.GraftSqlBridge.logicalPlan(projected), sortedAttrs)
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      LeapFrogJoinPlan.create(children.map(_._1), children.map(_._2), attrOrder))
+  }
+
   /** Full HyperCube/Shares leapfrog: ONE communication round for the whole
     * n-way join with NO broadcast requirement — each relation's tuples are
     * replicated only across the grid dimensions of attributes it lacks,

@@ -116,6 +116,29 @@ class WcojJoinSpec extends SparkSpec {
     assert(viaCube.nonEmpty)
   }
 
+  test("Catalyst-native WCOJ plan node equals DataFrame joins and shows in explain") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+
+    val viaCatalyst = WcojJoin.leapfrogCatalyst(spark, rels, Seq("a", "b", "c"))
+    assert(viaCatalyst.queryExecution.executedPlan.toString.contains("LeapFrogJoin"))
+
+    val viaDf = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), "b" :: Nil)
+      .join(edges.select($"dst".as("a"), $"src".as("c")), Seq("c", "a"))
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+    assert(viaCatalyst.as[(Long, Long, Long)].collect().toSet === viaDf)
+
+    // composes with downstream Catalyst ops (filter + agg over the custom node)
+    val n = viaCatalyst.filter($"a" < $"b").groupBy("a").count().count()
+    assert(n >= 0)
+  }
+
   test("hypercube disconnected join degenerates to a partitioned cross product") {
     val x = Seq(1L, 2L).toDF("x")
     val y = Seq(10L, 20L, 30L).toDF("y")
