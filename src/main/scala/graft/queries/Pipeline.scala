@@ -99,6 +99,19 @@ object Pipeline {
       Dedup.simHash(Tables(s, d).documents, "text", "doc_id", bits = 16).orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs by Hamming distance — drives the codegen'd
+    // HammingDistance64 Catalyst Expression (graft.functions).
+    "q62_simhash_hamming" -> ((s, d) => {
+      val sh = Dedup.simHash(Tables(s, d).documents, "text", "doc_id")
+      val s1 = sh.select(col("doc_id").as("doc1"), col("simhash").as("h1"))
+      val s2 = sh.select(col("doc_id").as("doc2"), col("simhash").as("h2"))
+      s1.crossJoin(s2).filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"),
+          graft.functions.NativeExpressions.hamming64(col("h1"), col("h2")).as("hd"))
+        .filter(col("hd") <= 3)
+        .orderBy("doc1", "doc2")
+    }),
+
     // char-3-gram Jaccard near-dup pairs, blocked on (lang, n_chars).
     "q57_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccard(Tables(s, d).documents, "text", "doc_id",
@@ -213,6 +226,25 @@ object Pipeline {
          |h AS (SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS h FROM t),
          |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs ORDER BY doc_id""".stripMargin
+    },
+    "q62_simhash_hamming" -> {
+      val bitSums = (0 until 16).map { j =>
+        s"sum(((h >> $j) & 1) * 2 - 1) AS bs_$j"
+      }.mkString(", ")
+      val recompose = (0 until 16).map { j =>
+        s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $toksSql,
+         |$dictSql,
+         |$tSql,
+         |h AS (SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS h FROM t),
+         |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs)
+         |SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+         | CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hd
+         |FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin
     },
     "q57_ngram_jaccard" ->
       """WITH grams AS (SELECT DISTINCT doc_id, lang, n_chars, gram FROM (

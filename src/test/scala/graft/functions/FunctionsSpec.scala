@@ -53,6 +53,29 @@ class FunctionsSpec extends SparkSpec {
     assert(df.select(VectorFunctions.signBucket($"v", 3)).as[Long].collect().toSeq === Seq(5L, 0L))
   }
 
+  test("native codegen expressions: hamming64 and cosine_sim") {
+    import NativeExpressions._
+    val df = Seq((0xFFL, 0x0FL), (5L, 5L), (0L, -1L)).toDF("a", "b")
+    assert(df.select(hamming64($"a", $"b")).as[Int].collect().toSeq === Seq(4, 0, 64))
+
+    val vecs = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 3.0f)), (Seq(2.0f, 2.0f), Seq(1.0f, 1.0f)))
+      .toDF("x", "y")
+    val cos = vecs.select(cosineNative($"x", $"y")).as[Double].collect()
+    assert(math.abs(cos(0)) < 1e-12 && math.abs(cos(1) - 1.0) < 1e-12)
+    // native result identical to the HOF composition (same accumulation order)
+    val hof = vecs.select(VectorFunctions.cosine($"x", $"y")).as[Double].collect()
+    assert(cos.toSeq === hof.toSeq)
+
+    // SQL registration
+    NativeExpressions.registerAll(spark)
+    vecs.createOrReplaceTempView("native_vecs")
+    val viaSql = spark.sql("SELECT cosine_sim(x, y) FROM native_vecs").as[Double].collect()
+    assert(viaSql.toSeq === cos.toSeq)
+    // type check error is clean
+    val err = intercept[Exception](Seq((1, 2)).toDF("a", "b").select(cosineNative($"a", $"b")).collect())
+    assert(err.getMessage.toLowerCase.contains("cosine_sim") || err.getMessage.contains("array<float>"))
+  }
+
   test("quality score bounded in [0,1]") {
     val df = Seq("the quick brown fox!", "", "a b c").toDF("text")
     val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
