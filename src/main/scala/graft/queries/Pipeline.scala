@@ -141,6 +141,22 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // text normalization: lowercase, strip punctuation, squish whitespace —
+    // the canonicalization step ahead of dedup in a corpus pipeline.
+    "q63_normalize" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " ")).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // global token frequency table (explode + count) — corpus vocabulary stats.
+    "q64_token_freq" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+    }),
+
     // embedding near-dup pairs: cosine ≥ 0.8 within the same label block.
     "q60_near_dup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDup(Tables(s, d).embeddings, "embedding", "vec_id", "label", 0.8)
@@ -301,6 +317,14 @@ object Pipeline {
          |  FROM scored) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    "q63_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_token_freq" ->
+      s"""SELECT tok, count(*) AS n FROM (
+         |  SELECT unnest($duckTokens) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
     "q60_near_dup_embedding" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
