@@ -142,10 +142,14 @@ object Pipeline {
     }),
 
     // text normalization: lowercase, strip punctuation, squish whitespace —
-    // the canonicalization step ahead of dedup in a corpus pipeline.
+    // the canonicalization step ahead of dedup. The synthetic corpus is
+    // already clean, so both sides first dirty the text identically
+    // (uppercase prefix + injected punctuation/whitespace) to make the
+    // normalization do real, checkable work.
     "q63_normalize" -> ((s, d) => {
+      val dirty = concat(upper(substring(col("text"), 1, 40)), lit("!!  "), col("text"), lit(" ;; "))
       Tables(s, d).documents.select(col("doc_id"),
-          trim(regexp_replace(regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " ")).as("norm"))
+          trim(regexp_replace(regexp_replace(lower(dirty), "[.,!?;:]", ""), "\\s+", " ")).as("norm"))
         .orderBy("doc_id")
     }),
 
@@ -319,7 +323,9 @@ object Pipeline {
     },
     "q63_normalize" ->
       """SELECT doc_id,
-        | trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        | trim(regexp_replace(regexp_replace(
+        |   lower(concat(upper(substr(text, 1, 40)), '!!  ', text, ' ;; ')),
+        |   '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q64_token_freq" ->
       s"""SELECT tok, count(*) AS n FROM (
