@@ -72,6 +72,24 @@ final class EngineSession(val spark: SparkSession) {
   def primaryKeyOf(table: String): Option[Seq[String]] = primaryKeys.get(table)
 
   def dropTable(name: String): Unit = spark.catalog.dropTempView(name)
+
+  /** Statistics collection (reference Statistics/StatsPlanVisitor role,
+    * SURVEY §4.2): ANALYZE feeds Catalyst CBO; enable joinReorder to let the
+    * cost-based optimizer use them alongside the PK-FK rule.
+    */
+  def analyzeTable(name: String, columns: Seq[String] = Nil): Unit = {
+    // column-level ANALYZE only works on cached temp views (Spark restriction)
+    if (spark.catalog.tableExists(name) && !spark.catalog.isCached(name)) {
+      try spark.catalog.cacheTable(name) catch { case _: Exception => () }
+    }
+    if (columns.isEmpty) spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    else spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  def enableCbo(): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
 }
 
 object EngineSession {

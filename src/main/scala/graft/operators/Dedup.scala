@@ -75,15 +75,23 @@ object Dedup {
     * candidate pair is verified with exact Jaccard over token-id sets and
     * kept if ≥ `threshold`. Returns (doc1, doc2, jaccard).
     */
+  /** @param useDictionary true = lexicographic-rank shingle ids (needed ONLY
+    *   for the cross-engine oracle, costs a global window — see
+    *   [[tokenDict]]); false = xxhash64 shingle ids, fully parallel, the
+    *   100 TB default. MinHash quality is identical either way (ids are just
+    *   labels; jaccard estimates depend only on set membership).
+    */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3): DataFrame = {
+      shingle: Int = 3, useDictionary: Boolean = true): DataFrame = {
     val ts = if (shingle <= 1) tokenSet(df, textCol, idCol) else shingleSet(df, textCol, idCol, shingle)
     // persist: the token-id set feeds signatures, sizes and both sides of the
     // intersection join — without it Spark recomputes the explode+dict join
     // in every branch. Small relative to the corpus (ids, not text).
-    val withTid = ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withTid = (
+      if (useDictionary) ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
+      else ts.select(col("doc_id"), pmod(xxhash64(col("tok")), lit(1000003L)).as("tid"))
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = perms.zipWithIndex.map { case (p, i) =>
       min((col("tid") * p.a + p.b) % MinHashMod).as(s"sig_$i")
     }

@@ -51,6 +51,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("minHashLsh hash-id mode (no dictionary) finds the same verified pairs") {
+    val dict = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val hashed = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5, useDictionary = false)
+      .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // exact-dup pair must survive in both modes with jaccard 1.0; verified
+    // jaccards agree wherever both modes produced the candidate
+    assert(hashed((1L, 2L)) === 1.0)
+    hashed.keySet.intersect(dict.keySet).foreach { k => assert(hashed(k) === dict(k)) }
+  }
+
   test("simHash identical docs share signature; different docs differ") {
     val sh = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
