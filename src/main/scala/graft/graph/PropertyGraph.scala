@@ -100,6 +100,14 @@ final case class PropertyGraph(
     if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
   }
 
+  /** Register a pattern's matches as a temp view — the SQL-side
+    * `MATCH(graph, pattern)` FROM-clause capability (SQLParser.scala:240-246):
+    * `g.patternView("triangles", "(a)-[]->(b)-[]->(c); (c)-[]->(a)")` then
+    * `spark.sql("SELECT count(*) FROM triangles")`.
+    */
+  def patternView(name: String, p: String): Unit =
+    pattern(p).createOrReplaceTempView(name)
+
   /** Pregel-style message passing (SeccoGraphFrame.scala:104-146), rounds
     * unrolled as a driver loop (the reference wraps in Recursion(plan, round)).
     *

@@ -65,6 +65,11 @@ class PropertyGraphSpec extends SparkSpec {
     assert(d(0L) === 0.0 && d(1L) === 1.0 && d(2L) === 2.0 && d(3L) === 1.0)
   }
 
+  test("patternView exposes matches to SQL (MATCH-in-FROM capability)") {
+    g.patternView("pv_knows", "(a)-[:KNOWS]->(b)")
+    assert(spark.sql("SELECT count(*) AS n FROM pv_knows").head().getLong(0) === 3L)
+  }
+
   test("messagePassing single round computes in-degree") {
     val st = g.messagePassing("1", "sum(msg)", "coalesce(newState, 0)", Some("0"), round = 1)
       .as[(Long, Long)].collect().toMap
