@@ -115,6 +115,22 @@ object EventStreams {
   def enrich(stream: DataFrame, static: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(static, keys, "left")
 
+  /** Stream-stream interval join: match events from two streams on a key
+    * within ±`toleranceSeconds`. Both sides need watermarks so the state
+    * store can evict: rows older than watermark+tolerance can never match.
+    * Column names: left keeps its names; right's are suffixed `_r`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      toleranceSeconds: Long, watermark: String = "30 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    val r = r0.withWatermark("ts_r", watermark)
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col("ts_r") >= col("ts") - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
+        col("ts_r") <= col("ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

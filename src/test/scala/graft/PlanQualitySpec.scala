@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape guards: the scale properties the bench depends on, asserted
+  * against `.explain` output so a future refactor that silently loses
+  * pushdown, broadcast or codegen fails here rather than in the benchmark.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 filter reaches the parquet scan as PushedFilters with pruned schema") {
+    val p = executedPlan("q2_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // projection pruning: the 16-column lineitem scan reads 5 columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"))
+  }
+
+  test("q5 six-table join broadcasts dimensions, no sort-merge fallback") {
+    val p = executedPlan("q5_join5")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("r_name"))
+  }
+
+  test("q1 aggregate runs partial+final inside whole-stage codegen") {
+    val p = executedPlan("q1_agg")
+    assert(p.contains("partial_"))
+    assert(p.contains("*(")) // codegen stage markers
+  }
+
+  test("q15 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = executedPlan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q47 runs through the custom LeapFrogJoin operator") {
+    assert(executedPlan("q47_wcoj_triangle").contains("LeapFrogJoin"))
+  }
+}

@@ -51,6 +51,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_events") === 2)
   }
 
+  test("stream-stream interval join matches within tolerance only") {
+    val dirL = java.nio.file.Files.createTempDirectory("ssl").toString
+    val dirR = java.nio.file.Files.createTempDirectory("ssr").toString
+    Seq((1L, 7L, ts(10)), (2L, 7L, ts(100)), (3L, 8L, ts(10)))
+      .toDF("event_id", "user_id", "ts").write.mode("overwrite").parquet(dirL)
+    Seq((91L, 7L, ts(11)), (92L, 7L, ts(50)), (93L, 9L, ts(10)))
+      .toDF("click_id", "user_id", "ts").write.mode("overwrite").parquet(dirR)
+    val l = spark.readStream.schema(spark.read.parquet(dirL).schema).parquet(dirL)
+    val r = spark.readStream.schema(spark.read.parquet(dirR).schema).parquet(dirR)
+    val q = EventStreams.intervalJoin(l, r, "user_id", toleranceSeconds = 120)
+      .select("event_id", "click_id_r")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ssj").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // event 1 (user 7, t=10m) matches click 91 (t=11m) within 2 min; click 92
+    // (t=50m) is out of tolerance; user 8/9 rows never match
+    assert(pairs === Set((1L, 91L)))
+  }
+
   test("streaming windowedAgg equals batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
     val df = Seq(
