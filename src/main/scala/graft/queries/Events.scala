@@ -28,6 +28,18 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // JSON property extraction from the semi-structured props column —
+    // get_json_object stays codegen'd; aggregated per event_type.
+    "q73_json_props" -> ((s, d) => {
+      Tables(s, d).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     // as-of join: each event picks the user's latest order at-or-before the
     // event time (left outer; -1 when none). Orders deduped to one per
     // (custkey, date) = max orderkey, for tie determinism on both sides.
@@ -61,6 +73,11 @@ object Events {
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
+    "q73_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q72_asof_join" ->
       """WITH d AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY o_custkey, o_orderdate)

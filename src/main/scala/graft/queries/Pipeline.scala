@@ -161,6 +161,16 @@ object Pipeline {
         .orderBy(col("n").desc, col("tok"))
     }),
 
+    // per-label embedding centroids (mean pooling) — the aggregation shape
+    // behind IVF centroid training; output long form (label, pos, mean).
+    "q65_embedding_centroids" -> ((s, d) => {
+      Tables(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
+        .orderBy("label", "pos")
+    }),
+
     // embedding near-dup pairs: cosine ≥ 0.8 within the same label block.
     "q60_near_dup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDup(Tables(s, d).embeddings, "embedding", "vec_id", "label", 0.8)
@@ -299,6 +309,11 @@ object Pipeline {
          |  FROM scored)
          |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q65_embedding_centroids" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+        | round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mean_v
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q61_ann_ivf" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
