@@ -19,6 +19,21 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-flavoured pre-tokenizer pattern: contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace. Kept
+    * RE2-compatible (no lookarounds) so the DuckDB oracle can run the
+    * identical pattern.
+    */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count: matches of [[BpeishPattern]], whitespace-only
+    * matches excluded — approximates an LLM tokenizer's pre-token count.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpeishPattern), lit(0)),
+      t => !t.rlike("^\\s+$")))
+
   /** distinct-token count — type/token ratio ingredient. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 

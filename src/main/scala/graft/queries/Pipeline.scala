@@ -60,6 +60,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish regex token counting (LLM-pre-tokenizer approximation)
+    // alongside the whitespace count.
+    "q66_bpe_tokens" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length/punct/stopword components + composite score.
     "q52_quality" -> ((s, d) => {
       Tables(s, d).documents.select(
@@ -196,6 +205,13 @@ object Pipeline {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "q51_token_count" ->
       s"SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    "q66_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len($duckTokens) AS BIGINT) AS ws_tokens,
+         | CAST(len(list_filter(regexp_extract_all(text,
+         |   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+         |   t -> NOT regexp_matches(t, '^\\s+$$'))) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_quality" ->
       s"""SELECT doc_id,
          | CAST(len($duckTokens) AS BIGINT) AS n_tokens,
