@@ -15,6 +15,12 @@ import scala.collection.mutable.ArrayBuffer
   * leapfrog seek. Same asymptotics (log-factor), far simpler, and
   * cache-friendlier than pointer tries.
   *
+  * Allocation discipline (hot path at millions of bindings): participants
+  * and their column indices are precomputed per depth (they are static —
+  * they depend on the attribute order, not on bindings), range save/restore
+  * uses preallocated per-depth stacks, and [[joinForeach]] exposes the
+  * mutable binding to a consumer without cloning (copy if retained).
+  *
   * Requirements: each relation's attribute list must be ordered consistently
   * with the global attribute order (reorder columns when preparing input).
   */
@@ -38,10 +44,11 @@ object LeapFrog {
     rows.sorted(ord)
   }
 
-  /** Enumerate all bindings of `attrOrder` joining every relation.
-    * Emits one Array[Long] per result (binding in attr order).
+  /** Enumerate all bindings of `attrOrder`; `consume` receives the SHARED
+    * mutable binding array — copy it if you keep it.
     */
-  def join(relations: Seq[Relation], attrOrder: Array[String]): Iterator[Array[Long]] = {
+  def joinForeach(relations: Seq[Relation], attrOrder: Array[String])(
+      consume: Array[Long] => Unit): Unit = {
     relations.foreach { r =>
       val positions = r.attrs.map(attrOrder.indexOf(_))
       require(positions.forall(_ >= 0), s"relation attr not in order: ${r.attrs.mkString(",")}")
@@ -51,16 +58,33 @@ object LeapFrog {
 
     val n = relations.size
     val rels = relations.toArray
-    // per relation: how many of its attrs are bound so far, and (lo, hi) range
-    val depthOf = Array.fill(n)(0)
+    val depths = attrOrder.length
+
+    // static per-depth structure: which relations participate at depth d and
+    // which of their columns the attribute maps to
+    val partByDepth = Array.ofDim[Array[Int]](depths)
+    val colByDepth = Array.ofDim[Array[Int]](depths)
+    for (d <- 0 until depths) {
+      val attr = attrOrder(d)
+      val ids = (0 until n).filter(i => rels(i).attrs.contains(attr))
+      require(ids.nonEmpty, s"attribute $attr not covered by any relation")
+      partByDepth(d) = ids.toArray
+      colByDepth(d) = ids.map(i => rels(i).attrs.indexOf(attr)).toArray
+    }
+
     val lo = Array.fill(n)(0)
     val hi = rels.map(_.rows.length)
-    val binding = new Array[Long](attrOrder.length)
-    val out = new ArrayBuffer[Array[Long]]()
+    val binding = new Array[Long](depths)
+    // preallocated save stacks: one slot per (depth, participant)
+    val savedLo = Array.ofDim[Array[Int]](depths)
+    val savedHi = Array.ofDim[Array[Int]](depths)
+    val curLoAll = Array.ofDim[Array[Int]](depths)
+    for (d <- 0 until depths) {
+      savedLo(d) = new Array[Int](partByDepth(d).length)
+      savedHi(d) = new Array[Int](partByDepth(d).length)
+      curLoAll(d) = new Array[Int](partByDepth(d).length)
+    }
 
-    /** first row index in [from, to) with row(col) >= x (rows sorted on col
-      * within the range because all earlier cols are fixed).
-      */
     def lowerBound(rows: Array[Array[Long]], col: Int, from: Int, to: Int, x: Long): Int = {
       var a = from; var b = to
       while (a < b) {
@@ -73,62 +97,59 @@ object LeapFrog {
       lowerBound(rows, col, from, to, x + 1)
 
     def recurse(depth: Int): Unit = {
-      if (depth == attrOrder.length) { out += binding.clone(); return }
-      val attr = attrOrder(depth)
-      val part = (0 until n).filter(i => depthOf(i) < rels(i).attrs.length &&
-        rels(i).attrs(depthOf(i)) == attr).toArray
-      if (part.isEmpty) {
-        // attribute constrained by no remaining relation: would be a cross
-        // product over an unbounded domain — caller error for our use cases
-        throw new IllegalArgumentException(s"attribute $attr not covered at depth $depth")
-      }
+      if (depth == depths) { consume(binding); return }
+      val part = partByDepth(depth)
+      val cols = colByDepth(depth)
+      val p = part.length
+      val curLo = curLoAll(depth)
 
-      // leapfrog intersection over the participating relations' current
-      // ranges: align all on a common value, bind+recurse, advance past it.
-      val curLo = part.map(i => lo(i))
       var exhausted = false
       var maxVal = Long.MinValue
-      for (k <- part.indices) {
+      var k = 0
+      while (k < p) {
         val i = part(k)
+        curLo(k) = lo(i)
         if (curLo(k) >= hi(i)) exhausted = true
         else {
-          val v = rels(i).rows(curLo(k))(depthOf(i))
+          val v = rels(i).rows(curLo(k))(cols(k))
           if (v > maxVal) maxVal = v
         }
+        k += 1
       }
       while (!exhausted) {
-        // align every participating relation to >= maxVal; p consecutive
-        // equalities after the last bump means all sit on maxVal
         var aligned = 0
-        var k = 0
-        while (aligned < part.length && !exhausted) {
+        k = 0
+        while (aligned < p && !exhausted) {
           val i = part(k)
-          val col = depthOf(i)
-          val pos = lowerBound(rels(i).rows, col, curLo(k), hi(i), maxVal)
+          val pos = lowerBound(rels(i).rows, cols(k), curLo(k), hi(i), maxVal)
           if (pos >= hi(i)) exhausted = true
           else {
             curLo(k) = pos
-            val v = rels(i).rows(pos)(col)
+            val v = rels(i).rows(pos)(cols(k))
             if (v == maxVal) aligned += 1
             else { maxVal = v; aligned = 1 }
           }
-          k = (k + 1) % part.length
+          k = (k + 1) % p
         }
         if (!exhausted) {
           binding(depth) = maxVal
-          val savedLo = part.map(i => lo(i))
-          val savedHi = part.map(i => hi(i))
-          for (j <- part.indices) {
+          val sLo = savedLo(depth)
+          val sHi = savedHi(depth)
+          var j = 0
+          while (j < p) {
             val i = part(j)
-            val col = depthOf(i)
+            sLo(j) = lo(i); sHi(j) = hi(i)
             val s = curLo(j)
-            val e = upperBound(rels(i).rows, col, s, hi(i), maxVal)
-            lo(i) = s; hi(i) = e; depthOf(i) += 1
+            lo(i) = s
+            hi(i) = upperBound(rels(i).rows, cols(j), s, hi(i), maxVal)
+            j += 1
           }
           recurse(depth + 1)
-          for (j <- part.indices) {
+          j = 0
+          while (j < p) {
             val i = part(j)
-            lo(i) = savedLo(j); hi(i) = savedHi(j); depthOf(i) -= 1
+            lo(i) = sLo(j); hi(i) = sHi(j)
+            j += 1
           }
           if (maxVal == Long.MaxValue) exhausted = true else maxVal += 1
         }
@@ -136,6 +157,12 @@ object LeapFrog {
     }
 
     recurse(0)
+  }
+
+  /** Materializing wrapper over [[joinForeach]] (clones each binding). */
+  def join(relations: Seq[Relation], attrOrder: Array[String]): Iterator[Array[Long]] = {
+    val out = new ArrayBuffer[Array[Long]]()
+    joinForeach(relations, attrOrder)(b => out += b.clone())
     out.iterator
   }
 }

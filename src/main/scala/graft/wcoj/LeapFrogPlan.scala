@@ -113,10 +113,18 @@ final case class LeapFrogJoinExec(
       }
       if (local.exists(_.rows.isEmpty)) Iterator.empty
       else {
+        // callback enumeration with direct Unsafe projection: one UnsafeRow
+        // copy per binding, no intermediate Array[Long] clones
         val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
-        LeapFrog.join(local, order).map { b =>
-          proj(new GenericInternalRow(b.map(v => v: Any)))
+        val values = new Array[Any](order.length)
+        val reusable = new GenericInternalRow(values)
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+        LeapFrog.joinForeach(local, order) { b =>
+          var i = 0
+          while (i < b.length) { values(i) = b(i); i += 1 }
+          out += proj(reusable).copy()
         }
+        out.iterator
       }
     }
   }
