@@ -11,15 +11,19 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Representation: instead of a materialized trie, each relation is an
   * Array[Array[Long]] sorted lexicographically; trie levels are (lo, hi) row
-  * ranges refined per bound attribute, with galloping binary search for the
-  * leapfrog seek. Same asymptotics (log-factor), far simpler, and
-  * cache-friendlier than pointer tries.
+  * ranges refined per bound attribute, with binary-search seeks. Same
+  * asymptotics (log-factor), far simpler, and cache-friendlier than pointer
+  * tries.
   *
   * Allocation discipline (hot path at millions of bindings): participants
-  * and their column indices are precomputed per depth (they are static —
-  * they depend on the attribute order, not on bindings), range save/restore
-  * uses preallocated per-depth stacks, and [[joinForeach]] exposes the
-  * mutable binding to a consumer without cloning (copy if retained).
+  * and their column indices are precomputed per depth (static given the
+  * attribute order), range save/restore uses preallocated per-depth stacks,
+  * and consumers see the shared mutable binding (copy if retained).
+  *
+  * Memory discipline: [[joinChunked]] streams results one first-attribute
+  * value at a time — peak memory is the largest single chunk, not the whole
+  * output (a 4-cycle query emitting tens of millions of bindings per cell
+  * OOMs any materialize-everything formulation).
   *
   * Requirements: each relation's attribute list must be ordered consistently
   * with the global attribute order (reorder columns when preparing input).
@@ -44,11 +48,8 @@ object LeapFrog {
     rows.sorted(ord)
   }
 
-  /** Enumerate all bindings of `attrOrder`; `consume` receives the SHARED
-    * mutable binding array — copy it if you keep it.
-    */
-  def joinForeach(relations: Seq[Relation], attrOrder: Array[String])(
-      consume: Array[Long] => Unit): Unit = {
+  /** Shared enumeration state + core loops. */
+  private final class Session(relations: Seq[Relation], attrOrder: Array[String]) {
     relations.foreach { r =>
       val positions = r.attrs.map(attrOrder.indexOf(_))
       require(positions.forall(_ >= 0), s"relation attr not in order: ${r.attrs.mkString(",")}")
@@ -56,14 +57,12 @@ object LeapFrog {
         s"relation attrs must follow global order: ${r.attrs.mkString(",")}")
     }
 
-    val n = relations.size
-    val rels = relations.toArray
-    val depths = attrOrder.length
+    val n: Int = relations.size
+    val rels: Array[Relation] = relations.toArray
+    val depths: Int = attrOrder.length
 
-    // static per-depth structure: which relations participate at depth d and
-    // which of their columns the attribute maps to
-    val partByDepth = Array.ofDim[Array[Int]](depths)
-    val colByDepth = Array.ofDim[Array[Int]](depths)
+    val partByDepth: Array[Array[Int]] = Array.ofDim(depths)
+    val colByDepth: Array[Array[Int]] = Array.ofDim(depths)
     for (d <- 0 until depths) {
       val attr = attrOrder(d)
       val ids = (0 until n).filter(i => rels(i).attrs.contains(attr))
@@ -72,18 +71,12 @@ object LeapFrog {
       colByDepth(d) = ids.map(i => rels(i).attrs.indexOf(attr)).toArray
     }
 
-    val lo = Array.fill(n)(0)
-    val hi = rels.map(_.rows.length)
-    val binding = new Array[Long](depths)
-    // preallocated save stacks: one slot per (depth, participant)
-    val savedLo = Array.ofDim[Array[Int]](depths)
-    val savedHi = Array.ofDim[Array[Int]](depths)
-    val curLoAll = Array.ofDim[Array[Int]](depths)
-    for (d <- 0 until depths) {
-      savedLo(d) = new Array[Int](partByDepth(d).length)
-      savedHi(d) = new Array[Int](partByDepth(d).length)
-      curLoAll(d) = new Array[Int](partByDepth(d).length)
-    }
+    val lo: Array[Int] = Array.fill(n)(0)
+    val hi: Array[Int] = rels.map(_.rows.length)
+    val binding: Array[Long] = new Array[Long](depths)
+    val savedLo: Array[Array[Int]] = Array.tabulate(depths)(d => new Array[Int](partByDepth(d).length))
+    val savedHi: Array[Array[Int]] = Array.tabulate(depths)(d => new Array[Int](partByDepth(d).length))
+    val curLoAll: Array[Array[Int]] = Array.tabulate(depths)(d => new Array[Int](partByDepth(d).length))
 
     def lowerBound(rows: Array[Array[Long]], col: Int, from: Int, to: Int, x: Long): Int = {
       var a = from; var b = to
@@ -96,8 +89,10 @@ object LeapFrog {
     def upperBound(rows: Array[Array[Long]], col: Int, from: Int, to: Int, x: Long): Int =
       lowerBound(rows, col, from, to, x + 1)
 
-    def recurse(depth: Int): Unit = {
-      if (depth == depths) { consume(binding); return }
+    /** Intersect participating relations at `depth`; invoke `onValue` for
+      * each aligned value with ranges positioned (curLo at the value).
+      */
+    def intersect(depth: Int)(onValue: Long => Unit): Unit = {
       val part = partByDepth(depth)
       val cols = colByDepth(depth)
       val p = part.length
@@ -132,31 +127,91 @@ object LeapFrog {
           k = (k + 1) % p
         }
         if (!exhausted) {
-          binding(depth) = maxVal
-          val sLo = savedLo(depth)
-          val sHi = savedHi(depth)
-          var j = 0
-          while (j < p) {
-            val i = part(j)
-            sLo(j) = lo(i); sHi(j) = hi(i)
-            val s = curLo(j)
-            lo(i) = s
-            hi(i) = upperBound(rels(i).rows, cols(j), s, hi(i), maxVal)
-            j += 1
-          }
-          recurse(depth + 1)
-          j = 0
-          while (j < p) {
-            val i = part(j)
-            lo(i) = sLo(j); hi(i) = sHi(j)
-            j += 1
-          }
+          onValue(maxVal)
           if (maxVal == Long.MaxValue) exhausted = true else maxVal += 1
         }
       }
     }
 
-    recurse(0)
+    /** Narrow participant ranges to the current aligned value; returns after
+      * saving previous ranges into the depth's stacks.
+      */
+    def narrow(depth: Int, value: Long): Unit = {
+      val part = partByDepth(depth)
+      val cols = colByDepth(depth)
+      val curLo = curLoAll(depth)
+      val sLo = savedLo(depth)
+      val sHi = savedHi(depth)
+      var j = 0
+      while (j < part.length) {
+        val i = part(j)
+        sLo(j) = lo(i); sHi(j) = hi(i)
+        val s = curLo(j)
+        lo(i) = s
+        hi(i) = upperBound(rels(i).rows, cols(j), s, hi(i), value)
+        j += 1
+      }
+    }
+
+    def restore(depth: Int): Unit = {
+      val part = partByDepth(depth)
+      val sLo = savedLo(depth)
+      val sHi = savedHi(depth)
+      var j = 0
+      while (j < part.length) {
+        val i = part(j)
+        lo(i) = sLo(j); hi(i) = sHi(j)
+        j += 1
+      }
+    }
+
+    def recurse(depth: Int, consume: Array[Long] => Unit): Unit = {
+      if (depth == depths) { consume(binding); return }
+      intersect(depth) { v =>
+        binding(depth) = v
+        narrow(depth, v)
+        recurse(depth + 1, consume)
+        restore(depth)
+      }
+    }
+  }
+
+  /** Enumerate all bindings of `attrOrder`; `consume` receives the SHARED
+    * mutable binding array — copy it if you keep it.
+    */
+  def joinForeach(relations: Seq[Relation], attrOrder: Array[String])(
+      consume: Array[Long] => Unit): Unit =
+    new Session(relations, attrOrder).recurse(0, consume)
+
+  /** Streaming enumeration: an Iterator of projected bindings that
+    * materializes one FIRST-ATTRIBUTE chunk at a time. Peak memory is the
+    * largest per-value chunk, not the output. `project` must copy what it
+    * keeps (it sees the shared binding).
+    */
+  def joinChunked[T](relations: Seq[Relation], attrOrder: Array[String])(
+      project: Array[Long] => T): Iterator[T] = {
+    if (attrOrder.isEmpty) return Iterator.empty
+    val s = new Session(relations, attrOrder)
+    // depth-0 aligned values, collected up front (bounded by the first
+    // attribute's distinct count); ranges restored after collection
+    val firstVals = new ArrayBuffer[Long]()
+    s.intersect(0)(v => firstVals += v)
+    firstVals.iterator.flatMap { v =>
+      // reposition depth-0 cursors at v (intersect state was consumed)
+      val part = s.partByDepth(0); val cols = s.colByDepth(0); val curLo = s.curLoAll(0)
+      var j = 0
+      while (j < part.length) {
+        val i = part(j)
+        curLo(j) = s.lowerBound(s.rels(i).rows, cols(j), s.lo(i), s.hi(i), v)
+        j += 1
+      }
+      s.binding(0) = v
+      s.narrow(0, v)
+      val buf = new ArrayBuffer[T]()
+      s.recurse(1, b => buf += project(b))
+      s.restore(0)
+      buf.iterator
+    }
   }
 
   /** Materializing wrapper over [[joinForeach]] (clones each binding). */

@@ -113,18 +113,18 @@ final case class LeapFrogJoinExec(
       }
       if (local.exists(_.rows.isEmpty)) Iterator.empty
       else {
-        // callback enumeration with direct Unsafe projection: one UnsafeRow
-        // copy per binding, no intermediate Array[Long] clones
+        // chunked streaming with direct Unsafe projection: one UnsafeRow
+        // copy per binding, peak memory = one first-attribute chunk (a
+        // materialize-everything buffer OOMs on cyclic queries emitting
+        // tens of millions of bindings per cell)
         val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
         val values = new Array[Any](order.length)
         val reusable = new GenericInternalRow(values)
-        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-        LeapFrog.joinForeach(local, order) { b =>
+        LeapFrog.joinChunked[InternalRow](local, order) { b =>
           var i = 0
           while (i < b.length) { values(i) = b(i); i += 1 }
-          out += proj(reusable).copy()
+          proj(reusable).copy()
         }
-        out.iterator
       }
     }
   }
