@@ -86,6 +86,19 @@ final class EngineSession(val spark: SparkSession) {
     else spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
   }
 
+  /** Write a bucketed+sorted table: joins/aggregations on the bucket
+    * columns between co-bucketed tables need NO shuffle — the pre-partitioned
+    * layout Spark's `EnsureRequirements` recognizes. The 100 TB technique for
+    * repeatedly-joined fact tables (bucket both sides on the join key with
+    * the same bucket count).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def enableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

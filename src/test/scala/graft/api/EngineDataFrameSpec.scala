@@ -67,6 +67,21 @@ class EngineDataFrameSpec extends SparkSpec {
     assert(session.primaryKeyOf("nope") === None)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val l = Seq.tabulate(200)(i => (i.toLong, i * 2.0)).toDF("k", "lv")
+    val r = Seq.tabulate(200)(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    session.writeBucketed(l, "bkt_l", Seq("k"), 4)
+    session.writeBucketed(r, "bkt_r", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_l").join(spark.table("bkt_r"), "k" :: Nil)
+      assert(j.count() === 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), "bucketed join must not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("limit and sort") {
     val top = r.sort("v desc").limit(1).collect()
     assert(top.head.getDouble(2) === 30.0)
