@@ -92,12 +92,25 @@ final class EngineSession(val spark: SparkSession) {
     * repeatedly-joined fact tables (bucket both sides on the join key with
     * the same bucket count).
     */
-  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    // a previous JVM may have left the managed location on disk without a
+    // catalog entry; overwrite mode then fails with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def enableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
