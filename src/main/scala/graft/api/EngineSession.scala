@@ -18,6 +18,12 @@ final class EngineSession(val spark: SparkSession) {
   /** table name -> primary key columns (reference: CatalogTable.primaryKeys). */
   private val primaryKeys = TrieMap.empty[String, Seq[String]]
 
+  /** named property graphs (reference: CatalogGraphTable/CatalogNodeTable/
+    * CatalogEdgeTable, catalog/interface.scala:228-341) — a session-scoped
+    * registry so reference scripts using createGraph/graph(name) port 1:1.
+    */
+  private val graphs = TrieMap.empty[String, graft.graph.PropertyGraph]
+
   // install the PK-FK join-reorder rule (SURVEY §7.6); idempotent on a
   // shared session. Also installable at submit time via
   // spark.sql.extensions=graft.plans.GraftExtensions.
@@ -27,9 +33,12 @@ final class EngineSession(val spark: SparkSession) {
   }
 
   /** SQL entry point (SeccoSession.scala:89-91) — full Spark SQL, a strict
-    * superset of the reference's hand-rolled grammar (SURVEY §2.7).
+    * superset of the reference's hand-rolled grammar (SURVEY §2.7), plus the
+    * reference's two SQL extensions via [[SqlRewriter]]:
+    * `(q) UNION BY UPDATE cols (q)` and `MATCH(graph, pattern)` in FROM.
     */
-  def sql(text: String): EngineDataFrame = EngineDataFrame(spark.sql(text), this)
+  def sql(text: String): EngineDataFrame =
+    EngineDataFrame(spark.sql(SqlRewriter.rewrite(text, this)), this)
 
   /** Temp-view lookup (SeccoSession.scala:78-85). */
   def table(name: String): EngineDataFrame = EngineDataFrame(spark.table(name), this)
@@ -73,6 +82,28 @@ final class EngineSession(val spark: SparkSession) {
 
   def dropTable(name: String): Unit = spark.catalog.dropTempView(name)
 
+  /* == named-graph catalog (reference catalog/interface.scala:228-341) == */
+
+  /** Register a property graph under a name. */
+  def createGraph(name: String, g: graft.graph.PropertyGraph): Unit =
+    graphs.put(name, g)
+
+  /** Build + register a graph from vertex/edge DataFrames. */
+  def createGraph(name: String, vertices: DataFrame, edges: DataFrame): graft.graph.PropertyGraph = {
+    val g = graft.graph.PropertyGraph(vertices, edges)
+    graphs.put(name, g)
+    g
+  }
+
+  /** Lookup a registered graph by name. */
+  def graph(name: String): graft.graph.PropertyGraph =
+    graphs.getOrElse(name,
+      throw new NoSuchElementException(s"graph not found: $name"))
+
+  def graphExists(name: String): Boolean = graphs.contains(name)
+
+  def dropGraph(name: String): Unit = graphs.remove(name)
+
   /** Statistics collection (reference Statistics/StatsPlanVisitor role,
     * SURVEY §4.2): ANALYZE feeds Catalyst CBO; enable joinReorder to let the
     * cost-based optimizer use them alongside the PK-FK rule.
@@ -93,17 +124,40 @@ final class EngineSession(val spark: SparkSession) {
     * the same bucket count).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    // unqualified simple names only: the name is used in SQL text and to
+    // derive the managed location, so dots/slashes/quotes must be rejected
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketed: table name must be a simple unqualified identifier, got '$table'")
     // a previous JVM may have left the managed location on disk without a
-    // catalog entry; overwrite mode then fails with LOCATION_ALREADY_EXISTS
+    // catalog entry; overwrite mode then fails with LOCATION_ALREADY_EXISTS.
+    // Prefer the catalog's reported location; fall back to warehouse-dir +
+    // name only for a local file: warehouse (never delete non-file URIs).
+    val catalogLoc: Option[java.net.URI] =
+      try {
+        if (spark.catalog.tableExists(table))
+          Some(new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+            .filter("col_name = 'Location'").select("data_type").head().getString(0)))
+        else None
+      } catch { case _: Exception => None }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"), table.toLowerCase)
-    if (loc.exists()) {
+    val loc: Option[java.io.File] = catalogLoc match {
+      case Some(uri) if uri.getScheme == null || uri.getScheme == "file" =>
+        Some(new java.io.File(uri.getPath))
+      case Some(_) => None // non-local table location: let the writer manage it
+      case None =>
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val whUri = new java.net.URI(wh)
+        if (whUri.getScheme == null || whUri.getScheme == "file")
+          Some(new java.io.File(if (whUri.getScheme == null) wh else whUri.getPath,
+            table.toLowerCase))
+        else None
+    }
+    loc.filter(_.exists()).foreach { root =>
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(): Unit
       }
-      rm(loc)
+      rm(root)
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -115,6 +169,10 @@ final class EngineSession(val spark: SparkSession) {
   def enableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // equi-height histograms (the reference's Histogram statistics surface,
+    // optimization/statsEstimation/Statistics.scala): ANALYZE ... FOR COLUMNS
+    // then builds per-column histograms consumed by join/filter estimation
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
   }
 }
 

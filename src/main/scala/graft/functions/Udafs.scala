@@ -61,4 +61,52 @@ object Udafs {
     spark.udf.register("geometric_mean", udaf(GeometricMean))
     spark.udf.register("variance_pop_w", udaf(VariancePop))
   }
+
+  /* == untyped UDAF surface (migration parity) ==
+   *
+   * The reference's UDAF API is the inputSchema/bufferSchema/initialize/
+   * update/merge/evaluate shape (expression/aggregate/UDAF.scala:248-345) —
+   * Spark's legacy `UserDefinedAggregateFunction`, which Spark still ships
+   * (deprecated in favor of `Aggregator`). A user porting reference UDAFs
+   * can bring them over verbatim: extend
+   * `org.apache.spark.sql.expressions.UserDefinedAggregateFunction` and
+   * register below. New code should prefer the typed Aggregator above.
+   */
+
+  /** Example untyped UDAF in the reference's API shape: geometric mean with
+    * an explicit (sum_ln, n) buffer — the migration template.
+    */
+  @annotation.nowarn("cat=deprecation")
+  class UntypedGeometricMean extends org.apache.spark.sql.expressions.UserDefinedAggregateFunction {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.MutableAggregationBuffer
+    import org.apache.spark.sql.types._
+    override def inputSchema: StructType = StructType(Seq(StructField("x", DoubleType)))
+    override def bufferSchema: StructType =
+      StructType(Seq(StructField("sum_ln", DoubleType), StructField("n", LongType)))
+    override def dataType: DataType = DoubleType
+    override def deterministic: Boolean = true
+    override def initialize(buffer: MutableAggregationBuffer): Unit = {
+      buffer(0) = 0.0; buffer(1) = 0L
+    }
+    override def update(buffer: MutableAggregationBuffer, input: Row): Unit =
+      if (!input.isNullAt(0) && input.getDouble(0) > 0) {
+        buffer(0) = buffer.getDouble(0) + math.log(input.getDouble(0))
+        buffer(1) = buffer.getLong(1) + 1
+      }
+    override def merge(b1: MutableAggregationBuffer, b2: Row): Unit = {
+      b1(0) = b1.getDouble(0) + b2.getDouble(0)
+      b1(1) = b1.getLong(1) + b2.getLong(1)
+    }
+    override def evaluate(buffer: Row): Any =
+      if (buffer.getLong(1) == 0) Double.NaN
+      else math.exp(buffer.getDouble(0) / buffer.getLong(1))
+  }
+
+  /** Register an untyped (legacy-API) UDAF for SQL + Column use. */
+  @annotation.nowarn("cat=deprecation")
+  def registerUntyped(spark: SparkSession, name: String,
+      f: org.apache.spark.sql.expressions.UserDefinedAggregateFunction): Unit = {
+    spark.udf.register(name, f): Unit
+  }
 }

@@ -94,8 +94,14 @@ final case class PropertyGraph(
     // combine edge copies via the GHD-guided multiway-join planner: cyclic
     // patterns (triangles, cycles, cliques) get their cyclic core grouped in
     // one bag instead of a blow-up-prone left-to-right chain (SURVEY §7.5).
+    // With more than one bag, Yannakakis semijoin reduction sweeps the GHD
+    // tree first (the reference's OptimizeMultiwayJoin intent,
+    // optimization/rules/join.scala:233-270) so no bag carries rows that
+    // cannot reach the final result.
     val copies = pat.edges.map(edgeCopy)
-    val joined = graft.plans.MultiwayJoin.join(copies.map(c => (c, c.columns.toSeq)))
+    val rels = copies.map(c => (c, c.columns.toSeq))
+    val multiBag = graft.plans.MultiwayJoin.plan(rels.map(_._2)).bags.size > 1
+    val joined = graft.plans.MultiwayJoin.join(rels, reduce = multiBag)
     val vars = pat.nodeVariables.filter(joined.columns.contains)
     if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
   }

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions
 
@@ -48,14 +47,22 @@ object Dedup {
 
   /** Global token dictionary: tok → dense id by lexicographic rank.
     *
-    * Scale note: the single-partition window here is the textbook global-rank
-    * bottleneck; at 100 TB swap for `zipWithIndex`-style rank or hash the
-    * token directly. It is kept because the DuckDB oracle needs an identical,
-    * engine-independent id assignment (row_number over sorted tokens).
+    * Scale note: ids are assigned by a range-partitioned parallel sort +
+    * per-partition zipWithIndex, NOT a single-partition row_number window —
+    * the same deterministic ranks (identical to the DuckDB oracle's
+    * row_number-over-sorted-tokens), with no global-rank bottleneck. When an
+    * engine-independent id is not required, prefer hashing the token
+    * directly (minHashLsh's useDictionary=false path).
     */
-  def tokenDict(tokenSets: DataFrame): DataFrame =
-    tokenSets.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+  def tokenDict(tokenSets: DataFrame): DataFrame = {
+    val spark = tokenSets.sparkSession
+    val sorted = tokenSets.select("tok").distinct().orderBy("tok")
+    val withId = sorted.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (tok, i) => Row(tok, i + 1L) }
+    spark.createDataFrame(withId, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.LongType))))
+  }
 
   /** K MinHash signature columns sig_0..sig_{k-1} per doc. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
@@ -75,15 +82,16 @@ object Dedup {
     * candidate pair is verified with exact Jaccard over token-id sets and
     * kept if ≥ `threshold`. Returns (doc1, doc2, jaccard).
     */
-  /** @param useDictionary true = lexicographic-rank shingle ids (needed ONLY
-    *   for the cross-engine oracle, costs a global window — see
-    *   [[tokenDict]]); false = xxhash64 shingle ids, fully parallel, the
-    *   100 TB default. MinHash quality is identical either way (ids are just
-    *   labels; jaccard estimates depend only on set membership).
+  /** @param useDictionary false (default) = xxhash64 shingle ids, fully
+    *   parallel — the 100 TB path; true = lexicographic-rank shingle ids
+    *   (needed ONLY for the cross-engine oracle, costs a global window — see
+    *   [[tokenDict]]). MinHash quality is identical either way (ids are just
+    *   labels; jaccard estimates depend only on set membership), and the
+    *   reported pairs are always exact-Jaccard verified.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3, useDictionary: Boolean = true): DataFrame = {
+      shingle: Int = 3, useDictionary: Boolean = false): DataFrame = {
     val ts = if (shingle <= 1) tokenSet(df, textCol, idCol) else shingleSet(df, textCol, idCol, shingle)
     // persist: the token-id set feeds signatures, sizes and both sides of the
     // intersection join — without it Spark recomputes the explode+dict join
@@ -111,12 +119,20 @@ object Dedup {
     val t2 = withTid.select(col("doc_id").as("doc2"), col("tid"))
     val interCount = candidates.join(t1, "doc1" :: Nil).join(t2, Seq("doc2", "tid"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    interCount
+    val result = interCount
       .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1" :: Nil)
       .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2" :: Nil)
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) verified-pair set eagerly and truncate its
+    // lineage, so the two big intermediates can be released NOW instead of
+    // leaking in long-lived sessions; later actions on the returned frame
+    // read the checkpointed pairs, never the exploded shingle sets.
+    val out = result.localCheckpoint(true)
+    withTid.unpersist(false)
+    sigs.unpersist(false)
+    out
   }
 
   /** LCG token hash for SimHash — engine-independent (DuckDB twin uses the

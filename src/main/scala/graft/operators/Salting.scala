@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Join types where replicating the right side is multiset-safe: an
+    * unmatched RIGHT row appears `factor` times under right/full outer, so
+    * those are rejected rather than silently wrong.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "cross",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+
   /** @param left  the skewed side (salted randomly per row)
     * @param right the replicated side (factor× blow-up — keep it the smaller input)
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor >= 1)
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would emit unmatched right rows $factor times; " +
+        "use inner/left/left_semi/left_anti (salt the other side for right-skew)")
     val salted = left.withColumn("__salt", (rand(seed = 42) * factor).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))

@@ -65,17 +65,17 @@ object Events {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q71_sessionize" ->
       """SELECT event_id, user_id,
-        | sum(CASE WHEN prev_ts IS NULL
+        | CAST(sum(CASE WHEN prev_ts IS NULL
         |          OR epoch_ns(ts) - epoch_ns(prev_ts) > CAST(1800 AS BIGINT) * 1000000000 THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |FROM (SELECT event_id, user_id, ts,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "q73_json_props" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q72_asof_join" ->

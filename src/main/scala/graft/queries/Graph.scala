@@ -133,6 +133,20 @@ object Graph {
         .agg(count(lit(1)).as("n_cycles"))
     }),
 
+    // the reference's SQL-text graph surface: MATCH(graph, pattern) as a
+    // FROM-clause table (SQLParser.scala:240-246), resolved through the
+    // named-graph catalog + SqlRewriter — same triangles as q40, reached
+    // purely via SQL text.
+    "q38_match_sql" -> ((s, d) => {
+      val es = graft.api.EngineSession(s)
+      es.createGraph("g_match_sql",
+        PropertyGraph.fromEdges(denseEdges(Tables(s, d))))
+      es.sql(
+        "SELECT count(*) AS n_triangles " +
+          "FROM MATCH(g_match_sql, (a)-[]->(b)-[]->(c); (c)-[]->(a)) " +
+          "WHERE a < b AND a < c").df
+    }),
+
     // one-round message passing: in-degree via msg=1/sum/coalesce — the
     // messagePassing surface of SeccoGraphFrame.scala:104-146.
     "q45_msgpass_indegree" -> ((s, d) => {
@@ -150,6 +164,12 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q40_triangle" ->
+      s"""WITH edges AS ($denseEdgesSql)
+         |SELECT count(*) AS n_triangles
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,
+    "q38_match_sql" ->
       s"""WITH edges AS ($denseEdgesSql)
          |SELECT count(*) AS n_triangles
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src

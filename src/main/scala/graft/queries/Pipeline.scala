@@ -99,7 +99,11 @@ object Pipeline {
     // vocabulary, so unigram sets are near-identical and permissive bands
     // degenerate candidate generation to O(N²).
     "q55_minhash_lsh" -> ((s, d) => {
-      Dedup.minHashLsh(Tables(s, d).documents, "text", "doc_id", threshold = 0.3)
+      // useDictionary=true ONLY because the DuckDB oracle needs the same
+      // engine-independent token-id assignment; the operator default is the
+      // fully-parallel hashed-id path.
+      Dedup.minHashLsh(Tables(s, d).documents, "text", "doc_id", threshold = 0.3,
+          useDictionary = true)
         .orderBy("doc1", "doc2")
     }),
 
@@ -109,15 +113,29 @@ object Pipeline {
     }),
 
     // SimHash near-dup pairs by Hamming distance — drives the codegen'd
-    // HammingDistance64 Catalyst Expression (graft.functions).
+    // HammingDistance64 Catalyst Expression (graft.functions). Candidate
+    // generation is pigeonhole band blocking, never all-pairs: the 16-bit
+    // simhash splits into 4 × 4-bit bands, and any pair with hd <= 3 must
+    // agree exactly on at least one band, so an equi-join on (band, value)
+    // finds every qualifying pair. At scale this is a plain shuffled hash
+    // join on band buckets instead of an O(N²) cross product.
     "q62_simhash_hamming" -> ((s, d) => {
       val sh = Dedup.simHash(Tables(s, d).documents, "text", "doc_id")
-      val s1 = sh.select(col("doc_id").as("doc1"), col("simhash").as("h1"))
-      val s2 = sh.select(col("doc_id").as("doc2"), col("simhash").as("h2"))
-      s1.crossJoin(s2).filter(col("doc1") < col("doc2"))
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))): _*)).as("bx"))
+        .select(col("doc_id"), col("simhash"),
+          col("bx.band").as("band"), col("bx.bv").as("bv"))
+      val b1 = bands.select(col("doc_id").as("doc1"), col("simhash").as("h1"),
+        col("band"), col("bv"))
+      val b2 = bands.select(col("doc_id").as("doc2"), col("simhash").as("h2"),
+        col("band"), col("bv"))
+      b1.join(b2, Seq("band", "bv")).filter(col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2"),
           graft.functions.NativeExpressions.hamming64(col("h1"), col("h2")).as("hd"))
         .filter(col("hd") <= 3)
+        .distinct() // a pair can agree on more than one band
         .orderBy("doc1", "doc2")
     }),
 

@@ -361,6 +361,20 @@ object Relational {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // the reference's SQL-text `(q) UNION BY UPDATE cols (q)` extension
+    // (SQLParser.scala:328-336) through SqlRewriter: delta rows replace
+    // same-keyed base rows, unmatched rows of both survive.
+    "q37_union_by_update" -> ((s, d) => {
+      Tables(s, d).orders.createOrReplaceTempView("orders")
+      graft.api.EngineSession(s).sql(
+        """(SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+          |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey)
+          |UNION BY UPDATE k
+          |(SELECT o_custkey AS k, CAST(-1 AS BIGINT) AS n
+          |  FROM orders WHERE o_custkey >= 50 AND o_custkey < 150 GROUP BY o_custkey)""".stripMargin)
+        .df.orderBy("k")
+    }),
+
     // null handling: IsNull / Coalesce (nullExpressions.scala) over outer-join nulls.
     "q33_nulls" -> ((s, d) => {
       val t = Tables(s, d)
@@ -528,6 +542,16 @@ object Relational {
         |FROM orders JOIN customer ON c_custkey = o_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q37_union_by_update" ->
+      """WITH base AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey),
+        |delta AS (SELECT o_custkey AS k, CAST(-1 AS BIGINT) AS n
+        |  FROM orders WHERE o_custkey >= 50 AND o_custkey < 150 GROUP BY o_custkey)
+        |SELECT k, n FROM (
+        |  SELECT * FROM delta
+        |  UNION ALL
+        |  SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = b.k))
+        |ORDER BY k""".stripMargin,
     "q34_multiway_star" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM customer JOIN orders ON c_custkey = o_custkey

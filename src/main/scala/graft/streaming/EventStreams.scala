@@ -109,6 +109,56 @@ object EventStreams {
       }
   }
 
+  /* == streaming as-of join == */
+
+  /** Left probe row: "latest right value at-or-before t for key". */
+  final case class AsofProbe(key: Long, t: Timestamp, probe_id: Long)
+  /** Right reference row (a quote / state update). */
+  final case class AsofRef(key: Long, t: Timestamp, value: Double)
+  /** Match result; asof_value None when no reference at-or-before the probe. */
+  final case class AsofMatch(probe_id: Long, key: Long, t: Timestamp,
+      asof_value: Option[Double])
+
+  /** Streaming as-of join — the streaming twin of
+    * [[graft.operators.AsofJoin]]'s union-marker formulation: both inputs are
+    * tagged and merged, one keyed state function sees them in event-time
+    * order, and the state carries only (latest ref time, value) per key —
+    * O(keys) state, no buffering of the probe stream.
+    *
+    * Exactness contract: within a micro-batch rows are processed in event-time
+    * order (refs before probes on ties — `>=` as-of semantics); across
+    * micro-batches results are exact when each key's rows arrive in
+    * non-decreasing event time (time-ordered ingestion). A ref arriving after
+    * a later probe was already emitted does not retro-update it — the
+    * standard streaming as-of limitation. Works on batch Datasets too (each
+    * group seen once, hence exact).
+    */
+  def asofStateful(probes: Dataset[AsofProbe], refs: Dataset[AsofRef]): Dataset[AsofMatch] = {
+    import probes.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val tagged = probes.map(p => (p.key, micros(p.t), false, 0.0, p.probe_id))
+      .unionByName(refs.map(r => (r.key, micros(r.t), true, r.value, -1L)))
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Boolean, Double, Long)],
+            state: GroupState[(Long, Double)]) =>
+          // refs sort before probes at equal time: as-of is inclusive (>=)
+          val sorted = rows.toVector.sortBy(r => (r._2, !r._3))
+          var last: Option[(Long, Double)] = state.getOption
+          val out = Vector.newBuilder[AsofMatch]
+          sorted.foreach {
+            case (_, tm, true, v, _) =>
+              if (last.forall(_._1 <= tm)) last = Some((tm, v))
+            case (_, tm, false, _, pid) =>
+              out += AsofMatch(pid, key, new Timestamp(tm / 1000),
+                last.collect { case (rt, rv) if rt <= tm => rv })
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment join: the static side behaves like a broadcast
     * dimension on every micro-batch.
     */

@@ -68,14 +68,16 @@ final case class LeapFrogJoinExec(
     val sc = sparkContext
     val cells = if (maxCells > 0) maxCells else sc.defaultParallelism
 
-    // children -> RDD[Array[Long]] in global-order column layout
+    // children -> RDD[Array[Long]] in global-order column layout; persisted
+    // because both the share optimizer's count and the routing pass below
+    // consume them — without the persist every child plan executes twice.
     val prepped = children.zip(childAttrs).map { case (child, attrs) =>
       val sortedAttrs = attrs.sortBy(order.indexOf(_)).toArray
       val perm = sortedAttrs.map(attrs.indexOf(_))
       val n = attrs.length
       (sortedAttrs, child.execute().map { row =>
         Array.tabulate(n)(i => row.getLong(perm(i)))
-      })
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
     val sizes = prepped.map { case (attrs, rdd) => (attrs.toSet, rdd.count()) }
@@ -102,6 +104,12 @@ final case class LeapFrogJoinExec(
     val routed = tagged.partitionBy(new HashPartitioner(nCells) {
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     })
+    // Materialize the shuffle map stage now, while the children are cached,
+    // then release the cache: the no-op result stage fetches nothing, and
+    // the real job below reuses the shuffle files (skipped stage) instead of
+    // recomputing child plans.
+    sc.runJob(routed, (_: Iterator[(Int, (Int, Array[Long]))]) => ())
+    prepped.foreach(_._2.unpersist(blocking = false))
 
     val attrsByIdx = prepped.map(_._1).toArray
     val schema = output

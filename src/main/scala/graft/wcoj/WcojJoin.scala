@@ -76,7 +76,9 @@ object WcojJoin {
       }
       val all = local ++ bc.value
       if (local.exists(_.rows.isEmpty)) Iterator.empty
-      else LeapFrog.join(all, order).map(b => Row.fromSeq(b.toIndexedSeq))
+      // chunked streaming: peak memory = one first-attribute chunk, not the
+      // whole per-partition output (same OOM-bound as the Catalyst exec)
+      else LeapFrog.joinChunked[Row](all, order)(b => Row.fromSeq(b.clone().toIndexedSeq))
     }
 
     val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
@@ -124,10 +126,15 @@ object WcojJoin {
         .rdd.map(r => Array.tabulate(sortedAttrs.length)(i => r.getLong(i)))
       (sortedAttrs, rdd)
     }
-    val prepped = relations.map { case (df, attrs) => prep(df, attrs) }
+    // persisted: the share optimizer's count AND the routing pass both
+    // consume these — without the persist every input computes twice.
+    val prepped = relations.map { case (df, attrs) =>
+      val (sortedAttrs, rdd) = prep(df, attrs)
+      (sortedAttrs, rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
-    val sizes = relations.zip(prepped).map { case ((df, _), (attrs, _)) =>
-      (attrs.toSet, df.count()) // one pass for the share optimizer's |R|
+    val sizes = prepped.map { case (attrs, rdd) =>
+      (attrs.toSet, rdd.count()) // share optimizer's |R|; also warms the cache
     }
     val shares = HyperCube.optimalShares(order.toSeq, sizes, cells)
     val bcShares = spark.sparkContext.broadcast(shares)
@@ -159,6 +166,10 @@ object WcojJoin {
     val routed = tagged.partitionBy(new HashPartitioner(nCells) {
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     })
+    // materialize the shuffle while inputs are cached, then free the cache;
+    // the consumer job reuses the shuffle files (skipped stage)
+    spark.sparkContext.runJob(routed, (_: Iterator[(Int, (Int, Array[Long]))]) => ())
+    prepped.foreach(_._2.unpersist(blocking = false))
 
     val attrsByIdx = prepped.map(_._1).toArray
     val resultRdd = routed.mapPartitions { it =>
@@ -168,7 +179,8 @@ object WcojJoin {
         LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
       }
       if (local.exists(_.rows.isEmpty)) Iterator.empty
-      else LeapFrog.join(local, order).map(b => Row.fromSeq(b.toIndexedSeq))
+      // chunked streaming: bounded peak memory, same as the Catalyst exec
+      else LeapFrog.joinChunked[Row](local, order)(b => Row.fromSeq(b.clone().toIndexedSeq))
     }
     val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
     spark.createDataFrame(resultRdd, schema)

@@ -41,4 +41,10 @@ class PlanQualitySpec extends SparkSpec {
   test("q47 runs through the custom LeapFrogJoin operator") {
     assert(executedPlan("q47_wcoj_triangle").contains("LeapFrogJoin"))
   }
+
+  test("q62 simhash pairs never go all-pairs: no cartesian/nested-loop join") {
+    val p = executedPlan("q62_simhash_hamming")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

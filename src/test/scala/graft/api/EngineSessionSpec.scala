@@ -1,0 +1,44 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** Session-catalog surface: named graphs (reference CatalogGraphTable,
+  * catalog/interface.scala:228-341) and CBO statistics configuration.
+  */
+class EngineSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val session = EngineSession(spark)
+
+  test("named-graph registry: createGraph / graph / dropGraph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val g = graft.graph.PropertyGraph.fromEdges(edges)
+    session.createGraph("tri", g)
+    assert(session.graphExists("tri"))
+    assert(session.graph("tri").triangleCount() === 1L)
+    session.dropGraph("tri")
+    assert(!session.graphExists("tri"))
+    intercept[NoSuchElementException] { session.graph("tri") }
+  }
+
+  test("createGraph from vertex/edge frames registers and returns the graph") {
+    val v = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val g = session.createGraph("tiny", v, e)
+    assert(g.edge().count() === 1)
+    assert(session.graph("tiny").node().count() === 2)
+    session.dropGraph("tiny")
+  }
+
+  test("enableCbo turns on histogram statistics and ANALYZE produces row stats") {
+    session.enableCbo()
+    assert(spark.conf.get("spark.sql.statistics.histogram.enabled") === "true")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "tag")
+      .createOrReplaceTempView("stats_t")
+    session.analyzeTable("stats_t", Seq("k", "tag")) // histogram path must not throw
+    val plan = spark.table("stats_t").queryExecution.optimizedPlan
+    assert(plan.stats.rowCount.contains(BigInt(3)))
+    spark.catalog.uncacheTable("stats_t")
+    spark.catalog.dropTempView("stats_t")
+  }
+}

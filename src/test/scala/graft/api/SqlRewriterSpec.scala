@@ -1,0 +1,65 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** SQL-text forms of the reference's two grammar extensions
+  * (SQLParser.scala:328-336, 240-246).
+  */
+class SqlRewriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val session = EngineSession(spark)
+
+  test("UNION BY UPDATE upserts by key in SQL text") {
+    Seq((1L, "old1"), (2L, "old2"), (3L, "keep3")).toDF("k", "v")
+      .createOrReplaceTempView("ubu_base")
+    Seq((1L, "new1"), (2L, "new2"), (9L, "new9")).toDF("k", "v")
+      .createOrReplaceTempView("ubu_delta")
+    val out = session.sql(
+      "(SELECT k, v FROM ubu_base) UNION BY UPDATE k (SELECT k, v FROM ubu_delta)")
+      .df.as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "new1", 2L -> "new2", 3L -> "keep3", 9L -> "new9"))
+  }
+
+  test("UNION BY UPDATE matches the unionByUpdate API operator") {
+    val base = session.createDatasetFromSparkSQL(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    val delta = session.createDatasetFromSparkSQL(
+      Seq((2L, 99.0), (5L, 50.0)).toDF("k", "v"))
+    base.createOrReplaceTable("ubu2_base")
+    delta.createOrReplaceTable("ubu2_delta")
+    val viaApi = base.unionByUpdate(delta, Seq("k")).df
+      .as[(Long, Double)].collect().toSet
+    val viaSql = session.sql(
+      "(SELECT * FROM ubu2_base) UNION BY UPDATE k (SELECT * FROM ubu2_delta)")
+      .df.as[(Long, Double)].collect().toSet
+    assert(viaSql === viaApi)
+  }
+
+  test("UNION BY UPDATE composes inside a larger statement") {
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("ubu3_a")
+    Seq((2L, 20.0)).toDF("k", "v").createOrReplaceTempView("ubu3_b")
+    val n = session.sql(
+      """SELECT count(*) AS n FROM (
+        | (SELECT * FROM ubu3_a) UNION BY UPDATE k (SELECT * FROM ubu3_b)
+        |) t WHERE v >= 2.0""".stripMargin)
+      .df.as[Long].head()
+    assert(n === 1L) // upsert leaves (1,1.0),(2,20.0); v>=2.0 keeps only (2,20.0)
+  }
+
+  test("MATCH(graph, pattern) in FROM resolves through the graph catalog") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    session.createGraph("msql", graft.graph.PropertyGraph.fromEdges(edges))
+    val n = session.sql(
+      "SELECT count(*) AS n FROM MATCH(msql, (a)-[]->(b)-[]->(c); (c)-[]->(a)) " +
+        "WHERE a < b AND a < c")
+      .df.as[Long].head()
+    assert(n === 1L) // the single directed triangle, canonicalized
+    session.dropGraph("msql")
+  }
+
+  test("plain SQL is untouched") {
+    val r = session.sql("SELECT 1 AS union_col, 2 AS match_col").df.collect()
+    assert(r.head.getInt(0) === 1 && r.head.getInt(1) === 2)
+  }
+}

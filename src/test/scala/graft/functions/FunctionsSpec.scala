@@ -76,6 +76,21 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cosine_sim") || err.getMessage.contains("array<float>"))
   }
 
+  test("untyped (legacy-API) UDAF registers and matches the typed Aggregator") {
+    Udafs.registerAll(spark)
+    Udafs.registerUntyped(spark, "geomean_untyped", new Udafs.UntypedGeometricMean)
+    Seq(("a", 2.0), ("a", 8.0), ("b", 5.0)).toDF("g", "x")
+      .createOrReplaceTempView("udaf_t")
+    val m = spark.sql(
+      """SELECT g, geometric_mean(x) AS typed, geomean_untyped(x) AS untyped
+        |FROM udaf_t GROUP BY g""".stripMargin)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, t, u) => g -> ((t, u)) }.toMap
+    assert(math.abs(m("a")._1 - 4.0) < 1e-9)
+    assert(math.abs(m("a")._2 - 4.0) < 1e-9)
+    assert(math.abs(m("b")._1 - m("b")._2) < 1e-9)
+  }
+
   test("quality score bounded in [0,1]") {
     val df = Seq("the quick brown fox!", "", "a b c").toDF("text")
     val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()

@@ -51,11 +51,11 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("minHashLsh hash-id mode (no dictionary) finds the same verified pairs") {
-    val dict = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+  test("minHashLsh dictionary mode finds the same verified pairs as the hashed default") {
+    val dict = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5, useDictionary = true)
       .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
-    val hashed = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5, useDictionary = false)
+    val hashed = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
       .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     // exact-dup pair must survive in both modes with jaccard 1.0; verified
@@ -130,6 +130,19 @@ class SaltingSpec extends graft.SparkSpec {
     val out = Salting.saltedJoin(left, right, "k", 4, "left").collect()
     assert(out.length === 2)
     assert(out.count(_.isNullAt(2)) === 1) // key 9 unmatched exactly once
+  }
+
+  test("salted right/full outer joins are rejected (replication would duplicate unmatched right rows)") {
+    val left = Seq((1L, "a")).toDF("k", "lv")
+    val right = Seq((1L, "r"), (2L, "unmatched")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(left, right, "k", 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(left, right, "k", 4, "full_outer")
+    }
+    // left_semi stays allowed
+    assert(Salting.saltedJoin(left, right, "k", 4, "left_semi").count() === 1)
   }
 
   test("hotKeys surfaces the dominant key") {

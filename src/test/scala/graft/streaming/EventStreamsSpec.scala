@@ -51,6 +51,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_events") === 2)
   }
 
+  test("streaming as-of matches the batch AsofJoin operator on batch input") {
+    import EventStreams.{AsofProbe, AsofRef}
+    val probes = Seq(AsofProbe(7L, ts(10), 1L), AsofProbe(7L, ts(25), 2L),
+      AsofProbe(7L, ts(5), 3L), AsofProbe(9L, ts(50), 4L)).toDS()
+    val refs = Seq(AsofRef(7L, ts(10), 100.0), AsofRef(7L, ts(20), 101.0)).toDS()
+
+    val streaming = EventStreams.asofStateful(probes, refs)
+      .collect().map(m => m.probe_id -> m.asof_value).toMap
+
+    val batch = graft.operators.AsofJoin.asofJoin(
+        probes.toDF("key", "t", "probe_id"), refs.toDF("key", "rt", "value"),
+        leftKey = "key", rightKey = "key", leftTime = "t", rightTime = "rt",
+        valueCols = Seq("value"))
+      .select("probe_id", "asof_value")
+      .as[(Long, Option[Double])].collect().toMap
+
+    assert(streaming === batch)
+    assert(streaming === Map(1L -> Some(100.0), 2L -> Some(101.0), 3L -> None, 4L -> None))
+  }
+
+  test("streaming as-of carries ref state across micro-batches") {
+    import EventStreams.{AsofProbe, AsofRef}
+    val dirP = java.nio.file.Files.createTempDirectory("asofp").toString
+    val dirR = java.nio.file.Files.createTempDirectory("asofr").toString
+    // batch 1: the ref; batch 2 (later file): the probe — state must carry
+    Seq(AsofRef(7L, ts(10), 42.0)).toDS().write.mode("overwrite").parquet(dirR)
+    Seq(AsofProbe(7L, ts(30), 1L)).toDS().write.mode("overwrite").parquet(dirP)
+    val p = spark.readStream.schema(spark.read.parquet(dirP).schema).parquet(dirP)
+      .as[AsofProbe]
+    val r = spark.readStream.schema(spark.read.parquet(dirR).schema).parquet(dirR)
+      .as[AsofRef]
+    val q = EventStreams.asofStateful(p, r)
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("asof_out").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("asof_value") === 42.0)
+  }
+
   test("stream-stream interval join matches within tolerance only") {
     val dirL = java.nio.file.Files.createTempDirectory("ssl").toString
     val dirR = java.nio.file.Files.createTempDirectory("ssr").toString

@@ -139,6 +139,34 @@ class WcojJoinSpec extends SparkSpec {
     assert(n >= 0)
   }
 
+  test("4-cycle through both RDD paths streams chunked (dense output, no blow-up)") {
+    // dense bipartite-ish graph: the 4-cycle output is much larger than any
+    // input, exactly the shape that OOM'd a materialize-everything join
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(600)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"src".as("c"), $"dst".as("d")), Seq("c", "d")),
+      (edges.select($"dst".as("a"), $"src".as("d")), Seq("a", "d")))
+
+    val viaDf = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), "b" :: Nil)
+      .join(edges.select($"src".as("c"), $"dst".as("d")), "c" :: Nil)
+      .join(edges.select($"dst".as("a"), $"src".as("d")), Seq("d", "a"))
+      .select("a", "b", "c", "d").as[(Long, Long, Long, Long)].collect().toSet
+
+    val viaLf = WcojJoin.leapfrog(spark, rels, Seq("a", "b", "c", "d"),
+      numPartitions = 4).as[(Long, Long, Long, Long)].collect().toSet
+    val viaCube = WcojJoin.leapfrogHyperCube(spark, rels, Seq("a", "b", "c", "d"),
+      maxCells = 8).as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(viaLf === viaDf)
+    assert(viaCube === viaDf)
+    assert(viaDf.size > 1000) // non-trivial output volume
+  }
+
   test("hypercube disconnected join degenerates to a partitioned cross product") {
     val x = Seq(1L, 2L).toDF("x")
     val y = Seq(10L, 20L, 30L).toDF("y")
