@@ -94,14 +94,20 @@ final case class PropertyGraph(
     // combine edge copies via the GHD-guided multiway-join planner: cyclic
     // patterns (triangles, cycles, cliques) get their cyclic core grouped in
     // one bag instead of a blow-up-prone left-to-right chain (SURVEY §7.5).
-    // With more than one bag, Yannakakis semijoin reduction sweeps the GHD
-    // tree first (the reference's OptimizeMultiwayJoin intent,
-    // optimization/rules/join.scala:233-270) so no bag carries rows that
-    // cannot reach the final result.
+    // With more than one bag AND a selective pattern (label/prop constraints
+    // anywhere), Yannakakis semijoin reduction sweeps the GHD tree first
+    // (the reference's OptimizeMultiwayJoin intent, optimization/rules/
+    // join.scala:233-270) so no bag carries rows that cannot reach the final
+    // result. Unconstrained patterns skip the sweeps: with nothing filtered,
+    // every bag row can reach the result and the two extra semijoin passes
+    // (plus bag materialization) are pure overhead.
     val copies = pat.edges.map(edgeCopy)
     val rels = copies.map(c => (c, c.columns.toSeq))
     val multiBag = graft.plans.MultiwayJoin.plan(rels.map(_._2)).bags.size > 1
-    val joined = graft.plans.MultiwayJoin.join(rels, reduce = multiBag)
+    val selective = pat.edges.exists(pe =>
+      pe.edge.labels.nonEmpty || pe.edge.props.nonEmpty ||
+        Seq(pe.src, pe.dst).exists(n => n.labels.nonEmpty || n.props.nonEmpty))
+    val joined = graft.plans.MultiwayJoin.join(rels, reduce = multiBag && selective)
     val vars = pat.nodeVariables.filter(joined.columns.contains)
     if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
   }
@@ -213,12 +219,14 @@ final case class PropertyGraph(
     while (!converged && i < maxIterations) {
       val nbrMin = und.join(state.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b").as("id")).agg(min("component").as("nbrComponent"))
+      // carry the previous label through the checkpoint so convergence is a
+      // cheap scan of the materialized round — not an extra join+shuffle
       val next = state.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("component"))
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("component"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(state.alias("s"), "id" :: Nil)
-        .filter(col("n.component") =!= col("s.component")).limit(1).count()
-      state = next
+      val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
+      state = next.select("id", "component")
       converged = changed == 0
       i += 1
     }
@@ -242,12 +250,14 @@ final case class PropertyGraph(
       val relax = e.join(state.filter(col("dist") =!= Double.PositiveInfinity), Seq("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
         .groupBy("id").agg(min("cand").as("cand"))
+      // previous distance rides along so the convergence check scans the
+      // checkpointed round instead of re-joining against the old state
       val next = state.join(relax, Seq("id"), "left")
-        .select(col("id"), least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
+        .select(col("id"), col("dist").as("prev"),
+          least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(state.alias("s"), "id" :: Nil)
-        .filter(col("n.dist") =!= col("s.dist")).limit(1).count()
-      state = next
+      val changed = next.filter(col("dist") =!= col("prev")).limit(1).count()
+      state = next.select("id", "dist")
       converged = changed == 0
       i += 1
     }

@@ -48,11 +48,15 @@ object MultiwayJoin {
       if (common.isEmpty) target else target.join(by, common, "left_semi")
     }
 
-    // Yannakakis: leaves→root (attachment order reversed), then root→leaves
+    // Yannakakis: leaves→root (attachment order reversed), then root→leaves.
+    // Bags are lazily localCheckpoint'ed first — textbook Yannakakis
+    // materializes the bag relations once; without it each bag's join plan
+    // executes again for every semijoin pass that references it (2-3x work).
+    // Lazy (eager=false) keeps plan construction side-effect free.
     val bagDfs =
       if (!reduce || bagDfs0.size == 1) bagDfs0
       else {
-        val arr = bagDfs0.toArray
+        val arr = bagDfs0.map(_.localCheckpoint(false)).toArray
         ghd.treeEdges.reverse.foreach { case (parent, child) =>
           arr(parent) = semiReduce(arr(parent), arr(child))
         }

@@ -30,6 +30,23 @@ class PropertyGraphSpec extends SparkSpec {
     assert(withLoop.pattern("(a)-[]->(a)").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("selective multi-bag pattern runs Yannakakis semijoin sweeps; unconstrained does not") {
+    // tailed triangle -> two GHD bags (cyclic core + tail). Labeled
+    // (selective) -> left_semi sweeps in the plan; unconstrained -> no
+    // sweeps (measured pure overhead on dense unfiltered patterns).
+    val cyc = Seq((1L, 2L, "KNOWS"), (2L, 3L, "KNOWS"), (3L, 1L, "KNOWS"), (3L, 5L, "KNOWS"))
+      .toDF("src", "dst", "label")
+    val gc = PropertyGraph(v.union(Seq((5L, "Person")).toDF("id", "label")), cyc)
+    val pat = "(a)-[:KNOWS]->(b)-[:KNOWS]->(c); (c)-[:KNOWS]->(a); (c)-[:KNOWS]->(d)"
+    val labeled = gc.pattern(pat)
+    assert(labeled.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // rotations (1,2,3)->d in {1,5}; (2,3,1)->d=2; (3,1,2)->d=3
+    assert(labeled.count() === 4)
+    val plain = gc.pattern("(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(d)")
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(plain.count() === 4)
+  }
+
   test("subgraph filters vertices and induced edges") {
     val sub = g.subgraph(Some("label = 'Person'"), None)
     assert(sub.node().count() === 3)
