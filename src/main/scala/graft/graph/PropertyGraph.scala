@@ -60,7 +60,13 @@ final case class PropertyGraph(
     * like the SQL self-join it lowers to. `.distinct()` the result for set
     * semantics.
     */
-  def pattern(p: String): DataFrame = {
+  /** @param wcoj route the pattern's cyclic GHD bags through the
+    *   worst-case-optimal LeapFrog Catalyst node (the reference planner's
+    *   MultiwayJoin→trie+leapfrog strategy). Set semantics: edge copies are
+    *   deduplicated first, so parallel edges count once per distinct
+    *   (src, dst) — use the default binary path for bag semantics.
+    */
+  def pattern(p: String, wcoj: Boolean = false): DataFrame = {
     val pat = PatternParser.parse(p)
 
     def edgeCopy(pe: PatternEdge): DataFrame = {
@@ -101,13 +107,15 @@ final case class PropertyGraph(
     // result. Unconstrained patterns skip the sweeps: with nothing filtered,
     // every bag row can reach the result and the two extra semijoin passes
     // (plus bag materialization) are pure overhead.
-    val copies = pat.edges.map(edgeCopy)
+    val copies0 = pat.edges.map(edgeCopy)
+    val copies = if (wcoj) copies0.map(_.distinct()) else copies0
     val rels = copies.map(c => (c, c.columns.toSeq))
     val multiBag = graft.plans.MultiwayJoin.plan(rels.map(_._2)).bags.size > 1
     val selective = pat.edges.exists(pe =>
       pe.edge.labels.nonEmpty || pe.edge.props.nonEmpty ||
         Seq(pe.src, pe.dst).exists(n => n.labels.nonEmpty || n.props.nonEmpty))
-    val joined = graft.plans.MultiwayJoin.join(rels, reduce = multiBag && selective)
+    val joined = graft.plans.MultiwayJoin.join(rels,
+      reduce = multiBag && selective, wcoj = wcoj)
     val vars = pat.nodeVariables.filter(joined.columns.contains)
     if (vars.isEmpty) joined else joined.select(vars.map(col): _*)
   }

@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** GHD-guided n-ary natural join planner — the Spark-first rendition of the
   * reference's MultiwayJoin operator (multiwayOperators.scala:57-154) +
@@ -25,8 +27,18 @@ object MultiwayJoin {
     *   extra semijoin passes (cheap shuffles) buy intermediate results that
     *   never exceed the output size — the right trade when bags are
     *   selective or the data is large; off by default for small queries.
+    * @param wcoj route CYCLIC bags through the worst-case-optimal LeapFrog
+    *   Catalyst node instead of binary hash joins — the reference planner's
+    *   `MultiwayJoin → trie+leapfrog` strategy
+    *   (execution/planning/SeccoStrategies.scala:182-191). Opt-in because it
+    *   imposes SET semantics (one output row per distinct binding — callers
+    *   must dedup inputs if they carry duplicates) and requires integral
+    *   join columns (emitted as LongType); null join values are filtered
+    *   (they can never match a natural inner join). Acyclic bags and
+    *   non-eligible bags fall back to binary joins unchanged.
     */
-  def join(relations: Seq[(DataFrame, Seq[String])], reduce: Boolean = false): DataFrame = {
+  def join(relations: Seq[(DataFrame, Seq[String])], reduce: Boolean = false,
+      wcoj: Boolean = false): DataFrame = {
     require(relations.nonEmpty, "no relations to join")
     if (relations.size == 1) return relations.head._1
 
@@ -40,8 +52,30 @@ object MultiwayJoin {
       if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
     }
 
-    // join inside each bag (relation order within a bag: as given)
-    val bagDfs0 = ghd.bags.map(b => b.edgeIds.map(relations(_)._1).reduce(naturalJoin))
+    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
+      rels.forall { case (df, attrs) =>
+        df.columns.toSet == attrs.toSet &&
+          df.schema.fields.forall(f => Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+      }
+
+    // join inside each bag; a cyclic eligible bag goes worst-case-optimal
+    def bagDf(b: JoinHyperGraph.Bag): DataFrame = {
+      val rels = b.edgeIds.map(relations(_))
+      val cyclic = rels.size >= 2 && !JoinHyperGraph.isAcyclic(rels.map(_._2.toSet))
+      if (wcoj && cyclic && wcojEligible(rels)) {
+        val spark = rels.head._1.sparkSession
+        // attr order: most-covered attributes first (tightest intersections
+        // early), name tie-break for determinism
+        val order = b.attrs.toSeq
+          .sortBy(a => (-rels.count(_._2.contains(a)), a))
+        val cleaned = rels.map { case (df, attrs) =>
+          (attrs.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), attrs)
+        }
+        graft.wcoj.WcojJoin.leapfrogCatalyst(spark, cleaned, order)
+      } else rels.map(_._1).reduce(naturalJoin)
+    }
+
+    val bagDfs0 = ghd.bags.map(bagDf)
 
     def semiReduce(target: DataFrame, by: DataFrame): DataFrame = {
       val common = target.columns.intersect(by.columns).toIndexedSeq

@@ -165,6 +165,19 @@ object EventStreams {
   def enrich(stream: DataFrame, static: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(static, keys, "left")
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]]: drop events whose key columns
+    * were already seen. The watermark bounds the dedup state: keys older
+    * than `tsCol` watermark are evicted, so state is O(keys within the
+    * watermark window), not O(stream). Works on batch frames too (plain
+    * dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+    else events.dropDuplicates(keys :+ tsCol)
+
   /** Stream-stream interval join: match events from two streams on a key
     * within ±`toleranceSeconds`. Both sides need watermarks so the state
     * store can evict: rows older than watermark+tolerance can never match.

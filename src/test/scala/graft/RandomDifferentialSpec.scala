@@ -50,6 +50,9 @@ class RandomDifferentialSpec extends SparkSpec {
         val base = canon(naive(rels), outCols)
         assert(canon(MultiwayJoin.join(rels), outCols) === base, "GHD")
         assert(canon(MultiwayJoin.join(rels, reduce = true), outCols) === base, "Yannakakis")
+        // inputs are distinct rows (set semantics), so the wcoj-routed
+        // variant must also agree — cyclic bags go through LeapFrog
+        assert(canon(MultiwayJoin.join(rels, wcoj = true), outCols) === base, "wcoj-routed")
         // hypercube needs SET-semantics inputs (they are: .distinct rows) and
         // an attr order; output arity == all attrs
         val cube = WcojJoin.leapfrogHyperCube(spark, rels, outCols, maxCells = 4)

@@ -47,6 +47,24 @@ class PropertyGraphSpec extends SparkSpec {
     assert(plain.count() === 4)
   }
 
+  test("pattern(wcoj=true) routes the cyclic core through LeapFrog with set semantics") {
+    // triangle 1->2->3->1 plus a PARALLEL copy of 1->2 (different label):
+    // wcoj dedups edge copies, so the triangle counts once per binding
+    val cyc = Seq((1L, 2L, "A"), (1L, 2L, "B"), (2L, 3L, "A"), (3L, 1L, "A"))
+      .toDF("src", "dst", "label")
+    val gc = PropertyGraph(v, cyc)
+    val tri = "(a)-[]->(b)-[]->(c); (c)-[]->(a)"
+    val viaWcoj = gc.pattern(tri, wcoj = true)
+    assert(viaWcoj.queryExecution.executedPlan.toString.contains("LeapFrogJoin"))
+    val bindings = viaWcoj.as[(Long, Long, Long)].collect().toSet
+    assert(bindings === Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+    // binary path keeps bag semantics: the parallel edge doubles the
+    // bindings that use edge (1,2)
+    val viaBinary = gc.pattern(tri).as[(Long, Long, Long)].collect()
+    assert(viaBinary.count(_ == (1L, 2L, 3L)) === 2)
+    assert(viaBinary.count(_ == (2L, 3L, 1L)) === 2) // same cycle, rotated start
+  }
+
   test("subgraph filters vertices and induced edges") {
     val sub = g.subgraph(Some("label = 'Person'"), None)
     assert(sub.node().count() === 3)

@@ -90,6 +90,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("asof_value") === 42.0)
   }
 
+  test("streaming dedup drops repeated keys within the watermark window") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup").toString
+    // timestamps off epoch: a row AT the initial watermark (epoch 0) would
+    // be discarded as late before dedup state even forms
+    Seq((1L, ts(60), "a"), (1L, ts(60), "a-dup"), (2L, ts(61), "b"), (1L, ts(65), "a-later"))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStreams.dedupStream(stream, Seq("k"), "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq.sorted
+    // (1, ts0) kept once; (1, ts5) is a distinct (k, ts) pair; 2 kept
+    assert(out === Seq(1L, 1L, 2L))
+  }
+
   test("stream-stream interval join matches within tolerance only") {
     val dirL = java.nio.file.Files.createTempDirectory("ssl").toString
     val dirR = java.nio.file.Files.createTempDirectory("ssr").toString
