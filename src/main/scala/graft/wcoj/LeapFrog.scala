@@ -20,10 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   * attribute order), range save/restore uses preallocated per-depth stacks,
   * and consumers see the shared mutable binding (copy if retained).
   *
-  * Memory discipline: [[joinChunked]] streams results one first-attribute
-  * value at a time — peak memory is the largest single chunk, not the whole
-  * output (a 4-cycle query emitting tens of millions of bindings per cell
-  * OOMs any materialize-everything formulation).
+  * Memory discipline: [[joinIterator]] is fully lazy — O(depths) state, one
+  * binding per next(), no buffering at all (a 4-cycle query emitting tens
+  * of millions of bindings per cell OOMs any materialize-everything
+  * formulation, and even per-chunk buffering costs one allocation per
+  * binding).
   *
   * Requirements: each relation's attribute list must be ordered consistently
   * with the global attribute order (reorder columns when preparing input).
@@ -183,34 +184,122 @@ object LeapFrog {
       consume: Array[Long] => Unit): Unit =
     new Session(relations, attrOrder).recurse(0, consume)
 
-  /** Streaming enumeration: an Iterator of projected bindings that
-    * materializes one FIRST-ATTRIBUTE chunk at a time. Peak memory is the
-    * largest per-value chunk, not the output. `project` must copy what it
-    * keeps (it sees the shared binding).
+  /** Fully lazy enumeration — the paper's native iterator form: an explicit
+    * depth state machine that yields one binding per `next()` with O(depths)
+    * state, no per-chunk buffering and no per-binding allocation. The
+    * returned Iterator yields the SHARED mutable binding array — callers
+    * project/copy before retaining (exactly the UnsafeRow-reuse contract of
+    * SparkPlan.execute()).
     */
-  def joinChunked[T](relations: Seq[Relation], attrOrder: Array[String])(
-      project: Array[Long] => T): Iterator[T] = {
+  def joinIterator(relations: Seq[Relation], attrOrder: Array[String]): Iterator[Array[Long]] = {
     if (attrOrder.isEmpty) return Iterator.empty
     val s = new Session(relations, attrOrder)
-    // depth-0 aligned values, collected up front (bounded by the first
-    // attribute's distinct count); ranges restored after collection
-    val firstVals = new ArrayBuffer[Long]()
-    s.intersect(0)(v => firstVals += v)
-    firstVals.iterator.flatMap { v =>
-      // reposition depth-0 cursors at v (intersect state was consumed)
-      val part = s.partByDepth(0); val cols = s.colByDepth(0); val curLo = s.curLoAll(0)
-      var j = 0
-      while (j < part.length) {
-        val i = part(j)
-        curLo(j) = s.lowerBound(s.rels(i).rows, cols(j), s.lo(i), s.hi(i), v)
-        j += 1
+    if (s.rels.exists(_.rows.isEmpty)) return Iterator.empty
+
+    new Iterator[Array[Long]] {
+      private val D = s.depths
+      private val posVal = new Array[Long](D)
+      private var started = false
+      private var pending = false
+      private var exhausted = false
+
+      /** Leapfrog alignment at depth dd from the current cursors, seeking
+        * values >= target; positions all participants on the first common
+        * value, records it, and returns true — false when the intersection
+        * at this depth is exhausted.
+        */
+      private def align(dd: Int, target0: Long): Boolean = {
+        val part = s.partByDepth(dd); val cols = s.colByDepth(dd); val curLo = s.curLoAll(dd)
+        val p = part.length
+        var target = target0
+        var aligned = 0
+        var k = 0
+        while (aligned < p) {
+          val i = part(k)
+          val from = if (curLo(k) > s.lo(i)) curLo(k) else s.lo(i)
+          val pos = s.lowerBound(s.rels(i).rows, cols(k), from, s.hi(i), target)
+          if (pos >= s.hi(i)) return false
+          curLo(k) = pos
+          val v = s.rels(i).rows(pos)(cols(k))
+          if (v == target) aligned += 1
+          else { target = v; aligned = 1 }
+          k = (k + 1) % p
+        }
+        posVal(dd) = target
+        s.binding(dd) = target
+        true
       }
-      s.binding(0) = v
-      s.narrow(0, v)
-      val buf = new ArrayBuffer[T]()
-      s.recurse(1, b => buf += project(b))
-      s.restore(0)
-      buf.iterator
+
+      /** First positioning at depth dd: cursors reset to the depth's open
+        * ranges, then aligned on the smallest common value.
+        */
+      private def initDepth(dd: Int): Boolean = {
+        val part = s.partByDepth(dd); val curLo = s.curLoAll(dd)
+        var k = 0
+        while (k < part.length) {
+          val i = part(k)
+          curLo(k) = s.lo(i)
+          if (curLo(k) >= s.hi(i)) return false
+          k += 1
+        }
+        align(dd, Long.MinValue)
+      }
+
+      /** Next aligned value after the current one at depth dd (ranges must
+        * be in their un-narrowed state for this depth).
+        */
+      private def advanceDepth(dd: Int): Boolean =
+        posVal(dd) != Long.MaxValue && align(dd, posVal(dd) + 1)
+
+      /** Backtrack from depth `from`: undo narrows upward until some depth
+        * advances; re-narrow there. Returns the depth to descend from
+        * (advanced depth + 1), or -1 when the whole enumeration is done.
+        */
+      private def backtrack(from: Int): Int = {
+        var cur = from
+        while (cur >= 0) {
+          s.restore(cur)
+          if (advanceDepth(cur)) {
+            s.narrow(cur, posVal(cur))
+            return cur + 1
+          }
+          cur -= 1
+        }
+        -1
+      }
+
+      private def computeNext(): Boolean = {
+        var cur =
+          if (!started) { started = true; 0 }
+          else backtrack(D - 1) // deepest depth advances first
+        if (cur < 0) return false
+        while (cur < D) {
+          if (initDepth(cur)) {
+            s.narrow(cur, posVal(cur))
+            cur += 1
+          } else {
+            cur = backtrack(cur - 1)
+            if (cur < 0) return false
+          }
+        }
+        true
+      }
+
+      override def hasNext: Boolean = {
+        if (pending) true
+        else if (exhausted) false
+        else {
+          pending = computeNext()
+          if (!pending) exhausted = true
+          pending
+        }
+      }
+
+      override def next(): Array[Long] = {
+        if (!hasNext) throw new NoSuchElementException("leapfrog exhausted")
+        pending = false
+        s.binding
+      }
     }
   }
 

@@ -121,17 +121,18 @@ final case class LeapFrogJoinExec(
       }
       if (local.exists(_.rows.isEmpty)) Iterator.empty
       else {
-        // chunked streaming with direct Unsafe projection: one UnsafeRow
-        // copy per binding, peak memory = one first-attribute chunk (a
-        // materialize-everything buffer OOMs on cyclic queries emitting
-        // tens of millions of bindings per cell)
+        // fully lazy enumeration with direct Unsafe projection: O(depths)
+        // state, zero per-binding allocation. The emitted UnsafeRow buffer
+        // is REUSED across bindings — the standard SparkPlan.execute()
+        // contract (buffering consumers copy for themselves, as
+        // HashAggregate/Sort/shuffle-write/collect all do).
         val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
         val values = new Array[Any](order.length)
         val reusable = new GenericInternalRow(values)
-        LeapFrog.joinChunked[InternalRow](local, order) { b =>
+        LeapFrog.joinIterator(local, order).map { b =>
           var i = 0
           while (i < b.length) { values(i) = b(i); i += 1 }
-          proj(reusable).copy()
+          proj(reusable)
         }
       }
     }

@@ -76,9 +76,9 @@ object WcojJoin {
       }
       val all = local ++ bc.value
       if (local.exists(_.rows.isEmpty)) Iterator.empty
-      // chunked streaming: peak memory = one first-attribute chunk, not the
-      // whole per-partition output (same OOM-bound as the Catalyst exec)
-      else LeapFrog.joinChunked[Row](all, order)(b => Row.fromSeq(b.clone().toIndexedSeq))
+      // lazy enumeration, O(depths) state; clone per row because external
+      // Row consumers may retain references
+      else LeapFrog.joinIterator(all, order).map(b => Row.fromSeq(b.clone().toIndexedSeq))
     }
 
     val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
@@ -179,8 +179,8 @@ object WcojJoin {
         LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
       }
       if (local.exists(_.rows.isEmpty)) Iterator.empty
-      // chunked streaming: bounded peak memory, same as the Catalyst exec
-      else LeapFrog.joinChunked[Row](local, order)(b => Row.fromSeq(b.clone().toIndexedSeq))
+      // lazy enumeration, O(depths) state; clone per row for Row consumers
+      else LeapFrog.joinIterator(local, order).map(b => Row.fromSeq(b.clone().toIndexedSeq))
     }
     val schema = StructType(order.map(a => StructField(a, LongType, nullable = false)))
     spark.createDataFrame(resultRdd, schema)

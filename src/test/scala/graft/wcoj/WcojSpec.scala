@@ -46,6 +46,40 @@ class LeapFrogSpec extends AnyFunSuite {
     val got = LeapFrog.join(Seq(r1, r2), Array("a", "b")).map(_.toSeq).toSet
     assert(got === Set(Seq(5L, 1L), Seq(5L, 2L)))
   }
+
+  test("joinIterator equals materializing join on random shapes (shared-buffer contract)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(40)
+      val e = Seq.fill(n)(Seq(rnd.nextInt(7).toLong, rnd.nextInt(7).toLong)).distinct
+      val f = Seq.fill(n)(Seq(rnd.nextInt(7).toLong, rnd.nextInt(7).toLong)).distinct
+      val shapes = Seq(
+        // triangle
+        (Seq(rel(Seq("a", "b"), e), rel(Seq("b", "c"), e),
+          rel(Seq("a", "c"), e.map(r => Seq(r(1), r(0))))), Array("a", "b", "c")),
+        // path-3 with two sources
+        (Seq(rel(Seq("a", "b"), e), rel(Seq("b", "c"), f), rel(Seq("c", "d"), e)),
+          Array("a", "b", "c", "d")),
+        // single unary intersect
+        (Seq(rel(Seq("a"), e.map(r => Seq(r.head))), rel(Seq("a"), f.map(r => Seq(r.head)))),
+          Array("a")))
+      val (rels, order) = shapes(trial % shapes.size)
+      val viaJoin = LeapFrog.join(rels, order).map(_.toVector).toVector.sorted(
+        Ordering.by[Vector[Long], String](_.mkString(",")))
+      // iterator yields a SHARED buffer: copy per binding, like real callers
+      val viaIter = LeapFrog.joinIterator(rels, order).map(_.toVector).toVector.sorted(
+        Ordering.by[Vector[Long], String](_.mkString(",")))
+      assert(viaIter === viaJoin, s"trial $trial shape ${trial % shapes.size}")
+    }
+  }
+
+  test("joinIterator on empty intersection and empty relation") {
+    val r1 = rel(Seq("a", "b"), Seq(Seq(1L, 2L)))
+    val r2 = rel(Seq("b", "c"), Seq(Seq(9L, 3L)))
+    assert(LeapFrog.joinIterator(Seq(r1, r2), Array("a", "b", "c")).isEmpty)
+    val empty = rel(Seq("b", "c"), Nil)
+    assert(LeapFrog.joinIterator(Seq(r1, empty), Array("a", "b", "c")).isEmpty)
+  }
 }
 
 class HyperCubeSpec extends AnyFunSuite {
