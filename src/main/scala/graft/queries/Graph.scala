@@ -110,8 +110,8 @@ object Graph {
     }),
 
     // the same 4-cycle through the Catalyst WCOJ node: bounded intermediates
-    // beat the binary-join path ~1.8x on this query (27.8M bindings at
-    // sf0.1; chunked streaming keeps peak memory at one a-value chunk).
+    // beat the binary-join path ~2.8x on this query (27.8M bindings at
+    // sf0.1; lazy iterator enumeration, no per-binding allocation).
     "q48_wcoj_4cycle" -> ((s, d) => {
       val e = mediumEdges(Tables(s, d))
       graft.wcoj.WcojJoin.leapfrogCatalyst(s, Seq(
