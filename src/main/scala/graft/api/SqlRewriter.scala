@@ -24,12 +24,34 @@ object SqlRewriter {
   def rewrite(input: String, session: EngineSession): String =
     rewriteUnionByUpdate(rewriteMatch(input, session))
 
+  /** Positions inside single/double-quoted string literals: parens, commas
+    * and keywords there are content, not syntax — every scan below consults
+    * this mask.
+    */
+  private def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote == 0) {
+        if (c == '\'' || c == '"') { quote = c; mask(i) = true }
+      } else {
+        mask(i) = true
+        if (c == quote) quote = 0
+      }
+      i += 1
+    }
+    mask
+  }
+
   /* ---- MATCH(graph, pattern) ---- */
 
   private val MatchRe = "(?i)\\bMATCH\\s*\\(".r
 
-  private def rewriteMatch(input: String, session: EngineSession): String =
-    MatchRe.findFirstMatchIn(input) match {
+  private def rewriteMatch(input: String, session: EngineSession): String = {
+    val mask = literalMask(input)
+    MatchRe.findAllMatchIn(input).find(m => !mask(m.start)) match {
       case None => input
       case Some(m) =>
         val open = input.indexOf('(', m.start)
@@ -37,7 +59,7 @@ object SqlRewriter {
         var i = open + 1
         var comma = -1
         while (i < input.length && depth > 0) {
-          input(i) match {
+          if (!mask(i)) input(i) match {
             case '('                                => depth += 1
             case ')'                                => depth -= 1
             case ',' if depth == 1 && comma < 0     => comma = i
@@ -53,6 +75,7 @@ object SqlRewriter {
         session.graph(gName).patternView(view, patText)
         rewriteMatch(input.substring(0, m.start) + view + input.substring(i), session)
     }
+  }
 
   private def stripQuotes(s: String): String =
     if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
@@ -63,8 +86,9 @@ object SqlRewriter {
 
   private val UbuRe = "(?i)\\bUNION\\s+BY\\s+UPDATE\\b".r
 
-  private def rewriteUnionByUpdate(input: String): String =
-    UbuRe.findFirstMatchIn(input) match {
+  private def rewriteUnionByUpdate(input: String): String = {
+    val mask = literalMask(input)
+    UbuRe.findAllMatchIn(input).find(m => !mask(m.start)) match {
       case None => input
       case Some(m) =>
         // left operand: the parenthesized query ending just before the keyword
@@ -74,7 +98,7 @@ object SqlRewriter {
         var depth = 1
         var i = leftEnd - 1
         while (i >= 0 && depth > 0) {
-          input(i) match {
+          if (!mask(i)) input(i) match {
             case ')' => depth += 1
             case '(' => depth -= 1
             case _   =>
@@ -95,7 +119,7 @@ object SqlRewriter {
         var d2 = 1
         var j = rOpen + 1
         while (j < input.length && d2 > 0) {
-          input(j) match {
+          if (!mask(j)) input(j) match {
             case '(' => d2 += 1
             case ')' => d2 -= 1
             case _   =>
@@ -114,6 +138,7 @@ object SqlRewriter {
         rewriteUnionByUpdate(
           input.substring(0, leftStart) + rewritten + input.substring(j))
     }
+  }
 
   private def lastNonWs(s: String, from: Int): Int = {
     var i = from

@@ -62,4 +62,20 @@ class SqlRewriterSpec extends SparkSpec {
     val r = session.sql("SELECT 1 AS union_col, 2 AS match_col").df.collect()
     assert(r.head.getInt(0) === 1 && r.head.getInt(1) === 2)
   }
+
+  test("keywords and parens inside string literals are content, not syntax") {
+    val r = session.sql(
+      "SELECT 'UNION BY UPDATE k (' AS a, 'MATCH(g, (x)-[]->(y))' AS b, ')(' AS c")
+      .df.collect().head
+    assert(r.getString(0) === "UNION BY UPDATE k (")
+    assert(r.getString(1) === "MATCH(g, (x)-[]->(y))")
+    // literals inside a real UNION BY UPDATE operand survive the rewrite
+    Seq((1L, "x(")).toDF("k", "v").createOrReplaceTempView("ubu4_a")
+    Seq((2L, "y)")).toDF("k", "v").createOrReplaceTempView("ubu4_b")
+    val out = session.sql(
+      "(SELECT k, concat(v, '(lit') AS v FROM ubu4_a) UNION BY UPDATE k " +
+        "(SELECT k, concat(v, ')lit') AS v FROM ubu4_b)")
+      .df.as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "x((lit", 2L -> "y))lit"))
+  }
 }
