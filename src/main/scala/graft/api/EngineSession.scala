@@ -95,6 +95,14 @@ final class EngineSession(val spark: SparkSession) {
     g
   }
 
+  /** Build + register a graph from catalog/temp-view TABLE NAMES — the
+    * reference's CatalogNodeTable/CatalogEdgeTable surface
+    * (catalog/interface.scala:228-285): node table (id, label?, props...),
+    * edge table (src, dst, label?, props...).
+    */
+  def createGraphFromTables(name: String, nodeTable: String, edgeTable: String): graft.graph.PropertyGraph =
+    createGraph(name, spark.table(nodeTable), spark.table(edgeTable))
+
   /** Lookup a registered graph by name. */
   def graph(name: String): graft.graph.PropertyGraph =
     graphs.getOrElse(name,

@@ -30,6 +30,16 @@ class EngineSessionSpec extends SparkSpec {
     session.dropGraph("tiny")
   }
 
+  test("createGraphFromTables resolves node/edge tables by name") {
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("gn")
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("ge")
+    val g = session.createGraphFromTables("from_tables", "gn", "ge")
+    assert(g.node().count() === 3 && g.edge().count() === 2)
+    assert(session.graphExists("from_tables"))
+    session.dropGraph("from_tables")
+    spark.catalog.dropTempView("gn"); spark.catalog.dropTempView("ge")
+  }
+
   test("enableCbo turns on histogram statistics and ANALYZE produces row stats") {
     session.enableCbo()
     assert(spark.conf.get("spark.sql.statistics.histogram.enabled") === "true")
