@@ -58,6 +58,36 @@ object MultiwayJoin {
           df.schema.fields.forall(f => Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
       }
 
+    /** Greedy bushy join of a bag's relations: repeatedly join the pair with
+      * the largest column overlap (earliest-index tie-break, joined results
+      * appended last, so unjoined base relations pair up first). On a
+      * 4-cycle this produces ((ab⋈bc) ⋈ (cd⋈da)) — two path-2 intermediates
+      * joined on both closing attributes — instead of the left-deep chain
+      * whose path-3 intermediate dwarfs everything. Natural inner joins are
+      * tree-order independent in result (every shared column is equated
+      * whenever both sides carry it), so only the plan shape changes.
+      */
+    def joinBag(dfs: Seq[DataFrame]): DataFrame = {
+      val items = scala.collection.mutable.ArrayBuffer(dfs: _*)
+      while (items.size > 1) {
+        var bi = 0; var bj = 1; var bestC = -1
+        var i = 0
+        while (i < items.size) {
+          var j = i + 1
+          while (j < items.size) {
+            val c = items(i).columns.intersect(items(j).columns).length
+            if (c > bestC) { bestC = c; bi = i; bj = j }
+            j += 1
+          }
+          i += 1
+        }
+        val joined = naturalJoin(items(bi), items(bj))
+        items.remove(bj); items.remove(bi)
+        items += joined
+      }
+      items.head
+    }
+
     // join inside each bag; a cyclic eligible bag goes worst-case-optimal
     def bagDf(b: JoinHyperGraph.Bag): DataFrame = {
       val rels = b.edgeIds.map(relations(_))
@@ -72,7 +102,7 @@ object MultiwayJoin {
           (attrs.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), attrs)
         }
         graft.wcoj.WcojJoin.leapfrogCatalyst(spark, cleaned, order)
-      } else rels.map(_._1).reduce(naturalJoin)
+      } else joinBag(rels.map(_._1))
     }
 
     val bagDfs0 = ghd.bags.map(bagDf)
