@@ -109,4 +109,22 @@ class MultiwayJoinSpec extends SparkSpec {
     assert(p.bags.exists(_.edgeIds.toSet === Set(0, 1, 2)))
     assert(p.fhtw <= 1.5 + 1e-9)
   }
+
+  test("4-cycle bag joins bushy: top join closes on both shared attributes, no path-3") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rels = Seq(
+      (e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (e.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (e.select($"src".as("c"), $"dst".as("d")), Seq("c", "d")),
+      (e.select($"src".as("d"), $"dst".as("a")), Seq("d", "a")))
+    val joined = MultiwayJoin.join(rels)
+    // bushy shape: the final join condition equates BOTH closing attributes
+    // (a AND c) in one join — the left-deep chain would close them one at a
+    // time with a path-3 intermediate in between
+    val opt = joined.queryExecution.optimizedPlan.toString
+    val closing = "Join Inner, \\(\\((a|c)#\\d+L = (a|c)#\\d+L\\) AND \\((a|c)#\\d+L = (a|c)#\\d+L\\)\\)".r
+    assert(closing.findFirstIn(opt).isDefined, s"expected a two-attribute closing join in:\n$opt")
+    assert(joined.select("a", "b", "c", "d").as[(Long, Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 3L, 4L), (2L, 3L, 4L, 1L), (3L, 4L, 1L, 2L), (4L, 1L, 2L, 3L)))
+  }
 }
