@@ -100,4 +100,24 @@ object TextFunctions {
         transform(sequence(lit(1), length(text) - (n - 1)),
           i => text.substr(i, lit(n)))))
       .otherwise(array())
+
+  /* == PII scrubbing — the redaction stage of a training-data pipeline.
+   * Regexes restricted to the dialect intersection of Java (Spark) and RE2
+   * (DuckDB oracle): character classes, +, {m,} — no backrefs/lookaround.
+   * All replacement is codegen'd regexp_replace, zero shuffle. == */
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Replace emails, phone numbers and IPv4 addresses with typed placeholder
+    * tokens. Email first (its domain could otherwise be nibbled by the IP
+    * pattern), then phone, then IP.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

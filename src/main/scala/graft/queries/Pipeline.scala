@@ -180,6 +180,19 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: email/phone/IPv4 redaction with typed placeholders —
+    // the redaction stage of a training-data pipeline. The synthetic corpus
+    // is PII-free, so both sides inject identical deterministic PII first
+    // (doc_id-derived email + fixed phone/IP) to make the scrub checkable.
+    "q67_pii_scrub" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-123-4567 from 192.168.0.1"))
+      Tables(s, d).documents
+        .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // global token frequency table (explode + count) — corpus vocabulary stats.
     "q64_token_freq" -> ((s, d) => {
       Tables(s, d).documents
@@ -380,6 +393,15 @@ object Pipeline {
       s"""SELECT tok, count(*) AS n FROM (
          |  SELECT unnest($duckTokens) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+    "q67_pii_scrub" ->
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(
+         |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com call 555-123-4567 from 192.168.0.1',
+         |   '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |   '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+         |   '${TextFunctions.Ipv4Re}', '<IP>', 'g') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_near_dup_embedding" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"

@@ -91,6 +91,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(m("b")._1 - m("b")._2) < 1e-9)
   }
 
+  test("scrubPii redacts emails, phones and IPs; clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "call 555-123-4567 or visit 10.0.0.255 now",
+      "nothing sensitive here 123").toDF("text")
+    val out = df.select(TextFunctions.scrubPii($"text")).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "call <PHONE> or visit <IP> now")
+    assert(out(2) === "nothing sensitive here 123")
+  }
+
   test("quality score bounded in [0,1]") {
     val df = Seq("the quick brown fox!", "", "a b c").toDF("text")
     val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
