@@ -135,6 +135,23 @@ object Dedup {
     out
   }
 
+  /** Collapse verified near-dup PAIRS into clusters and pick one keeper per
+    * cluster — the final step of the dedup pipeline (candidates → exact
+    * verify → cluster → keep-one). Clusters are connected components of the
+    * pair graph (transitive closure: if A~B and B~C, one of {A,B,C}
+    * survives); the keeper is the minimum id. Returns (doc_id, keep_id) for
+    * every document that appears in a pair; a doc is dropped iff
+    * doc_id != keep_id. Distribution is the hash-min label propagation of
+    * [[graft.graph.PropertyGraph.connectedComponents]] — per-round shuffles
+    * on doc id, no driver-side state.
+    */
+  def dedupClusters(pairs: DataFrame, id1: String = "doc1", id2: String = "doc2"): DataFrame = {
+    val edges = pairs.select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+    graft.graph.PropertyGraph.fromEdges(edges)
+      .connectedComponents()
+      .select(col("id").as("doc_id"), col("component").as("keep_id"))
+  }
+
   /** LCG token hash for SimHash — engine-independent (DuckDB twin uses the
     * same constants; BIGINT math avoids INT32 overflow there).
     */

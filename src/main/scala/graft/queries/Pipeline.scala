@@ -146,6 +146,15 @@ object Pipeline {
         .orderBy("doc1", "doc2")
     }),
 
+    // near-dup cluster collapse: q57's verified pairs → connected components
+    // → one keeper per cluster (the keep-one step after candidate
+    // generation + exact verification).
+    "q68_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(Tables(s, d).documents, "text", "doc_id",
+        blockCols = Seq("lang", "n_chars"), n = 3, threshold = 0.3)
+      Dedup.dedupClusters(pairs).orderBy("doc_id")
+    }),
+
     // brute-force cosine top-10 for query vectors vec_id < 5.
     "q58_ann_topk" -> ((s, d) => {
       val e = Tables(s, d).embeddings
@@ -339,6 +348,28 @@ object Pipeline {
         |FROM inter i JOIN szs s1 ON s1.doc_id = i.doc1 JOIN szs s2 ON s2.doc_id = i.doc2
         |WHERE round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin,
+    "q68_dedup_clusters" ->
+      """WITH RECURSIVE grams AS (SELECT DISTINCT doc_id, lang, n_chars, gram FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |   unnest(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS gram
+        |  FROM documents)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (SELECT g1.doc_id AS doc1, g2.doc_id AS doc2, count(*) AS inter
+        |  FROM grams g1 JOIN grams g2
+        |   ON g1.lang = g2.lang AND g1.n_chars = g2.n_chars AND g1.gram = g2.gram
+        |   AND g1.doc_id < g2.doc_id
+        |  GROUP BY g1.doc_id, g2.doc_id),
+        |pairs AS (SELECT i.doc1, i.doc2
+        |  FROM inter i JOIN szs s1 ON s1.doc_id = i.doc1 JOIN szs s2 ON s2.doc_id = i.doc2
+        |  WHERE round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) >= 0.3),
+        |und AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+        |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keep_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q58_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (SELECT q.query_id, e.vec_id, $cosSql AS cos

@@ -64,6 +64,13 @@ class DedupSpec extends SparkSpec {
     hashed.keySet.intersect(dict.keySet).foreach { k => assert(hashed(k) === dict(k)) }
   }
 
+  test("dedupClusters collapses transitive pairs to min-id keepers") {
+    // chain 1~2, 2~3 (transitive cluster {1,2,3}) + isolated pair 7~9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
+    val r = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simHash identical docs share signature; different docs differ") {
     val sh = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
