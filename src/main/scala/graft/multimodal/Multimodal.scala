@@ -58,6 +58,61 @@ object Multimodal {
     }
   }
 
+  /** REAL image-header parsing — NOT stubbed: container formats expose
+    * dimensions in their headers, so format/width/height extraction needs no
+    * image library, just byte arithmetic. Supports PNG (IHDR), JPEG (SOFn
+    * marker scan), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER).
+    * Unknown/corrupt content yields ("unknown"/format, -1, -1) instead of
+    * failing the task — at 100 TB some inputs are always malformed.
+    */
+  object ImageHeaders {
+    final case class ImageInfo(format: String, width: Int, height: Int)
+
+    def parse(bytes: Array[Byte]): ImageInfo = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+
+      if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+        ImageInfo("png", be32(16), be32(20)) // IHDR width/height
+      else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: walk marker segments to the first SOFn frame header
+        var i = 2
+        while (i + 9 < bytes.length) {
+          if (u8(i) != 0xff) return ImageInfo("jpeg", -1, -1)
+          if (u8(i + 1) == 0xff) { i += 1 } // fill bytes
+          else {
+            val m = u8(i + 1)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+              return ImageInfo("jpeg", be16(i + 7), be16(i + 5)) // SOFn: len, precision, H, W
+            if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2    // standalone marker
+            else i += 2 + be16(i + 2)                            // length includes itself
+          }
+        }
+        ImageInfo("jpeg", -1, -1)
+      } else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+        ImageInfo("gif", le16(6), le16(8))
+      else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+        ImageInfo("bmp", le32(18), le32(22))
+      else ImageInfo("unknown", -1, -1)
+    }
+  }
+
+  /** (id, format, width, height) from real container headers — the one
+    * multimodal transform that is fully functional in this environment.
+    */
+  def imageInfo(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val info = ImageHeaders.parse(r.content)
+        (r.id, info.format, info.width, info.height)
+      }
+    }.toDF("id", "format", "width", "height")
+  }
+
   /** Decode + featurize, one codec pass per partition. `mapPartitions` (not
     * per-row UDF) is deliberate: a real decoder amortizes codec/context init
     * across the partition's batch, the same shape Arrow/Pandas batching gives

@@ -25,6 +25,53 @@ class MultimodalSpec extends SparkSpec {
     assert(again(3) === out(3).features.toSeq)
   }
 
+  test("imageInfo parses real PNG/JPEG/GIF/BMP headers from bytes") {
+    import Multimodal.{ImageHeaders, MediaRow}
+    // hand-built minimal headers (real container layouts, no image libs)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).zipWithIndex
+        .foreach { case (v, i) => b(i) = v.toByte }
+      // 8..15: IHDR chunk length+type (content irrelevant to the parser)
+      def be32(i: Int, v: Int): Unit = {
+        b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+        b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+      }
+      be32(16, w); be32(20, h)
+      b
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, APP0 (len 4, empty), SOF0: len 11, precision, H, W, 1 component
+      val seg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+        0xff, 0xc0, 0x00, 0x0b, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff, 0x01, 0x00, 0x00, 0x00)
+      seg.map(_.toByte)
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      ("GIF89a".getBytes("ASCII") ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)).padTo(12, 0.toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      def le32(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+        b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+      }
+      le32(18, w); le32(22, h)
+      b
+    }
+    assert(ImageHeaders.parse(png(640, 480)) === ImageHeaders.ImageInfo("png", 640, 480))
+    assert(ImageHeaders.parse(jpeg(1920, 1080)) === ImageHeaders.ImageInfo("jpeg", 1920, 1080))
+    assert(ImageHeaders.parse(gif(320, 200)) === ImageHeaders.ImageInfo("gif", 320, 200))
+    assert(ImageHeaders.parse(bmp(800, 600)) === ImageHeaders.ImageInfo("bmp", 800, 600))
+    assert(ImageHeaders.parse(Array[Byte](1, 2, 3)).format === "unknown")
+
+    // distributed path over the binary column
+    val ds = Seq(MediaRow(1L, "image", png(64, 32)), MediaRow(2L, "image", jpeg(16, 8)),
+      MediaRow(3L, "image", Array[Byte](9, 9))).toDS()
+    val out = Multimodal.imageInfo(ds).as[(Long, String, Int, Int)].collect().toSet
+    assert(out === Set((1L, "png", 64, 32), (2L, "jpeg", 16, 8), (3L, "unknown", -1, -1)))
+  }
+
   test("sampleFrames slices binary at fixed stride without UDFs") {
     val df = spark.createDataset(Seq(media(7, "video", 300))).toDF()
     val frames = sampleFrames(df, "content", "id", frameBytes = 100, everyNth = 2)
