@@ -146,7 +146,12 @@ object Dedup {
     * on doc id, no driver-side state.
     */
   def dedupClusters(pairs: DataFrame, id1: String = "doc1", id2: String = "doc2"): DataFrame = {
-    val edges = pairs.select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+    // materialize the (small) pair set once: the component loop derives its
+    // vertex set AND per-round edge joins from it — without this the
+    // (typically expensive) pair-generation plan re-executes per derivation
+    val edges = pairs
+      .select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+      .localCheckpoint(true)
     graft.graph.PropertyGraph.fromEdges(edges)
       .connectedComponents()
       .select(col("id").as("doc_id"), col("component").as("keep_id"))
