@@ -202,6 +202,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // deterministic hash split: stable train/holdout assignment as a pure
+    // function of doc_id (md5 bucket), reproducible across engines — checked
+    // per-document, not just by counts.
+    "q69_hash_split" -> ((s, d) => {
+      graft.operators.Sampling.hashSplit(
+          Tables(s, d).documents.select("doc_id"), "doc_id", trainBuckets = 205)
+        .orderBy("doc_id")
+    }),
+
     // global token frequency table (explode + count) — corpus vocabulary stats.
     "q64_token_freq" -> ((s, d) => {
       Tables(s, d).documents
@@ -424,6 +433,11 @@ object Pipeline {
       s"""SELECT tok, count(*) AS n FROM (
          |  SELECT unnest($duckTokens) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+    "q69_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc'
+        |      THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q67_pii_scrub" ->
       s"""SELECT doc_id,
          | regexp_replace(regexp_replace(regexp_replace(

@@ -118,6 +118,30 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  lazy val keys = (1L to 2000L).toDF("k")
+
+  test("hashSplit is deterministic and near the requested fraction") {
+    val s1 = Sampling.hashSplit(keys, "k", trainBuckets = 205)
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.hashSplit(keys, "k", trainBuckets = 205)
+      .as[(Long, String)].collect().toMap
+    assert(s1 === s2) // pure function of the key
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.74 && frac < 0.86) // 205/256 = 0.80 ± binomial noise
+  }
+
+  test("deterministicSample is monotone in bucket count and stable") {
+    val small = Sampling.deterministicSample(keys, "k", 64).as[Long].collect().toSet
+    val large = Sampling.deterministicSample(keys, "k", 128).as[Long].collect().toSet
+    assert(small.subsetOf(large)) // growing the rate only ADDS rows
+    assert(Sampling.deterministicSample(keys, "k", 0).count() === 0)
+    assert(Sampling.deterministicSample(keys, "k", 256).count() === 2000)
+  }
+}
+
 class SaltingSpec extends graft.SparkSpec {
   import spark.implicits._
 
