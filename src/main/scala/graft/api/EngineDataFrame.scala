@@ -157,6 +157,7 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
   def writeCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
   def writeJson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def writeOrc(path: String): Unit = df.write.mode("overwrite").orc(path)
   def show(n: Int = 20): Unit = df.show(n)
   def explain(extended: Boolean = false): Unit = df.explain(extended)
   def cache(): EngineDataFrame = wrap(df.cache())

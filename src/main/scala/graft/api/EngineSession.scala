@@ -64,6 +64,7 @@ final class EngineSession(val spark: SparkSession) {
   def readCsv(path: String, header: Boolean = true, inferSchema: Boolean = true): EngineDataFrame =
     EngineDataFrame(spark.read.option("header", header).option("inferSchema", inferSchema).csv(path), this)
   def readJson(path: String): EngineDataFrame = EngineDataFrame(spark.read.json(path), this)
+  def readOrc(path: String): EngineDataFrame = EngineDataFrame(spark.read.orc(path), this)
   /** text-file loader with a delimiter — the reference's util DataLoader capability. */
   def readDelimited(path: String, delimiter: String): EngineDataFrame =
     EngineDataFrame(spark.read.option("header", "false").option("delimiter", delimiter).csv(path), this)
