@@ -25,6 +25,34 @@ class RandomDifferentialSpec extends SparkSpec {
   private def canon(df: DataFrame, cols: Seq[String]): Set[Seq[Long]] =
     df.select(cols.map(col): _*).collect().map(r => cols.indices.map(r.getLong)).toSet
 
+  test("4-cycle: naive == bushy GHD == Yannakakis == wcoj-routed == hypercube") {
+    // targets the greedy-bushy bag join and the wcoj routing on the exact
+    // shape they were built for
+    val rnd = new scala.util.Random(404)
+    for (trial <- 1 to 3) {
+      val e = Seq.fill(120)(Seq(rnd.nextInt(9).toLong, rnd.nextInt(9).toLong)).distinct
+      def rel(a: String, b: String) = {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(e.map(org.apache.spark.sql.Row.fromSeq(_))),
+          org.apache.spark.sql.types.StructType(Seq(a, b).map(x =>
+            org.apache.spark.sql.types.StructField(x, org.apache.spark.sql.types.LongType, nullable = false))))
+        (df, Seq(a, b))
+      }
+      val rels = Seq(rel("a", "b"), rel("b", "c"), rel("c", "d"), rel("d", "a"))
+      // cycle closure needs (d,a) column ORDER consistent: build via select
+      val fixed = rels.map { case (df, attrs) => (df.select(attrs.map(col): _*), attrs) }
+      val outCols = Seq("a", "b", "c", "d")
+      withClue(s"4-cycle trial $trial: ") {
+        val base = canon(naive(fixed), outCols)
+        assert(canon(MultiwayJoin.join(fixed), outCols) === base, "bushy GHD")
+        assert(canon(MultiwayJoin.join(fixed, reduce = true), outCols) === base, "Yannakakis")
+        assert(canon(MultiwayJoin.join(fixed, wcoj = true), outCols) === base, "wcoj-routed")
+        assert(canon(WcojJoin.leapfrogHyperCube(spark, fixed, outCols, maxCells = 4), outCols) === base,
+          "hypercube")
+      }
+    }
+  }
+
   test("random hypergraphs: naive == GHD == Yannakakis == hypercube") {
     val rnd = new scala.util.Random(2026)
     for (trial <- 1 to 8) {
