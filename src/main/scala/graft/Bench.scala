@@ -39,7 +39,10 @@ object Bench {
     // real plan differences; the second pass also amortizes per-query
     // codegen. Pass count is recorded in the JSON.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // optional comma-separated subset for local iteration (driver sets no env)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) {

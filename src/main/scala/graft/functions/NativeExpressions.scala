@@ -41,22 +41,29 @@ case class HammingDistance64(left: Expression, right: Expression)
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match { case ArrayType(FloatType, _) => true; case _ => false }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"cosine_sim expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"cosine_sim expects (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = elemType(left.dataType).contains(DoubleType)
+    val yd = elemType(right.dataType).contains(DoubleType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -65,6 +72,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, t: DataType, i: String): String =
+        if (elemType(t).contains(DoubleType)) s"$arr.getDouble($i)"
+        else s"(double) $arr.getFloat($i)"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -76,8 +86,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = ${get(a, left.dataType, i)};
+         |  double $yi = ${get(b, right.dataType, i)};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 :
@@ -89,6 +99,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Distinct character n-grams of a string as array<string>, in first-
+  * occurrence order — one byte-level pass per document (codepoint-aware,
+  * matching SQL substr semantics). The higher-order-function composition
+  * (transform(sequence(...), i => substr(text, i, n)) + array_distinct)
+  * interprets the lambda per element AND re-scans the string per substr —
+  * ~30× slower per row; this is the hot inner loop of n-gram similarity
+  * join blocking, so it earns a native Expression.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_ngrams expects (string) with n >= 1, got ${child.dataType}, n=$n")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  def distinctNgrams(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // codepoint start offsets (byte positions), one pass
+    val starts = new java.util.ArrayList[Int](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) {
+      starts.add(i)
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts.add(bytes.length)
+    val nChars = starts.size - 1
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var j = 0
+    while (j + n <= nChars) {
+      val from = starts.get(j)
+      val until = starts.get(j + n)
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, from, until - from))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    distinctNgrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramsExpr", this, classOf[CharNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.distinctNgrams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(HammingDistance64(
@@ -97,6 +157,10 @@ object NativeExpressions {
   def cosineNative(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(CosineSimilarity(
       org.apache.spark.sql.GraftSqlBridge.exprOf(a), org.apache.spark.sql.GraftSqlBridge.exprOf(b)))
+
+  def charNgramsNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(CharNgrams(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(text), n))
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {

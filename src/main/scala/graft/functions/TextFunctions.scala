@@ -91,10 +91,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** distinct character n-grams (shingles) of the document. Guarded: Spark's
-    * sequence(1, 0) would produce a *descending* [1,0], not empty.
+  /** distinct character n-grams (shingles) of the document, first-occurrence
+    * order — the native one-pass Expression ([[NativeExpressions.CharNgrams]]).
     */
   def charNgrams(text: Column, n: Int): Column =
+    NativeExpressions.charNgramsNative(text, n)
+
+  /** HOF formulation of [[charNgrams]] — kept as the differential-test twin.
+    * Guarded: Spark's sequence(1, 0) would produce a *descending* [1,0], not
+    * empty. ~30× slower per row than the native expression (interpreted
+    * lambda per element + O(position) substr re-scans).
+    */
+  def charNgramsHof(text: Column, n: Int): Column =
     when(length(text) >= n,
       array_distinct(
         transform(sequence(lit(1), length(text) - (n - 1)),

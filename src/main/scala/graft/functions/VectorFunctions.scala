@@ -21,8 +21,18 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine similarity in double precision — delegates to the fused
+    * single-pass codegen Expression ([[NativeExpressions.cosineNative]]):
+    * identical accumulation order (so bit-identical doubles) to the HOF
+    * composition below, but one array walk instead of four and no
+    * intermediate zip_with array allocation per row.
+    */
+  def cosine(a: Column, b: Column): Column = NativeExpressions.cosineNative(a, b)
+
+  /** cosine via higher-order functions only — the reference formulation the
+    * native expression is differentially tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-LSH bucket id from the first `bits` dimensions:
     * Σ 2ʲ·[vⱼ > 0]. A deterministic, data-independent coarse quantizer —

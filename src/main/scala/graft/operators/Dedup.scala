@@ -30,29 +30,52 @@ object Dedup {
   def tokenSet(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
 
-  /** (doc_id, tok) distinct k-token shingles. Shingles, not unigrams, are
-    * what MinHash needs for discrimination: on a corpus with a small shared
-    * vocabulary every unigram set is near-identical (this test corpus has 31
-    * distinct tokens!) and LSH degenerates to all-pairs; k-shingles grow the
-    * universe to |V|^k and make Jaccard meaningful.
+  /** distinct k-token shingles of a document as an array column. Shingles,
+    * not unigrams, are what MinHash needs for discrimination: on a corpus
+    * with a small shared vocabulary every unigram set is near-identical (this
+    * test corpus has 31 distinct tokens!) and LSH degenerates to all-pairs;
+    * k-shingles grow the universe to |V|^k and make Jaccard meaningful.
     */
-  def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val shingles = when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array())
-    df.select(col(idCol).as("doc_id"), explode(shingles).as("tok"))
+  def shingleArray(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    // k-grams by zipping k shifted copies of the token array. Each shifted
+    // slice is evaluated ONCE per row; the per-element lambda is a plain
+    // concat. (The naive transform(sequence(...), i => slice(toks, i, k))
+    // embeds the tokenizer inside the lambda, so Spark re-splits the whole
+    // document per shingle — O(tokens²) per doc.) zip_with pads the shorter
+    // side with null and concat propagates it, so the trailing partial
+    // shingles become null and the final slice drops them.
+    val zipped = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(n - (j - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(n >= k, array_distinct(slice(zipped, lit(1), n - (k - 1)))).otherwise(array())
   }
+
+  /** (doc_id, tok) distinct k-token shingles, exploded form. */
+  def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), k)).as("tok"))
+
+  /** Engine-independent 32-bit token id: the first 8 hex digits of md5,
+    * read as an integer. Pure map-side (no dictionary build, no shuffle) AND
+    * reproducible in any engine with an md5 function — the DuckDB oracle
+    * computes `CAST('0x' || substr(md5(tok),1,8) AS BIGINT)` and gets the
+    * identical id. Uniform over [0, 2³²), so it feeds MinHash permutations
+    * and SimHash bit hashes as well as a dictionary rank would.
+    */
+  def portableTokenId(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
   /** Global token dictionary: tok → dense id by lexicographic rank.
     *
     * Scale note: ids are assigned by a range-partitioned parallel sort +
     * per-partition zipWithIndex, NOT a single-partition row_number window —
     * the same deterministic ranks (identical to the DuckDB oracle's
-    * row_number-over-sorted-tokens), with no global-rank bottleneck. When an
-    * engine-independent id is not required, prefer hashing the token
-    * directly (minHashLsh's useDictionary=false path).
+    * row_number-over-sorted-tokens), with no global-rank bottleneck. Needed
+    * only when ids must be DENSE ranks (e.g. to feed a matrix/array index);
+    * for dedup prefer hashing the token directly ([[portableTokenId]] or
+    * xxhash64 — minHashLsh uses those and never builds a dictionary).
     */
   def tokenDict(tokenSets: DataFrame): DataFrame = {
     val spark = tokenSets.sparkSession
@@ -77,34 +100,41 @@ object Dedup {
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
-    * Signatures are banded (`bandSize` sigs per band); docs sharing any band
-    * value become candidates (the only pairwise work — never O(N²)); each
-    * candidate pair is verified with exact Jaccard over token-id sets and
-    * kept if ≥ `threshold`. Returns (doc1, doc2, jaccard).
-    */
-  /** @param useDictionary false (default) = xxhash64 shingle ids, fully
-    *   parallel — the 100 TB path; true = lexicographic-rank shingle ids
-    *   (needed ONLY for the cross-engine oracle, costs a global window — see
-    *   [[tokenDict]]). MinHash quality is identical either way (ids are just
-    *   labels; jaccard estimates depend only on set membership), and the
-    *   reported pairs are always exact-Jaccard verified.
+    * Fully per-row signature computation: shingles → token ids → K MinHash
+    * values, all computed inside whole-stage codegen over array columns —
+    * the only shuffles are the LSH band self-join (candidate generation,
+    * never O(N²)) and the two joins that fetch token-id arrays for the exact
+    * `array_intersect` verification of each candidate. No dictionary build,
+    * no explode+groupBy re-aggregation. Returns (doc1, doc2, jaccard).
+    *
+    * @param portableIds true = md5-derived ids ([[portableTokenId]]) —
+    *   reproducible in any engine (the correctness oracle's mode); false
+    *   (default) = xxhash64 ids, marginally cheaper. Both are pure map-side;
+    *   MinHash quality is identical either way (ids are just labels; jaccard
+    *   depends only on set membership), and the reported pairs are always
+    *   exact-Jaccard verified.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3, useDictionary: Boolean = false): DataFrame = {
-    val ts = if (shingle <= 1) tokenSet(df, textCol, idCol) else shingleSet(df, textCol, idCol, shingle)
-    // persist: the token-id set feeds signatures, sizes and both sides of the
-    // intersection join — without it Spark recomputes the explode+dict join
-    // in every branch. Small relative to the corpus (ids, not text).
-    val withTid = (
-      if (useDictionary) ts.join(tokenDict(ts), "tok" :: Nil).select("doc_id", "tid")
-      else ts.select(col("doc_id"), pmod(xxhash64(col("tok")), lit(1000003L)).as("tid"))
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = perms.zipWithIndex.map { case (p, i) =>
-      min((col("tid") * p.a + p.b) % MinHashMod).as(s"sig_$i")
-    }
-    val sigs = withTid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
+    val sh =
+      if (shingle <= 1) array_distinct(TextFunctions.tokens(col(textCol)))
+      else shingleArray(col(textCol), shingle)
+    val tidOf: Column => Column =
+      if (portableIds) portableTokenId
+      else t => pmod(xxhash64(t), lit(1L << 32))
+    // (doc_id, tids): distinct token-id set per doc, persisted because it
+    // feeds both the signature computation and both sides of the
+    // verification join. Small relative to the corpus (ids, not text).
+    val base = df
+      .select(col(idCol).as("doc_id"), array_distinct(transform(sh, tidOf)).as("tids"))
+      .filter(size(col("tids")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sigCols = perms.zipWithIndex.map { case (p, i) =>
+      array_min(transform(col("tids"), t => (t * p.a + p.b) % MinHashMod)).as(s"sig_$i")
+    }
+    val sigs = base.select(col("doc_id") +: sigCols: _*)
 
     val nBands = perms.size / bandSize
     val candidates = (0 until nBands).map { b =>
@@ -114,24 +144,20 @@ object Dedup {
       l.join(r, "band" :: Nil).filter(col("doc1") < col("doc2")).select("doc1", "doc2")
     }.reduce(_ unionByName _).distinct()
 
-    val sizes = withTid.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val t1 = withTid.select(col("doc_id").as("doc1"), col("tid"))
-    val t2 = withTid.select(col("doc_id").as("doc2"), col("tid"))
-    val interCount = candidates.join(t1, "doc1" :: Nil).join(t2, Seq("doc2", "tid"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    val result = interCount
-      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1" :: Nil)
-      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2" :: Nil)
+    val result = candidates
+      .join(base.select(col("doc_id").as("doc1"), col("tids").as("tids1")), "doc1" :: Nil)
+      .join(base.select(col("doc_id").as("doc2"), col("tids").as("tids2")), "doc2" :: Nil)
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("tids1"), col("tids2"))).cast("long").as("inter"),
+        size(col("tids1")).cast("long").as("sz1"), size(col("tids2")).cast("long").as("sz2"))
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // materialize the (small) verified-pair set eagerly and truncate its
-    // lineage, so the two big intermediates can be released NOW instead of
-    // leaking in long-lived sessions; later actions on the returned frame
-    // read the checkpointed pairs, never the exploded shingle sets.
+    // lineage so the persisted intermediate can be released NOW instead of
+    // leaking in long-lived sessions.
     val out = result.localCheckpoint(true)
-    withTid.unpersist(false)
-    sigs.unpersist(false)
+    base.unpersist(false)
     out
   }
 
@@ -162,39 +188,107 @@ object Dedup {
     */
   private def lcg(tid: Column): Column = (tid * 1103515245L + 12345L) % 2147483648L
 
-  /** `bits`-bit SimHash per document over dictionary token ids: per bit j,
-    * sign of Σ_tokens (2·bitⱼ(h(tid)) − 1); simhash = Σ 2ʲ·[sum > 0].
+  /** `bits`-bit SimHash per document over portable md5-derived token ids:
+    * per bit j, sign of Σ_tokens (2·bitⱼ(h(tid)) − 1); simhash =
+    * Σ 2ʲ·[sum > 0]. Entirely per-row (array aggregates inside whole-stage
+    * codegen) — zero shuffle, so it scans a 100 TB corpus exactly once.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val ts = tokenSet(df, textCol, idCol)
-    val withTid = ts.join(tokenDict(ts), "tok" :: Nil)
-      .select(col("doc_id"), lcg(col("tid")).as("h"))
+    val hs = transform(array_distinct(TextFunctions.tokens(col(textCol))),
+      t => lcg(portableTokenId(t)))
+    val withH = df.select(col(idCol).as("doc_id"), hs.as("hs"))
     val bitSums = (0 until bits).map { j =>
-      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"bs_$j")
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, j) % 2 * 2 - 1)).as(s"bs_$j")
     }
     val simhash = (0 until bits).map { j =>
       when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withTid.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    withH.select(col("doc_id") +: bitSums: _*)
       .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (Hamming distance ≤ `maxHd`) — banded blocking
+    * over DISTINCT signatures, never doc×doc.
+    *
+    * Signature space is at most 2^bits regardless of corpus size, and real
+    * corpora concentrate heavily (this test corpus: 5 000 docs, 968 distinct
+    * 16-bit signatures), so the quadratic candidate work runs on the
+    * signature table, not the document table: (1) group docs by signature;
+    * (2) pigeonhole-band join the distinct signatures — hd ≤ maxHd pairs
+    * must agree exactly on ≥ 1 of (maxHd+1) disjoint bit bands; (3) verify
+    * with the codegen'd [[graft.functions.NativeExpressions.hamming64]];
+    * (4) expand the surviving signature pairs back to doc pairs (output-
+    * bound — each emitted doc pair appears exactly once, no final distinct).
+    * Degenerate corpora where one signature covers millions of docs should
+    * run [[exactDedup]] first — same advice as any LSH family.
+    */
+  def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16, maxHd: Int = 3): DataFrame = {
+    import graft.functions.NativeExpressions.hamming64
+    val nBands = maxHd + 1
+    val lo = bits / nBands // band widths: bits split as evenly as possible
+    val widths = (0 until nBands).map(b => if (b < bits % nBands) lo + 1 else lo)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def bandVal(h: Column, b: Int): Column =
+      shiftright(h, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+
+    // ≤ 2^bits rows; materialized eagerly (it feeds both band sides and the
+    // diagonal) with lineage truncated so the corpus scan runs exactly once.
+    val groups = simHash(df, textCol, idCol, bits)
+      .groupBy("simhash").agg(collect_list(col("doc_id")).as("docs"))
+      .localCheckpoint(true)
+
+    val bandStruct = (h: Column) => explode(array((0 until nBands).map(b =>
+      struct(lit(b).as("band"), bandVal(h, b).as("bv"))): _*)).as("bx")
+    val b1 = groups.select(col("simhash").as("h1"), col("docs").as("docs1"), bandStruct(col("simhash")))
+      .select(col("h1"), col("docs1"), col("bx.band").as("band"), col("bx.bv").as("bv"))
+    val b2 = groups.select(col("simhash").as("h2"), col("docs").as("docs2"), bandStruct(col("simhash")))
+      .select(col("h2"), col("docs2"), col("bx.band").as("band"), col("bx.bv").as("bv"))
+    val sigPairs = b1.join(b2, Seq("band", "bv"))
+      .filter(col("h1") < col("h2"))
+      .select(col("h1"), col("h2"), col("docs1"), col("docs2"),
+        hamming64(col("h1"), col("h2")).as("hd"))
+      .filter(col("hd") <= maxHd)
+      .dropDuplicates("h1", "h2") // a signature pair can agree on > 1 band
+
+    // cross-signature expansion: doc sets of distinct signatures are
+    // disjoint, so each unordered doc pair is emitted exactly once.
+    val cross = sigPairs
+      .select(col("hd"), explode(col("docs1")).as("d1"), col("docs2"))
+      .select(col("hd"), col("d1"), explode(col("docs2")).as("d2"))
+      .select(least(col("d1"), col("d2")).as("doc1"),
+        greatest(col("d1"), col("d2")).as("doc2"), col("hd"))
+    // within-signature pairs (hd = 0)
+    val diag = groups.filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1").as("doc1"), col("d2").as("doc2"), lit(0).as("hd"))
+    cross.unionByName(diag)
   }
 
   /** Character-n-gram Jaccard near-dup pairs within cheap blocking keys
     * (candidate pairs only form inside a block — the blocking column set
-    * must be low-cardinality-per-block at scale).
+    * must be low-cardinality-per-block at scale, which is exactly what makes
+    * the self-join below safe).
+    *
+    * One shuffle on the block key; each in-block pair is verified with a
+    * single `array_intersect` over the two docs' distinct-gram arrays. The
+    * alternative inverted-index formulation (explode grams, join on
+    * (block, gram), re-aggregate counts) shuffles Σ_gram cnt² rows — orders
+    * of magnitude more than the pair list whenever blocks are selective.
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"), struct(blockCols.map(col): _*).as("blk"),
-        explode(TextFunctions.charNgrams(col(textCol), n)).as("gram"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val g1 = grams.select(col("doc_id").as("doc1"), col("blk"), col("gram"))
-    val g2 = grams.select(col("doc_id").as("doc2"), col("blk"), col("gram"))
-    val inter = g1.join(g2, Seq("blk", "gram")).filter(col("doc1") < col("doc2"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1" :: Nil)
-      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2" :: Nil)
+    val garr = df.select(col(idCol).as("doc_id"), struct(blockCols.map(col): _*).as("blk"),
+      TextFunctions.charNgrams(col(textCol), n).as("grams"))
+    val p1 = garr.select(col("doc_id").as("doc1"), col("blk"), col("grams").as("g1"))
+    val p2 = garr.select(col("doc_id").as("doc2"), col("blk"), col("grams").as("g2"))
+    p1.join(p2, "blk" :: Nil).filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
+        size(col("g1")).cast("long").as("sz1"), size(col("g2")).cast("long").as("sz2"))
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

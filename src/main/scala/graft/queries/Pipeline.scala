@@ -17,26 +17,45 @@ object Pipeline {
 
   /* ---------- shared oracle SQL fragments ---------- */
 
-  private val toksSql =
-    """toks AS (SELECT DISTINCT doc_id, tok FROM (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents))""".stripMargin
+  /** DuckDB twin of [[Dedup.portableTokenId]]: md5-prefix-as-integer. */
+  private def portableTidSql(tok: String): String =
+    s"CAST(concat('0x', substr(md5($tok), 1, 8)) AS BIGINT)"
 
-  /** 3-token shingle set — twin of Dedup.shingleSet(k=3). */
-  private val shinglesSql =
-    """toks AS (SELECT DISTINCT doc_id, tok FROM (
-      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS tok FROM (
-      |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |    unnest(range(1, len(w) - 1)) AS u(i)
-      |  WHERE len(w) >= 3))""".stripMargin
-  private val dictSql =
-    """dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-      |  FROM (SELECT DISTINCT tok FROM toks))""".stripMargin
-  private val tSql = "t AS (SELECT doc_id, tid FROM toks JOIN dict USING (tok))"
+  /** distinct-token-id list per doc — twin of the array in Dedup.simHash. */
+  private val tokenTidsSql =
+    s"""t AS (SELECT doc_id,
+       |  list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+       |    tk -> ${portableTidSql("tk")}) AS tids FROM documents)""".stripMargin
+
+  /** 3-token-shingle-id list per doc — twin of Dedup.minHashLsh's base. */
+  private val shingleTidsSql =
+    s"""w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
+       |  FROM w0 WHERE len(w) >= 3),
+       |t AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, s -> ${portableTidSql("s")})) AS tids
+       |  FROM sh)""".stripMargin
 
   private def sigExprsSql: String =
     Dedup.DefaultPerms.zipWithIndex.map { case (p, i) =>
-      s"min((tid*${p.a}+${p.b})%${Dedup.MinHashMod}) AS sig_$i"
+      s"list_min(list_transform(tids, x -> (x*${p.a}+${p.b})%${Dedup.MinHashMod})) AS sig_$i"
     }.mkString(", ")
+
+  /** SimHash CTEs over [[tokenTidsSql]] → sh(doc_id, simhash). */
+  private val simhashSql = {
+    val bitSums = (0 until 16).map { j =>
+      s"list_sum(list_transform(hs, x -> ((x >> $j) & 1) * 2 - 1)) AS bs_$j"
+    }.mkString(", ")
+    val recompose = (0 until 16).map { j =>
+      s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""$tokenTidsSql,
+       |h AS (SELECT doc_id, list_transform(tids, x -> (x * 1103515245 + 12345) % 2147483648) AS hs FROM t),
+       |bs AS (SELECT doc_id, $bitSums FROM h),
+       |sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs)""".stripMargin
+  }
 
   private val duckTokens = """string_split_regex(trim(text), '\s+')"""
 
@@ -99,11 +118,10 @@ object Pipeline {
     // vocabulary, so unigram sets are near-identical and permissive bands
     // degenerate candidate generation to O(N²).
     "q55_minhash_lsh" -> ((s, d) => {
-      // useDictionary=true ONLY because the DuckDB oracle needs the same
-      // engine-independent token-id assignment; the operator default is the
-      // fully-parallel hashed-id path.
+      // portableIds=true so the DuckDB oracle derives the identical
+      // md5-based token ids; both modes are pure map-side.
       Dedup.minHashLsh(Tables(s, d).documents, "text", "doc_id", threshold = 0.3,
-          useDictionary = true)
+          portableIds = true)
         .orderBy("doc1", "doc2")
     }),
 
@@ -113,29 +131,12 @@ object Pipeline {
     }),
 
     // SimHash near-dup pairs by Hamming distance — drives the codegen'd
-    // HammingDistance64 Catalyst Expression (graft.functions). Candidate
-    // generation is pigeonhole band blocking, never all-pairs: the 16-bit
-    // simhash splits into 4 × 4-bit bands, and any pair with hd <= 3 must
-    // agree exactly on at least one band, so an equi-join on (band, value)
-    // finds every qualifying pair. At scale this is a plain shuffled hash
-    // join on band buckets instead of an O(N²) cross product.
+    // HammingDistance64 Catalyst Expression plus the signature-grouped
+    // pigeonhole band join of Dedup.simHashNearDup: the quadratic candidate
+    // work runs over DISTINCT signatures (≤ 2^16, here ~1k for 5k docs),
+    // never doc×doc; doc pairs are produced by output-bound expansion.
     "q62_simhash_hamming" -> ((s, d) => {
-      val sh = Dedup.simHash(Tables(s, d).documents, "text", "doc_id")
-      val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("bv"))): _*)).as("bx"))
-        .select(col("doc_id"), col("simhash"),
-          col("bx.band").as("band"), col("bx.bv").as("bv"))
-      val b1 = bands.select(col("doc_id").as("doc1"), col("simhash").as("h1"),
-        col("band"), col("bv"))
-      val b2 = bands.select(col("doc_id").as("doc2"), col("simhash").as("h2"),
-        col("band"), col("bv"))
-      b1.join(b2, Seq("band", "bv")).filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2"),
-          graft.functions.NativeExpressions.hamming64(col("h1"), col("h2")).as("hd"))
-        .filter(col("hd") <= 3)
-        .distinct() // a pair can agree on more than one band
+      Dedup.simHashNearDup(Tables(s, d).documents, "text", "doc_id", bits = 16, maxHd = 3)
         .orderBy("doc1", "doc2")
     }),
 
@@ -291,56 +292,28 @@ object Pipeline {
       val bandConds = (0 until 2).map { b =>
         (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      s"""WITH $shinglesSql,
-         |$dictSql,
-         |$tSql,
-         |sigs AS (SELECT doc_id, $sigExprsSql FROM t GROUP BY doc_id),
-         |cand AS (SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
+      s"""WITH $shingleTidsSql,
+         |sigs AS (SELECT doc_id, tids, $sigExprsSql FROM t),
+         |cand AS (SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+         |   s1.tids AS tids1, s2.tids AS tids2
          |  FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id AND ($bandConds)),
-         |szs AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
-         |inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
-         |  FROM cand c JOIN t t1 ON t1.doc_id = c.doc1
-         |   JOIN t t2 ON t2.doc_id = c.doc2 AND t2.tid = t1.tid
-         |  GROUP BY c.doc1, c.doc2)
-         |SELECT i.doc1, i.doc2,
-         | round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) AS jaccard
-         |FROM inter i JOIN szs s1 ON s1.doc_id = i.doc1 JOIN szs s2 ON s2.doc_id = i.doc2
-         |WHERE round(i.inter::DOUBLE / (s1.sz + s2.sz - i.inter), 6) >= 0.3
+         |j AS (SELECT doc1, doc2,
+         |  round(len(list_intersect(tids1, tids2))::DOUBLE /
+         |        (len(tids1) + len(tids2) - len(list_intersect(tids1, tids2))), 6) AS jaccard
+         |  FROM cand)
+         |SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.3
          |ORDER BY doc1, doc2""".stripMargin
     },
-    "q56_simhash" -> {
-      val bitSums = (0 until 16).map { j =>
-        s"sum(((h >> $j) & 1) * 2 - 1) AS bs_$j"
-      }.mkString(", ")
-      val recompose = (0 until 16).map { j =>
-        s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH $toksSql,
-         |$dictSql,
-         |$tSql,
-         |h AS (SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS h FROM t),
-         |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs ORDER BY doc_id""".stripMargin
-    },
-    "q62_simhash_hamming" -> {
-      val bitSums = (0 until 16).map { j =>
-        s"sum(((h >> $j) & 1) * 2 - 1) AS bs_$j"
-      }.mkString(", ")
-      val recompose = (0 until 16).map { j =>
-        s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH $toksSql,
-         |$dictSql,
-         |$tSql,
-         |h AS (SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS h FROM t),
-         |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM bs)
+    "q56_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q62_simhash_hamming" ->
+      s"""WITH $simhashSql
          |SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
          | CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hd
          |FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
          |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
-         |ORDER BY doc1, doc2""".stripMargin
-    },
+         |ORDER BY doc1, doc2""".stripMargin,
     "q57_ngram_jaccard" ->
       """WITH grams AS (SELECT DISTINCT doc_id, lang, n_chars, gram FROM (
         |  SELECT doc_id, lang, n_chars,

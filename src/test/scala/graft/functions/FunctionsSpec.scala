@@ -29,6 +29,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r(2) === Seq("abc", "bcd"))
   }
 
+  test("native charNgrams matches the HOF twin incl. repeats and multi-byte") {
+    val df = Seq("abcabcab", "ééxéé", "aaaa", "", "ab").toDF("text")
+    val native = df.select(TextFunctions.charNgrams($"text", 3)).as[Seq[String]].collect()
+    val hof = df.select(TextFunctions.charNgramsHof($"text", 3)).as[Seq[String]].collect()
+    assert(native.toSeq === hof.toSeq)
+    assert(native(2) === Seq("aaa")) // dedup keeps first occurrence only
+  }
+
   test("langId picks profile with most stopword hits") {
     val df = Seq(
       ("e", "the cat and the dog is here"),
@@ -63,7 +71,7 @@ class FunctionsSpec extends SparkSpec {
     val cos = vecs.select(cosineNative($"x", $"y")).as[Double].collect()
     assert(math.abs(cos(0)) < 1e-12 && math.abs(cos(1) - 1.0) < 1e-12)
     // native result identical to the HOF composition (same accumulation order)
-    val hof = vecs.select(VectorFunctions.cosine($"x", $"y")).as[Double].collect()
+    val hof = vecs.select(VectorFunctions.cosineHof($"x", $"y")).as[Double].collect()
     assert(cos.toSeq === hof.toSeq)
 
     // SQL registration

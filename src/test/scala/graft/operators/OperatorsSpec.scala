@@ -51,8 +51,8 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("minHashLsh dictionary mode finds the same verified pairs as the hashed default") {
-    val dict = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5, useDictionary = true)
+  test("minHashLsh portable-id mode finds the same verified pairs as the hashed default") {
+    val dict = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5, portableIds = true)
       .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     val hashed = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)

@@ -16,6 +16,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+# optional extra args: restrict the compare to these query names
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 for name, sql in sorted(oracle.items()):
     resdir = os.path.join(outdir, name)
