@@ -91,6 +91,30 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** token k-grams of the document (NON-distinct, in order) — repetition
+    * statistics need the multiset. Built by zipping k shifted copies of the
+    * token array: each shifted slice is evaluated once per row and the
+    * per-element lambda is a plain concat (the transform(sequence...)
+    * formulation would re-tokenize the document per element).
+    */
+  def tokenNgrams(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val zipped = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(n - (j - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(n >= k, slice(zipped, lit(1), n - (k - 1))).otherwise(array())
+  }
+
+  /** duplicate-token fraction: 1 − |distinct tokens| / |tokens| — an
+    * intra-document repetition signal (Gopher-style quality filter).
+    */
+  def dupTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    round((size(t) - size(array_distinct(t))).cast("double") / size(t), 6)
+  }
+
   /** distinct character n-grams (shingles) of the document, first-occurrence
     * order — the native one-pass Expression ([[NativeExpressions.CharNgrams]]).
     */

@@ -34,6 +34,19 @@ object VectorFunctions {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** symmetric int8 quantization scale: 127 / max |vᵢ| (per vector). */
+  def int8Scale(v: Column): Column =
+    lit(127.0) / array_max(transform(v, x => abs(x))).cast("double")
+
+  /** quantize to int8 with half-up rounding (floor(x·scale + 0.5) — the
+    * formulation both Spark and DuckDB evaluate identically; `round()`
+    * half-even/half-away conventions differ between engines). Pass the
+    * precomputed [[int8Scale]] as a projected column so the per-element
+    * lambda stays a bound-reference multiply.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+
   /** Sign-LSH bucket id from the first `bits` dimensions:
     * Σ 2ʲ·[vⱼ > 0]. A deterministic, data-independent coarse quantizer —
     * the bucket join prunes the candidate set from O(N) to O(N/2^bits)

@@ -184,6 +184,21 @@ final case class PropertyGraph(
       .count()
   }
 
+  /** Per-vertex directed-triangle participation counts: how many distinct
+    * 3-cycles pass through each vertex (each cycle counted once per member).
+    * Same canonical enumeration as [[triangleCount]], then an explode+count
+    * over the three members — vertices in no triangle are absent.
+    */
+  def trianglesPerVertex(): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a").as("c"), col("b").as("a"))
+    e.join(e2, "b" :: Nil).join(e3, Seq("c", "a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank, fixed iterations (reference benchmark I1,
     * benchmark/testcases/graphAnalytic.scala:11-75): contributions along
     * out-edges, damping 0.85, dangling nodes keep the base term.

@@ -36,22 +36,8 @@ object Dedup {
     * test corpus has 31 distinct tokens!) and LSH degenerates to all-pairs;
     * k-shingles grow the universe to |V|^k and make Jaccard meaningful.
     */
-  def shingleArray(text: Column, k: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    val n = size(toks)
-    // k-grams by zipping k shifted copies of the token array. Each shifted
-    // slice is evaluated ONCE per row; the per-element lambda is a plain
-    // concat. (The naive transform(sequence(...), i => slice(toks, i, k))
-    // embeds the tokenizer inside the lambda, so Spark re-splits the whole
-    // document per shingle — O(tokens²) per doc.) zip_with pads the shorter
-    // side with null and concat propagates it, so the trailing partial
-    // shingles become null and the final slice drops them.
-    val zipped = (2 to k).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), greatest(n - (j - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(n >= k, array_distinct(slice(zipped, lit(1), n - (k - 1)))).otherwise(array())
-  }
+  def shingleArray(text: Column, k: Int): Column =
+    array_distinct(TextFunctions.tokenNgrams(text, k))
 
   /** (doc_id, tok) distinct k-token shingles, exploded form. */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

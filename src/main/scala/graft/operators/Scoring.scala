@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Relevance / weighting operators for corpus pipelines: TF-IDF term tables
+  * and BM25 query scoring. Spark-first shapes:
+  *
+  *   - corpus-level scalars (N, document frequencies, average doc length)
+  *     are single-row aggregates attached by a broadcast cross join — never
+  *     a global window;
+  *   - per-document term frequencies for a FIXED query term list are pure
+  *     per-row array expressions (no explode), so BM25 scoring adds zero
+  *     shuffles beyond the one-row scalar broadcast;
+  *   - the TF-IDF table is the classic explode → (doc, term) count →
+  *     term-level document-frequency join, all hash-partitioned by term.
+  */
+object Scoring {
+
+  /** TF-IDF term table: (doc_id, tok, tf, df, tfidf) with the smooth idf
+    * ln((N+1)/(df+1)) + 1 (never zero, defined for every df ≤ N).
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "tok" :: Nil)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6).as("tfidf"))
+  }
+
+  /** BM25 scores of every document against a fixed term list.
+    *
+    * Returns (doc_id, score) for documents matching ≥ 1 term. Term
+    * contributions are summed in the literal order of `terms` (a fixed
+    * expression, not a row aggregate) so the floating-point result is
+    * deterministic and engine-reproducible.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextFunctions.tokens(col(textCol))
+    def tfOf(t: String): Column = size(filter(toks, x => x === t)).cast("double")
+
+    val withTf = df.select(
+      col(idCol).as("doc_id") +: size(toks).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }: _*)
+    // corpus scalars: N, Σdl, per-term document frequencies — one row,
+    // broadcast. avgdl is derived as sumDl/N in one explicit division so
+    // both engines compute the identical double.
+    val scalarCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val scalars = withTf.agg(scalarCols.head, scalarCols.tail: _*)
+
+    val scored = withTf.crossJoin(broadcast(scalars))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val norm = col("dl") / avgdl
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * norm))
+    }.reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("score"))
+  }
+}

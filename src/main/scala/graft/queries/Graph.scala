@@ -147,6 +147,14 @@ object Graph {
           "WHERE a < b AND a < c").df
     }),
 
+    // per-vertex triangle participation counts — the local clustering /
+    // community signal; canonical cycle enumeration then explode over the
+    // three members.
+    "q80_triangles_per_vertex" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.trianglesPerVertex().orderBy("id")
+    }),
+
     // one-round message passing: in-degree via msg=1/sum/coalesce — the
     // messagePassing surface of SeccoGraphFrame.scala:104-146.
     "q45_msgpass_indegree" -> ((s, d) => {
@@ -236,6 +244,15 @@ object Graph {
          | JOIN edges e3 ON e2.dst = e3.src
          | JOIN edges e4 ON e3.dst = e4.src AND e4.dst = e1.src
          |WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.src < e3.dst""".stripMargin,
+    "q80_triangles_per_vertex" ->
+      s"""WITH edges AS ($denseEdgesSql),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         |   JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |  WHERE e1.src < e1.dst AND e1.src < e2.dst),
+         |m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM m GROUP BY id ORDER BY id""".stripMargin,
     "q45_msgpass_indegree" ->
       s"""WITH edges AS ($denseEdgesSql),
          |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),

@@ -234,8 +234,79 @@ object Pipeline {
     "q60_near_dup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDup(Tables(s, d).embeddings, "embedding", "vec_id", "label", 0.8)
         .orderBy("id1", "id2")
+    }),
+
+    // TF-IDF term weight table — explode → (doc, term) tf, term-level df,
+    // smooth idf; the index-build aggregation of an IR / retrieval pipeline.
+    "q74_tfidf" -> ((s, d) => {
+      graft.operators.Scoring.tfidf(Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id", "tok")
+    }),
+
+    // intra-document repetition signals (Gopher-style quality filters):
+    // duplicate-token fraction + most-frequent-bigram fraction.
+    "q75_doc_repetition" -> ((s, d) => {
+      val t = Tables(s, d).documents
+      val bg = t.select(col("doc_id"),
+          explode(TextFunctions.tokenNgrams(col("text"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
+      t.select(col("doc_id"),
+          TextFunctions.dupTokenFraction(col("text")).as("dup_frac"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(bg, "doc_id" :: Nil)
+        .select(col("doc_id"), col("dup_frac"),
+          round(col("max_bg").cast("double") / (col("n_tokens") - 1), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // train/eval contamination: held-out docs sharing 3-token shingles with
+    // the training split (same md5-bucket split rule as q69), via an
+    // inverted-index semi join on the shingle.
+    "q76_contamination" -> ((s, d) => {
+      graft.operators.Contamination.shingleOverlap(
+          Tables(s, d).documents, "text", "doc_id",
+          isTrain = substring(md5(col("doc_id").cast("string")), 1, 2) <= "cc", k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // top-3 tokens per language — grouped frequency + windowed top-k, the
+    // per-slice vocabulary report of corpus curation.
+    "q77_top_tokens_per_lang" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, d).documents
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy("lang", "rank")
+    }),
+
+    // symmetric int8 embedding quantization (vector compression for ANN
+    // serving): per-vector scale 127/max|v|, half-up rounding, long form.
+    "q78_vector_quantize" -> ((s, d) => {
+      import graft.functions.VectorFunctions
+      Tables(s, d).embeddings
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("int").as("pos"),
+          floor(col("v").cast("double") * col("scale") + 0.5).cast("int").as("qv"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // BM25 relevance of every matching doc against a fixed 3-term query —
+    // per-row tf expressions + one broadcast scalar row, zero extra shuffle.
+    "q79_bm25" -> ((s, d) => {
+      graft.operators.Scoring.bm25(Tables(s, d).documents, "text", "doc_id",
+          terms = Bm25Terms)
+        .orderBy("doc_id")
     })
   )
+
+  /** q79's fixed query terms (present in the synthetic corpus vocabulary). */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "spark")
 
   /* ---------- oracles ---------- */
 
@@ -430,6 +501,75 @@ object Pipeline {
          |  ON e1.label = e2.label AND e1.vec_id < e2.vec_id)
          |SELECT id1, id2, $cos AS cos FROM pairs
          |WHERE $cos >= 0.8 ORDER BY id1, id2""".stripMargin
+    },
+    "q74_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         | round(tf.tf::DOUBLE * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1.0), 6) AS tfidf
+         |FROM tf JOIN dfq USING (tok) CROSS JOIN n
+         |ORDER BY doc_id, tok""".stripMargin,
+    "q75_doc_repetition" ->
+      s"""WITH w0 AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w)),
+         |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS bg FROM w0),
+         |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS max_bg FROM c GROUP BY 1),
+         |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM w0)
+         |SELECT b.doc_id, round((b.n - b.nd)::DOUBLE / b.n, 6) AS dup_frac,
+         | round(t.max_bg::DOUBLE / (b.n - 1), 6) AS top_bigram_frac
+         |FROM base b JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q76_contamination" ->
+      """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc' AS is_train FROM documents),
+        |shg AS (SELECT doc_id, is_train,
+        |  unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM w0 WHERE len(w) >= 3),
+        |train AS (SELECT DISTINCT shingle FROM shg WHERE is_train),
+        |hold AS (SELECT doc_id, shingle FROM shg WHERE NOT is_train),
+        |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM hold
+        |  WHERE shingle IN (SELECT shingle FROM train) GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM hold GROUP BY doc_id)
+        |SELECT s.doc_id, sizes.n_shingles, s.n_shared,
+        | round(s.n_shared::DOUBLE / sizes.n_shingles, 6) AS shared_frac
+        |FROM shared s JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q77_top_tokens_per_lang" ->
+      s"""WITH toks AS (SELECT lang, unnest($duckTokens) AS tok FROM documents),
+         |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS INT) AS rank
+         |  FROM c)
+         |SELECT lang, tok, n, rank FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q78_vector_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        | FROM embeddings)
+        |SELECT vec_id, CAST(i AS INT) AS pos,
+        | CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * scale + 0.5) AS INT) AS qv
+        |FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+    "q79_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Bm25Terms
+      val tfs = terms.indices.map(i =>
+        s"CAST(len(list_filter(w, x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i").mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      // contributions summed in literal term order — matches the Spark side's
+      // fixed-expression reduce, so the double result is bit-identical
+      val score = terms.indices.map { i =>
+        s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ${k1 + 1}) / " +
+          s"(tf_$i + $k1 * (${1 - b} + $b * (dl / (sum_dl / n_docs))))"
+      }.mkString(" + ")
+      val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+      s"""WITH w0 AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM w0),
+         |sc AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM base)
+         |SELECT doc_id, round($score, 6) AS score
+         |FROM base CROSS JOIN sc WHERE $anyTf ORDER BY doc_id""".stripMargin
     }
   )
 }

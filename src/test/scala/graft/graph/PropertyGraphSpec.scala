@@ -94,6 +94,14 @@ class PropertyGraphSpec extends SparkSpec {
     assert(cc(10L) === 10L && cc(11L) === 10L)
   }
 
+  test("trianglesPerVertex counts cycle membership per vertex") {
+    // one 3-cycle {1,2,3} plus a chord 1->4 that is in no cycle
+    val te = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r = PropertyGraph.fromEdges(te).trianglesPerVertex()
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("sssp unit distances") {
     val se = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("src", "dst")
     val d = PropertyGraph.fromEdges(se).sssp(lit(0L)).as[(Long, Double)].collect().toMap

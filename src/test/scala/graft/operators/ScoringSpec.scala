@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "spark joins data with hash join"),
+    (2L, "sort merge join beats hash join on big data"),
+    (3L, "the quick brown fox")).toDF("doc_id", "text")
+
+  test("tfidf: rare terms outweigh common terms; tf counts the multiset") {
+    val r = Scoring.tfidf(docs, "text", "doc_id")
+      .select("doc_id", "tok", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(r((2L, "join"))._1 === 2L) // two "join" occurrences in doc 2
+    assert(r((1L, "join"))._2 === 2L) // "join" appears in 2 docs
+    assert(r((3L, "fox"))._2 === 1L)
+    // same tf: unique-to-one-doc term weighs more than a 2-doc term
+    assert(r((3L, "fox"))._3 > r((1L, "spark"))._3 - 1e-12 ||
+      r((1L, "spark"))._2 === 1L)
+    // idf never zero even for a term in every doc (smooth variant)
+    assert(r.values.forall(_._3 > 0.0))
+  }
+
+  test("bm25: doc matching more query terms scores higher; non-matching absent") {
+    val r = Scoring.bm25(docs, "text", "doc_id", Seq("hash", "join"))
+      .as[(Long, Double)].collect().toMap
+    assert(r.contains(1L) && r.contains(2L))
+    assert(!r.contains(3L)) // no query term
+    assert(r(2L) > 0.0 && r(1L) > 0.0)
+  }
+
+  test("contamination: shared shingles counted per held-out doc") {
+    val df = Seq(
+      (1L, "a b c d e"),     // train
+      (2L, "a b c x y"),     // holdout: shares shingle "a b c" with doc 1
+      (3L, "p q r s t"))     // holdout: no overlap
+      .toDF("doc_id", "text")
+    val r = Contamination.shingleOverlap(df, "text", "doc_id",
+        isTrain = col("doc_id") === 1L, k = 3)
+      .select("doc_id", "n_shingles", "n_shared")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(2L) === ((3L, 1L))) // 3 shingles, 1 shared ("a b c")
+    assert(!r.contains(3L))    // uncontaminated docs are absent
+  }
+
+  test("tokenNgrams keeps the multiset; dupTokenFraction measures repeats") {
+    val df = Seq("a b a b a", "x y z").toDF("text")
+    val bgs = df.select(TextFunctions.tokenNgrams($"text", 2)).as[Seq[String]].collect()
+    assert(bgs(0) === Seq("a b", "b a", "a b", "b a")) // NOT deduplicated
+    assert(bgs(1) === Seq("x y", "y z"))
+    val dup = df.select(TextFunctions.dupTokenFraction($"text")).as[Double].collect()
+    assert(dup(0) === 0.6) // 5 tokens, 2 distinct -> 3/5
+    assert(dup(1) === 0.0)
+  }
+
+  test("int8 quantization: max |v| maps to ±127, half-up rounding") {
+    val df = Seq((1L, Seq(2.0f, -4.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = df.select(VectorFunctions.quantizeInt8($"embedding",
+        VectorFunctions.int8Scale($"embedding")).as("q"))
+      .as[Seq[Int]].collect().head
+    assert(q === Seq(64, -127, 32)) // scale = 127/4 = 31.75; floor(63.5+0.5)=64
+  }
+}
