@@ -227,10 +227,17 @@ final case class PropertyGraph(
   }
 
   /** Connected components by iterative hash-min label propagation over the
-    * undirected edge set (reference benchmark I2 "WCC"). Runs to convergence;
-    * `maxIterations` bounds the loop.
+    * undirected edge set (reference benchmark I2 "WCC"). Runs to
+    * convergence; `maxIterations` bounds the loop.
+    *
+    * @param pointerJump also adopt label(label(v)) each round, composing
+    *   propagation paths: O(log diameter) rounds instead of O(diameter) at
+    *   the cost of one extra join per round. Measured on this suite's
+    *   small-diameter graphs (5 rounds → 4) the extra join is a wash, so it
+    *   defaults off; turn it on for long-path graphs (road networks, chains)
+    *   where round count, not per-round cost, dominates.
     */
-  def connectedComponents(maxIterations: Int = 50): DataFrame = {
+  def connectedComponents(maxIterations: Int = 50, pointerJump: Boolean = false): DataFrame = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -242,12 +249,22 @@ final case class PropertyGraph(
     while (!converged && i < maxIterations) {
       val nbrMin = und.join(state.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b").as("id")).agg(min("component").as("nbrComponent"))
+      val relaxed = state.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("c1"))
+      val stepped =
+        if (!pointerJump) relaxed.select(col("id"), col("prev"), col("c1").as("component"))
+        else {
+          // label(label(v)): component labels are always vertex ids, so the
+          // lookup side is the same relaxed frame re-keyed by id.
+          val lookup = relaxed.select(col("id").as("c1"), col("c1").as("jump"))
+          relaxed.join(lookup, Seq("c1"), "left")
+            .select(col("id"), col("prev"),
+              least(col("c1"), coalesce(col("jump"), col("c1"))).as("component"))
+        }
       // carry the previous label through the checkpoint so convergence is a
       // cheap scan of the materialized round — not an extra join+shuffle
-      val next = state.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      val next = stepped.localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
       state = next.select("id", "component")
       converged = changed == 0

@@ -94,6 +94,17 @@ class PropertyGraphSpec extends SparkSpec {
     assert(cc(10L) === 10L && cc(11L) === 10L)
   }
 
+  test("connectedComponents pointer-jump variant produces identical labels") {
+    // a 6-long chain plus an isolated pair: jumping compresses the chain
+    val ce = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("src", "dst")
+    val g2 = PropertyGraph.fromEdges(ce)
+    val plain = g2.connectedComponents().as[(Long, Long)].collect().toMap
+    val jumped = g2.connectedComponents(pointerJump = true).as[(Long, Long)].collect().toMap
+    assert(plain === jumped)
+    assert(plain(6L) === 1L && plain(11L) === 10L)
+  }
+
   test("trianglesPerVertex counts cycle membership per vertex") {
     // one 3-cycle {1,2,3} plus a chord 1->4 that is in no cycle
     val te = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
