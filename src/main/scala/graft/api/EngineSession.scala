@@ -183,6 +183,24 @@ final class EngineSession(val spark: SparkSession) {
     // then builds per-column histograms consumed by join/filter estimation
     spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
   }
+
+  /** Runtime join pruning: inject a Bloom filter built from the selective
+    * (build) side of a shuffle join into the probe side's scan, so a 100 TB
+    * fact table is filtered DURING its scan instead of shuffling rows that
+    * a dimension filter will discard anyway. This is the dynamic companion
+    * to static partition pruning — Catalyst's InjectRuntimeFilter does the
+    * plumbing; the thresholds here open it up for mid-size probe relations
+    * (Spark's default only fires on ≥ 10 GB scans).
+    */
+  def enableRuntimeFiltering(
+      applicationSideThreshold: String = "10MB",
+      creationSideThreshold: String = "10MB"): Unit = {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      applicationSideThreshold)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      creationSideThreshold)
+  }
 }
 
 object EngineSession {

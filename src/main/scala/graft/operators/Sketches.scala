@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/** Approximate / sketch operators for corpus-scale profiling, where exact
+  * answers would shuffle the world for a number nobody needs to 15 digits:
+  *
+  *   - HyperLogLog++ distinct counts ([[approxDistinct]]) — one pass, fixed
+  *     memory, mergeable across partitions (Spark's native HLL aggregate);
+  *   - approximate quantiles ([[approxQuantiles]]) — Greenwald-Khanna, one
+  *     pass, bounded relative error;
+  *   - Bloom filters ([[bloomFilter]], [[inBloom]]) — build a compact
+  *     membership sketch of one relation's key column and prune another
+  *     relation BEFORE its shuffle (the manual form of the
+  *     InjectRuntimeFilter rewrite EngineSession.enableRuntimeFiltering
+  *     turns on inside Catalyst);
+  *   - Count-Min frequency sketch ([[countMinSketch]]) — heavy-hitter
+  *     estimation without a full groupBy.
+  *
+  * All sketches are built distributed (per-partition sketches merged on the
+  * driver by Spark's DataFrameStatFunctions) and applied as broadcast
+  * side-data, so both the build and the probe stay one-pass at 100 TB.
+  */
+object Sketches {
+
+  /** Approximate distinct counts per group: (groupCols..., approx_distinct).
+    * `rsd` is the target relative standard deviation (HLL precision knob).
+    */
+  def approxDistinct(df: DataFrame, col0: String, groupCols: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame = {
+    val agg = approx_count_distinct(col(col0), rsd).as("approx_distinct")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Approximate quantiles of a numeric column at the given probabilities
+    * (one pass; `relativeError` 0 degenerates to an exact sort-based answer).
+    */
+  def approxQuantiles(df: DataFrame, col0: String, probabilities: Seq[Double],
+      relativeError: Double = 0.01): Seq[Double] =
+    df.stat.approxQuantile(col0, probabilities.toArray, relativeError).toSeq
+
+  /** Build a Bloom filter over a key column: `expectedItems` insertions at
+    * `fpp` false-positive rate. The sketch is a few MB regardless of input
+    * size — broadcastable.
+    */
+  def bloomFilter(df: DataFrame, col0: String, expectedItems: Long,
+      fpp: Double = 0.01): BloomFilter =
+    df.stat.bloomFilter(col0, expectedItems, fpp)
+
+  /** Prune `df` to rows whose key *might* be in the filter (no false
+    * negatives: every true match survives; a small `fpp` fraction of
+    * non-matches leaks through — follow with the exact join).
+    */
+  def inBloom(df: DataFrame, col0: String, bf: BloomFilter): DataFrame = {
+    val bcast = df.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
+    df.filter(mightContain(col(col0).cast("long")))
+  }
+
+  /** Count-Min frequency sketch of a column: point-lookup estimated counts
+    * with ε/δ error bounds, built in one distributed pass.
+    */
+  def countMinSketch(df: DataFrame, col0: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): CountMinSketch =
+    df.stat.countMinSketch(col0, eps, confidence, seed)
+
+  /** Exact-vs-sketch profiling row for a column: exact distinct, HLL
+    * estimate, and the relative error between them — the calibration check
+    * a pipeline runs at small scale before trusting sketches at large.
+    */
+  def distinctErrorProfile(df: DataFrame, col0: String, rsd: Double = 0.05): DataFrame =
+    df.agg(
+        countDistinct(col(col0)).as("exact_distinct"),
+        approx_count_distinct(col(col0), rsd).as("approx_distinct"))
+      .select(col("exact_distinct"), col("approx_distinct"),
+        round(abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+          col("exact_distinct"), 6).as("rel_error"))
+}

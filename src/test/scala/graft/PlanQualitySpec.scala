@@ -47,4 +47,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
+    val es = graft.api.EngineSession(spark)
+    es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a shuffle join so the filter has a scan worth pruning
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Tables(spark, sf0001)
+      val li = t.lineitem
+      val dim = t.orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 100 === 0)
+      val joined = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      joined.collect() // the filtered plan still executes correctly
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    }
+  }
 }
