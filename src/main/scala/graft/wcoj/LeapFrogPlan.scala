@@ -5,8 +5,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan}
 import org.apache.spark.sql.types.LongType
 
 /** The worst-case-optimal join as a first-class Catalyst operator
@@ -55,7 +56,7 @@ final case class LeapFrogJoinExec(
     childAttrs: Seq[Seq[String]],
     attrOrder: Seq[String],
     maxCells: Int,
-    override val output: Seq[Attribute]) extends SparkPlan {
+    override val output: Seq[Attribute]) extends SparkPlan with CodegenSupport {
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
@@ -63,16 +64,25 @@ final case class LeapFrogJoinExec(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): SparkPlan = copy(children = newChildren)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val order = attrOrder.toArray
+  @transient private lazy val order: Array[String] = attrOrder.toArray
+
+  @transient private lazy val attrsByIdx: Array[Array[String]] =
+    childAttrs.map(_.sortBy(order.indexOf(_)).toArray).toArray
+
+  /** HyperCube routing pipeline: children → global-order long arrays →
+    * share-optimized cell replication → one partition per cell. Shared by
+    * the interpreted and whole-stage-codegen paths.
+    */
+  @transient private lazy val routed: RDD[(Int, (Int, Array[Long]))] = {
     val sc = sparkContext
     val cells = if (maxCells > 0) maxCells else sc.defaultParallelism
+    val ord = order
 
     // children -> RDD[Array[Long]] in global-order column layout; persisted
     // because both the share optimizer's count and the routing pass below
     // consume them — without the persist every child plan executes twice.
     val prepped = children.zip(childAttrs).map { case (child, attrs) =>
-      val sortedAttrs = attrs.sortBy(order.indexOf(_)).toArray
+      val sortedAttrs = attrs.sortBy(ord.indexOf(_)).toArray
       val perm = sortedAttrs.map(attrs.indexOf(_))
       val n = attrs.length
       (sortedAttrs, child.execute().map { row =>
@@ -81,17 +91,17 @@ final case class LeapFrogJoinExec(
     }
 
     val sizes = prepped.map { case (attrs, rdd) => (attrs.toSet, rdd.count()) }
-    val shares = HyperCube.optimalShares(order.toSeq, sizes, cells)
+    val shares = HyperCube.optimalShares(ord.toSeq, sizes, cells)
     val bcShares = sc.broadcast(shares)
     val nCells = shares.numCells
 
     val tagged = prepped.zipWithIndex.map { case ((attrs, rdd), idx) =>
-      val attrIdx = attrs.map(a => order.indexOf(a))
+      val attrIdx = attrs.map(a => ord.indexOf(a))
       rdd.flatMap { row =>
         val sh = bcShares.value
-        val bucket = Array.fill(order.length)(-1)
+        val bucket = Array.fill(ord.length)(-1)
         attrs.indices.foreach(k => bucket(attrIdx(k)) = sh.bucketOf(attrs(k), row(k)))
-        val free = (0 until order.length).filter(bucket(_) < 0)
+        val free = (0 until ord.length).filter(bucket(_) < 0)
         def cellsFor(fi: Int, acc: Array[Int]): Iterator[Int] =
           if (fi == free.length) Iterator.single(sh.cellId(acc))
           else (0 until sh.p(free(fi))).iterator.flatMap { b =>
@@ -101,41 +111,93 @@ final case class LeapFrogJoinExec(
       }
     }.reduce(_ union _)
 
-    val routed = tagged.partitionBy(new HashPartitioner(nCells) {
+    val byCell = tagged.partitionBy(new HashPartitioner(nCells) {
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     })
     // Materialize the shuffle map stage now, while the children are cached,
     // then release the cache: the no-op result stage fetches nothing, and
     // the real job below reuses the shuffle files (skipped stage) instead of
     // recomputing child plans.
-    sc.runJob(routed, (_: Iterator[(Int, (Int, Array[Long]))]) => ())
+    sc.runJob(byCell, (_: Iterator[(Int, (Int, Array[Long]))]) => ())
     prepped.foreach(_._2.unpersist(blocking = false))
+    byCell
+  }
 
-    val attrsByIdx = prepped.map(_._1).toArray
+  /** Per-partition prologue + lazy leapfrog enumeration, called from BOTH
+    * paths (generated code invokes it through a plan reference). Bindings
+    * come out as raw long[] in attr order — the codegen consumer reads the
+    * columns straight from the array, no row materialization at all.
+    */
+  def buildBindingIterator(raw: Iterator[InternalRow]): Iterator[Array[Long]] = {
+    val it = raw.asInstanceOf[Iterator[(Int, (Int, Array[Long]))]]
+    val buckets = Array.fill(attrsByIdx.length)(new scala.collection.mutable.ArrayBuffer[Array[Long]]())
+    it.foreach { case (_, (idx, row)) => buckets(idx) += row }
+    val local = attrsByIdx.indices.map { i =>
+      LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
+    }
+    if (local.exists(_.rows.isEmpty)) Iterator.empty
+    else LeapFrog.joinIterator(local, order)
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
     val schema = output
+    val n = order.length
     routed.mapPartitions { it =>
-      val buckets = Array.fill(attrsByIdx.length)(new scala.collection.mutable.ArrayBuffer[Array[Long]]())
-      it.foreach { case (_, (idx, row)) => buckets(idx) += row }
-      val local = attrsByIdx.indices.map { i =>
-        LeapFrog.Relation(attrsByIdx(i), LeapFrog.sortRows(buckets(i).toArray))
-      }
-      if (local.exists(_.rows.isEmpty)) Iterator.empty
-      else {
-        // fully lazy enumeration with direct Unsafe projection: O(depths)
-        // state, zero per-binding allocation. The emitted UnsafeRow buffer
-        // is REUSED across bindings — the standard SparkPlan.execute()
-        // contract (buffering consumers copy for themselves, as
-        // HashAggregate/Sort/shuffle-write/collect all do).
-        val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
-        val values = new Array[Any](order.length)
-        val reusable = new GenericInternalRow(values)
-        LeapFrog.joinIterator(local, order).map { b =>
-          var i = 0
-          while (i < b.length) { values(i) = b(i); i += 1 }
-          proj(reusable)
-        }
+      // fully lazy enumeration with direct Unsafe projection: O(depths)
+      // state, zero per-binding allocation. The emitted UnsafeRow buffer
+      // is REUSED across bindings — the standard SparkPlan.execute()
+      // contract (buffering consumers copy for themselves, as
+      // HashAggregate/Sort/shuffle-write/collect all do).
+      val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      val values = new Array[Any](n)
+      val reusable = new GenericInternalRow(values)
+      buildBindingIterator(it.asInstanceOf[Iterator[InternalRow]]).map { b =>
+        var i = 0
+        while (i < b.length) { values(i) = b(i); i += 1 }
+        proj(reusable)
       }
     }
+  }
+
+  /* == whole-stage codegen: this node is a produce root. The enumeration
+   * stays in the allocation-free scala iterator; the generated loop reads
+   * each binding's columns as primitive longs and feeds the downstream
+   * consume chain (filter, partial aggregate, projection) INLINE — no
+   * UnsafeProjection per binding, no InputAdapter row hand-off. == */
+
+  // bindings surface as fresh primitive locals each iteration (never a
+  // reused row buffer), so downstream buffering needs no defensive copy.
+  // Must be overridden: the trait default throws for > 1 child.
+  override def needCopyResult: Boolean = false
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(routed.asInstanceOf[RDD[InternalRow]])
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val thisPlan = ctx.addReferenceObj("leapfrog", this, classOf[LeapFrogJoinExec].getName)
+    val input = ctx.addMutableState("scala.collection.Iterator", "lfInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val iterTerm = ctx.addMutableState("scala.collection.Iterator", "lfBindings",
+      forceInline = true)
+    val binding = ctx.freshName("binding")
+    val colVars = output.indices.map { i =>
+      val name = ctx.freshName(s"lfCol$i")
+      ExprCode.forNonNullValue(JavaCode.variable(name, LongType))
+    }
+    val colDecls = output.indices.map { i =>
+      s"long ${colVars(i).value} = $binding[$i];"
+    }.mkString("\n")
+    s"""
+       |if ($iterTerm == null) {
+       |  $iterTerm = $thisPlan.buildBindingIterator($input);
+       |}
+       |while ($iterTerm.hasNext()) {
+       |  long[] $binding = (long[]) $iterTerm.next();
+       |  $colDecls
+       |  ${consume(ctx, colVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
 
