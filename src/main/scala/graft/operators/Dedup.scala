@@ -122,13 +122,18 @@ object Dedup {
     }
     val sigs = base.select(col("doc_id") +: sigCols: _*)
 
+    // one self-join over (band_idx, band_value) rather than a union of
+    // per-band joins: the band index rides in the join key, so all bands
+    // shuffle once and collide only within their own band.
     val nBands = perms.size / bandSize
-    val candidates = (0 until nBands).map { b =>
-      val bandCols = (0 until bandSize).map(j => s"sig_${b * bandSize + j}")
-      val l = sigs.select(col("doc_id").as("doc1"), concat_ws("_", bandCols.map(col): _*).as("band"))
-      val r = sigs.select(col("doc_id").as("doc2"), concat_ws("_", bandCols.map(col): _*).as("band"))
-      l.join(r, "band" :: Nil).filter(col("doc1") < col("doc2")).select("doc1", "doc2")
-    }.reduce(_ unionByName _).distinct()
+    val bandExprs = (0 until nBands).map { b =>
+      val bandCols = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))
+      struct(lit(b).as("b"), concat_ws("_", bandCols: _*).as("v"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+    val candidates = banded.select(col("doc_id").as("doc1"), col("band"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
+      .filter(col("doc1") < col("doc2")).select("doc1", "doc2").distinct()
 
     val result = candidates
       .join(base.select(col("doc_id").as("doc1"), col("tids").as("tids1")), "doc1" :: Nil)

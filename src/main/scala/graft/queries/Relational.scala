@@ -384,6 +384,36 @@ object Relational {
           coalesce(col("max_okey"), lit(-1L)).as("okey"),
           col("max_okey").isNull.as("no_order"))
         .orderBy("c_custkey")
+    }),
+
+    // PIVOT: rows → columns with fixed pivot values (deterministic schema).
+    "q81_pivot" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    }),
+
+    // UNPIVOT/melt: columns → (metric, value) rows.
+    "q82_unpivot" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    // `quantile_cont` — both linear interpolation over the sorted multiset).
+    "q83_percentile" -> ((s, d) => {
+      Tables(s, d).lineitem.groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -562,6 +592,25 @@ object Relational {
         |FROM customer LEFT JOIN (
         | SELECT o_custkey, max(o_orderkey) AS max_okey FROM orders GROUP BY o_custkey) m
         | ON c_custkey = o_custkey
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q81_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q82_unpivot" ->
+      """WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS price
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS metric, price AS value FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q83_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
