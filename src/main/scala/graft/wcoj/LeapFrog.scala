@@ -62,14 +62,39 @@ object LeapFrog {
     val rels: Array[Relation] = relations.toArray
     val depths: Int = attrOrder.length
 
+    /** columnar copy of each relation: colData(rel)(col)(row). The seek
+      * loops are binary searches over single columns — a flat long[] per
+      * column turns every probe into one bounds-checked array read instead
+      * of a row-object dereference plus an inner-array read (row-major
+      * Array[Array[Long]] costs a dependent load per probe and scatters the
+      * rows across the heap).
+      */
+    val colData: Array[Array[Array[Long]]] = rels.map { r =>
+      val width = r.attrs.length
+      val m = r.rows.length
+      val cols = Array.ofDim[Long](width, m)
+      var row = 0
+      while (row < m) {
+        val src = r.rows(row)
+        var c = 0
+        while (c < width) { cols(c)(row) = src(c); c += 1 }
+        row += 1
+      }
+      cols
+    }
+
     val partByDepth: Array[Array[Int]] = Array.ofDim(depths)
     val colByDepth: Array[Array[Int]] = Array.ofDim(depths)
+    /** colByDepth resolved to the flat column array — the hot loops index
+      * this directly. */
+    val colArrByDepth: Array[Array[Array[Long]]] = Array.ofDim(depths)
     for (d <- 0 until depths) {
       val attr = attrOrder(d)
       val ids = (0 until n).filter(i => rels(i).attrs.contains(attr))
       require(ids.nonEmpty, s"attribute $attr not covered by any relation")
       partByDepth(d) = ids.toArray
       colByDepth(d) = ids.map(i => rels(i).attrs.indexOf(attr)).toArray
+      colArrByDepth(d) = partByDepth(d).zip(colByDepth(d)).map { case (i, c) => colData(i)(c) }
     }
 
     val lo: Array[Int] = Array.fill(n)(0)
@@ -79,23 +104,23 @@ object LeapFrog {
     val savedHi: Array[Array[Int]] = Array.tabulate(depths)(d => new Array[Int](partByDepth(d).length))
     val curLoAll: Array[Array[Int]] = Array.tabulate(depths)(d => new Array[Int](partByDepth(d).length))
 
-    def lowerBound(rows: Array[Array[Long]], col: Int, from: Int, to: Int, x: Long): Int = {
+    def lowerBound(col: Array[Long], from: Int, to: Int, x: Long): Int = {
       var a = from; var b = to
       while (a < b) {
         val m = (a + b) >>> 1
-        if (rows(m)(col) < x) a = m + 1 else b = m
+        if (col(m) < x) a = m + 1 else b = m
       }
       a
     }
-    def upperBound(rows: Array[Array[Long]], col: Int, from: Int, to: Int, x: Long): Int =
-      lowerBound(rows, col, from, to, x + 1)
+    def upperBound(col: Array[Long], from: Int, to: Int, x: Long): Int =
+      lowerBound(col, from, to, x + 1)
 
     /** Intersect participating relations at `depth`; invoke `onValue` for
       * each aligned value with ranges positioned (curLo at the value).
       */
     def intersect(depth: Int)(onValue: Long => Unit): Unit = {
       val part = partByDepth(depth)
-      val cols = colByDepth(depth)
+      val cols = colArrByDepth(depth)
       val p = part.length
       val curLo = curLoAll(depth)
 
@@ -107,7 +132,7 @@ object LeapFrog {
         curLo(k) = lo(i)
         if (curLo(k) >= hi(i)) exhausted = true
         else {
-          val v = rels(i).rows(curLo(k))(cols(k))
+          val v = cols(k)(curLo(k))
           if (v > maxVal) maxVal = v
         }
         k += 1
@@ -117,15 +142,15 @@ object LeapFrog {
         k = 0
         while (aligned < p && !exhausted) {
           val i = part(k)
-          val pos = lowerBound(rels(i).rows, cols(k), curLo(k), hi(i), maxVal)
+          val pos = lowerBound(cols(k), curLo(k), hi(i), maxVal)
           if (pos >= hi(i)) exhausted = true
           else {
             curLo(k) = pos
-            val v = rels(i).rows(pos)(cols(k))
+            val v = cols(k)(pos)
             if (v == maxVal) aligned += 1
             else { maxVal = v; aligned = 1 }
           }
-          k = (k + 1) % p
+          k += 1; if (k == p) k = 0
         }
         if (!exhausted) {
           onValue(maxVal)
@@ -139,7 +164,7 @@ object LeapFrog {
       */
     def narrow(depth: Int, value: Long): Unit = {
       val part = partByDepth(depth)
-      val cols = colByDepth(depth)
+      val cols = colArrByDepth(depth)
       val curLo = curLoAll(depth)
       val sLo = savedLo(depth)
       val sHi = savedHi(depth)
@@ -149,7 +174,7 @@ object LeapFrog {
         sLo(j) = lo(i); sHi(j) = hi(i)
         val s = curLo(j)
         lo(i) = s
-        hi(i) = upperBound(rels(i).rows, cols(j), s, hi(i), value)
+        hi(i) = upperBound(cols(j), s, hi(i), value)
         j += 1
       }
     }
@@ -168,11 +193,21 @@ object LeapFrog {
 
     def recurse(depth: Int, consume: Array[Long] => Unit): Unit = {
       if (depth == depths) { consume(binding); return }
-      intersect(depth) { v =>
-        binding(depth) = v
-        narrow(depth, v)
-        recurse(depth + 1, consume)
-        restore(depth)
+      if (depth == depths - 1) {
+        // deepest attribute: nothing below reads the narrowed ranges, so the
+        // per-binding narrow (2 binary searches per participant) + restore
+        // are pure waste — emit straight from the intersection.
+        intersect(depth) { v =>
+          binding(depth) = v
+          consume(binding)
+        }
+      } else {
+        intersect(depth) { v =>
+          binding(depth) = v
+          narrow(depth, v)
+          recurse(depth + 1, consume)
+          restore(depth)
+        }
       }
     }
   }
@@ -209,7 +244,7 @@ object LeapFrog {
         * at this depth is exhausted.
         */
       private def align(dd: Int, target0: Long): Boolean = {
-        val part = s.partByDepth(dd); val cols = s.colByDepth(dd); val curLo = s.curLoAll(dd)
+        val part = s.partByDepth(dd); val cols = s.colArrByDepth(dd); val curLo = s.curLoAll(dd)
         val p = part.length
         var target = target0
         var aligned = 0
@@ -217,13 +252,13 @@ object LeapFrog {
         while (aligned < p) {
           val i = part(k)
           val from = if (curLo(k) > s.lo(i)) curLo(k) else s.lo(i)
-          val pos = s.lowerBound(s.rels(i).rows, cols(k), from, s.hi(i), target)
+          val pos = s.lowerBound(cols(k), from, s.hi(i), target)
           if (pos >= s.hi(i)) return false
           curLo(k) = pos
-          val v = s.rels(i).rows(pos)(cols(k))
+          val v = cols(k)(pos)
           if (v == target) aligned += 1
           else { target = v; aligned = 1 }
-          k = (k + 1) % p
+          k += 1; if (k == p) k = 0
         }
         posVal(dd) = target
         s.binding(dd) = target
@@ -251,9 +286,10 @@ object LeapFrog {
       private def advanceDepth(dd: Int): Boolean =
         posVal(dd) != Long.MaxValue && align(dd, posVal(dd) + 1)
 
-      /** Backtrack from depth `from`: undo narrows upward until some depth
-        * advances; re-narrow there. Returns the depth to descend from
-        * (advanced depth + 1), or -1 when the whole enumeration is done.
+      /** Backtrack from depth `from` (narrowed depths only, i.e. ≤ D-2):
+        * undo narrows upward until some depth advances; re-narrow there.
+        * Returns the depth to descend from (advanced depth + 1), or -1 when
+        * the whole enumeration is done.
         */
       private def backtrack(from: Int): Int = {
         var cur = from
@@ -269,12 +305,18 @@ object LeapFrog {
       }
 
       private def computeNext(): Boolean = {
+        // The deepest depth is never narrowed: nothing below reads the
+        // narrowed ranges, so the per-binding narrow (2 binary searches per
+        // participant) + restore would be pure waste. Advancing it is just
+        // the next alignment; only depths ≤ D-2 take part in backtracking.
         var cur =
           if (!started) { started = true; 0 }
-          else backtrack(D - 1) // deepest depth advances first
+          else if (advanceDepth(D - 1)) return true
+          else backtrack(D - 2)
         if (cur < 0) return false
         while (cur < D) {
           if (initDepth(cur)) {
+            if (cur == D - 1) return true
             s.narrow(cur, posVal(cur))
             cur += 1
           } else {
