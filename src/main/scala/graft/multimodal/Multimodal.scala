@@ -100,6 +100,21 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of media files through Spark's `binaryFile` source:
+    * (id, modality, content, path, size_bytes) with a deterministic id from
+    * the file path (xxhash64 — stable across runs and cluster sizes). The
+    * scan is distributed and lazily reads file contents per task, so a
+    * 100 TB media lake lands directly as binary-column rows; pair with
+    * `spark.sql.files.maxPartitionBytes` to size media batches.
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      modality: String = "image"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile").load(path)
+      .select(xxhash64(col("path")).as("id"), lit(modality).as("modality"),
+        col("content"), col("path"), col("length").as("size_bytes"))
+  }
+
   /** (id, format, width, height) from real container headers — the one
     * multimodal transform that is fully functional in this environment.
     */

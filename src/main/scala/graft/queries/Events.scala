@@ -55,6 +55,16 @@ object Events {
         .select(col("event_id"), col("user_id"),
           coalesce(col("asof_o_orderkey"), lit(-1L)).as("last_order"))
         .orderBy("event_id")
+    }),
+
+    // calendar decomposition + day bucketing of the event timeline (UTC
+    // session) — the datetime expression surface.
+    "q85_datetime" -> ((s, d) => {
+      Tables(s, d).events.select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          date_trunc("day", col("ts")).as("day_start"))
+        .orderBy("event_id")
     })
   )
 
@@ -84,6 +94,14 @@ object Events {
         |SELECT e.event_id, e.user_id, coalesce(d.o_orderkey, -1) AS last_order
         |FROM events e ASOF LEFT JOIN d
         |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q85_datetime" ->
+      """SELECT event_id,
+        | CAST(date_part('year', ts) AS INT) AS y,
+        | CAST(date_part('month', ts) AS INT) AS m,
+        | CAST(date_part('day', ts) AS INT) AS d,
+        | CAST(date_part('hour', ts) AS INT) AS h,
+        | date_trunc('day', ts) AS day_start
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -406,6 +406,18 @@ object Relational {
         .orderBy("l_returnflag", "metric")
     }),
 
+    // explicit GROUPING SETS (finer-grained than rollup/cube): per
+    // (flag, status), per flag, and grand total in one aggregation pass.
+    "q84_grouping_sets" -> ((s, d) => {
+      Tables(s, d).lineitem.createOrReplaceTempView("li_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS qty
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
     // `quantile_cont` — both linear interpolation over the sorted multiset).
     "q83_percentile" -> ((s, d) => {
@@ -606,6 +618,12 @@ object Relational {
         |UNION ALL
         |SELECT l_returnflag, 'price' AS metric, price AS value FROM w
         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q84_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q83_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,

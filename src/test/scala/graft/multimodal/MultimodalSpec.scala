@@ -72,6 +72,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Set((1L, "png", 64, 32), (2L, "jpeg", 16, 8), (3L, "unknown", -1, -1)))
   }
 
+  test("readBinaryDir ingests real files via the binaryFile source") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      def png(w: Int, h: Int): Array[Byte] = {
+        val b = new Array[Byte](24)
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).zipWithIndex
+          .foreach { case (v, i) => b(i) = v.toByte }
+        def be32(i: Int, v: Int): Unit = {
+          b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+          b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+        }
+        be32(16, w); be32(20, h)
+        b
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, png(640, 480))
+      java.nio.file.Files.write(new java.io.File(dir, "b.png").toPath, png(32, 16))
+      val df = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+      assert(df.columns.toSeq === Seq("id", "modality", "content", "path", "size_bytes"))
+      val media = df.select(col("id"), col("modality"), col("content"))
+        .as[MediaRow]
+      val infos = Multimodal.imageInfo(media)
+        .select("format", "width", "height").as[(String, Int, Int)].collect().toSet
+      assert(infos === Set(("png", 640, 480), ("png", 32, 16)))
+      // deterministic ids: re-reading yields the same id per path
+      val ids1 = df.select("path", "id").as[(String, Long)].collect().toMap
+      val ids2 = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+        .select("path", "id").as[(String, Long)].collect().toMap
+      assert(ids1 === ids2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("sampleFrames slices binary at fixed stride without UDFs") {
     val df = spark.createDataset(Seq(media(7, "video", 300))).toDF()
     val frames = sampleFrames(df, "content", "id", frameBytes = 100, everyNth = 2)
