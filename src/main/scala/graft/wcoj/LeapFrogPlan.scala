@@ -69,6 +69,11 @@ final case class LeapFrogJoinExec(
   @transient private lazy val attrsByIdx: Array[Array[String]] =
     childAttrs.map(_.sortBy(order.indexOf(_)).toArray).toArray
 
+  /** The share vector the optimizer actually chose (observability + specs);
+    * populated when the routing pipeline first materializes.
+    */
+  @transient @volatile var chosen: Option[HyperCube.SizedShares] = None
+
   /** HyperCube routing pipeline: children → global-order long arrays →
     * share-optimized cell replication → one partition per cell. Shared by
     * the interpreted and whole-stage-codegen paths.
@@ -90,8 +95,19 @@ final case class LeapFrogJoinExec(
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-    val sizes = prepped.map { case (attrs, rdd) => (attrs.toSet, rdd.count()) }
-    val shares = HyperCube.optimalShares(ord.toSeq, sizes, cells)
+    // one stats pass over the cached inputs (count + per-attribute heavy-
+    // hitter sketches), then memory-budgeted skew-aware share choice: the
+    // grid grows past the parallelism floor whenever the estimated max cell
+    // payload would outgrow the per-task byte budget. An explicit maxCells
+    // stays a hard user cap (fixed-grid behavior, as before).
+    val skewAware = session.conf.get("graft.wcoj.skewAware", "true").toBoolean
+    val budget = session.conf.get("graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
+    val capConf = session.conf.get("graft.wcoj.maxCellsCap", "4096").toInt
+    val stats = prepped.map { case (attrs, rdd) => SkewStats.relStat(attrs, rdd, skewAware) }
+    val cap = if (maxCells > 0) cells else math.max(cells, capConf)
+    val sized = HyperCube.budgetedShares(ord.toSeq, stats, cells, budget, cap)
+    chosen = Some(sized)
+    val shares = sized.shares
     val bcShares = sc.broadcast(shares)
     val nCells = shares.numCells
 

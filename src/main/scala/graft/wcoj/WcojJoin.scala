@@ -133,10 +133,14 @@ object WcojJoin {
       (sortedAttrs, rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-    val sizes = prepped.map { case (attrs, rdd) =>
-      (attrs.toSet, rdd.count()) // share optimizer's |R|; also warms the cache
-    }
-    val shares = HyperCube.optimalShares(order.toSeq, sizes, cells)
+    // one stats pass (count + heavy-hitter sketches; also warms the cache),
+    // then memory-budgeted skew-aware share choice — see LeapFrogJoinExec.
+    val skewAware = spark.conf.get("graft.wcoj.skewAware", "true").toBoolean
+    val budget = spark.conf.get("graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
+    val capConf = spark.conf.get("graft.wcoj.maxCellsCap", "4096").toInt
+    val stats = prepped.map { case (attrs, rdd) => SkewStats.relStat(attrs, rdd, skewAware) }
+    val cap = if (maxCells > 0) cells else math.max(cells, capConf)
+    val shares = HyperCube.budgetedShares(order.toSeq, stats, cells, budget, cap).shares
     val bcShares = spark.sparkContext.broadcast(shares)
     val nCells = shares.numCells
 

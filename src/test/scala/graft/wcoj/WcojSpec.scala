@@ -103,6 +103,80 @@ class HyperCubeSpec extends AnyFunSuite {
     val ids = for (i <- 0 until 3; j <- 0 until 4) yield s.cellId(Array(i, j))
     assert(ids.toSet === (0 until 12).toSet)
   }
+
+  test("budgeted sizing grows the grid until the max cell payload fits") {
+    // one 1 GB relation over both attributes, 1 MB per-task budget: the grid
+    // must grow to ≥1000 cells (from a floor of 4) for a cell to fit
+    val stats = Seq(HyperCube.RelStat(Set("a", "b"), 100000000L, 1000000000L))
+    val sized = HyperCube.budgetedShares(Seq("a", "b"), stats,
+      minCells = 4, budgetBytes = 1000000L, cellCap = 4096)
+    assert(sized.shares.numCells >= 1000)
+    assert(sized.estMaxCellBytes <= 1000000.0)
+    // and without pressure the floor is kept (no gratuitous tiny partitions)
+    val small = HyperCube.budgetedShares(Seq("a", "b"),
+      Seq(HyperCube.RelStat(Set("a", "b"), 100L, 4000L)),
+      minCells = 4, budgetBytes = 1000000L, cellCap = 4096)
+    assert(small.shares.numCells <= 4)
+  }
+
+  test("budgeted sizing terminates at the cap when skew floors the load") {
+    // heaviest value holds 50% of a 1 GB relation: no grid can push the max
+    // cell below ~250 MB (both attrs at f=0.5), so the loop must stop at cap
+    val stats = Seq(HyperCube.RelStat(Set("a", "b"), 100000000L, 1000000000L,
+      heavyFrac = Map("a" -> 0.5, "b" -> 0.5)))
+    val sized = HyperCube.budgetedShares(Seq("a", "b"), stats,
+      minCells = 4, budgetBytes = 1000000L, cellCap = 256)
+    assert(sized.shares.numCells <= 256)
+    assert(sized.estMaxCellBytes > 1000000.0) // honestly reports the miss
+  }
+
+  test("skewed attribute gets less share; skew-aware max load beats uniform") {
+    // triangle where b is heavily skewed in both relations that contain it:
+    // hashing on b cannot split the heavy value, so the optimizer should
+    // spend the grid on a and c instead
+    val skewed = Seq(
+      HyperCube.RelStat(Set("a", "b"), 1000L, 1000L, Map("b" -> 0.5)),
+      HyperCube.RelStat(Set("b", "c"), 1000L, 1000L, Map("b" -> 0.5)),
+      HyperCube.RelStat(Set("a", "c"), 1000L, 1000L))
+    val aware = HyperCube.optimalSharesStat(Seq("a", "b", "c"), skewed, 27)
+    val pOf = (s: HyperCube.Shares, a: String) => s.p(s.attrs.indexOf(a))
+    assert(pOf(aware.shares, "b") < pOf(aware.shares, "a"))
+    assert(pOf(aware.shares, "b") < pOf(aware.shares, "c"))
+    // uniform-model choice, evaluated under the true (skewed) stats, is a
+    // strictly worse max-cell load than the skew-aware choice
+    val uniform = HyperCube.optimalSharesStat(Seq("a", "b", "c"),
+      skewed.map(_.copy(heavyFrac = Map.empty)), 27)
+    assert(aware.estMaxCellBytes <
+      HyperCube.estMaxCellBytes(uniform.shares, skewed))
+  }
+}
+
+class SkewStatsSpec extends SparkSpec {
+
+  test("misra-gries lower-bounds the heavy hitter and merges correctly") {
+    val mg = new SkewStats.MisraGries(8)
+    val rnd = new scala.util.Random(3)
+    var heavy = 0
+    (1 to 10000).foreach { _ =>
+      if (rnd.nextDouble() < 0.4) { mg.add(7L); heavy += 1 }
+      else mg.add(rnd.nextInt(1000).toLong + 100L)
+    }
+    assert(mg.maxCount <= heavy)              // lower bound, never inflates
+    assert(mg.maxCount >= heavy - 10000 / 8)  // n/k error guarantee
+  }
+
+  test("relStat reports the skewed column and the uniform one differently") {
+    val rows = (1 to 4000).map { i =>
+      Array(if (i % 2 == 0) 42L else i.toLong, i.toLong)
+    }
+    val rdd = spark.sparkContext.parallelize(rows, 4)
+    val st = SkewStats.relStat(Array("x", "y"), rdd, skewAware = true)
+    assert(st.rows === 4000L)
+    assert(st.heavyFrac("x") > 0.3) // true fraction 0.5, MG lower bound
+    assert(st.heavyFrac("y") < 0.05)
+    val off = SkewStats.relStat(Array("x", "y"), rdd, skewAware = false)
+    assert(off.heavyFrac.isEmpty && off.rows === 4000L)
+  }
 }
 
 class WcojJoinSpec extends SparkSpec {
@@ -199,6 +273,75 @@ class WcojJoinSpec extends SparkSpec {
     assert(viaLf === viaDf)
     assert(viaCube === viaDf)
     assert(viaDf.size > 1000) // non-trivial output volume
+  }
+
+  test("cell budget auto-scales the hypercube grid past the parallelism floor") {
+    val rnd = new scala.util.Random(21)
+    val edges = Seq.fill(3000)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+    val viaDf = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), "b" :: Nil)
+      .join(edges.select($"dst".as("a"), $"src".as("c")), Seq("c", "a"))
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+
+    spark.conf.set("graft.wcoj.cellBudgetBytes", "16384")
+    try {
+      // maxCells = 0: floor is defaultParallelism, budget growth kicks in
+      val cube = WcojJoin.leapfrogHyperCube(spark, rels, Seq("a", "b", "c"))
+      assert(cube.rdd.getNumPartitions > spark.sparkContext.defaultParallelism)
+      assert(cube.as[(Long, Long, Long)].collect().toSet === viaDf)
+    } finally spark.conf.unset("graft.wcoj.cellBudgetBytes")
+  }
+
+  test("zipf skew: skew-aware shares cut the max routed cell payload") {
+    val rnd = new scala.util.Random(9)
+    def uni(): Long = rnd.nextInt(500).toLong + 1
+    def skewedB(): Long = if (rnd.nextDouble() < 0.5) 0L else uni()
+    // only attribute b is skewed (50% of rows hold the heavy value) — in
+    // both relations that contain it; a and c stay uniform
+    val rRows = (1 to 5000).map(_ => Array(uni(), skewedB()))
+    val sRows = (1 to 5000).map(_ => Array(skewedB(), uni()))
+    val tRows = (1 to 5000).map(_ => Array(uni(), uni()))
+    val sc = spark.sparkContext
+    val stats = Seq(
+      SkewStats.relStat(Array("a", "b"), sc.parallelize(rRows, 4), skewAware = true),
+      SkewStats.relStat(Array("b", "c"), sc.parallelize(sRows, 4), skewAware = true),
+      SkewStats.relStat(Array("a", "c"), sc.parallelize(tRows, 4), skewAware = true))
+
+    val attrs = Seq("a", "b", "c")
+    val aware = HyperCube.optimalSharesStat(attrs, stats, 64).shares
+    val uniform = HyperCube.optimalSharesStat(attrs,
+      stats.map(_.copy(heavyFrac = Map.empty)), 64).shares
+    // the skewed attribute is not worth grid budget — hashing can't split it
+    assert(aware.p(attrs.indexOf("b")) < aware.p(attrs.indexOf("a")))
+
+    // route every tuple exactly like the exec does and measure the heaviest
+    // cell under each choice: the skew-aware grid must balance better
+    def maxCellLoad(sh: HyperCube.Shares,
+        rels: Seq[(Array[String], Seq[Array[Long]])]): Long = {
+      val loads = new Array[Long](sh.numCells)
+      for ((rAttrs, rows) <- rels; row <- rows) {
+        val bucket = Array.fill(sh.attrs.length)(-1)
+        rAttrs.indices.foreach { i =>
+          bucket(sh.attrs.indexOf(rAttrs(i))) = sh.bucketOf(rAttrs(i), row(i))
+        }
+        def go(j: Int, acc: Array[Int]): Unit =
+          if (j == sh.attrs.length) loads(sh.cellId(acc)) += 8L * row.length + 24
+          else if (acc(j) >= 0) go(j + 1, acc)
+          else (0 until sh.p(j)).foreach { b =>
+            val a2 = acc.clone(); a2(j) = b; go(j + 1, a2)
+          }
+        go(0, bucket)
+      }
+      loads.max
+    }
+    val rels = Seq((Array("a", "b"), rRows), (Array("b", "c"), sRows),
+      (Array("a", "c"), tRows))
+    assert(maxCellLoad(aware, rels) < maxCellLoad(uniform, rels))
   }
 
   test("hypercube disconnected join degenerates to a partitioned cross product") {
