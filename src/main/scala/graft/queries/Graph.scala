@@ -155,6 +155,21 @@ object Graph {
       g.trianglesPerVertex().orderBy("id")
     }),
 
+    // the reference's recursive-CTE SQL surface: WITH RECURSIVE(n)
+    // (SQLParser.scala:366-374, multiwayOperators.scala:306-326) — bounded
+    // transitive closure over the dense edge set, reached purely via SQL
+    // text through SqlRewriter's working-table iteration.
+    "q86_recursive_sql" -> ((s, d) => {
+      val es = graft.api.EngineSession(s)
+      denseEdges(Tables(s, d)).createOrReplaceTempView("rec_sql_edges")
+      es.sql(
+        """WITH RECURSIVE(50) tc AS (
+          |  SELECT src, dst FROM rec_sql_edges
+          |  UNION
+          |  SELECT tc.src, e.dst FROM tc JOIN rec_sql_edges e ON tc.dst = e.src
+          |) SELECT src, dst FROM tc ORDER BY src, dst""".stripMargin).df
+    }),
+
     // one-round message passing: in-degree via msg=1/sum/coalesce — the
     // messagePassing surface of SeccoGraphFrame.scala:104-146.
     "q45_msgpass_indegree" -> ((s, d) => {
@@ -253,6 +268,13 @@ object Graph {
          |m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM m GROUP BY id ORDER BY id""".stripMargin,
+    "q86_recursive_sql" ->
+      s"""WITH RECURSIVE edges AS ($denseEdgesSql),
+         |tc(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+         |SELECT src, dst FROM tc ORDER BY src, dst""".stripMargin,
     "q45_msgpass_indegree" ->
       s"""WITH edges AS ($denseEdgesSql),
          |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),

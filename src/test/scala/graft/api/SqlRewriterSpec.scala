@@ -63,6 +63,80 @@ class SqlRewriterSpec extends SparkSpec {
     assert(r.head.getInt(0) === 1 && r.head.getInt(1) === 2)
   }
 
+  test("WITH RECURSIVE computes a transitive closure to fixpoint (UNION set semantics)") {
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("rec_chain")
+    val out = session.sql(
+      """WITH RECURSIVE tc AS (
+        |  SELECT src, dst FROM rec_chain
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN rec_chain e ON tc.dst = e.src
+        |) SELECT src, dst FROM tc""".stripMargin)
+      .df.as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (1L, 4L)))
+  }
+
+  test("WITH RECURSIVE(n) caps the rounds like the reference's Recursion(plan, n)") {
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("rec_chain2")
+    val out = session.sql(
+      """WITH RECURSIVE(1) tc AS (
+        |  SELECT src, dst FROM rec_chain2
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN rec_chain2 e ON tc.dst = e.src
+        |) SELECT src, dst FROM tc""".stripMargin)
+      .df.as[(Long, Long)].collect().toSet
+    // one round past the base: paths of length ≤ 2 only
+    assert(out === Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L)))
+  }
+
+  test("WITH RECURSIVE with UNION ALL accumulates working-table rows (generator)") {
+    val out = session.sql(
+      """WITH RECURSIVE(20) gen(x) AS (
+        |  SELECT 1 AS x
+        |  UNION ALL
+        |  SELECT x + 1 FROM gen WHERE x < 5
+        |) SELECT x FROM gen""".stripMargin)
+      .df.as[Int].collect().sorted.toSeq
+    assert(out === Seq(1, 2, 3, 4, 5))
+  }
+
+  test("WITH RECURSIVE terminates on a cyclic graph (set fixpoint)") {
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .createOrReplaceTempView("rec_cycle")
+    val out = session.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT src, dst FROM rec_cycle
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN rec_cycle e ON r.dst = e.src
+        |) SELECT count(*) AS n FROM r""".stripMargin)
+      .df.as[Long].head()
+    assert(out === 9L) // full 3x3 closure, despite the cycle
+  }
+
+  test("WITH RECURSIVE matches the iterateToFixpoint API operator") {
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+      .createOrReplaceTempView("rec_api")
+    val viaSql = session.sql(
+      """WITH RECURSIVE tc AS (
+        |  SELECT src, dst FROM rec_api
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN rec_api e ON tc.dst = e.src
+        |) SELECT src, dst FROM tc""".stripMargin)
+      .df.as[(Long, Long)].collect().toSet
+    val edges = spark.table("rec_api")
+    val viaApi = session.createDatasetFromSparkSQL(edges)
+      .iterateToFixpoint(100) { cur =>
+        session.createDatasetFromSparkSQL(
+          cur.df.union(
+            cur.df.as("t").join(edges.as("e"),
+              org.apache.spark.sql.functions.col("t.dst") ===
+                org.apache.spark.sql.functions.col("e.src"))
+              .select($"t.src", $"e.dst")).distinct())
+      }.df.as[(Long, Long)].collect().toSet
+    assert(viaSql === viaApi)
+  }
+
   test("keywords and parens inside string literals are content, not syntax") {
     val r = session.sql(
       "SELECT 'UNION BY UPDATE k (' AS a, 'MATCH(g, (x)-[]->(y))' AS b, ')(' AS c")
