@@ -63,7 +63,15 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = names.collect { case k if !errors.contains(k) => times(k) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver snapshots only a stdout tail (2000 chars — fewer than the
+    // per-query map needs past ~65 queries); the full line also lands in a
+    // file so every per-query time stays machine-readable
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

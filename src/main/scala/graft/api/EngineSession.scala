@@ -118,8 +118,15 @@ final class EngineSession(val spark: SparkSession) {
     * cost-based optimizer use them alongside the PK-FK rule.
     */
   def analyzeTable(name: String, columns: Seq[String] = Nil): Unit = {
-    // column-level ANALYZE only works on cached temp views (Spark restriction)
-    if (spark.catalog.tableExists(name) && !spark.catalog.isCached(name)) {
+    // TEMPORARY views only support ANALYZE when cached (Spark restriction) —
+    // cache those alone. Catalog tables take ANALYZE natively, and
+    // cacheTable on a 100 TB catalog table would materialize it into storage
+    // memory the moment ANALYZE scans it.
+    val isTempView =
+      try spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).tableType == "TEMPORARY"
+      catch { case _: Exception => false }
+    if (isTempView && !spark.catalog.isCached(name)) {
       try spark.catalog.cacheTable(name) catch { case _: Exception => () }
     }
     if (columns.isEmpty) spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")

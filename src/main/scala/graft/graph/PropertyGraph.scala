@@ -232,12 +232,20 @@ final case class PropertyGraph(
     *
     * @param pointerJump also adopt label(label(v)) each round, composing
     *   propagation paths: O(log diameter) rounds instead of O(diameter) at
-    *   the cost of one extra join per round. Measured on this suite's
-    *   small-diameter graphs (5 rounds → 4) the extra join is a wash, so it
-    *   defaults off; turn it on for long-path graphs (road networks, chains)
-    *   where round count, not per-round cost, dominates.
+    *   the cost of one extra join per round. Defaults ON — on small-diameter
+    *   graphs the extra join is a wash (measured 5 rounds → 4 on this suite),
+    *   while on long-path graphs (road networks, chains) it is the difference
+    *   between 6 rounds and 50; each Spark round is a full shuffle barrier,
+    *   so round count dominates at scale.
     */
-  def connectedComponents(maxIterations: Int = 50, pointerJump: Boolean = false): DataFrame = {
+  def connectedComponents(maxIterations: Int = 50, pointerJump: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(maxIterations, pointerJump)._1
+
+  /** [[connectedComponents]] plus the number of rounds actually run —
+    * observability for specs and convergence telemetry.
+    */
+  def connectedComponentsWithRounds(maxIterations: Int = 50,
+      pointerJump: Boolean = true): (DataFrame, Int) = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -271,7 +279,7 @@ final case class PropertyGraph(
       i += 1
     }
     und.unpersist(false)
-    state
+    (state, i)
   }
 
   /** Single-source shortest paths over unit edge weights (reference benchmark

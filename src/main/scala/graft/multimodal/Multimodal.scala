@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): [[MediaCodec.decodeStub]] derives deterministic fake metadata
-  * and features from the bytes. Everything around the stub — the schema, the
-  * `Dataset[MediaRow]` encoder, the mapPartitions batch shape (one codec
-  * context per partition, rows streamed through it), the frame-sampling
-  * explode, and the partitioning — is real Spark and is what survives when a
-  * native decoder (JNI/FFI) replaces the stub at 100 TB.
+  * IMAGE decode is REAL: [[MediaCodec.decode]] runs the JDK's own
+  * `javax.imageio` (java.desktop — PNG/JPEG/GIF/BMP readers ship with the
+  * JDK, headless-safe) to true pixel dimensions, channel count, and
+  * grid-pooled intensity features. Audio/video codecs are STUBBED (no such
+  * libraries in this container): [[MediaCodec.decodeStub]] derives
+  * deterministic fake metadata and features from the bytes, and undecodable
+  * image bytes fall back to it rather than failing the task. Everything
+  * around the codec seam — the schema, the `Dataset[MediaRow]` encoder, the
+  * mapPartitions batch shape (one codec context per partition, rows streamed
+  * through it), the frame-sampling explode, and the partitioning — is real
+  * Spark and is what survives when a native A/V decoder (JNI/FFI) replaces
+  * the remaining stub at 100 TB.
   */
 object Multimodal {
 
@@ -27,12 +32,72 @@ object Multimodal {
   final case class DecodedRow(
       id: Long, modality: String, meta: MediaMeta, features: Array[Float])
 
-  /** The codec seam. Deterministic fake: metadata and a 16-dim feature
-    * vector derived from the byte content; replace body with a real decoder
-    * without touching any Spark plumbing.
+  /** The codec seam: real JDK ImageIO for images, deterministic stub for the
+    * modalities this container has no codecs for. Swapping in a native A/V
+    * decoder touches only this object, no Spark plumbing.
     */
   object MediaCodec {
     val FeatureDim = 16
+
+    // decode must never touch a display or scratch temp files inside tasks
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode one row: images through ImageIO (real pixels), everything else
+      * (and undecodable image bytes — at 100 TB some inputs are always
+      * malformed) through the deterministic stub.
+      */
+    def decode(row: MediaRow): DecodedRow =
+      if (row.modality == "image") decodeImage(row).getOrElse(decodeStub(row))
+      else decodeStub(row)
+
+    /** Real image decode: true width/height/channels from the decoded raster
+      * and a 4×4 grid of mean pixel intensities (0..1) as the feature vector
+      * — a deterministic, resolution-independent content signature. Pixels
+      * are sampled at a stride that caps work at ~64×64 reads per image, so
+      * decode cost is bounded regardless of resolution.
+      */
+    private def decodeImage(row: MediaRow): Option[DecodedRow] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w <= 0 || h <= 0) None
+          else {
+            val grid = 4 // 4×4 cells = FeatureDim
+            val feats = new Array[Float](FeatureDim)
+            val counts = new Array[Int](FeatureDim)
+            val stride = math.max(1, math.max(w, h) / 64)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(grid - 1, y * grid / h)
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3f * 255f)
+                val cell = gy * grid + math.min(grid - 1, x * grid / w)
+                feats(cell) += lum
+                counts(cell) += 1
+                x += stride
+              }
+              y += stride
+            }
+            var c = 0
+            while (c < FeatureDim) {
+              if (counts(c) > 0) feats(c) /= counts(c)
+              c += 1
+            }
+            val meta = MediaMeta(
+              width = w, height = h,
+              channels = img.getColorModel.getNumComponents,
+              sampleRate = 0, durationMs = 0L, nFrames = 1,
+              sizeBytes = row.content.length.toLong)
+            Some(DecodedRow(row.id, row.modality, meta, feats))
+          }
+        }
+      } catch { case _: Exception => None }
 
     def decodeStub(row: MediaRow): DecodedRow = {
       val bytes = row.content
@@ -131,13 +196,13 @@ object Multimodal {
   /** Decode + featurize, one codec pass per partition. `mapPartitions` (not
     * per-row UDF) is deliberate: a real decoder amortizes codec/context init
     * across the partition's batch, the same shape Arrow/Pandas batching gives
-    * PySpark.
+    * PySpark. Images decode for real (ImageIO); see [[MediaCodec.decode]].
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: open codec context here, close after the batch
-      rows.map(MediaCodec.decodeStub)
+      // real impl for A/V: open codec context here, close after the batch
+      rows.map(MediaCodec.decode)
     }
   }
 

@@ -51,4 +51,21 @@ class EngineSessionSpec extends SparkSpec {
     spark.catalog.uncacheTable("stats_t")
     spark.catalog.dropTempView("stats_t")
   }
+
+  test("ANALYZE on a saved catalog table computes column stats WITHOUT caching it") {
+    session.enableCbo()
+    spark.sql("DROP TABLE IF EXISTS stats_saved")
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("k", "tag")
+      .write.mode("overwrite").saveAsTable("stats_saved")
+    try {
+      session.analyzeTable("stats_saved", Seq("k", "tag"))
+      // column stats landed (distinct counts visible to CBO)...
+      val desc = spark.sql("DESCRIBE EXTENDED stats_saved k")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").exists(_.toLong >= 3L))
+      // ...and storage memory stayed empty — a 100 TB table must never be
+      // pulled into the cache as an ANALYZE side effect
+      assert(!spark.catalog.isCached("stats_saved"))
+    } finally spark.sql("DROP TABLE IF EXISTS stats_saved")
+  }
 }

@@ -99,10 +99,25 @@ class PropertyGraphSpec extends SparkSpec {
     val ce = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
       .toDF("src", "dst")
     val g2 = PropertyGraph.fromEdges(ce)
-    val plain = g2.connectedComponents().as[(Long, Long)].collect().toMap
+    val plain = g2.connectedComponents(pointerJump = false).as[(Long, Long)].collect().toMap
     val jumped = g2.connectedComponents(pointerJump = true).as[(Long, Long)].collect().toMap
     assert(plain === jumped)
     assert(plain(6L) === 1L && plain(11L) === 10L)
+  }
+
+  test("pointer jumping (the default) converges in logarithmic rounds on a path graph") {
+    // 48-node directed path: plain hash-min needs ~diameter rounds, while
+    // label(label(v)) composition roughly halves the remaining distance each
+    // round — every round is a shuffle barrier, so this IS the scale story
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    val g = PropertyGraph.fromEdges(chain)
+    val (ccJump, roundsJump) = g.connectedComponentsWithRounds(maxIterations = 40)
+    val (ccPlain, roundsPlain) =
+      g.connectedComponentsWithRounds(maxIterations = 40, pointerJump = false)
+    assert(ccJump.as[(Long, Long)].collect().toMap ===
+      ccPlain.as[(Long, Long)].collect().toMap)
+    assert(roundsPlain > 15)  // O(diameter)
+    assert(roundsJump <= 10)  // O(log diameter)
   }
 
   test("trianglesPerVertex counts cycle membership per vertex") {

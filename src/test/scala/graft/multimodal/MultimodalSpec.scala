@@ -25,6 +25,38 @@ class MultimodalSpec extends SparkSpec {
     assert(again(3) === out(3).features.toSeq)
   }
 
+  test("decode runs a REAL image decode through the JDK's ImageIO") {
+    // real encoded images, produced by the same JDK codecs that decode them
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val whitePng = encode("png", 48, 32, 0xffffff)
+    val blackBmp = encode("bmp", 20, 10, 0x000000)
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "image", whitePng),
+      MediaRow(2L, "image", blackBmp),
+      MediaRow(3L, "image", Array[Byte](1, 2, 3)))) // undecodable → stub fallback
+    val out = decode(ds).collect().map(r => r.id -> r).toMap
+
+    // meta agrees with the independent container-header parser
+    val pngInfo = ImageHeaders.parse(whitePng)
+    assert((out(1L).meta.width, out(1L).meta.height) === (pngInfo.width, pngInfo.height))
+    assert((out(1L).meta.width, out(1L).meta.height) === (48, 32))
+    val bmpInfo = ImageHeaders.parse(blackBmp)
+    assert((out(2L).meta.width, out(2L).meta.height) === (bmpInfo.width, bmpInfo.height))
+    assert(out(1L).meta.channels === 3 && out(2L).meta.channels === 3)
+    // grid-pooled intensity features see the actual pixels
+    assert(out(1L).features.forall(f => f > 0.99f && f <= 1.0f)) // white
+    assert(out(2L).features.forall(_ < 0.01f))                   // black
+    // fallback keeps the pipeline total: stub meta, not an exception
+    assert(out(3L).meta.sizeBytes === 3L)
+  }
+
   test("imageInfo parses real PNG/JPEG/GIF/BMP headers from bytes") {
     import Multimodal.{ImageHeaders, MediaRow}
     // hand-built minimal headers (real container layouts, no image libs)
