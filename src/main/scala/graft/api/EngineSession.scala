@@ -37,8 +37,14 @@ final class EngineSession(val spark: SparkSession) {
     * reference's two SQL extensions via [[SqlRewriter]]:
     * `(q) UNION BY UPDATE cols (q)` and `MATCH(graph, pattern)` in FROM.
     */
-  def sql(text: String): EngineDataFrame =
-    EngineDataFrame(spark.sql(SqlRewriter.rewrite(text, this)), this)
+  def sql(text: String): EngineDataFrame = {
+    val (rewritten, cleanup) = SqlRewriter.rewriteTracked(text, this)
+    // spark.sql analyzes eagerly, so the recursive-CTE internal views are
+    // resolved into the returned plan; dropping them (and releasing the
+    // per-round checkpoints) afterwards is safe and keeps the CTE name
+    // query-scoped instead of leaking into the session catalog.
+    try EngineDataFrame(spark.sql(rewritten), this) finally cleanup()
+  }
 
   /** Temp-view lookup (SeccoSession.scala:78-85). */
   def table(name: String): EngineDataFrame = EngineDataFrame(spark.table(name), this)

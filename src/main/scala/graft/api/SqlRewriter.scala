@@ -20,13 +20,23 @@ package graft.api
   *     (reference SQLParser.scala:366-374 → `With(query, withList, recursive)`,
   *     multiwayOperators.scala:306-326): the recursive CTE, with the
   *     reference's optional round cap `(n)`. The base branches must not
-  *     reference `name`; the step branches may. Semantics follow the SQL
-  *     standard working-table scheme: with `UNION` the body is iterated to a
-  *     set fixpoint (each round re-derives `base ∪ step(T)`, stopping when
-  *     the multiset stops changing or after n rounds — the `iterateToFixpoint`
-  *     API op); with `UNION ALL` rows accumulate bag-style until a round's
-  *     step yields nothing (or n rounds). The final relation is registered as
-  *     a temp view under `name` and the trailing query text is returned.
+  *     reference `name` (a branch "references" the CTE when the name appears
+  *     in a table position — after FROM/JOIN or a FROM-list comma — or is
+  *     used anywhere as a `name.` qualifier); the step branches may.
+  *     Semantics follow the SQL-standard working-table scheme: each round the
+  *     step branches see ONLY the previous round's new rows. With `UNION`
+  *     that is semi-naive set evaluation — rows are deduplicated against
+  *     everything derived so far and iteration stops when a round adds
+  *     nothing (guaranteed for the standard's monotone step bodies; a cap
+  *     `(n)` bounds the rounds explicitly). With `UNION ALL` rows accumulate
+  *     bag-style until a round's step yields nothing (default cap 100, since
+  *     a bag body has no intrinsic fixpoint). The result is registered under
+  *     a query-scoped internal view name — the user-visible CTE name is
+  *     never registered, so it cannot clobber a same-named session temp
+  *     view — and every occurrence of the CTE name in the step branches and
+  *     the trailing query is substituted with it. (Consequently a column or
+  *     alias that coincidentally shares the CTE's name inside those texts is
+  *     not supported.) The trailing query text is returned.
   *
   * The MATCH/UBU rewrites are purely textual (token-level, paren-balanced);
   * the recursive CTE additionally executes the iteration (it has no
@@ -36,7 +46,25 @@ package graft.api
 object SqlRewriter {
 
   def rewrite(input: String, session: EngineSession): String =
-    rewriteUnionByUpdate(rewriteMatch(rewriteRecursiveWith(input, session), session))
+    rewriteTracked(input, session)._1
+
+  /** [[rewrite]] plus a cleanup thunk that drops the internal temp views and
+    * releases the intermediate per-round checkpoints a recursive CTE
+    * registered. Call it after the rewritten text has been through
+    * `spark.sql` — analysis resolves the views into the plan, so dropping
+    * them afterwards is safe ([[EngineSession.sql]] does exactly this).
+    */
+  def rewriteTracked(input: String, session: EngineSession): (String, () => Unit) = {
+    val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val runCleanups = () => cleanups.reverseIterator.foreach { f =>
+      try f() catch { case _: Exception => () }
+    }
+    try {
+      val out = rewriteUnionByUpdate(
+        rewriteMatch(rewriteRecursiveWith(input, session, cleanups), session))
+      (out, runCleanups)
+    } catch { case t: Throwable => runCleanups(); throw t }
+  }
 
   /** Positions inside single/double-quoted string literals: parens, commas
     * and keywords there are content, not syntax — every scan below consults
@@ -163,13 +191,22 @@ object SqlRewriter {
   /* ---- WITH RECURSIVE[(n)] name [(cols)] AS (body) query ---- */
 
   private val RecursiveRe = "(?i)^\\s*WITH\\s+RECURSIVE\\b".r
+  private val RecursiveAnywhereRe = "(?i)\\bWITH\\s+RECURSIVE\\b".r
 
-  /** Default round cap when `(n)` is omitted — set-semantics bodies usually
-    * reach their fixpoint long before this; bag bodies stop on an empty step.
+  /** Default round cap for `UNION ALL` bodies when `(n)` is omitted — a bag
+    * body has no intrinsic fixpoint, so an unbounded generator must be
+    * stopped somewhere. Set-semantics (`UNION`) bodies terminate on their
+    * own fixpoint and default to no cap, matching the uncapped engines.
     */
-  private val DefaultMaxRounds = 100
+  private val DefaultBagRounds = 100
 
-  private def rewriteRecursiveWith(input: String, session: EngineSession): String = {
+  /** Query-scoped internal view names: the CTE result is registered under
+    * one of these, never under the user-visible CTE name (see class doc).
+    */
+  private val rcteCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  private def rewriteRecursiveWith(input: String, session: EngineSession,
+      cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): String = {
     val m = RecursiveRe.findFirstMatchIn(input).getOrElse(return input)
     val mask = literalMask(input)
     var i = m.end
@@ -181,12 +218,13 @@ object SqlRewriter {
     }
     skipWs()
     // optional (n) round cap — the reference's `Recursive ~> opt(Lp ~> intLit <~ Rp)`
-    var maxRounds = DefaultMaxRounds
+    var maxRounds: Option[Int] = None
     if (i < input.length && input(i) == '(') {
       val close = input.indexOf(')', i)
       require(close > i, "WITH RECURSIVE: unterminated round cap")
-      maxRounds = input.substring(i + 1, close).trim.toInt
-      require(maxRounds >= 0, "WITH RECURSIVE: negative round cap")
+      val n = input.substring(i + 1, close).trim.toInt
+      require(n >= 0, "WITH RECURSIVE: negative round cap")
+      maxRounds = Some(n)
       i = close + 1
       skipWs()
     }
@@ -227,9 +265,28 @@ object SqlRewriter {
     val rest = input.substring(i).trim
     require(!rest.startsWith(","),
       "WITH RECURSIVE: a single recursive CTE element is supported")
+    require(rest.nonEmpty,
+      "WITH RECURSIVE: missing trailing query after the CTE definition")
+    require(!RecursiveAnywhereRe.findAllMatchIn(body)
+        .exists(m => !literalMask(body)(m.start)),
+      "WITH RECURSIVE: a recursive CTE nested inside the CTE body is not supported")
 
-    executeRecursiveCte(name, cols, body, maxRounds, session)
-    rest
+    val view = s"__graft_rcte_${rcteCounter.incrementAndGet()}_$name"
+    executeRecursiveCte(view, name, cols, body, maxRounds, session, cleanups)
+    cleanups += (() => session.spark.catalog.dropTempView(view))
+
+    // the trailing query sees the result under the internal name; a trailing
+    // query that is itself a recursive WITH recurses, anything deeper is
+    // rejected rather than silently left as unparseable text
+    val restSub = substName(rest, name, view)
+    val out =
+      if (RecursiveRe.findFirstMatchIn(restSub).isDefined)
+        rewriteRecursiveWith(restSub, session, cleanups)
+      else restSub
+    require(!RecursiveAnywhereRe.findAllMatchIn(out)
+        .exists(m => !literalMask(out)(m.start)),
+      "WITH RECURSIVE: only supported as the statement's leading clause")
+    out
   }
 
   /** Split `body` into top-level branches at UNION / UNION ALL connectors
@@ -270,60 +327,176 @@ object SqlRewriter {
     (branches.toSeq, allBag)
   }
 
-  private def referencesName(text: String, name: String): Boolean = {
-    val mask = literalMask(text)
-    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      .findAllMatchIn(text).exists(m => !mask(m.start))
+  /** Per-index flag: is this position inside a FROM list (the innermost
+    * clause at this paren depth is FROM/JOIN, before WHERE/GROUP/…)? Used to
+    * tell a table-list comma (`FROM a, b`) from a select-list comma
+    * (`SELECT a, b`), so a column coincidentally named like the CTE does not
+    * misclassify a base branch as a step branch.
+    */
+  private def fromListMask(s: String): Array[Boolean] = {
+    val mask = literalMask(s)
+    val out = new Array[Boolean](s.length)
+    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    var inFrom = false
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i)) {
+        val c = s(i)
+        if (c == '(') { stack.push(inFrom); inFrom = false }
+        else if (c == ')') inFrom = if (stack.nonEmpty) stack.pop() else false
+        else if (c.isLetter || c == '_') {
+          val st = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          s.substring(st, i).toUpperCase match {
+            case "FROM" | "JOIN"                                    => inFrom = true
+            case "SELECT" | "WHERE" | "GROUP" | "HAVING" | "ORDER" |
+                 "LIMIT" | "WINDOW" | "ON" | "USING" | "UNION" |
+                 "INTERSECT" | "EXCEPT"                             => inFrom = false
+            case _                                                  =>
+          }
+          i -= 1 // outer loop advances past the word's last char
+        }
+      }
+      if (i < s.length) out(i) = inFrom
+      i += 1
+    }
+    out
   }
 
-  /** Run the working-table iteration and register the result under `name`. */
-  private def executeRecursiveCte(name: String, cols: Seq[String], body: String,
-      maxRounds: Int, session: EngineSession): Unit = {
+  /** Does `text` reference the CTE `name` — i.e. use it in a table position
+    * (right after FROM/JOIN or a FROM-list comma) or as a `name.` column
+    * qualifier anywhere? A bare occurrence elsewhere (a column or alias that
+    * happens to share the name) does not count.
+    */
+  private def referencesName(text: String, name: String): Boolean = {
+    val mask = literalMask(text)
+    lazy val fromMask = fromListMask(text)
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .findAllMatchIn(text).exists { m =>
+        if (mask(m.start)) false
+        else if (m.end < text.length && text(m.end) == '.') true // qualifier
+        else {
+          val p = lastNonWs(text, m.start - 1)
+          if (p < 0) false
+          else if (text(p) == ',') fromMask(p)
+          else {
+            var ws = p
+            while (ws >= 0 && (text(ws).isLetterOrDigit || text(ws) == '_')) ws -= 1
+            val w = text.substring(ws + 1, p + 1).toUpperCase
+            w == "FROM" || w == "JOIN"
+          }
+        }
+      }
+  }
+
+  /** Replace every word-boundary occurrence of `name` outside string
+    * literals with `repl` (table refs and `name.` qualifiers alike — see the
+    * class doc for the implied name-collision restriction).
+    */
+  private def substName(text: String, name: String, repl: String): String = {
+    val mask = literalMask(text)
+    val sb = new StringBuilder
+    var last = 0
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .findAllMatchIn(text).foreach { m =>
+        if (!mask(m.start)) {
+          sb.append(text.substring(last, m.start)).append(repl)
+          last = m.end
+        }
+      }
+    sb.append(text.substring(last)).toString
+  }
+
+  /** Run the working-table iteration and register the result under the
+    * query-scoped internal view `view`; self-references spelled `name` in
+    * the step branches are substituted first.
+    *
+    * Per-round lineage truncation goes through a persisted `RDD[Row]` +
+    * `createDataFrame` rather than `localCheckpoint`: a localCheckpointed
+    * frame carries its origin plan's constraints, and when the same
+    * checkpoint leaf lands on both sides of the round's anti-join (the
+    * frontier is part of the accumulated total), relation deduplication
+    * re-instances the leaf without remapping those constraints — Union's
+    * constraint rewrite then fails analysis on the stale attribute ids.
+    * The RDD round-trip mints fresh attributes and carries no constraints.
+    * Intermediate rounds' caches are released via `cleanups` once the
+    * statement is analyzed; the final result keeps its cache (the view's
+    * backing data) until the context cleaner collects it.
+    */
+  private def executeRecursiveCte(view: String, name: String, cols: Seq[String],
+      body: String, maxRounds: Option[Int], session: EngineSession,
+      cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): Unit = {
     val spark = session.spark
     // the body may itself use the other SQL extensions
     val cooked = rewriteUnionByUpdate(rewriteMatch(body, session))
     val (branches, allBag) = splitTopLevelUnion(cooked)
-    val (stepB, baseB) = branches.partition(referencesName(_, name))
+    val (stepRaw, baseB) = branches.partition(referencesName(_, name))
+    val stepB = stepRaw.map(substName(_, name, view))
     def rename(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (cols.nonEmpty) df.toDF(cols: _*) else df
 
-    if (stepB.isEmpty) { // no self-reference: an ordinary CTE
-      rename(spark.sql(cooked)).createOrReplaceTempView(name)
+    if (stepRaw.isEmpty) { // no self-reference: an ordinary CTE
+      rename(spark.sql(cooked)).createOrReplaceTempView(view)
       return
     }
     require(baseB.nonEmpty,
       s"WITH RECURSIVE: CTE '$name' needs at least one base branch not referencing itself")
 
+    val interim = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    cleanups += (() => interim.foreach { r =>
+      try r.unpersist(false) catch { case _: Exception => () }
+    })
+    // (rowCount, truncated frame); count doubles as full materialization
+    def materialize(df: org.apache.spark.sql.DataFrame): (Long, org.apache.spark.sql.DataFrame) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      interim += rdd
+      (rdd.count(), spark.createDataFrame(rdd, df.schema))
+    }
+
     if (allBag) {
       // UNION ALL: standard working-table accumulation — each round the step
       // sees only the previous round's rows; stop on an empty step or cap.
-      // Lineage is truncated per round (localCheckpoint) like iterate().
-      var working = rename(spark.sql(baseB.mkString(" UNION ALL "))).localCheckpoint(true)
+      val cap = maxRounds.getOrElse(DefaultBagRounds)
+      var working = materialize(rename(spark.sql(baseB.mkString(" UNION ALL "))))._2
       var acc = working
       var round = 0
       var done = false
-      while (!done && round < maxRounds) {
-        working.createOrReplaceTempView(name)
-        val step = rename(spark.sql(stepB.mkString(" UNION ALL "))).localCheckpoint(true)
-        if (step.isEmpty) done = true
+      while (!done && round < cap) {
+        working.createOrReplaceTempView(view)
+        val (stepN, step) = materialize(rename(spark.sql(stepB.mkString(" UNION ALL "))))
+        if (stepN == 0) done = true
         else { acc = acc.union(step); working = step; round += 1 }
       }
-      acc.localCheckpoint(true).createOrReplaceTempView(name)
+      materialize(acc)._2.createOrReplaceTempView(view)
     } else {
-      // UNION: re-derive `base ∪ step(T)` to a set fixpoint (the
-      // iterateToFixpoint semantics, EngineDataFrame.scala) with cap n
-      var cur = rename(spark.sql(baseB.mkString(" UNION "))).distinct().localCheckpoint(true)
+      // UNION: semi-naive set evaluation. Each round the step sees only the
+      // previous round's genuinely-new rows (the frontier delta) and new
+      // rows are deduplicated against everything derived so far — on a
+      // transitive closure this joins the frontier against the edges instead
+      // of re-deriving the whole closure, and termination is the natural
+      // empty-delta fixpoint (monotone bodies only, per the SQL standard).
+      // EXCEPT is spelled as a null-safe anti-join with the step side on the
+      // left, so only step-side constraints survive into the round's frame.
+      val cap = maxRounds.getOrElse(Int.MaxValue)
+      var total = materialize(rename(spark.sql(baseB.mkString(" UNION "))).distinct())._2
+      var delta = total
       var round = 0
       var done = false
-      while (!done && round < maxRounds) {
-        cur.createOrReplaceTempView(name)
-        val next = rename(spark.sql(cooked)).localCheckpoint(true)
-        done = next.exceptAll(cur).limit(1).count() +
-          cur.exceptAll(next).limit(1).count() == 0
-        cur = next
-        round += 1
+      while (!done && round < cap) {
+        delta.createOrReplaceTempView(view)
+        val stepped = rename(spark.sql(stepB.mkString(" UNION "))).distinct()
+        val minus = stepped.columns
+          .map(c => org.apache.spark.sql.functions.col(s"__rcte_s.`$c`") <=>
+            org.apache.spark.sql.functions.col(s"__rcte_t.`$c`"))
+          .reduce(_ && _)
+        val (freshN, fresh) = materialize(stepped.as("__rcte_s")
+          .join(total.as("__rcte_t"), minus, "left_anti"))
+        if (freshN == 0) done = true
+        else { total = total.union(fresh); delta = fresh; round += 1 }
       }
-      cur.createOrReplaceTempView(name)
+      materialize(total)._2.createOrReplaceTempView(view)
     }
+    // the final frame's cache is the view's backing data — keep it
+    if (interim.nonEmpty) interim.remove(interim.length - 1)
   }
 }

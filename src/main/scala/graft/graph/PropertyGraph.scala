@@ -232,20 +232,26 @@ final case class PropertyGraph(
     *
     * @param pointerJump also adopt label(label(v)) each round, composing
     *   propagation paths: O(log diameter) rounds instead of O(diameter) at
-    *   the cost of one extra join per round. Defaults ON — on small-diameter
-    *   graphs the extra join is a wash (measured 5 rounds → 4 on this suite),
-    *   while on long-path graphs (road networks, chains) it is the difference
-    *   between 6 rounds and 50; each Spark round is a full shuffle barrier,
-    *   so round count dominates at scale.
+    *   the cost of one extra join per round. Defaults ON, but ADAPTIVE: the
+    *   first `pointerJumpAfter` rounds run plain hash-min, and jumping only
+    *   engages if the graph has not converged by then. Small-diameter graphs
+    *   (the common social/web case) converge inside the plain prefix and
+    *   never pay the extra join; long-path graphs (road networks, chains)
+    *   switch to composition and finish in O(log diameter) rounds — each
+    *   Spark round is a full shuffle barrier, so round count dominates at
+    *   scale.
+    * @param pointerJumpAfter first round index at which label composition
+    *   engages (only with `pointerJump`); 0 jumps from the start.
     */
-  def connectedComponents(maxIterations: Int = 50, pointerJump: Boolean = true): DataFrame =
-    connectedComponentsWithRounds(maxIterations, pointerJump)._1
+  def connectedComponents(maxIterations: Int = 50, pointerJump: Boolean = true,
+      pointerJumpAfter: Int = 3): DataFrame =
+    connectedComponentsWithRounds(maxIterations, pointerJump, pointerJumpAfter)._1
 
   /** [[connectedComponents]] plus the number of rounds actually run —
     * observability for specs and convergence telemetry.
     */
   def connectedComponentsWithRounds(maxIterations: Int = 50,
-      pointerJump: Boolean = true): (DataFrame, Int) = {
+      pointerJump: Boolean = true, pointerJumpAfter: Int = 3): (DataFrame, Int) = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -261,7 +267,8 @@ final case class PropertyGraph(
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbrComponent"), col("component"))).as("c1"))
       val stepped =
-        if (!pointerJump) relaxed.select(col("id"), col("prev"), col("c1").as("component"))
+        if (!pointerJump || i < pointerJumpAfter)
+          relaxed.select(col("id"), col("prev"), col("c1").as("component"))
         else {
           // label(label(v)): component labels are always vertex ids, so the
           // lookup side is the same relaxed frame re-keyed by id.

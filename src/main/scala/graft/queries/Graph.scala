@@ -155,15 +155,17 @@ object Graph {
       g.trianglesPerVertex().orderBy("id")
     }),
 
-    // the reference's recursive-CTE SQL surface: WITH RECURSIVE(n)
-    // (SQLParser.scala:366-374, multiwayOperators.scala:306-326) — bounded
+    // the reference's recursive-CTE SQL surface: WITH RECURSIVE
+    // (SQLParser.scala:366-374, multiwayOperators.scala:306-326) — full
     // transitive closure over the dense edge set, reached purely via SQL
-    // text through SqlRewriter's working-table iteration.
+    // text through SqlRewriter's semi-naive working-table iteration. No
+    // round cap on either side: both graft and the DuckDB oracle run to
+    // the set fixpoint, so the gate cannot diverge on closure depth.
     "q86_recursive_sql" -> ((s, d) => {
       val es = graft.api.EngineSession(s)
       denseEdges(Tables(s, d)).createOrReplaceTempView("rec_sql_edges")
       es.sql(
-        """WITH RECURSIVE(50) tc AS (
+        """WITH RECURSIVE tc AS (
           |  SELECT src, dst FROM rec_sql_edges
           |  UNION
           |  SELECT tc.src, e.dst FROM tc JOIN rec_sql_edges e ON tc.dst = e.src

@@ -137,6 +137,84 @@ class SqlRewriterSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("WITH RECURSIVE does not clobber a same-named session temp view") {
+    Seq(("shadow-me", 1L)).toDF("tag", "n").createOrReplaceTempView("tc_shadow")
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("rec_shadow")
+    val out = session.sql(
+      """WITH RECURSIVE tc_shadow AS (
+        |  SELECT src, dst FROM rec_shadow
+        |  UNION
+        |  SELECT tc_shadow.src, e.dst FROM tc_shadow JOIN rec_shadow e ON tc_shadow.dst = e.src
+        |) SELECT count(*) AS n FROM tc_shadow""".stripMargin)
+      .df.as[Long].head()
+    assert(out === 3L) // (1,2)(2,3)(1,3)
+    // the pre-existing view is untouched and no internal view is left behind
+    assert(spark.table("tc_shadow").columns.toSeq === Seq("tag", "n"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_rcte_")))
+  }
+
+  test("a column coincidentally named like the CTE does not make a branch recursive") {
+    // `cand` appears as a column in the base branch — under the old
+    // word-boundary match this branch would be misclassified as a step and
+    // the require(base nonEmpty) would trip. (A coincidental column named
+    // like the CTE inside a STEP branch remains unsupported — class doc.)
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "cand").createOrReplaceTempView("rec_alias")
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("rec_alias_e")
+    val out = session.sql(
+      """WITH RECURSIVE cand AS (
+        |  SELECT src, cand AS dst FROM rec_alias
+        |  UNION
+        |  SELECT cand.src, e.dst FROM cand JOIN rec_alias_e e ON cand.dst = e.src
+        |) SELECT count(*) AS n FROM cand""".stripMargin)
+      .df.as[Long].head()
+    assert(out === 3L)
+  }
+
+  test("WITH RECURSIVE without a trailing query fails with a specific message") {
+    val e = intercept[IllegalArgumentException] {
+      session.sql(
+        "WITH RECURSIVE tc AS (SELECT 1 AS x UNION SELECT x + 1 FROM tc WHERE x < 3)")
+    }
+    assert(e.getMessage.contains("missing trailing query"))
+  }
+
+  test("a recursive CTE nested inside the body or trailing query is rejected") {
+    val eBody = intercept[IllegalArgumentException] {
+      session.sql(
+        """WITH RECURSIVE tc AS (
+          |  SELECT * FROM (WITH RECURSIVE inner_r AS (SELECT 1 AS x) SELECT x FROM inner_r)
+          |  UNION SELECT x FROM tc
+          |) SELECT * FROM tc""".stripMargin)
+    }
+    assert(eBody.getMessage.contains("nested inside the CTE body"))
+    val eRest = intercept[IllegalArgumentException] {
+      session.sql(
+        """WITH RECURSIVE tc AS (SELECT 1 AS x UNION SELECT x FROM tc)
+          |SELECT * FROM tc JOIN (WITH RECURSIVE r2 AS (SELECT 1 AS y) SELECT y FROM r2) q
+          |""".stripMargin)
+    }
+    assert(eRest.getMessage.contains("leading clause"))
+  }
+
+  test("a trailing query that is itself WITH RECURSIVE chains") {
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("rec_chain3")
+    val out = session.sql(
+      """WITH RECURSIVE fwd AS (
+        |  SELECT src, dst FROM rec_chain3
+        |  UNION
+        |  SELECT fwd.src, e.dst FROM fwd JOIN rec_chain3 e ON fwd.dst = e.src
+        |)
+        |WITH RECURSIVE back AS (
+        |  SELECT dst AS src, src AS dst FROM fwd
+        |  UNION
+        |  SELECT back.src, e.src AS dst FROM back JOIN rec_chain3 e ON back.dst = e.dst
+        |) SELECT count(*) AS n FROM back""".stripMargin)
+      .df.as[Long].head()
+    assert(out === 6L) // the reversed closure of the 4-chain
+  }
+
   test("keywords and parens inside string literals are content, not syntax") {
     val r = session.sql(
       "SELECT 'UNION BY UPDATE k (' AS a, 'MATCH(g, (x)-[]->(y))' AS b, ')(' AS c")
