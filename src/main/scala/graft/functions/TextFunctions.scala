@@ -107,6 +107,25 @@ object TextFunctions {
     when(n >= k, slice(zipped, lit(1), n - (k - 1))).otherwise(array())
   }
 
+  /** Collapse runs of consecutive identical tokens to a single occurrence —
+    * the repetition *scrub* companion to the repetition *statistics*
+    * ([[dupTokenFraction]]): "the the the cat" → "the cat". Pure per-row
+    * indexed-lambda filter (token i survives iff i = 0 or it differs from
+    * token i−1), codegen'd, zero shuffle. `get` is 0-based and null out of
+    * bounds, and `true OR null = true`, so the first token always survives
+    * without tripping ANSI array indexing.
+    */
+  def scrubTokenRuns(text: Column): Column = {
+    val toks = tokens(text)
+    array_join(filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1))), " ")
+  }
+
+  /** Number of tokens [[scrubTokenRuns]] removes. */
+  def tokenRunsRemoved(text: Column): Column = {
+    val toks = tokens(text)
+    size(toks) - size(filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1))))
+  }
+
   /** duplicate-token fraction: 1 − |distinct tokens| / |tokens| — an
     * intra-document repetition signal (Gopher-style quality filter).
     */

@@ -174,6 +174,50 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("keep_id"))
   }
 
+  /** Incremental dedup: filter a NEW batch against an already-ingested
+    * corpus, plus within-batch exact dedup — the every-crawl-cycle operation
+    * (dedup the new snapshot against everything kept so far) that full-corpus
+    * re-dedup cannot replace at 100 TB.
+    *
+    * `keyExpr` is the canonical identity (raw `md5(text)` for byte-exact,
+    * [[graft.functions.TextFunctions.fingerprint]] for order-insensitive
+    * near-exact). Steps: (1) within-batch groupBy(key) keep-min-id;
+    * (2) anti-join the survivors against the corpus's DISTINCT keys.
+    * Both shuffles move only (key, id) pairs — never document text.
+    *
+    * @param bloomPrefilter when > 0: build a Bloom filter of that expected
+    *   cardinality over the corpus keys and split the batch with it BEFORE
+    *   the anti-join — definite-new rows (bloom miss) skip the join
+    *   entirely; only bloom hits (true dups + ~1% FPs) shuffle. The result
+    *   is identical (the exact anti-join still decides); the join input
+    *   shrinks from |batch| to |dups|·(1+fpp), the 100 TB difference.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      keyExpr: DataFrame => Column, idCol: String,
+      bloomPrefilter: Long = 0L): DataFrame = {
+    val keyed = batch.select(keyExpr(batch).as("k"), col(idCol).as("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+    val corpusKeys = corpus.select(keyExpr(corpus).as("k")).distinct()
+    val novel =
+      if (bloomPrefilter <= 0) {
+        keyed.join(corpusKeys, Seq("k"), "left_anti")
+      } else {
+        // the Bloom sketch keys on a 60-bit integer derived from the (hex
+        // string) key — a pure function of k, so a true duplicate can never
+        // bloom-miss; only the derived value is sketched, the exact anti-join
+        // below still compares full keys.
+        def kl(c: Column): Column = conv(substring(c, 1, 15), 16, 10).cast("long")
+        val bf = corpusKeys.select(kl(col("k")).as("kl"))
+          .stat.bloomFilter("kl", bloomPrefilter, 0.01)
+        val probed = Sketches.bloomFlag(keyed.withColumn("kl", kl(col("k"))), "kl", bf)
+        probed.filter(!col("in_bloom"))
+          .unionByName(probed.filter(col("in_bloom"))
+            .join(corpusKeys, Seq("k"), "left_anti"))
+          .drop("in_bloom", "kl")
+      }
+    novel.select("doc_id")
+  }
+
   /** LCG token hash for SimHash — engine-independent (DuckDB twin uses the
     * same constants; BIGINT math avoids INT32 overflow there).
     */

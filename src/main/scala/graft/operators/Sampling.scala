@@ -39,4 +39,45 @@ object Sampling {
     if (buckets == 0) df.filter(lit(false))
     else df.filter(bucket(keyCol) <= lit(f"${buckets - 1}%02x"))
   }
+
+  /** Uniform [0,1) draw as a pure function of the key: first 8 md5 hex chars
+    * read as an integer, over 2³². Engine-portable (DuckDB computes the
+    * identical value) and finer-grained than the 256-bucket split above.
+    */
+  def unitHash(keyCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Temperature-based source mixture resampling (the multilingual-corpus
+    * rebalancing move: p_s^τ flattens head sources and boosts tail ones).
+    *
+    * Per-source keep rate: with p_s = n_s/N and w_s = p_s^τ,
+    * `rate_s = min(1, targetFrac · N · w_s / (Σw · n_s))` — i.e. the kept
+    * corpus targets `targetFrac·N` docs distributed ∝ w_s, capped at keeping
+    * every doc of a source. τ = 1 reproduces the input mix; τ = 0 equalizes
+    * sources. Rates are rounded to 6 decimals so any engine computing the
+    * same formula keeps the identical rows.
+    *
+    * Scale: one map-side-combined groupBy over the corpus for the per-source
+    * counts (a tiny table — thousands of sources, not rows), rate arithmetic
+    * on that tiny table, then a broadcast join + codegen'd filter. The corpus
+    * is scanned once and never shuffled.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      tau: Double, targetFrac: Double): DataFrame = {
+    require(tau >= 0, s"tau must be >= 0, got $tau")
+    require(targetFrac > 0, s"targetFrac must be > 0, got $targetFrac")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum("n_s").as("n")).withColumn("one", lit(1))
+    val w = counts.withColumn("one", lit(1)).join(broadcast(tot), "one")
+      .withColumn("w_s", pow(col("n_s").cast("double") / col("n"), tau))
+    val sumW = w.agg(sum("w_s").as("sum_w")).withColumn("one", lit(1))
+    val rates = w.join(broadcast(sumW), "one")
+      .select(col(sourceCol),
+        least(lit(1.0), round(lit(targetFrac) * col("n") * col("w_s") /
+          (col("sum_w") * col("n_s")), 6)).as("rate"))
+    df.join(broadcast(rates), sourceCol :: Nil)
+      .filter(unitHash(keyCol) < col("rate"))
+      .drop("rate")
+  }
 }

@@ -54,10 +54,20 @@ object Sketches {
     * negatives: every true match survives; a small `fpp` fraction of
     * non-matches leaks through — follow with the exact join).
     */
-  def inBloom(df: DataFrame, col0: String, bf: BloomFilter): DataFrame = {
+  def inBloom(df: DataFrame, col0: String, bf: BloomFilter): DataFrame =
+    bloomFlag(df, col0, bf).filter(col("in_bloom")).drop("in_bloom")
+
+  /** Non-destructive probe: adds boolean `flagCol` = "might be in the
+    * filter". Callers that must route BOTH outcomes (e.g. incremental dedup:
+    * bloom-miss rows are definitely new and skip the exact join) use this
+    * instead of the filtering [[inBloom]].
+    */
+  def bloomFlag(df: DataFrame, col0: String, bf: BloomFilter,
+      flagCol: String = "in_bloom"): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
-    df.filter(mightContain(col(col0).cast("long")))
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+    df.withColumn(flagCol, mightContain(col(col0).cast("long")))
   }
 
   /** Count-Min frequency sketch of a column: point-lookup estimated counts

@@ -302,6 +302,48 @@ object Pipeline {
       graft.operators.Scoring.bm25(Tables(s, d).documents, "text", "doc_id",
           terms = Bm25Terms)
         .orderBy("doc_id")
+    }),
+
+    // sequence packing: assign docs (id order) to ~2048-token training
+    // shards via a distributed two-phase prefix sum — NOT the single-task
+    // global window the oracle uses (the spec proves them equivalent).
+    "q87_sequence_packing" -> ((s, d) => {
+      graft.operators.Packing.packShards(Tables(s, d).documents, "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 2048)
+        .orderBy("doc_id")
+    }),
+
+    // temperature-based source mixture resampling (τ=0.5 rebalancing toward
+    // tail sources, targeting half the corpus): tiny broadcast rate table +
+    // deterministic per-doc uniform draw.
+    "q88_mixture_sample" -> ((s, d) => {
+      graft.operators.Sampling.mixtureSample(Tables(s, d).documents,
+          "source", "doc_id", tau = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental dedup of a new crawl batch (src10..19) against the
+    // already-ingested corpus (src0..9), keyed on the order-insensitive
+    // fingerprint; Bloom prefilter routes definite-new rows around the
+    // exact anti-join.
+    "q89_incremental_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      graft.operators.Dedup.incrementalDedup(
+          docs.filter(snum >= 10), docs.filter(snum < 10),
+          _ => TextFunctions.fingerprint(col("text")), "doc_id",
+          bloomPrefilter = 1000000L)
+        .orderBy("doc_id")
+    }),
+
+    // repetition scrub: collapse consecutive duplicate-token runs per doc
+    // (indexed-lambda filter, zero shuffle), returning cleaned text + count.
+    "q90_scrub_repeats" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+          TextFunctions.scrubTokenRuns(col("text")).as("cleaned"),
+          TextFunctions.tokenRunsRemoved(col("text")).cast("long").as("n_removed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -570,6 +612,40 @@ object Pipeline {
          |sc AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM base)
          |SELECT doc_id, round($score, 6) AS score
          |FROM base CROSS JOIN sc WHERE $anyTf ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q87_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q88_mixture_sample" ->
+      """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_s) AS n FROM cnt),
+        |w AS (SELECT source, n_s, pow(n_s / n, 0.5) AS w_s FROM cnt, tot),
+        |r AS (SELECT source,
+        |  least(1.0, round(0.5 * (SELECT sum(n_s) FROM cnt) * w_s
+        |    / ((SELECT sum(w_s) FROM w) * n_s), 6)) AS rate FROM w)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 < rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "q89_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(substr(source, 4) AS INT) AS snum,
+         |  md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fp
+         |  FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE snum >= 10 GROUP BY fp)
+         |SELECT k.doc_id FROM keep k
+         |ANTI JOIN (SELECT DISTINCT fp FROM f WHERE snum < 10) c ON k.fp = c.fp
+         |ORDER BY doc_id""".stripMargin,
+    "q90_scrub_repeats" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |  list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]) AS kept FROM w)
+         |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
+         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 }

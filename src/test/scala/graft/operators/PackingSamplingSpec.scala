@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packShards distributed prefix sum matches the naive global window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = Packing.packShardsNaive(docs, "doc_id",
+        TextFunctions.tokenCount(col("text")), 512)
+      .orderBy("doc_id").collect().toSeq
+    for (p <- Seq(1, 3, 32)) {
+      val dist = Packing.packShards(docs, "doc_id",
+          TextFunctions.tokenCount(col("text")), 512, partitions = p)
+        .orderBy("doc_id").collect().toSeq
+      assert(dist === naive, s"partitions=$p diverged from the naive window")
+    }
+  }
+
+  test("packShards semantics: shard of the doc's first token; big docs span") {
+    // budget 10; tokens 4,8,25,3 → cums 4,12,37,40 → starts 0,4,12,37
+    val df = Seq((1L, 4), (2L, 8), (3L, 25), (4L, 3)).toDF("id", "nt")
+    val out = Packing.packShards(df, "id", col("nt"), 10, partitions = 2)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("packShards requires a positive budget") {
+    val df = Seq((1L, 4)).toDF("id", "nt")
+    intercept[IllegalArgumentException] {
+      Packing.packShards(df, "id", col("nt"), 0)
+    }
+  }
+}
+
+class MixtureSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: 64 head docs, 8 tail docs
+  lazy val skewed = ((1 to 64).map(i => (i.toLong, "head")) ++
+    (65 to 72).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+
+  test("tau=1 reproduces the input mix: every source rate = targetFrac") {
+    // w_s = p_s so rate_s = targetFrac for all sources; kept set is exactly
+    // the docs whose unit hash < 0.5, independent of source
+    val kept = Sampling.mixtureSample(skewed, "source", "doc_id", tau = 1.0, targetFrac = 0.5)
+    val expected = skewed.filter(Sampling.unitHash("doc_id") < 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      expected.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("tau=0 equalizes sources: tail keeps everything, head is downsampled") {
+    // w_s = 1 per source; target = 36 docs split 18/18; tail has only 8 docs
+    // so its rate caps at 1.0 and every tail doc survives
+    val kept = Sampling.mixtureSample(skewed, "source", "doc_id", tau = 0.0, targetFrac = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("tail") === 8L)
+    assert(kept.getOrElse("head", 0L) < 30L) // head rate = 18/64 ≈ 0.28
+  }
+
+  test("tau between 0 and 1 boosts tail relative to its input share") {
+    val kept = Sampling.mixtureSample(skewed, "source", "doc_id", tau = 0.5, targetFrac = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val tailShareIn = 8.0 / 72.0
+    val tailShareOut = kept("tail").toDouble / (kept("tail") + kept.getOrElse("head", 0L))
+    assert(tailShareOut > tailShareIn)
+  }
+
+  test("sampling is deterministic across runs and repartitioning") {
+    val a = Sampling.mixtureSample(skewed, "source", "doc_id", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureSample(skewed.repartition(7), "source", "doc_id", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+  lazy val batch = Seq(
+    (10L, "alpha beta gamma"),   // dup of corpus doc 1
+    (11L, "eta theta iota"),     // new
+    (12L, "eta theta iota"),     // within-batch dup of 11
+    (13L, "kappa lambda mu")     // new
+  ).toDF("doc_id", "text")
+
+  private val byMd5: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+    _ => md5(col("text"))
+
+  test("incrementalDedup drops corpus dups and within-batch dups") {
+    val out = Dedup.incrementalDedup(batch, corpus, byMd5, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out === Seq(11L, 13L))
+  }
+
+  test("bloom-prefiltered path returns the identical set") {
+    val exact = Dedup.incrementalDedup(batch, corpus, byMd5, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    val bloomed = Dedup.incrementalDedup(batch, corpus, byMd5, "doc_id",
+        bloomPrefilter = 1000L)
+      .as[Long].collect().sorted.toSeq
+    assert(bloomed === exact)
+  }
+
+  test("fingerprint key treats token-order permutations as duplicates") {
+    val permBatch = Seq((20L, "gamma alpha beta"), (21L, "nu xi omicron"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(permBatch, corpus,
+        _ => graft.functions.TextFunctions.fingerprint(col("text")), "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out === Seq(21L)) // 20 is an order-permuted dup of corpus doc 1
+  }
+}
+
+class ScrubRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubTokenRuns collapses consecutive runs only") {
+    val df = Seq(
+      (1L, "the the the cat sat sat on the mat"),
+      (2L, "a a a a"),
+      (3L, "one"),
+      (4L, "x y x y")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.scrubTokenRuns(col("text")).as("c"),
+        TextFunctions.tokenRunsRemoved(col("text")).as("n"))
+      .as[(Long, String, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === (("the cat sat on the mat", 3)))  // non-adjacent 'the' kept
+    assert(out(2L) === (("a", 3)))
+    assert(out(3L) === (("one", 0)))
+    assert(out(4L) === (("x y x y", 0)))                 // alternation untouched
+  }
+}
