@@ -6,18 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * IMAGE decode is REAL: [[MediaCodec.decode]] runs the JDK's own
+  * IMAGE and AUDIO decode are REAL: [[MediaCodec.decode]] runs the JDK's own
   * `javax.imageio` (java.desktop — PNG/JPEG/GIF/BMP readers ship with the
   * JDK, headless-safe) to true pixel dimensions, channel count, and
-  * grid-pooled intensity features. Audio/video codecs are STUBBED (no such
-  * libraries in this container): [[MediaCodec.decodeStub]] derives
-  * deterministic fake metadata and features from the bytes, and undecodable
-  * image bytes fall back to it rather than failing the task. Everything
-  * around the codec seam — the schema, the `Dataset[MediaRow]` encoder, the
-  * mapPartitions batch shape (one codec context per partition, rows streamed
-  * through it), the frame-sampling explode, and the partitioning — is real
-  * Spark and is what survives when a native A/V decoder (JNI/FFI) replaces
-  * the remaining stub at 100 TB.
+  * grid-pooled intensity features, and `javax.sound.sampled` (WAV/AIFF/AU
+  * PCM) to true sample rate, channel count, duration, and windowed-RMS
+  * energy features. VIDEO remains STUBBED (no video codec ships with the
+  * JDK): [[MediaCodec.decodeStub]] derives deterministic fake metadata and
+  * features from the bytes, and undecodable image/audio bytes fall back to
+  * it rather than failing the task. Everything around the codec seam — the
+  * schema, the `Dataset[MediaRow]` encoder, the mapPartitions batch shape
+  * (one codec context per partition, rows streamed through it), the
+  * frame-sampling explode, and the partitioning — is real Spark and is what
+  * survives when a native video decoder (JNI/FFI) replaces the remaining
+  * stub at 100 TB.
   */
 object Multimodal {
 
@@ -43,12 +45,14 @@ object Multimodal {
     System.setProperty("java.awt.headless", "true")
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** Decode one row: images through ImageIO (real pixels), everything else
-      * (and undecodable image bytes — at 100 TB some inputs are always
-      * malformed) through the deterministic stub.
+    /** Decode one row: images through ImageIO (real pixels), audio through
+      * javax.sound (real PCM), everything else (and undecodable bytes — at
+      * 100 TB some inputs are always malformed) through the deterministic
+      * stub.
       */
     def decode(row: MediaRow): DecodedRow =
       if (row.modality == "image") decodeImage(row).getOrElse(decodeStub(row))
+      else if (row.modality == "audio") decodeAudio(row).getOrElse(decodeStub(row))
       else decodeStub(row)
 
     /** Real image decode: true width/height/channels from the decoded raster
@@ -97,6 +101,75 @@ object Multimodal {
             Some(DecodedRow(row.id, row.modality, meta, feats))
           }
         }
+      } catch { case _: Exception => None }
+
+    /** Real audio decode (WAV/AIFF/AU — the formats the JDK's own
+      * javax.sound.sampled reads): true sample rate / channels / duration
+      * from the stream format, and [[FeatureDim]] temporal windows of RMS
+      * amplitude over the decoded PCM as the feature vector — a
+      * deterministic loudness-envelope signature. Reads at most ~256k frames
+      * (stride-free: audio is sequential) so decode cost per row is bounded.
+      * Handles 8-bit unsigned and 16-bit signed PCM, either endianness.
+      */
+    private def decodeAudio(row: MediaRow): Option[DecodedRow] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.content))
+        try {
+          val fmt = in.getFormat
+          val totalFrames = in.getFrameLength
+          val frameSize = fmt.getFrameSize
+          val bits = fmt.getSampleSizeInBits
+          if (totalFrames <= 0 || frameSize <= 0 || (bits != 8 && bits != 16)) None
+          else {
+            val readFrames = math.min(totalFrames, 262144L).toInt
+            val buf = new Array[Byte](readFrames * frameSize)
+            var off = 0
+            var n = 0
+            while (off < buf.length && n >= 0) {
+              n = in.read(buf, off, buf.length - off)
+              if (n > 0) off += n
+            }
+            val gotFrames = off / frameSize
+            if (gotFrames <= 0) None
+            else {
+              val feats = new Array[Float](FeatureDim)
+              val counts = new Array[Int](FeatureDim)
+              val signed = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val big = fmt.isBigEndian
+              var f = 0
+              while (f < gotFrames) {
+                // first channel of the frame; normalize to [-1, 1]
+                val base = f * frameSize
+                val s =
+                  if (bits == 8) {
+                    val v = if (signed) buf(base).toInt else (buf(base) & 0xff) - 128
+                    v / 128f
+                  } else {
+                    val (b0, b1) = if (big) (buf(base), buf(base + 1)) else (buf(base + 1), buf(base))
+                    ((b0 << 8) | (b1 & 0xff)).toShort / 32768f
+                  }
+                val w = math.min(FeatureDim - 1, f * FeatureDim / gotFrames)
+                feats(w) += s * s
+                counts(w) += 1
+                f += 1
+              }
+              var c = 0
+              while (c < FeatureDim) {
+                if (counts(c) > 0) feats(c) = math.sqrt(feats(c) / counts(c)).toFloat
+                c += 1
+              }
+              val meta = MediaMeta(
+                width = 0, height = 0, channels = fmt.getChannels,
+                sampleRate = fmt.getSampleRate.toInt,
+                durationMs = (totalFrames * 1000.0 / fmt.getFrameRate).toLong,
+                nFrames = math.min(totalFrames, Int.MaxValue.toLong).toInt,
+                sizeBytes = row.content.length.toLong)
+              Some(DecodedRow(row.id, row.modality, meta, feats))
+            }
+          }
+        } finally in.close()
       } catch { case _: Exception => None }
 
     def decodeStub(row: MediaRow): DecodedRow = {
@@ -165,6 +238,37 @@ object Multimodal {
     }
   }
 
+  /** REAL audio-container header parsing — the audio twin of
+    * [[ImageHeaders]]: WAV/RIFF chunk walk to the fmt and data chunks, pure
+    * byte arithmetic, no decoder. Unknown/corrupt content yields
+    * ("unknown", -1, …) instead of failing the task.
+    */
+  object AudioHeaders {
+    final case class AudioInfo(format: String, channels: Int, sampleRate: Int,
+        bitsPerSample: Int, dataBytes: Long)
+
+    def parse(bytes: Array[Byte]): AudioInfo = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xffffffffL
+      def tag(i: Int, s: String): Boolean =
+        bytes.length >= i + 4 && s.indices.forall(j => u8(i + j) == s(j))
+
+      if (!(tag(0, "RIFF") && tag(8, "WAVE"))) AudioInfo("unknown", -1, -1, -1, -1L)
+      else {
+        var (i, ch, sr, bps, data) = (12, -1, -1, -1, -1L)
+        while (i + 8 <= bytes.length) {
+          val size = le32(i + 4)
+          if (tag(i, "fmt ") && i + 24 <= bytes.length) {
+            ch = le16(i + 10); sr = le32(i + 12).toInt; bps = le16(i + 22)
+          } else if (tag(i, "data")) data = size
+          i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        AudioInfo("wav", ch, sr, bps, data)
+      }
+    }
+  }
+
   /** Ingest a directory of media files through Spark's `binaryFile` source:
     * (id, modality, content, path, size_bytes) with a deterministic id from
     * the file path (xxhash64 — stable across runs and cluster sizes). The
@@ -191,6 +295,19 @@ object Multimodal {
         (r.id, info.format, info.width, info.height)
       }
     }.toDF("id", "format", "width", "height")
+  }
+
+  /** (id, format, channels, sample_rate, bits_per_sample, data_bytes) from
+    * real WAV container headers — the audio twin of [[imageInfo]].
+    */
+  def audioInfo(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val info = AudioHeaders.parse(r.content)
+        (r.id, info.format, info.channels, info.sampleRate, info.bitsPerSample, info.dataBytes)
+      }
+    }.toDF("id", "format", "channels", "sample_rate", "bits_per_sample", "data_bytes")
   }
 
   /** Decode + featurize, one codec pass per partition. `mapPartitions` (not
