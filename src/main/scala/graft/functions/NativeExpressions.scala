@@ -149,6 +149,107 @@ case class CharNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All K MinHash signature values in ONE pass over the token-id array:
+  * out[k] = min over tids of (tid·aₖ + bₖ) mod m. The higher-order-function
+  * composition (K × (transform + array_min)) walks the array K times and
+  * allocates K intermediate arrays per row; this walks once with a K-long
+  * register file — the signature-computation inner loop of MinHash+LSH
+  * dedup. Semantics identical to the HOF chain (differential-tested).
+  */
+case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long], mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "need at least one (a, b) permutation")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sigs expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  def sigs(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val t = arr.getLong(i)
+      var k = 0
+      while (k < as.length) {
+        val v = (t * as(k) + bs(k)) % mod
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sigs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSigsExpr", this, classOf[MinHashSigs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.sigs($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bits`-bit SimHash from the per-token hash array in ONE pass:
+  * bit j of the result is set iff Σ over tokens of (2·bitⱼ(h) − 1) > 0.
+  * Replaces `bits` × aggregate() array walks (plus `bits` CASE columns)
+  * with a single loop carrying a `bits`-long counter file. Semantics
+  * identical to the HOF chain (differential-tested).
+  */
+case class SimHash64(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+
+  def simhash(arr: ArrayData): Long = {
+    val sums = new Array[Long](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        sums(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64Expr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.simhash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(HammingDistance64(
@@ -161,6 +262,15 @@ object NativeExpressions {
   def charNgramsNative(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(CharNgrams(
       org.apache.spark.sql.GraftSqlBridge.exprOf(text), n))
+
+  def minhashSigsNative(tids: Column, perms: Seq[(Long, Long)], mod: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(MinHashSigs(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(tids),
+      perms.map(_._1).toArray, perms.map(_._2).toArray, mod))
+
+  def simhash64Native(hashes: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(SimHash64(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(hashes), bits))
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {

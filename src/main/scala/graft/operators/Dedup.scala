@@ -117,17 +117,18 @@ object Dedup {
       .filter(size(col("tids")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sigCols = perms.zipWithIndex.map { case (p, i) =>
-      array_min(transform(col("tids"), t => (t * p.a + p.b) % MinHashMod)).as(s"sig_$i")
-    }
-    val sigs = base.select(col("doc_id") +: sigCols: _*)
+    // all K signature mins in ONE native-expression pass over the tid array
+    // (the HOF chain — K × transform+array_min — walks it K times)
+    val sigs = base.select(col("doc_id"),
+      graft.functions.NativeExpressions.minhashSigsNative(
+        col("tids"), perms.map(p => (p.a, p.b)), MinHashMod).as("sigs"))
 
     // one self-join over (band_idx, band_value) rather than a union of
     // per-band joins: the band index rides in the join key, so all bands
     // shuffle once and collide only within their own band.
     val nBands = perms.size / bandSize
     val bandExprs = (0 until nBands).map { b =>
-      val bandCols = (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))
+      val bandCols = (0 until bandSize).map(j => element_at(col("sigs"), b * bandSize + j + 1))
       struct(lit(b).as("b"), concat_ws("_", bandCols: _*).as("v"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
@@ -229,6 +230,18 @@ object Dedup {
     * codegen) — zero shuffle, so it scans a 100 TB corpus exactly once.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val hs = transform(array_distinct(TextFunctions.tokens(col(textCol))),
+      t => lcg(portableTokenId(t)))
+    // all `bits` bit-sums in ONE native-expression pass over the hash array
+    // (the HOF formulation — `bits` × aggregate() — walks it `bits` times);
+    // coalesce keeps the old null-text behavior (simhash 0, not null)
+    df.select(col(idCol).as("doc_id"),
+      coalesce(graft.functions.NativeExpressions.simhash64Native(hs, bits), lit(0L))
+        .as("simhash"))
+  }
+
+  /** HOF formulation of [[simHash]] — kept as the differential-test twin. */
+  def simHashHof(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
     val hs = transform(array_distinct(TextFunctions.tokens(col(textCol))),
       t => lcg(portableTokenId(t)))
     val withH = df.select(col(idCol).as("doc_id"), hs.as("hs"))

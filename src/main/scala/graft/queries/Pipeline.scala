@@ -344,6 +344,40 @@ object Pipeline {
           TextFunctions.scrubTokenRuns(col("text")).as("cleaned"),
           TextFunctions.tokenRunsRemoved(col("text")).cast("long").as("n_removed"))
         .orderBy("doc_id")
+    }),
+
+    // END-TO-END curation pipeline, composed from the operators above:
+    // quality filter → repetition scrub → fingerprint dedup (keep min id) →
+    // sequence packing into 1024-token shards. One corpus scan feeds the
+    // whole per-row stage; the only shuffles are the dedup groupBy and the
+    // prefix-sum of the packing stage.
+    "q91_curation_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      // tokenize ONCE and carry the scrubbed token array: fingerprint and
+      // token count derive from it directly (scrubbed tokens contain no
+      // whitespace, so re-tokenizing the joined string is provably the
+      // identity — the oracle operates on the cleaned string and agrees).
+      // The dedup window then shuffles only (doc_id, fp, n_tokens) — the
+      // text never moves past the first projection.
+      val toks = TextFunctions.tokens(col("text"))
+      val kept = filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1)))
+      val scrubbed = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.2)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(kept)))).as("fp"),
+          size(kept).cast("long").as("n_tokens"))
+      // packShards derives two branches (running sums + offsets) from its
+      // input, so part of the text stage can re-execute once; measured, the
+      // recompute is cheaper than materializing (an eager localCheckpoint of
+      // the survivor set benched 30% slower — the extra job + block store
+      // cost more than the re-scan saves). A 100 TB pipeline would persist
+      // the survivor set to a table between stages anyway.
+      val survivors = scrubbed
+        .withColumn("keep_id", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keep_id"))
+      graft.operators.Packing.packShards(survivors, "doc_id",
+          col("n_tokens"), budget = 1024)
+        .orderBy("doc_id")
     })
   )
 
@@ -646,6 +680,25 @@ object Pipeline {
          |  list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]) AS kept FROM w)
          |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
-         |FROM k ORDER BY doc_id""".stripMargin
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "q91_curation_pipeline" -> {
+      val quality =
+        s"""round(least(len($duckTokens), 200) / 200.0
+           |  * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+           |  * (0.5 + 0.5 * ${stopRatioSql(TextFunctions.LangProfiles.en)}), 6)""".stripMargin
+      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.2),
+         |w AS (SELECT doc_id, $duckTokens AS toks FROM q),
+         |k AS (SELECT doc_id,
+         |  array_to_string(list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]), ' ') AS cleaned FROM w),
+         |f AS (SELECT doc_id, cleaned,
+         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(cleaned), '\\s+'))), ' ')) AS fp FROM k),
+         |m AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |s AS (SELECT f.doc_id,
+         |  CAST(len(string_split_regex(trim(f.cleaned), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM f JOIN m ON f.doc_id = m.doc_id),
+         |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM s)
+         |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -48,6 +48,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q87 packing prefix-sum runs range-partitioned, windows keyed by pid") {
+    val p = executedPlan("q87_sequence_packing")
+    // phase 1: the corpus flows through a RANGE exchange (parallel total
+    // order), and the per-partition running sum is a Window PARTITIONED by
+    // pid — the corpus never funnels through one global-order window task
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range partitioning in packShards plan:\n$p")
+    assert(p.contains("partitionBy=[pid]") ||
+      p.contains("windowspecdefinition(pid"),
+      s"per-partition running sum is not keyed by pid:\n$p")
+  }
+
+  test("q88 mixture sampling broadcasts the rate table, never shuffles the corpus") {
+    val p = executedPlan("q88_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")

@@ -115,4 +115,38 @@ class FunctionsSpec extends SparkSpec {
     val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
   }
+
+  test("native minhash_sigs matches the HOF transform+array_min chain") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong(1L << 32)))
+    }
+    val df = rows.toDF("id", "tids")
+    val perms = Dedup.DefaultPerms.map(p => (p.a, p.b))
+    val native = df.select($"id", NativeExpressions.minhashSigsNative(
+      $"tids", perms, Dedup.MinHashMod).as("s")).as[(Long, Seq[Long])].collect().toMap
+    val hofCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      org.apache.spark.sql.functions.array_min(
+        org.apache.spark.sql.functions.transform($"tids",
+          t => (t * a + b) % Dedup.MinHashMod)).as(s"sig_$i")
+    }
+    val hof = df.select(($"id" +: hofCols): _*).collect()
+      .map(r => r.getLong(0) -> perms.indices.map(i => r.getLong(i + 1))).toMap
+    assert(native.view.mapValues(_.toSeq).toMap === hof.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("native simhash64 matches the HOF aggregate formulation") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark shuffles and broadcasts and aggregates"),
+      (3L, "one"),
+      (4L, "")).toDF("doc_id", "text")
+    val native = Dedup.simHash(docs, "text", "doc_id", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    val hof = Dedup.simHashHof(docs, "text", "doc_id", bits = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(native === hof)
+  }
 }
