@@ -1,8 +1,11 @@
 package graft.api
 
-/** Pre-rewriter closing the three reference SQL-surface extensions that
-  * Spark's parser lacks (all already exist as API calls; this gives them
-  * SQL-text form, SURVEY §2.7):
+/** Pre-rewriter closing the SQL-surface extensions that Spark's parser
+  * lacks (all already exist as API calls; this gives them SQL-text form,
+  * SURVEY §2.7): the three reference grammar extensions (UNION BY UPDATE,
+  * MATCH, WITH RECURSIVE) plus two analytics-dialect clauses built on this
+  * engine's own operators (QUALIFY → windowed-subquery rewrite, ASOF JOIN →
+  * the AsofJoin operator; see their method docs below):
   *
   *   - `(q1) UNION BY UPDATE k1, k2 (q2)` (reference SQLParser.scala:328-336):
   *     keyed upsert-union — rows of q2 replace same-keyed rows of q1,
@@ -60,8 +63,9 @@ object SqlRewriter {
       try f() catch { case _: Exception => () }
     }
     try {
-      val out = rewriteUnionByUpdate(
-        rewriteMatch(rewriteRecursiveWith(input, session, cleanups), session))
+      val out = rewriteQualify(rewriteAsofJoin(rewriteUnionByUpdate(
+        rewriteMatch(rewriteRecursiveWith(input, session, cleanups), session)),
+        session, cleanups))
       (out, runCleanups)
     } catch { case t: Throwable => runCleanups(); throw t }
   }
@@ -186,6 +190,121 @@ object SqlRewriter {
     var i = from
     while (i >= 0 && s(i).isWhitespace) i -= 1
     i
+  }
+
+  /** Paren nesting depth at every position (literal-masked). */
+  private def parenDepths(s: String, mask: Array[Boolean]): Array[Int] = {
+    val d = new Array[Int](s.length)
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i)) {
+        if (s(i) == '(') depth += 1
+        else if (s(i) == ')') depth -= 1
+      }
+      d(i) = depth
+      i += 1
+    }
+    d
+  }
+
+  /* ---- SELECT … [WHERE|GROUP BY|HAVING …] QUALIFY pred [ORDER BY|LIMIT …] ---- */
+
+  private val QualifyRe = "(?i)\\bQUALIFY\\b".r
+  private val QualifyTailRe = "(?i)\\b(ORDER\\s+BY|LIMIT)\\b".r
+  private val qualifyCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** `QUALIFY <pred>` — filter on window functions, evaluated after
+    * grouping (the window-function analog of HAVING; DuckDB/Snowflake/BigQuery
+    * surface). Rewritten purely textually to the standard-SQL equivalent:
+    * the pre-QUALIFY query becomes a subquery, the predicate (window
+    * functions and all — lateral column aliases make it legal in a SELECT
+    * list) is computed as one extra column, filtered on, and dropped again
+    * via `SELECT * EXCEPT`. Window expressions in the predicate therefore
+    * see the query's OUTPUT columns (projected aliases included); a window
+    * over a column the select list dropped is not supported — project it or
+    * rewrite manually. Supported at statement top level (the depth-0 text);
+    * a QUALIFY inside a subquery fails with a clear message rather than
+    * reaching Spark's parser.
+    */
+  private def rewriteQualify(input: String): String = {
+    val mask = literalMask(input)
+    val depths = parenDepths(input, mask)
+    QualifyRe.findAllMatchIn(input).find(m => !mask(m.start)) match {
+      case None => input
+      case Some(m) =>
+        require(depths(m.start) == 0,
+          "QUALIFY inside a subquery is not supported; apply it at the top level or rewrite to a windowed subquery manually")
+        val head = input.substring(0, m.start).trim
+        require("(?i)^\\s*(WITH|SELECT)\\b".r.findFirstIn(head).isDefined && head.nonEmpty,
+          "QUALIFY: expected a SELECT query before the keyword")
+        val tailStart = QualifyTailRe.findAllMatchIn(input)
+          .filter(t => t.start > m.end && !mask(t.start) && depths(t.start) == 0)
+          .map(_.start).minOption.getOrElse(input.length)
+        val pred = input.substring(m.end, tailStart).trim
+        require(pred.nonEmpty, "QUALIFY: empty predicate")
+        val tail = input.substring(tailStart)
+        val q = s"__qualify_${qualifyCounter.incrementAndGet()}"
+        s"SELECT * EXCEPT ($q) FROM " +
+          s"(SELECT *, ($pred) AS $q FROM ($head) ${q}_src) ${q}_flt " +
+          s"WHERE $q $tail"
+    }
+  }
+
+  /* ---- lt [la] ASOF [LEFT] JOIN rt [ra] ON la.k = ra.k AND la.t >= ra.t ---- */
+
+  private val AsofRe = "(?i)([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ASOF\\s+(?:LEFT\\s+)?JOIN\\s+([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ON\\b".r
+  private val AsofCondRe = "(?is)^\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*=\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s+AND\\s+([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*>=\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*$".r
+  private val AsofCondEndRe = "(?i)\\b(WHERE|GROUP\\s+BY|HAVING|QUALIFY|ORDER\\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\\b".r
+  private val asofCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** `left [la] ASOF [LEFT] JOIN right [ra] ON la.k = ra.k AND la.t >= ra.t`
+    * (DuckDB/QuestDB/kdb surface): each left row picks the right row with
+    * the greatest time at-or-before its own, per key — lowered onto the
+    * [[graft.operators.AsofJoin]] operator (union-marker + one running
+    * window, one shuffle, no N×M probe) and registered as a query-scoped
+    * temp view substituted into the FROM clause.
+    *
+    * Surface restrictions (each fails with a message, not a wrong answer):
+    * both sides must be named tables/views; the condition must be exactly
+    * one key equality AND one `left.time >= right.time`; the right side's
+    * other columns surface as `asof_<name>` (null when unmatched — the
+    * LEFT variant; ASOF and ASOF LEFT are therefore synonyms here, and a
+    * WHERE on a non-null asof column recovers inner semantics).
+    */
+  private def rewriteAsofJoin(input: String, session: EngineSession,
+      cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): String = {
+    val mask = literalMask(input)
+    AsofRe.findAllMatchIn(input).find(m => !mask(m.start)) match {
+      case None => input
+      case Some(m) =>
+        val (lt, la) = (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))
+        val (rt, ra) = (m.group(3), Option(m.group(4)).getOrElse(m.group(3)))
+        val condEnd = AsofCondEndRe.findAllMatchIn(input)
+          .filter(t => t.start > m.end && !mask(t.start))
+          .map(_.start).minOption.getOrElse(input.length)
+        val cond = input.substring(m.end, condEnd)
+        val (lk, rk, ltm, rtm) = cond match {
+          case AsofCondRe(a1, c1, a2, c2, a3, c3, a4, c4) =>
+            val eq = Map(a1 -> c1, a2 -> c2)
+            val ge = Map(a3 -> c3, a4 -> c4)
+            require(eq.keySet == Set(la, ra) && a3 == la && a4 == ra,
+              s"ASOF JOIN: condition must be one `$la.k = $ra.k` AND `$la.t >= $ra.t`, got: $cond")
+            (eq(la), eq(ra), ge(la), ge(ra))
+          case _ => throw new IllegalArgumentException(
+            s"ASOF JOIN: expected `a.k = b.k AND a.t >= b.t`, got: $cond")
+        }
+        val l = session.spark.table(lt)
+        val r = session.spark.table(rt)
+        val valueCols = r.columns.toIndexedSeq.filterNot(c => c == rk || c == rtm)
+        val view = s"__asof_${asofCounter.incrementAndGet()}"
+        graft.operators.AsofJoin.asofJoin(l, r, lk, rk, ltm, rtm, valueCols)
+          .createOrReplaceTempView(view)
+        cleanups += (() => session.spark.catalog.dropTempView(view))
+        rewriteAsofJoin(
+          input.substring(0, m.start) + s"$view $la " + input.substring(condEnd),
+          session, cleanups)
+    }
   }
 
   /* ---- WITH RECURSIVE[(n)] name [(cols)] AS (body) query ---- */

@@ -65,6 +65,29 @@ object Events {
           dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
           date_trunc("day", col("ts")).as("day_start"))
         .orderBy("event_id")
+    }),
+
+    // QUALIFY clause in SQL text (SqlRewriter → windowed-subquery rewrite):
+    // top-3 events per type by value. DuckDB runs the identical text natively.
+    "q92_qualify" -> ((s, d) => {
+      Tables(s, d).events.createOrReplaceTempView("events")
+      graft.api.EngineSession(s).sql(
+        """SELECT event_id, event_type, value FROM events
+          |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+          |ORDER BY event_type, value DESC, event_id""".stripMargin).df
+    }),
+
+    // ASOF JOIN in SQL text (SqlRewriter → AsofJoin operator) — the SQL-text
+    // twin of q72, against DuckDB's native ASOF LEFT JOIN.
+    "q93_asof_sql" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.events.select("event_id", "user_id", "ts").createOrReplaceTempView("ev_asof")
+      t.orders.groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey")).createOrReplaceTempView("ord_asof")
+      graft.api.EngineSession(s).sql(
+        """SELECT event_id, user_id, coalesce(asof_o_orderkey, -1) AS last_order
+          |FROM ev_asof e ASOF JOIN ord_asof o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+          |ORDER BY event_id""".stripMargin).df
     })
   )
 
@@ -102,6 +125,17 @@ object Events {
         | CAST(date_part('day', ts) AS INT) AS d,
         | CAST(date_part('hour', ts) AS INT) AS h,
         | date_trunc('day', ts) AS day_start
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q92_qualify" ->
+      """SELECT event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) <= 3
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
+    "q93_asof_sql" ->
+      """WITH d AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, coalesce(d.o_orderkey, -1) AS last_order
+        |FROM events e ASOF LEFT JOIN d
+        |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
   )
 }

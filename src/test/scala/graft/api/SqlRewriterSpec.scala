@@ -230,4 +230,84 @@ class SqlRewriterSpec extends SparkSpec {
       .df.as[(Long, String)].collect().toMap
     assert(out === Map(1L -> "x((lit", 2L -> "y))lit"))
   }
+
+  test("QUALIFY filters on an inline window function and drops the helper column") {
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 20)).toDF("g", "x")
+      .createOrReplaceTempView("qual_t")
+    val out = session.sql(
+      """SELECT g, x FROM qual_t
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY x DESC) <= 2
+        |ORDER BY g, x""".stripMargin)
+      .df
+    assert(out.columns.toSeq === Seq("g", "x"))
+    assert(out.as[(String, Int)].collect().toSeq ===
+      Seq(("a", 2), ("a", 3), ("b", 10), ("b", 20)))
+  }
+
+  test("QUALIFY can reference a window alias from the select list") {
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x").createOrReplaceTempView("qual_t2")
+    val out = session.sql(
+      """SELECT g, x, rank() OVER (PARTITION BY g ORDER BY x) AS r FROM qual_t2
+        |QUALIFY r = 1 ORDER BY g""".stripMargin)
+      .df.as[(String, Int, Int)].collect().toSeq
+    assert(out === Seq(("a", 1, 1), ("b", 3, 1)))
+  }
+
+  test("QUALIFY composes with WHERE, GROUP BY and LIMIT around it") {
+    Seq(("a", 1), ("a", 2), ("a", 5), ("b", 3), ("b", 4), ("c", 9))
+      .toDF("g", "x").createOrReplaceTempView("qual_t3")
+    val out = session.sql(
+      """SELECT g, CAST(sum(x) AS BIGINT) AS s FROM qual_t3 WHERE x < 9 GROUP BY g
+        |QUALIFY row_number() OVER (ORDER BY s DESC) <= 1
+        |ORDER BY g LIMIT 5""".stripMargin)
+      .df.as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 8L)))
+  }
+
+  test("QUALIFY in a subquery fails with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      session.sql("SELECT * FROM (SELECT g FROM t QUALIFY row_number() OVER (ORDER BY g) = 1) z")
+    }
+    assert(e.getMessage.contains("QUALIFY inside a subquery"))
+  }
+
+  test("ASOF JOIN SQL text matches the asofJoin API operator") {
+    Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"), (3L, 50L, "t4"))
+      .toDF("key", "time", "trade").createOrReplaceTempView("asof_l")
+    Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 6L, 200.0))
+      .toDF("key", "qtime", "price").createOrReplaceTempView("asof_r")
+    val viaSql = session.sql(
+      """SELECT trade, asof_price FROM asof_l l ASOF JOIN asof_r r
+        |ON l.key = r.key AND l.time >= r.qtime ORDER BY trade""".stripMargin)
+      .df.as[(String, Option[Double])].collect().toMap
+    val viaApi = graft.operators.AsofJoin.asofJoin(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "key", "key", "time", "qtime", Seq("price"))
+      .select("trade", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(viaSql === viaApi)
+    assert(viaSql === Map("t1" -> Some(100.0), "t2" -> Some(101.0),
+      "t3" -> None, "t4" -> None))
+  }
+
+  test("ASOF JOIN composes with WHERE and cleans its internal view up") {
+    Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("asof2_l")
+    Seq((1L, 5L, 7.0), (1L, 9L, 8.0)).toDF("k", "t", "v")
+      .createOrReplaceTempView("asof2_r")
+    val out = session.sql(
+      """SELECT l.k, asof_v FROM asof2_l l ASOF LEFT JOIN asof2_r r
+        |ON l.k = r.k AND l.t >= r.t WHERE asof_v IS NOT NULL""".stripMargin)
+      .df.as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 8.0)))
+    assert(!spark.catalog.tableExists("__asof_1") &&
+      spark.sessionState.catalog.listTables("default").forall(!_.table.startsWith("__asof")))
+  }
+
+  test("ASOF JOIN with a malformed condition fails with a clear message") {
+    Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("asof3_l")
+    Seq((1L, 5L)).toDF("k", "t").createOrReplaceTempView("asof3_r")
+    val e = intercept[IllegalArgumentException] {
+      session.sql("SELECT * FROM asof3_l a ASOF JOIN asof3_r b ON a.k < b.k")
+    }
+    assert(e.getMessage.contains("ASOF JOIN"))
+  }
 }
