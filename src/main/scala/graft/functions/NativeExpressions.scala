@@ -99,6 +99,68 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance between two numeric arrays in one fused generated
+  * loop, sequential double accumulation (index order — the property the
+  * DuckDB oracle's ordered list_sum mirrors exactly). The k-means assign
+  * step's inner loop: k of these per row per iteration.
+  */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"l2sq expects (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xd = isDouble(left.dataType)
+    val yd = isDouble(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) -
+        (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, t: DataType, i: String): String =
+        if (isDouble(t)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, left.dataType, i)} - ${get(b, right.dataType, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Distinct character n-grams of a string as array<string>, in first-
   * occurrence order — one byte-level pass per document (codepoint-aware,
   * matching SQL substr semantics). The higher-order-function composition
@@ -262,6 +324,10 @@ object NativeExpressions {
   def charNgramsNative(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(CharNgrams(
       org.apache.spark.sql.GraftSqlBridge.exprOf(text), n))
+
+  def l2sqNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(L2SquaredDistance(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(a), org.apache.spark.sql.GraftSqlBridge.exprOf(b)))
 
   def minhashSigsNative(tids: Column, perms: Seq[(Long, Long)], mod: Long): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(MinHashSigs(

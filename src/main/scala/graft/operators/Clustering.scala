@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+
+/** Distributed, deterministic Lloyd's k-means over an embedding column —
+  * the centroid-training step behind IVF/PQ indexes and semantic-dedup
+  * clustering.
+  *
+  * Determinism (so any engine computing the same recipe gets identical
+  * clusters, which is what the DuckDB-oracle gate checks):
+  *   - init: the vectors of the `k` smallest ids, cluster index = rank;
+  *   - assign: squared L2 in index order (the codegen'd
+  *     [[NativeExpressions.l2sqNative]]), ties broken toward the lowest
+  *     cluster index;
+  *   - update: per-dimension double means rounded to 6 decimals (the same
+  *     engine-portable rounding as the centroid/quantize gates), empty
+  *     clusters keep their previous centroid.
+  *
+  * Scale: the DATA is only ever scanned and aggregated — one codegen'd
+  * assign pass (k fused L2 loops per row, centroids inlined as literals via
+  * broadcast-sized arrays) and one map-side-combined groupBy per iteration.
+  * Only the k×dim centroid table (model state, a few KB) ever reaches the
+  * driver, once per iteration. No per-row UDFs, no N×k shuffle join.
+  */
+object Clustering {
+
+  /** (vec_id, cluster) for every row — the assignment that fed the last
+    * centroid update (`iters` assign+update rounds from the deterministic
+    * init). Also see [[kmeansCentroids]].
+    */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame =
+    run(df, vecCol, idCol, k, iters)._1
+
+  /** Final centroids in long form: (cluster, pos, val) with `pos` 1-based
+    * and `val` rounded to 6 decimals.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    run(df, vecCol, idCol, k, iters)._2.zipWithIndex.flatMap { case (c, ci) =>
+      c.indices.map(p => (ci, p + 1, c(p)))
+    }.toSeq.toDF("cluster", "pos", "val")
+  }
+
+  private def run(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): (DataFrame, Array[Array[Double]]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    // init: model state only — k vectors, not the dataset
+    var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"need at least $k rows, got ${centroids.length}")
+
+    def assignExpr: Column = {
+      // distances rounded to 9 decimals before comparison: engines agree on
+      // the raw doubles to far better than 1e-9, so after rounding either
+      // the min is unambiguous or the tie-break below decides — either way
+      // every engine picks the same cluster
+      val dists = array(centroids.map(c => round(NativeExpressions.l2sqNative(
+        col("v"), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
+      // array_position returns the FIRST index of the min → ties break
+      // toward the lowest cluster index
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = vecs.withColumn("cluster", assignExpr)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .groupBy("cluster", "pos0").agg(round(avg("x"), 6).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val next = centroids.map(_.clone()) // empty clusters keep previous
+      means.foreach { case (c, p, m) => next(c)(p) = m }
+      centroids = next
+    }
+    (assigned.select("vec_id", "cluster"), centroids)
+  }
+}

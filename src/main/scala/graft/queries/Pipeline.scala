@@ -346,6 +346,16 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // deterministic distributed k-means over the embeddings (k=8, 3 Lloyd
+    // iterations, smallest-id init) — the centroid-training step behind
+    // IVF/PQ/semantic-dedup; the DuckDB oracle unrolls the identical three
+    // iterations as CTEs.
+    "q94_kmeans" -> ((s, d) => {
+      graft.operators.Clustering.kmeans(Tables(s, d).embeddings,
+          "embedding", "vec_id", k = 8, iters = 3)
+        .orderBy("vec_id")
+    }),
+
     // END-TO-END curation pipeline, composed from the operators above:
     // quality filter → repetition scrub → fingerprint dedup (keep min id) →
     // sequence packing into 1024-token shards. One corpus scan feeds the
@@ -681,6 +691,36 @@ object Pipeline {
          |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
          |FROM k ORDER BY doc_id""".stripMargin,
+    "q94_kmeans" -> {
+      // unrolled Lloyd iterations as CTEs, in exact lockstep with
+      // Clustering.kmeans: double vectors, index-ordered squared-L2 with
+      // explicit (a-b)*(a-b) products rounded to 9 decimals, lowest-cluster
+      // tie-break, 6-decimal centroid means, empty clusters keeping the
+      // previous centroid via the left-join coalesce.
+      val (k, iters, dim) = (8, 3, 64)
+      def iterSql(n: Int): String = {
+        val prev = s"c${n - 1}"
+        s"""d$n AS (SELECT v.vec_id, c.cl,
+           |  round(list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 9) AS dist
+           |  FROM v CROSS JOIN $prev c),
+           |a$n AS (SELECT vec_id, cl FROM (
+           |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d$n)
+           |  WHERE rn = 1),
+           |m$n AS (SELECT a.cl, CAST(u.i AS INT) AS pos, round(avg(v.v[CAST(u.i AS INT)]), 6) AS m
+           |  FROM v JOIN a$n a USING (vec_id), unnest(range(1, ${dim + 1})) AS u(i)
+           |  GROUP BY a.cl, u.i),
+           |c$n AS (SELECT p.cl, list(coalesce(m.m, p.cv[CAST(u.i AS INT)]) ORDER BY u.i) AS cv
+           |  FROM $prev p CROSS JOIN unnest(range(1, ${dim + 1})) AS u(i)
+           |  LEFT JOIN m$n m ON m.cl = p.cl AND m.pos = u.i
+           |  GROUP BY p.cl)""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS cv
+         |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k)),
+         |${(1 to iters).map(iterSql).mkString(",\n")}
+         |SELECT vec_id, CAST(cl AS INT) AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
+    },
     "q91_curation_pipeline" -> {
       val quality =
         s"""round(least(len($duckTokens), 200) / 200.0

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated 2-d blobs, ids interleaved across blobs so the
+  // smallest-id init starts with one vector from each
+  private lazy val blobs = Seq(
+    (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(-10f, 5f)),
+    (3L, Seq(0.5f, -0.5f)), (4L, Seq(10.5f, 9.5f)), (5L, Seq(-9.5f, 5.5f)),
+    (6L, Seq(-0.5f, 0.5f)), (7L, Seq(9.5f, 10.5f)), (8L, Seq(-10.5f, 4.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeans recovers well-separated blobs") {
+    val out = Clustering.kmeans(blobs, "embedding", "vec_id", k = 3, iters = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(out(0L) === out(3L) && out(0L) === out(6L))
+    assert(out(1L) === out(4L) && out(1L) === out(7L))
+    assert(out(2L) === out(5L) && out(2L) === out(8L))
+    assert(Set(out(0L), out(1L), out(2L)).size === 3)
+  }
+
+  test("kmeans is deterministic under repartitioning") {
+    val a = Clustering.kmeans(blobs, "embedding", "vec_id", 3, 3)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val b = Clustering.kmeans(blobs.repartition(7), "embedding", "vec_id", 3, 3)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // init takes ids 0 and 1 — both in the origin blob; every point is
+    // closer to one of them than to... after round 1 centroid 1 may empty:
+    // k=2 over points all at the origin except one far outlier at id 0's
+    // position ensures cluster 1 (init = (0,0) dup) goes empty yet survives
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)),
+      (2L, Seq(1f, 1f)), (3L, Seq(2f, 2f))).toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(df, "embedding", "vec_id", k = 2, iters = 3)
+      .as[(Int, Int, Double)].collect()
+    // cluster 1's centroid must still exist (kept from init), all pos present
+    assert(cents.count(_._1 === 1) === 2)
+    val out = Clustering.kmeans(df, "embedding", "vec_id", 2, 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out.values.toSet.subsetOf(Set(0, 1)))
+  }
+
+  test("kmeansCentroids emits k x dim rounded long-form rows") {
+    val cents = Clustering.kmeansCentroids(blobs, "embedding", "vec_id", 3, 3)
+      .as[(Int, Int, Double)].collect()
+    assert(cents.length === 3 * 2)
+    assert(cents.map(_._2).toSet === Set(1, 2))
+    // 6-decimal rounding: re-rounding is the identity
+    assert(cents.forall(c => BigDecimal(c._3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble === c._3))
+  }
+}
