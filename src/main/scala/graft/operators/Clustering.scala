@@ -35,6 +35,14 @@ object Clustering {
       iters: Int): DataFrame =
     run(df, vecCol, idCol, k, iters)._1
 
+  /** Fit only: the final k centroids as driver-side arrays (model state —
+    * a few KB — for callers that inline them into further expressions, e.g.
+    * PQ codebooks).
+    */
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): Array[Array[Double]] =
+    run(df, vecCol, idCol, k, iters)._2
+
   /** Final centroids in long form: (cluster, pos, val) with `pos` 1-based
     * and `val` rounded to 6 decimals.
     */

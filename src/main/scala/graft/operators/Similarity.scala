@@ -69,6 +69,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization (PQ) top-k with asymmetric distance computation —
+    * the memory-bound ANN shape: candidates are compressed to `m` one-byte
+    * codes by per-subspace k-means codebooks ([[Clustering.kmeansFit]] on
+    * vector slices), queries build their `m × codebook` distance lookup
+    * tables ONCE each (on the small broadcast side), and scoring a
+    * candidate is then `m` table lookups instead of a `dim`-float loop —
+    * at 100 TB the scan carries bytes, not embeddings, and the ranking
+    * join's per-pair work is independent of dimensionality.
+    *
+    * Deterministic end to end (kmeans init/ties + 6-dp distance rounding +
+    * id tie-break). Returns (query_id, vec_id, dist, rank) with `dist` the
+    * PQ-approximate squared L2, rank 1..k ascending.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      m: Int = 8, codebook: Int = 16, iters: Int = 3): DataFrame = {
+    import graft.functions.NativeExpressions.l2sqNative
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+
+    def slice0(c: org.apache.spark.sql.Column, j: Int) =
+      slice(c, j * sub + 1, sub)
+
+    // fit: m independent codebooks over candidate sub-vectors (model state)
+    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      Clustering.kmeansFit(
+        candidates.select(col(idCol), slice0(col(vecCol), j).as("sv")),
+        "sv", idCol, codebook, iters)
+    }
+
+    // encode: per subspace, nearest-codeword index (same rounding/tie rules
+    // as Clustering's assign) — the candidate relation shrinks to m codes
+    def codeExpr(vc: org.apache.spark.sql.Column, j: Int) = {
+      val dists = array(books(j).map(c =>
+        round(l2sqNative(slice0(vc, j), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = candidates.select(col(idCol).as("vec_id"),
+      array((0 until m).map(j => codeExpr(col(vecCol), j)): _*).as("codes"))
+
+    // per-query ADC tables: dists from the query's j-th sub-vector to every
+    // codeword — computed once per query row, broadcast with it
+    val tableExpr = array((0 until m).map { j =>
+      array(books(j).map(c =>
+        l2sqNative(slice0(col("qv"), j), typedlit(c.toSeq))).toIndexedSeq: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qtab", tableExpr).drop("qv")
+
+    // score: m lookups per (query, candidate) pair
+    val dist = (0 until m).map { j =>
+      element_at(element_at(col("qtab"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), round(dist, 6).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH top-k: exact ranking *within* the query's bucket. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {

@@ -57,3 +57,55 @@ class ClusteringSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble === c._3))
   }
 }
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = vecs.filter($"vec_id" < 5)
+
+  test("pqTopK recall against exact L2 top-k on real embeddings") {
+    import graft.functions.NativeExpressions.l2sqNative
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val pq = Similarity.pqTopK(queries, vecs, "embedding", "vec_id", k, m = 16)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val exact = vecs.select($"vec_id", $"embedding".as("cv")).crossJoin(broadcast(q))
+      .select($"query_id", $"vec_id", round(l2sqNative($"qv", $"cv"), 6).as("d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy($"d".asc, $"vec_id".asc)))
+      .filter($"rank" <= k)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recalls = exact.keys.toSeq.map(qid =>
+      (pq(qid) intersect exact(qid)).size.toDouble / k)
+    val mean = recalls.sum / recalls.size
+    // PQ is approximate; on this corpus 8x16 codebooks should land well
+    // above chance (k/N = 10/500 = 0.02). The self-match (rank 1, dist 0
+    // region) must always survive compression.
+    assert(mean > 0.4, s"mean recall@10 too low: $mean")
+    assert(exact.keys.forall(qid => pq(qid).contains(qid)), "self-match lost")
+  }
+
+  test("pqTopK is deterministic and emits exactly k ranked rows per query") {
+    val a = Similarity.pqTopK(queries, vecs, "embedding", "vec_id", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.pqTopK(queries, vecs.repartition(13), "embedding", "vec_id", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+    assert(a.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(3)).sorted == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("pqTopK rejects a dimension that does not split into subspaces") {
+    val odd = Seq((0L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(odd, odd, "embedding", "vec_id", 1, m = 2)
+    }
+  }
+}
