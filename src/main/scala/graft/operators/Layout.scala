@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: Z-order (Morton-curve) clustering for
+  * multi-dimensional data skipping.
+  *
+  * Parquet readers prune row groups and files with min/max column
+  * statistics; a linear sort makes those statistics selective for ONE
+  * column only. Z-ordering interleaves the bits of several columns'
+  * normalized ranks so that rows close in the multi-dimensional space land
+  * in the same files — a range predicate on ANY of the z-columns then
+  * skips most files (the layout move behind Delta/Iceberg OPTIMIZE ZORDER).
+  *
+  * Everything is expressions + one range shuffle: a single min/max
+  * aggregate (tiny collect — 2 doubles per column) fixes the
+  * normalization, the interleave is a static shift/or expression tree
+  * inside whole-stage codegen, and the write is an ordinary
+  * `repartitionByRange(z)` + in-partition sort, so it scales exactly like
+  * any range-partitioned write.
+  */
+object Layout {
+
+  /** Morton interleave of pre-normalized non-negative integer columns
+    * (each already < 2^bits): bit b of column c lands at position
+    * b·n + c. Pure arithmetic — codegen'd, no UDF.
+    */
+  def interleaveBits(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"need 1..${63 / math.max(bits, 1)} columns at $bits bits, got ${cols.size}")
+    val n = cols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, ci) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Z-value column for `df`: each column min/max-normalized to a
+    * `bits`-wide rank (one tiny aggregate pass fixes the bounds), then
+    * Morton-interleaved. Null ranks as 0 (sorts first, like a null-first
+    * linear sort).
+    */
+  def zValue(df: DataFrame, zCols: Seq[String], bits: Int = 16): Column = {
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxRank = (1L << bits) - 1
+    val ranks = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      coalesce(
+        floor((col(c).cast("double") - mn) / span * maxRank).cast("long"),
+        lit(0L))
+    }
+    interleaveBits(ranks, bits)
+  }
+
+  /** Write `df` as parquet clustered along the Z-curve of `zCols`:
+    * range-partition on the z-value (`partitions` output files per write
+    * task layout), sort within partitions, drop the helper column.
+    */
+  def zOrderWrite(df: DataFrame, path: String, zCols: Seq[String],
+      partitions: Int, bits: Int = 16): Unit = {
+    df.withColumn("__z", zValue(df, zCols, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

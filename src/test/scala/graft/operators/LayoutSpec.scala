@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleaveBits matches the reference Morton computation") {
+    def morton(xs: Seq[Long], bits: Int): Long =
+      (for (b <- 0 until bits; (x, ci) <- xs.zipWithIndex)
+        yield ((x >> b) & 1L) << (b * xs.size + ci)).reduce(_ | _)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+    val out = rows.toDF("x", "y")
+      .select(Layout.interleaveBits(Seq($"x", $"y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(out === rows.map { case (x, y) => morton(Seq(x, y), 16) })
+    // the classic sanity points: (1,0)->1, (0,1)->2 at any width
+    assert(out(1) === 1L && out(2) === 2L)
+  }
+
+  test("interleaveBits rejects widths that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.interleaveBits(Seq($"x", $"y", $"z", $"w"), 16)
+    }
+  }
+
+  test("z-order layout makes per-file min/max selective on BOTH dimensions") {
+    // a grid where x and y are independent: linear order is selective on x
+    // only; the z-curve must tighten per-file y-spans dramatically
+    val n = 64
+    val grid = (0 until n * n).map(i => (i / n, i % n)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    val zPath = new java.io.File(dir, "z").getAbsolutePath
+    val linPath = new java.io.File(dir, "lin").getAbsolutePath
+    try {
+      Layout.zOrderWrite(grid, zPath, Seq("x", "y"), partitions = 16)
+      grid.repartitionByRange(16, $"x", $"y").sortWithinPartitions("x", "y")
+        .write.mode("overwrite").parquet(linPath)
+
+      def meanSpan(path: String, c: String): Double = {
+        val files = spark.read.parquet(path).inputFiles
+        val spans = files.map { f =>
+          val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+          (r.getInt(1) - r.getInt(0)).toDouble
+        }
+        spans.sum / spans.length
+      }
+      // linear layout carves x finely (span ~3) but leaves y unselective
+      // (span ~63); the z-curve instead forms balanced square tiles
+      // (~16x16 for 256-row files), so BOTH dimensions become selective
+      val (zX, zY) = (meanSpan(zPath, "x"), meanSpan(zPath, "y"))
+      val linY = meanSpan(linPath, "y")
+      assert(zY < linY / 3, s"z-order y-span $zY not well under linear $linY")
+      assert(zX < linY / 3, s"z-order x-span $zX not well under linear $linY")
+      assert(math.max(zX, zY) < 2 * math.min(zX, zY),
+        s"z tiles unbalanced: x $zX vs y $zY")
+      // round trip: no rows lost, helper column dropped
+      val back = spark.read.parquet(zPath)
+      assert(back.columns.toSeq.sorted === Seq("x", "y"))
+      assert(back.count() === n.toLong * n)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("zValue handles nulls, constant columns and non-numeric ranges") {
+    val df = Seq((Some(1.0), 5L), (None, 5L), (Some(3.0), 5L)).toDF("a", "b")
+    // constant b: span collapses to rank 0 for all; null a ranks 0
+    val z = df.select(Layout.zValue(df, Seq("a", "b"), bits = 8).as("z"))
+      .as[Long].collect()
+    assert(z.length === 3)
+    assert(z.forall(_ >= 0L))
+    assert(z(1) === 0L) // null a, constant b → all-zero ranks
+  }
+}
