@@ -289,6 +289,44 @@ final case class PropertyGraph(
     (state, i)
   }
 
+  /** Synchronous label-propagation community detection, deterministic:
+    * labels start as vertex ids; each round every vertex adopts its
+    * neighbors' most frequent label (ties → the smallest label; isolated
+    * vertices keep their own). A FIXED round count — synchronous LPA can
+    * oscillate on bipartite structure, so a fixed horizon both terminates
+    * and keeps the output a pure function of the graph, which is what lets
+    * the DuckDB oracle unroll the identical rounds. Per round: one shuffle
+    * on the undirected edge join + one (vertex, label) count — the same
+    * envelope as a round of [[connectedComponentsWithRounds]].
+    */
+  def labelPropagation(rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = und.join(state.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cnt").desc, col("lbl").asc)
+      val winners = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("lbl").as("newLbl"))
+      // per-round truncation is load-bearing, not just a deep-plan guard:
+      // state feeds BOTH sides of the join (directly, and inside winners'
+      // counts), so a lazy chain would re-derive each round's state twice
+      // per successor — 2^rounds blowup. Materializing keeps every round
+      // executed exactly once.
+      state = state.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(false)
+    state.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Single-source shortest paths over unit edge weights (reference benchmark
     * I3 "SSSP" with weight support via `weightExpr`).
     */

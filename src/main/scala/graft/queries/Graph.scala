@@ -155,6 +155,15 @@ object Graph {
       g.trianglesPerVertex().orderBy("id")
     }),
 
+    // deterministic synchronous label propagation (4 fixed rounds, most-
+    // frequent neighbor label, min tie-break) over the medium graph; the
+    // DuckDB oracle unrolls the identical rounds.
+    "q95_label_prop" -> ((s, d) => {
+      PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+        .labelPropagation(rounds = 4)
+        .orderBy("id")
+    }),
+
     // the reference's recursive-CTE SQL surface: WITH RECURSIVE
     // (SQLParser.scala:366-374, multiwayOperators.scala:306-326) — full
     // transitive closure over the dense edge set, reached purely via SQL
@@ -282,6 +291,26 @@ object Graph {
          |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
          |indeg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
          |SELECT n.id, CAST(coalesce(indeg.c, 0) AS BIGINT) AS in_degree
-         |FROM nodes n LEFT JOIN indeg ON n.id = indeg.id ORDER BY n.id""".stripMargin
+         |FROM nodes n LEFT JOIN indeg ON n.id = indeg.id ORDER BY n.id""".stripMargin,
+    "q95_label_prop" -> {
+      // unrolled synchronous LPA rounds in lockstep with
+      // PropertyGraph.labelPropagation: undirected distinct edges, most
+      // frequent neighbor label, (count desc, label asc) tie-break,
+      // isolated vertices keep their label.
+      def round(n: Int): String =
+        s"""cnt$n AS (SELECT u.b AS id, l.lbl, count(*) AS c
+           |  FROM und u JOIN l${n - 1} l ON u.a = l.id GROUP BY u.b, l.lbl),
+           |win$n AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM cnt$n)
+           |  WHERE rn = 1),
+           |l$n AS (SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+           |  FROM l${n - 1} p LEFT JOIN win$n w ON p.id = w.id)""".stripMargin
+      s"""WITH edges AS ($mediumEdgesSql),
+         |und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+         |l0 AS (SELECT id, CAST(id AS BIGINT) AS lbl
+         |  FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, lbl AS community FROM l4 ORDER BY id""".stripMargin
+    }
   )
 }

@@ -144,4 +144,28 @@ class PropertyGraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(st === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
+
+  test("labelPropagation separates two dense communities joined by one bridge") {
+    // K4 on {1..4}, K4 on {11..14}, one bridge 4—11
+    def k4(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(11L, 12L, 13L, 14L)) ++ Seq((4L, 11L)))
+      .toDF("src", "dst")
+    val out = PropertyGraph.fromEdges(e).labelPropagation(rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet.size === 1, "left clique fragmented")
+    assert(Seq(12L, 13L, 14L).map(out).toSet.size === 1, "right clique fragmented")
+    assert(out(1L) !== out(12L), "bridge merged the two communities")
+  }
+
+  test("labelPropagation is deterministic under repartitioning; isolated vertex keeps its label") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 isolated
+    val g0 = PropertyGraph(v, e)
+    val a = g0.labelPropagation(3).as[(Long, Long)].collect().sorted.toSeq
+    val b = PropertyGraph(v.repartition(5), e.repartition(7))
+      .labelPropagation(3).as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.toMap.apply(99L) === 99L)
+  }
 }

@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedupClusters small-graph union-find equals the distributed path") {
+    // a long chain (worst case for per-round propagation), a star, reversed
+    // edge order, and a 2-cycle duplicate pair
+    val pairs = ((1L to 20L).sliding(2).map(s => (s(1), s.head)) ++
+      Seq((50L, 60L), (50L, 70L), (50L, 80L), (90L, 91L), (91L, 90L))).toSeq
+      .toDF("doc1", "doc2")
+    val fast = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.dedupClusters(pairs, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast(20L) === 1L && fast(80L) === 50L && fast(91L) === 90L)
+  }
+
   test("simHash identical docs share signature; different docs differ") {
     val sh = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
