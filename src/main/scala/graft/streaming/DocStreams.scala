@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Streaming twins of the document-curation operators: the per-row text
+  * stages (quality scoring, run scrubbing, token counting, fingerprinting)
+  * are stateless codegen'd expressions, so they run unchanged on a
+  * `readStream` frame; the only stateful stage — dedup — becomes a
+  * watermarked `dropDuplicates`, with state bounded to fingerprints inside
+  * the watermark window instead of the whole corpus.
+  */
+object DocStreams {
+
+  /** Streaming curation: quality filter → run scrub → token count →
+    * fingerprint dedup. On a stream, "first arrival wins" within the
+    * watermark window (the streaming-natural keep rule — a stream has an
+    * arrival order where a batch has none); for deterministic batch
+    * dedup semantics use the batch pipeline (min-id keeper, q91).
+    * Returns (doc_id, ts?, cleaned, n_tokens, fp).
+    */
+  def curateStream(docs: DataFrame, minQuality: Double,
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val scored = docs
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .withColumn("cleaned", TextFunctions.scrubTokenRuns(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("cleaned")).cast("long"))
+      .withColumn("fp", TextFunctions.fingerprint(col("cleaned")))
+      .drop("text")
+    if (docs.isStreaming) scored.withWatermark(tsCol, watermark).dropDuplicates("fp")
+    else scored.dropDuplicates("fp")
+  }
+}

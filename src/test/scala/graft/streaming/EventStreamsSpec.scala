@@ -141,4 +141,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     assert(batch.count() === 2)
   }
+
+  test("streaming curation filters, scrubs and dedups documents by fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    val good = Array.fill(60)("the quick brown fox is in the pen").mkString(" ")
+    val goodDup = Array.fill(60)("quick the brown the fox is in pen the").mkString(" ")
+    Seq(
+      (1L, ts(60), good + " extra extra tail"),            // kept, runs scrubbed
+      (2L, ts(61), goodDup + " tail extra"),               // fp-dup of 1 (same token set)
+      (3L, ts(62), "short low quality"),                   // quality-filtered
+      (4L, ts(63), good + " unique closing words here"))   // kept, distinct fp
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = DocStreams.curateStream(stream, minQuality = 0.2)
+      .writeStream.outputMode("append").format("memory").queryName("curate_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("curate_out")
+      .select("doc_id", "cleaned", "n_tokens", "fp").collect()
+    // doc 3 quality-filtered; docs 1 and 2 share a fingerprint (same token
+    // set after scrubbing) so exactly one survives; doc 4 always survives
+    assert(out.length === 2)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.contains(4L) && (ids.contains(1L) ^ ids.contains(2L)))
+    // runs scrubbed: "extra extra" collapsed in doc 1's cleaned text
+    out.find(_.getLong(0) === 1L).foreach { r =>
+      assert(!r.getString(1).contains("extra extra"))
+    }
+    // batch fallback: same operator runs on a plain frame
+    val batch = DocStreams.curateStream(spark.read.parquet(dir), minQuality = 0.2)
+    assert(batch.count() === 2)
+  }
 }
