@@ -312,6 +312,80 @@ case class SimHash64(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Distinct md5-derived 32-bit ids of the k-token shingles of a token
+  * array, in ONE pass: shingle bytes are streamed straight into a
+  * thread-local MD5 digest (no shingle-string materialization), the first
+  * 4 digest bytes big-endian become the id (identical to
+  * `conv(substring(md5(s), 1, 8), 16, 10)`), and ids dedupe in insertion
+  * order. Replaces the zip_with-concat / md5 / conv / array_distinct
+  * chain that allocates several full string arrays per document — the
+  * input-building stage of MinHash+LSH dedup. Shingles containing null
+  * tokens are skipped (the HOF chain nulls them out and min/intersect
+  * ignore nulls). n < k tokens → empty array.
+  */
+case class ShingleTids(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_tids expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def tids(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = ShingleTids.Digest.get()
+    var j = 0
+    while (j + k <= n) {
+      var ok = true
+      var i = 0
+      while (ok && i < k) {
+        if (arr.isNullAt(j + i)) ok = false
+        i += 1
+      }
+      if (ok) {
+        md.reset()
+        i = 0
+        while (i < k) {
+          if (i > 0) md.update(' '.toByte)
+          md.update(arr.getUTF8String(j + i).getBytes)
+          i += 1
+        }
+        val d = md.digest()
+        seen.add(((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+      }
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    tids(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleTidsExpr", this, classOf[ShingleTids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tids($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleTids {
+  private val Digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+}
+
 object NativeExpressions {
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(HammingDistance64(
@@ -337,6 +411,10 @@ object NativeExpressions {
   def simhash64Native(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(SimHash64(
       org.apache.spark.sql.GraftSqlBridge.exprOf(hashes), bits))
+
+  def shingleTidsNative(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k))
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {

@@ -103,17 +103,25 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
       shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
-    val sh =
-      if (shingle <= 1) array_distinct(TextFunctions.tokens(col(textCol)))
-      else shingleArray(col(textCol), shingle)
-    val tidOf: Column => Column =
-      if (portableIds) portableTokenId
-      else t => pmod(xxhash64(t), lit(1L << 32))
     // (doc_id, tids): distinct token-id set per doc, persisted because it
     // feeds both the signature computation and both sides of the
     // verification join. Small relative to the corpus (ids, not text).
+    // Portable mode streams shingle bytes straight into MD5 in one native
+    // pass ([[graft.functions.NativeExpressions.shingleTidsNative]] —
+    // differential-tested against this HOF chain); xxhash mode keeps the
+    // HOF chain (xxhash64 is already a single cheap expression).
+    val tidsExpr: Column =
+      if (portableIds)
+        graft.functions.NativeExpressions.shingleTidsNative(
+          TextFunctions.tokens(col(textCol)), math.max(shingle, 1))
+      else {
+        val sh =
+          if (shingle <= 1) array_distinct(TextFunctions.tokens(col(textCol)))
+          else shingleArray(col(textCol), shingle)
+        array_distinct(transform(sh, t => pmod(xxhash64(t), lit(1L << 32))))
+      }
     val base = df
-      .select(col(idCol).as("doc_id"), array_distinct(transform(sh, tidOf)).as("tids"))
+      .select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
       .filter(size(col("tids")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -136,6 +136,28 @@ class FunctionsSpec extends SparkSpec {
     assert(native.view.mapValues(_.toSeq).toMap === hof.view.mapValues(_.toSeq).toMap)
   }
 
+  test("native shingle_tids matches the HOF shingle+md5+conv chain as a set") {
+    import graft.operators.Dedup
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),                          // fewer tokens than the shingle
+      (3L, "x y z x y z x y z"),            // repeated shingles dedupe
+      (4L, "naïve café déjà vu encore une fois"), // multi-byte UTF-8
+      (5L, "one two three")).toDF("id", "text")
+    for (k <- Seq(1, 3)) {
+      val native = texts.select($"id",
+          NativeExpressions.shingleTidsNative(TextFunctions.tokens($"text"), k).as("t"))
+        .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+      val sh =
+        if (k <= 1) array_distinct(TextFunctions.tokens($"text"))
+        else Dedup.shingleArray($"text", k)
+      val hof = texts.select($"id",
+          array_distinct(transform(sh, t => Dedup.portableTokenId(t))).as("t"))
+        .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+      assert(native === hof, s"k=$k diverged")
+    }
+  }
+
   test("native simhash64 matches the HOF aggregate formulation") {
     import graft.operators.Dedup
     val docs = Seq(
