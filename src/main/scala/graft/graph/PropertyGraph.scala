@@ -327,6 +327,42 @@ final case class PropertyGraph(
     state.select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop vertices
+    * whose degree WITHIN the surviving subgraph is below `k`, to the
+    * fixpoint (the maximal subgraph of minimum degree ≥ k — the classic
+    * densely-connected-region extractor). Deterministic — the fixpoint is
+    * unique — and idempotent after convergence, so the oracle can unroll a
+    * fixed generous round count and agree exactly. Per round: two semi
+    * joins against the shrinking vertex set + one count — edges partitioned
+    * and persisted once.
+    */
+  def kCore(k: Int, maxRounds: Int = 15): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    var keep = vertices.select(col(idCol).as("id")).localCheckpoint(true)
+    var n = keep.count()
+    var round = 0
+    var converged = n == 0
+    while (!converged && round < maxRounds) {
+      val next = und
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("id")
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      keep = next
+      n = m
+      round += 1
+    }
+    und.unpersist(false)
+    keep
+  }
+
   /** Single-source shortest paths over unit edge weights (reference benchmark
     * I3 "SSSP" with weight support via `weightExpr`).
     */

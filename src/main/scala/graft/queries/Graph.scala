@@ -164,6 +164,15 @@ object Graph {
         .orderBy("id")
     }),
 
+    // 20-core of the medium graph by iterative peeling — the unique
+    // fixpoint; the oracle unrolls 15 idempotent rounds (peeling is a
+    // no-op once converged, so generous unrolling agrees exactly).
+    "q96_kcore" -> ((s, d) => {
+      PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+        .kCore(k = 20)
+        .orderBy("id")
+    }),
+
     // the reference's recursive-CTE SQL surface: WITH RECURSIVE
     // (SQLParser.scala:366-374, multiwayOperators.scala:306-326) — full
     // transitive closure over the dense edge set, reached purely via SQL
@@ -292,6 +301,20 @@ object Graph {
          |indeg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
          |SELECT n.id, CAST(coalesce(indeg.c, 0) AS BIGINT) AS in_degree
          |FROM nodes n LEFT JOIN indeg ON n.id = indeg.id ORDER BY n.id""".stripMargin,
+    "q96_kcore" -> {
+      // MATERIALIZED is load-bearing: each round references the previous
+      // one twice, and DuckDB's default CTE inlining would blow up 2^15.
+      def round(n: Int): String =
+        s"""k$n AS MATERIALIZED (SELECT a AS id FROM (
+           |  SELECT u.a, count(*) AS c FROM und u
+           |  JOIN k${n - 1} x ON u.a = x.id JOIN k${n - 1} y ON u.b = y.id GROUP BY u.a)
+           |  WHERE c >= 20)""".stripMargin
+      s"""WITH edges AS ($mediumEdgesSql),
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+         |k0 AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |${(1 to 15).map(round).mkString(",\n")}
+         |SELECT id FROM k15 ORDER BY id""".stripMargin
+    },
     "q95_label_prop" -> {
       // unrolled synchronous LPA rounds in lockstep with
       // PropertyGraph.labelPropagation: undirected distinct edges, most

@@ -158,6 +158,22 @@ class PropertyGraphSpec extends SparkSpec {
     assert(out(1L) !== out(12L), "bridge merged the two communities")
   }
 
+  test("kCore peels cascading tails down to the clique core") {
+    // K4 core {1..4} with a path 4—5—6—7 hanging off: peeling deg<2
+    // removes 7, then 6, then 5 (CASCADING — each removal exposes the
+    // next), leaving the 2-core = the clique
+    val e = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+      .union(Seq((4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst"))
+    val core2 = PropertyGraph.fromEdges(e).kCore(2).as[Long].collect().sorted.toSeq
+    assert(core2 === Seq(1L, 2L, 3L, 4L))
+    // 3-core: still the clique (each clique vertex has degree 3 inside it)
+    assert(PropertyGraph.fromEdges(e).kCore(3).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // 4-core: empty (K4 has max internal degree 3)
+    assert(PropertyGraph.fromEdges(e).kCore(4).count() === 0L)
+  }
+
   test("labelPropagation is deterministic under repartitioning; isolated vertex keeps its label") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val v = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 isolated
