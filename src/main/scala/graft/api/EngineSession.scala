@@ -188,6 +188,14 @@ final class EngineSession(val spark: SparkSession) {
       .saveAsTable(table)
   }
 
+  /** Z-order clustered parquet write (facade over
+    * [[graft.operators.Layout.zOrderWrite]]): multi-dimensional min/max
+    * file skipping for range predicates on any of `zCols`.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      partitions: Int, bits: Int = 16): Unit =
+    graft.operators.Layout.zOrderWrite(df, path, zCols, partitions, bits)
+
   def enableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

@@ -66,6 +66,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q94 k-means assignment is join-free: centroids ride as literals") {
+    // the scale property of the assign step — model state is inlined into
+    // the codegen'd expression, so the data is scanned and never joined
+    val p = executedPlan("q94_kmeans")
+    assert(!p.contains("Join"), s"k-means assignment plan contains a join:\n$p")
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")

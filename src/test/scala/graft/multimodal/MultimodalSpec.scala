@@ -209,6 +209,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video as fixed-size image frames: sampleFrames composes with real decode") {
+    // a "video" of 4 equal-size PNG frames (white, black, white, black):
+    // frame sampling is pure expressions; each sampled frame then decodes
+    // for real through the image path — the composition a real codec would
+    // slot into at the same seam
+    def frame(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val f0 = frame(0xffffff)
+    // pad all frames to a common size so fixed-stride slicing is exact
+    val frames = Seq(f0, frame(0x000000), frame(0xffffff), frame(0x000000))
+    val size = frames.map(_.length).max
+    val padded = frames.map(f => f ++ Array.fill(size - f.length)(0.toByte))
+    val video = padded.reduce(_ ++ _)
+
+    val df = spark.createDataset(Seq(MediaRow(1L, "video", video))).toDF()
+    val sampled = sampleFrames(df, "content", "id", frameBytes = size, everyNth = 2)
+    val decoded = decode(sampled.select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("image").as("modality"),
+        org.apache.spark.sql.functions.col("frame").as("content"))
+      .as[MediaRow])
+      .collect()
+    // frames 0 and 2 sampled — both white 8x8 PNGs, really decoded
+    // (ImageIO tolerates the zero-padding after IEND)
+    assert(decoded.length === 2)
+    assert(decoded.forall(r => r.meta.width === 8 && r.meta.height === 8))
+    assert(decoded.forall(_.features.forall(f => f > 0.99f)))
+  }
+
   test("sampleFrames slices binary at fixed stride without UDFs") {
     val df = spark.createDataset(Seq(media(7, "video", 300))).toDF()
     val frames = sampleFrames(df, "content", "id", frameBytes = 100, everyNth = 2)
