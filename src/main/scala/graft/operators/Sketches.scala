@@ -70,6 +70,33 @@ object Sketches {
     df.withColumn(flagCol, mightContain(col(col0).cast("long")))
   }
 
+  /** Mergeable HLL sketches (Apache DataSketches, Spark's `hll_sketch_agg`
+    * family): ONE binary sketch per group, storable alongside the batch
+    * that produced it. This is the incremental-distinct pattern of a
+    * 100 TB pipeline — per-batch/per-source sketches are built once at
+    * ingest and later UNIONED ([[hllMergeEstimate]]) without ever
+    * rescanning the batches, unlike a plain approx/exact distinct which
+    * must see all data every time.
+    */
+  def hllSketchPerGroup(df: DataFrame, col0: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(col0)).as("hll_sketch"))
+
+  /** Union previously-built sketches (e.g. one per ingested batch) down to
+    * distinct-count estimates per group — input is the sketch table, not
+    * the data.
+    */
+  def hllMergeEstimate(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "hll_sketch"): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty) sketches.agg(hll_union_agg(col(sketchCol)).as("hll_sketch"))
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col(sketchCol)).as("hll_sketch"))
+    merged.withColumn("distinct_est", hll_sketch_estimate(col("hll_sketch")))
+      .drop("hll_sketch")
+  }
+
   /** Count-Min frequency sketch of a column: point-lookup estimated counts
     * with ε/δ error bounds, built in one distributed pass.
     */

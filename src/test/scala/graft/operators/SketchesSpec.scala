@@ -40,4 +40,27 @@ class SketchesSpec extends SparkSpec {
     assert(r._1 === 100L)
     assert(r._3 < 0.1)
   }
+
+  test("mergeable HLL sketches: per-batch build, union without rescanning") {
+    import org.apache.spark.sql.functions._
+    // two ingest "batches" with overlapping keys
+    val batch1 = (1L to 600L).toDF("k").withColumn("batch", lit("b1"))
+    val batch2 = (401L to 1000L).toDF("k").withColumn("batch", lit("b2"))
+    val sketches = Sketches.hllSketchPerGroup(batch1.union(batch2), "k", Seq("batch"))
+    assert(sketches.count() === 2) // one binary sketch per batch
+
+    // union of the two PER-BATCH sketches — the batches themselves never
+    // rescanned — estimates the global distinct count
+    val merged = Sketches.hllMergeEstimate(sketches, Nil)
+      .select("distinct_est").as[Long].head()
+    assert(math.abs(merged - 1000L) <= 30L, s"merged estimate $merged far from 1000")
+
+    // and tracks the sketch built over all data at once (union may promote
+    // sketch representation differently, so close — not bit-identical)
+    val whole = Sketches.hllSketchPerGroup(
+        batch1.union(batch2).withColumn("g", lit(1)), "k", Seq("g"))
+    val wholeEst = Sketches.hllMergeEstimate(whole, Nil)
+      .select("distinct_est").as[Long].head()
+    assert(math.abs(merged - wholeEst) <= 10L, s"union $merged vs direct $wholeEst")
+  }
 }
