@@ -119,6 +119,30 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class PackingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("random docs: distributed == naive for random budgets/partitions; shards monotone") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 50 + rnd.nextInt(200)
+      val df = (1 to n).map(i => (i.toLong, 1 + rnd.nextInt(500))).toDF("id", "nt")
+      val budget = 64 + rnd.nextInt(4000)
+      val parts = 1 + rnd.nextInt(40)
+      val dist = Packing.packShards(df, "id", col("nt"), budget, parts)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      val naive = Packing.packShardsNaive(df, "id", col("nt"), budget)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(dist === naive, s"trial $trial (n=$n budget=$budget parts=$parts)")
+      // shard index starts at 0 and is non-decreasing in id order (a doc
+      // longer than the budget may legitimately skip indices)
+      val shards = dist.map(_._3)
+      assert(shards.head === 0L)
+      assert(shards.zip(shards.tail).forall { case (a, b) => b >= a })
+    }
+  }
+}
+
 class ScrubRunsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -136,5 +160,24 @@ class ScrubRunsSpec extends SparkSpec {
     assert(out(2L) === (("a", 3)))
     assert(out(3L) === (("one", 0)))
     assert(out(4L) === (("x y x y", 0)))                 // alternation untouched
+  }
+
+  test("scrubTokenRuns is idempotent on random token streams") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "d")
+    val texts = (1 to 30).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val once = texts.select(col("doc_id"),
+      TextFunctions.scrubTokenRuns(col("text")).as("text"))
+    val twice = once.select(col("doc_id"),
+        TextFunctions.scrubTokenRuns(col("text")).as("t2"))
+      .as[(Long, String)].collect().toMap
+    val onceM = once.as[(Long, String)].collect().toMap
+    assert(twice === onceM)
+    // and the scrubbed stream never contains an adjacent duplicate
+    assert(onceM.values.forall { t =>
+      val toks = t.split("\\s+"); toks.zip(toks.tail).forall { case (a, b) => a != b }
+    })
   }
 }
