@@ -253,7 +253,10 @@ object SqlRewriter {
 
   /* ---- lt [la] ASOF [LEFT] JOIN rt [ra] ON la.k = ra.k AND la.t >= ra.t ---- */
 
-  private val AsofRe = "(?i)([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ASOF\\s+(?:LEFT\\s+)?JOIN\\s+([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ON\\b".r
+  // the lookbehinds stop the left/right captures from matching the bare
+  // suffix of a qualified name (`db.tbl ASOF JOIN …` must not resolve `tbl`)
+  private val AsofRe = "(?i)(?<![\\w.])([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ASOF\\s+(?:LEFT\\s+)?JOIN\\s+(?<![\\w.])([A-Za-z_][\\w]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][\\w]*))?\\s+ON\\b".r
+  private val AsofKeywordRe = "(?i)\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b".r
   private val AsofCondRe = "(?is)^\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*=\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s+AND\\s+([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*>=\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*$".r
   private val AsofCondEndRe = "(?i)\\b(WHERE|GROUP\\s+BY|HAVING|QUALIFY|ORDER\\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\\b".r
   private val asofCounter = new java.util.concurrent.atomic.AtomicInteger
@@ -276,7 +279,14 @@ object SqlRewriter {
       cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): String = {
     val mask = literalMask(input)
     AsofRe.findAllMatchIn(input).find(m => !mask(m.start)) match {
-      case None => input
+      case None =>
+        // an ASOF JOIN the surface regex could not bind (e.g. qualified
+        // `db.tbl` operands or a subquery operand) must fail HERE with the
+        // real reason, not reach Spark's parser as mystery syntax
+        require(!AsofKeywordRe.findAllMatchIn(input).exists(m => !mask(m.start)),
+          "ASOF JOIN: operands must be simple unqualified table/view names " +
+            "with optional aliases (register a temp view for qualified names or subqueries)")
+        input
       case Some(m) =>
         val (lt, la) = (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))
         val (rt, ra) = (m.group(3), Option(m.group(4)).getOrElse(m.group(3)))
@@ -508,6 +518,31 @@ object SqlRewriter {
       }
   }
 
+  /** Number of TABLE-POSITION uses of `name` (after FROM/JOIN or a
+    * FROM-list comma; `name.` qualifiers do not count) — distinguishes
+    * linear recursion (one self-join operand) from non-linear (the step
+    * joins the CTE to itself), which semi-naive deltas cannot serve.
+    */
+  private def tableRefCount(text: String, name: String): Int = {
+    val mask = literalMask(text)
+    lazy val fromMask = fromListMask(text)
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .findAllMatchIn(text).count { m =>
+        if (mask(m.start)) false
+        else {
+          val p = lastNonWs(text, m.start - 1)
+          if (p < 0) false
+          else if (text(p) == ',') fromMask(p)
+          else {
+            var ws = p
+            while (ws >= 0 && (text(ws).isLetterOrDigit || text(ws) == '_')) ws -= 1
+            val w = text.substring(ws + 1, p + 1).toUpperCase
+            w == "FROM" || w == "JOIN"
+          }
+        }
+      }
+  }
+
   /** Replace every word-boundary occurrence of `name` outside string
     * literals with `repl` (table refs and `name.` qualifiers alike — see the
     * class doc for the implied name-collision restriction).
@@ -550,7 +585,17 @@ object SqlRewriter {
     val cooked = rewriteUnionByUpdate(rewriteMatch(body, session))
     val (branches, allBag) = splitTopLevelUnion(cooked)
     val (stepRaw, baseB) = branches.partition(referencesName(_, name))
-    val stepB = stepRaw.map(substName(_, name, view))
+    // NON-LINEAR branches (the CTE joined to itself, e.g. `FROM tc a JOIN
+    // tc b`) must see the full accumulated total every round — a frontier
+    // delta would miss pairs combining rows from different rounds. They
+    // substitute a second view tracking the total (plain naive evaluation
+    // for that branch); linear branches keep the semi-naive delta.
+    val viewTotal = s"${view}_total"
+    val hasNonLinear = stepRaw.exists(b => tableRefCount(b, name) >= 2)
+    val stepB = stepRaw.map { b =>
+      if (tableRefCount(b, name) >= 2) substName(b, name, viewTotal)
+      else substName(b, name, view)
+    }
     def rename(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (cols.nonEmpty) df.toDF(cols: _*) else df
 
@@ -575,6 +620,11 @@ object SqlRewriter {
     if (allBag) {
       // UNION ALL: standard working-table accumulation — each round the step
       // sees only the previous round's rows; stop on an empty step or cap.
+      // Non-linear self-joins have no well-defined bag multiplicity under
+      // the working-table scheme (the SQL standard requires exactly one
+      // recursive reference) — reject rather than answer wrongly.
+      require(!hasNonLinear,
+        s"WITH RECURSIVE: CTE '$name' is referenced more than once in a UNION ALL step branch; bag-semantics non-linear recursion is not supported (use UNION)")
       val cap = maxRounds.getOrElse(DefaultBagRounds)
       var working = materialize(rename(spark.sql(baseB.mkString(" UNION ALL "))))._2
       var acc = working
@@ -603,6 +653,7 @@ object SqlRewriter {
       var done = false
       while (!done && round < cap) {
         delta.createOrReplaceTempView(view)
+        if (hasNonLinear) total.createOrReplaceTempView(viewTotal)
         val stepped = rename(spark.sql(stepB.mkString(" UNION "))).distinct()
         val minus = stepped.columns
           .map(c => org.apache.spark.sql.functions.col(s"__rcte_s.`$c`") <=>
@@ -614,6 +665,9 @@ object SqlRewriter {
         else { total = total.union(fresh); delta = fresh; round += 1 }
       }
       materialize(total)._2.createOrReplaceTempView(view)
+      if (hasNonLinear) {
+        try spark.catalog.dropTempView(viewTotal) catch { case _: Exception => () }
+      }
     }
     // the final frame's cache is the view's backing data — keep it
     if (interim.nonEmpty) interim.remove(interim.length - 1)

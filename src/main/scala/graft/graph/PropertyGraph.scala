@@ -360,6 +360,11 @@ final case class PropertyGraph(
       round += 1
     }
     und.unpersist(false)
+    // the contract is the FIXPOINT — returning a non-converged superset
+    // silently (deep-peeling graphs like long paths shrink by O(1) per
+    // round) would be a wrong answer, so fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge within $maxRounds rounds ($n vertices still shrinking); raise maxRounds")
     keep
   }
 

@@ -120,7 +120,17 @@ object Multimodal {
           val totalFrames = in.getFrameLength
           val frameSize = fmt.getFrameSize
           val bits = fmt.getSampleSizeInBits
-          if (totalFrames <= 0 || frameSize <= 0 || (bits != 8 && bits != 16)) None
+          // linear PCM only: javax.sound also hands back ULAW/ALAW streams
+          // whose companded bytes would decode to garbage if read as linear
+          // samples — those (and 16-bit unsigned, which the loop below does
+          // not handle) fall back to the stub instead
+          val enc = fmt.getEncoding
+          val signedEnc = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val decodable =
+            (bits == 8 && (signedEnc ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)) ||
+              (bits == 16 && signedEnc)
+          if (!decodable || totalFrames <= 0 || frameSize <= 0) None
           else {
             val readFrames = math.min(totalFrames, 262144L).toInt
             val buf = new Array[Byte](readFrames * frameSize)
@@ -256,13 +266,21 @@ object Multimodal {
 
       if (!(tag(0, "RIFF") && tag(8, "WAVE"))) AudioInfo("unknown", -1, -1, -1, -1L)
       else {
+        // chunk sizes come from untrusted bytes: clamp to the remaining
+        // buffer and force forward progress, or a corrupt size field
+        // (negative via the int reinterpretation, or huge) would spin the
+        // walk forever / index out of bounds — this parser must never fail
+        // a task on malformed content
         var (i, ch, sr, bps, data) = (12, -1, -1, -1, -1L)
-        while (i + 8 <= bytes.length) {
-          val size = le32(i + 4)
+        var sane = true
+        while (sane && i + 8 <= bytes.length) {
+          val size = le32(i + 4) // unsigned 32-bit as Long: never negative
           if (tag(i, "fmt ") && i + 24 <= bytes.length) {
             ch = le16(i + 10); sr = le32(i + 12).toInt; bps = le16(i + 22)
           } else if (tag(i, "data")) data = size
-          i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          val step = 8L + size + (size & 1L) // chunks are word-aligned
+          if (i + step > bytes.length.toLong) sane = false // truncated chunk: stop
+          else i += step.toInt
         }
         AudioInfo("wav", ch, sr, bps, data)
       }

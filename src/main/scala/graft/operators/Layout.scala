@@ -48,7 +48,12 @@ object Layout {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val maxRank = (1L << bits) - 1
     val ranks = zCols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      // an empty input or an all-null column aggregates to null bounds —
+      // rank everything 0 (the documented null behavior) instead of NPE-ing
+      // the write job
+      val (mn, mx) =
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 0.0)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
       val span = if (mx > mn) mx - mn else 1.0
       coalesce(
         floor((col(c).cast("double") - mn) / span * maxRank).cast("long"),

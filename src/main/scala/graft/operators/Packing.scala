@@ -40,17 +40,14 @@ object Packing {
       tokenExpr: org.apache.spark.sql.Column, budget: Long,
       partitions: Int = 0): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val spark = df.sparkSession
-    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-
-    val toks = df.select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-    // phase 2: per-partition running sums — the window is keyed by pid, so
-    // every partition's scan runs in parallel (no global-order single task).
-    val local = toks.withColumn("local_cum",
-      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+    // The localCheckpoint pins ONE materialization of the range shuffle:
+    // `local` feeds both the offsets aggregate and the final join, and
+    // repartitionByRange samples its bounds per execution — if exchange
+    // reuse ever failed to dedup the two branches, boundary rows could land
+    // in different pids per branch and pair with the wrong offset. The
+    // checkpointed frame (ids + three longs, no text) makes the pid
+    // assignment a fact rather than a plan.
+    val local = prefixSummed(df, idCol, tokenExpr, partitions).localCheckpoint(true)
 
     // phase 3: exclusive prefix offsets over the tiny (p rows) totals table.
     // The global-order window here is fine: it sees #partitions rows, not N.
@@ -64,6 +61,25 @@ object Packing {
       .select(col("doc_id"), col("n_tokens"),
         floor((col("local_cum") + col("offset") - col("n_tokens"))
           .cast("double") / budget.toDouble).cast("long").as("shard"))
+  }
+
+  /** Phases 1–2 as a lazy plan: range partition by id, per-partition
+    * running sums with a pid-keyed window. Exposed so the plan-shape spec
+    * can assert the scale properties (RangePartitioning, parallel windows)
+    * that [[packShards]] hides behind its pinning checkpoint.
+    */
+  private[graft] def prefixSummed(df: DataFrame, idCol: String,
+      tokenExpr: org.apache.spark.sql.Column, partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      // per-partition running sums: the window is keyed by pid, so every
+      // partition's scan runs in parallel (no global-order single task)
+      .withColumn("local_cum",
+        sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
   }
 
   /** Reference formulation (single-task global window) — used by the spec as

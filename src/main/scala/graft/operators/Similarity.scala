@@ -92,11 +92,21 @@ object Similarity {
 
     def slice0(c: org.apache.spark.sql.Column, j: Int) =
       slice(c, j * sub + 1, sub)
+    // the sliced distances silently truncate to the shorter array, so a
+    // ragged vector would score as a spurious near-perfect match on its
+    // missing subspaces — force every row to the fitted dimension instead.
+    // assert_true returns null on success; the isNull filter keeps all
+    // rows while making the check un-prunable.
+    def dimChecked(df0: DataFrame): DataFrame =
+      df0.filter(assert_true(size(col(vecCol)) === dim,
+        lit(s"pqTopK: vector dimension must be $dim for every row")).isNull)
 
     // fit: m independent codebooks over candidate sub-vectors (model state)
+    val cands = dimChecked(candidates)
+    val qs = dimChecked(queries)
     val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       Clustering.kmeansFit(
-        candidates.select(col(idCol), slice0(col(vecCol), j).as("sv")),
+        cands.select(col(idCol), slice0(col(vecCol), j).as("sv")),
         "sv", idCol, codebook, iters)
     }
 
@@ -107,7 +117,7 @@ object Similarity {
         round(l2sqNative(slice0(vc, j), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val encoded = candidates.select(col(idCol).as("vec_id"),
+    val encoded = cands.select(col(idCol).as("vec_id"),
       array((0 until m).map(j => codeExpr(col(vecCol), j)): _*).as("codes"))
 
     // per-query ADC tables: dists from the query's j-th sub-vector to every
@@ -116,7 +126,7 @@ object Similarity {
       array(books(j).map(c =>
         l2sqNative(slice0(col("qv"), j), typedlit(c.toSeq))).toIndexedSeq: _*)
     }: _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = qs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qtab", tableExpr).drop("qv")
 
     // score: m lookups per (query, candidate) pair

@@ -20,6 +20,12 @@ object DocStreams {
     * arrival order where a batch has none); for deterministic batch
     * dedup semantics use the batch pipeline (min-id keeper, q91).
     * Returns (doc_id, ts?, cleaned, n_tokens, fp).
+    *
+    * State is genuinely watermark-bounded: `dropDuplicatesWithinWatermark`
+    * evicts a fingerprint once the watermark passes it. A plain
+    * `dropDuplicates(fp)` under a watermark would NOT evict (Spark only
+    * purges dedup state when the event-time column is part of the key),
+    * so its state grows with every fingerprint ever seen.
     */
   def curateStream(docs: DataFrame, minQuality: Double,
       tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
@@ -29,7 +35,8 @@ object DocStreams {
       .withColumn("n_tokens", TextFunctions.tokenCount(col("cleaned")).cast("long"))
       .withColumn("fp", TextFunctions.fingerprint(col("cleaned")))
       .drop("text")
-    if (docs.isStreaming) scored.withWatermark(tsCol, watermark).dropDuplicates("fp")
+    if (docs.isStreaming)
+      scored.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fp")
     else scored.dropDuplicates("fp")
   }
 }

@@ -49,7 +49,15 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q87 packing prefix-sum runs range-partitioned, windows keyed by pid") {
-    val p = executedPlan("q87_sequence_packing")
+    // packShards pins its prefix sum behind a checkpoint (so the gate's
+    // own plan is a checkpoint scan); the scale properties live in the
+    // lazy phase it materializes — assert on that plan directly
+    val docs = Tables(spark, sf0001).documents
+    val df = graft.operators.Packing.prefixSummed(docs, "doc_id",
+      graft.functions.TextFunctions.tokenCount(
+        org.apache.spark.sql.functions.col("text")), 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // phase 1: the corpus flows through a RANGE exchange (parallel total
     // order), and the per-partition running sum is a Window PARTITIONED by
     // pid — the corpus never funnels through one global-order window task

@@ -310,4 +310,42 @@ class SqlRewriterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ASOF JOIN"))
   }
+
+  test("ASOF JOIN with qualified table names is rejected, not suffix-matched") {
+    // must NOT silently resolve the bare suffix `trades` of `mydb.trades`
+    val e = intercept[IllegalArgumentException] {
+      session.sql(
+        "SELECT * FROM mydb.trades t ASOF JOIN mydb.quotes q ON t.k = q.k AND t.ts >= q.ts")
+    }
+    assert(e.getMessage.contains("unqualified"))
+  }
+
+  test("non-linear recursion (CTE self-joined in the step) reaches the full closure") {
+    // path 1→2→3→4→5: with tc JOIN tc as the step, semi-naive deltas alone
+    // would miss pairs combining rows from different rounds (e.g. length-3
+    // paths after round 2); the non-linear branch must see the full total
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+      .createOrReplaceTempView("nl_edges")
+    val out = session.sql(
+      """WITH RECURSIVE tc AS (
+        |  SELECT src, dst FROM nl_edges
+        |  UNION
+        |  SELECT a.src, b.dst FROM tc a JOIN tc b ON a.dst = b.src
+        |) SELECT count(*) AS n FROM tc""".stripMargin)
+      .df.as[Long].head()
+    assert(out === 10L) // all ordered reachable pairs of the 5-chain
+  }
+
+  test("non-linear recursion under UNION ALL is rejected with a clear message") {
+    Seq((1L, 2L)).toDF("src", "dst").createOrReplaceTempView("nl2_edges")
+    val e = intercept[IllegalArgumentException] {
+      session.sql(
+        """WITH RECURSIVE tc AS (
+          |  SELECT src, dst FROM nl2_edges
+          |  UNION ALL
+          |  SELECT a.src, b.dst FROM tc a JOIN tc b ON a.dst = b.src
+          |) SELECT count(*) AS n FROM tc""".stripMargin)
+    }
+    assert(e.getMessage.contains("referenced more than once"))
+  }
 }

@@ -174,6 +174,18 @@ class PropertyGraphSpec extends SparkSpec {
     assert(PropertyGraph.fromEdges(e).kCore(4).count() === 0L)
   }
 
+  test("kCore fails loudly instead of returning a non-converged superset") {
+    // a 12-vertex path peels two endpoints per round: 5 rounds to empty
+    // under k=2; a cap of 2 must throw, not silently return extra vertices
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      PropertyGraph.fromEdges(path).kCore(2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the true (empty) 2-core comes back
+    assert(PropertyGraph.fromEdges(path).kCore(2).count() === 0L)
+  }
+
   test("labelPropagation is deterministic under repartitioning; isolated vertex keeps its label") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val v = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 isolated

@@ -117,6 +117,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).meta.sizeBytes === 3L)
   }
 
+  test("AudioHeaders.parse never hangs or throws on corrupt chunk sizes") {
+    def riff(size: Long): Array[Byte] = {
+      val b = new Array[Byte](32)
+      "RIFF".getBytes("ASCII").copyToArray(b, 0)
+      "WAVE".getBytes("ASCII").copyToArray(b, 8)
+      "fmt ".getBytes("ASCII").copyToArray(b, 12)
+      // chunk size field at offset 16, little-endian
+      for (j <- 0 until 4) b(16 + j) = ((size >> (8 * j)) & 0xff).toByte
+      b
+    }
+    // 0xFFFFFFF8 would be -8 as an int (zero forward progress); 0x80000000
+    // a negative index jump — both must degrade gracefully, not spin/throw
+    for (bad <- Seq(0xFFFFFFF8L, 0x80000000L, 0x7FFFFFFFL)) {
+      val info = AudioHeaders.parse(riff(bad))
+      assert(info.format === "wav") // header recognized, walk stopped sanely
+    }
+    assert(AudioHeaders.parse(Array.empty[Byte]).format === "unknown")
+  }
+
+  test("non-PCM (u-law) audio falls back to the stub instead of misdecoding") {
+    // 8-bit u-law mono WAV: javax.sound reads it, but the companded bytes
+    // are not linear PCM — decode must NOT interpret them as such
+    val n = 800
+    val pcm = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 0.5 * 127).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = spark.createDataset(Seq(MediaRow(1L, "audio", bos.toByteArray)))
+    val out = decode(ds).collect().head
+    // stub fallback marks itself by the byte-derived sampleRate scheme
+    // (multiple of 8000 by construction) and durationMs = 10×size
+    assert(out.meta.durationMs === bos.toByteArray.length.toLong * 10L)
+  }
+
   test("audioInfo parses real RIFF/WAVE headers distributed over the binary column") {
     val ds = Seq(
       MediaRow(1L, "audio", wavBytes(16000, 0.25, 220.0)),

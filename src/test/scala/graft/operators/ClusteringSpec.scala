@@ -108,4 +108,18 @@ class PqSpec extends SparkSpec {
       Similarity.pqTopK(odd, odd, "embedding", "vec_id", 1, m = 2)
     }
   }
+
+  test("pqTopK errors on ragged vectors instead of scoring a prefix") {
+    // second candidate is shorter than the fitted dimension — truncated
+    // subspace distances would make it a spurious perfect match
+    val ragged = Seq(
+      (0L, Seq.fill(8)(1f)), (1L, Seq.fill(4)(1f)), (2L, Seq.fill(8)(2f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqTopK(q, ragged, "embedding", "vec_id", 2, m = 2, codebook = 2)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dimension"))
+  }
 }

@@ -77,4 +77,13 @@ class LayoutSpec extends SparkSpec {
     assert(z.forall(_ >= 0L))
     assert(z(1) === 0L) // null a, constant b → all-zero ranks
   }
+
+  test("zValue survives an empty input and an all-null column") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(empty.select(Layout.zValue(empty, Seq("a", "b")).as("z")).count() === 0L)
+    val allNull = Seq((Option.empty[Double], 1L), (None, 2L)).toDF("a", "b")
+    val z = allNull.select(Layout.zValue(allNull, Seq("a", "b"), bits = 4).as("z"))
+      .as[Long].collect()
+    assert(z.length === 2 && z.forall(_ >= 0L))
+  }
 }
