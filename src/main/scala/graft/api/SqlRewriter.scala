@@ -274,6 +274,12 @@ object SqlRewriter {
     * other columns surface as `asof_<name>` (null when unmatched — the
     * LEFT variant; ASOF and ASOF LEFT are therefore synonyms here, and a
     * WHERE on a non-null asof column recovers inner semantics).
+    *
+    * `ASOF` is a RESERVED word in this dialect (as in DuckDB): a table
+    * alias literally named `asof` is read as the join keyword, so
+    * `FROM t asof JOIN u ON asof.k = u.k` is not a plain aliased join
+    * here — both condition checks below recognize an `asof.`-qualified
+    * condition and fail with the rename advice instead of a shape error.
     */
   private def rewriteAsofJoin(input: String, session: EngineSession,
       cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): String = {
@@ -294,15 +300,24 @@ object SqlRewriter {
           .filter(t => t.start > m.end && !mask(t.start))
           .map(_.start).minOption.getOrElse(input.length)
         val cond = input.substring(m.end, condEnd)
+        // a condition qualified by the identifier `asof` means the query
+        // aliased a table as the reserved word — say so, not "wrong shape"
+        def reservedCheck(): Unit = require(
+          !"(?i)\\basof\\s*\\.".r.findFirstIn(cond).isDefined,
+          "ASOF JOIN: `asof` is a reserved join keyword in this dialect; " +
+            s"rename the `asof` table alias, got condition: $cond")
         val (lk, rk, ltm, rtm) = cond match {
           case AsofCondRe(a1, c1, a2, c2, a3, c3, a4, c4) =>
             val eq = Map(a1 -> c1, a2 -> c2)
             val ge = Map(a3 -> c3, a4 -> c4)
+            if (eq.keySet != Set(la, ra) || a3 != la || a4 != ra) reservedCheck()
             require(eq.keySet == Set(la, ra) && a3 == la && a4 == ra,
               s"ASOF JOIN: condition must be one `$la.k = $ra.k` AND `$la.t >= $ra.t`, got: $cond")
             (eq(la), eq(ra), ge(la), ge(ra))
-          case _ => throw new IllegalArgumentException(
-            s"ASOF JOIN: expected `a.k = b.k AND a.t >= b.t`, got: $cond")
+          case _ =>
+            reservedCheck()
+            throw new IllegalArgumentException(
+              s"ASOF JOIN: expected `a.k = b.k AND a.t >= b.t`, got: $cond")
         }
         val l = session.spark.table(lt)
         val r = session.spark.table(rt)

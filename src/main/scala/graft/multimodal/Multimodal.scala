@@ -170,13 +170,21 @@ object Multimodal {
                 if (counts(c) > 0) feats(c) = math.sqrt(feats(c) / counts(c)).toFloat
                 c += 1
               }
-              val meta = MediaMeta(
-                width = 0, height = 0, channels = fmt.getChannels,
-                sampleRate = fmt.getSampleRate.toInt,
-                durationMs = (totalFrames * 1000.0 / fmt.getFrameRate).toLong,
-                nFrames = math.min(totalFrames, Int.MaxValue.toLong).toInt,
-                sizeBytes = row.content.length.toLong)
-              Some(DecodedRow(row.id, row.modality, meta, feats))
+              // javax.sound may report AudioSystem.NOT_SPECIFIED (-1) for
+              // the frame rate; for linear PCM frameRate == sampleRate, so
+              // fall back to it rather than emit a negative duration
+              val frameRate =
+                if (fmt.getFrameRate > 0) fmt.getFrameRate else fmt.getSampleRate
+              if (frameRate <= 0) None
+              else {
+                val meta = MediaMeta(
+                  width = 0, height = 0, channels = fmt.getChannels,
+                  sampleRate = fmt.getSampleRate.toInt,
+                  durationMs = (totalFrames * 1000.0 / frameRate).toLong,
+                  nFrames = math.min(totalFrames, Int.MaxValue.toLong).toInt,
+                  sizeBytes = row.content.length.toLong)
+                Some(DecodedRow(row.id, row.modality, meta, feats))
+              }
             }
           }
         } finally in.close()
@@ -275,7 +283,10 @@ object Multimodal {
         var sane = true
         while (sane && i + 8 <= bytes.length) {
           val size = le32(i + 4) // unsigned 32-bit as Long: never negative
-          if (tag(i, "fmt ") && i + 24 <= bytes.length) {
+          // the declared chunk size must actually cover the 16 PCM fmt
+          // fields — a corrupt short fmt chunk must not read the NEXT
+          // chunk's bytes as channels/rate/bits
+          if (tag(i, "fmt ") && size >= 16L && i + 24 <= bytes.length) {
             ch = le16(i + 10); sr = le32(i + 12).toInt; bps = le16(i + 22)
           } else if (tag(i, "data")) data = size
           val step = 8L + size + (size & 1L) // chunks are word-aligned

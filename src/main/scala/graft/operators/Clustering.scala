@@ -59,14 +59,28 @@ object Clustering {
       iters: Int): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val vecs = df.select(col(idCol).as("vec_id"),
+    val proj = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
 
     // init: model state only — k vectors, not the dataset
-    var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
+    var centroids: Array[Array[Double]] = proj.orderBy("vec_id").limit(k)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"need at least $k rows, got ${centroids.length}")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"kmeans: init vectors disagree on dimension (expected $dim)")
+
+    // l2sqNative truncates to the shorter array, so a ragged/short vector
+    // would score ~0 on its missing dimensions and silently land in the
+    // wrong cluster (and corrupt the centroid means) — force every row to
+    // the fitted dimension instead, same guard as Similarity.pqTopK.
+    // Pinned once with localCheckpoint: the scan feeds every Lloyd round
+    // plus the returned assignment, and a non-deterministic upstream
+    // (sample/uuid) must not diverge between them.
+    val vecs = proj.filter(assert_true(size(col("v")) === dim,
+      lit(s"kmeans: vector dimension must be $dim for every row")).isNull)
+      .localCheckpoint(true)
 
     def assignExpr: Column = {
       // distances rounded to 9 decimals before comparison: engines agree on

@@ -311,6 +311,24 @@ class SqlRewriterSpec extends SparkSpec {
     assert(e.getMessage.contains("ASOF JOIN"))
   }
 
+  test("a table aliased literally `asof` fails with the reserved-word advice") {
+    // `FROM t asof JOIN u ON asof.k = u.k` reads as an ASOF JOIN here
+    // (asof is reserved, as in DuckDB) — the condition qualified by the
+    // swallowed alias must surface the rename advice, not a shape error
+    // and never a silent as-of rewrite of a plain join
+    Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("asof4_l")
+    Seq((1L, 5L)).toDF("k", "t").createOrReplaceTempView("asof4_r")
+    val e = intercept[IllegalArgumentException] {
+      session.sql("SELECT * FROM asof4_l asof JOIN asof4_r u ON asof.k = u.k")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      session.sql(
+        "SELECT * FROM asof4_l asof JOIN asof4_r u ON asof.k = u.k AND asof.t >= u.t")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("ASOF JOIN with qualified table names is rejected, not suffix-matched") {
     // must NOT silently resolve the bare suffix `trades` of `mydb.trades`
     val e = intercept[IllegalArgumentException] {

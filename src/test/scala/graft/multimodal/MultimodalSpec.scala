@@ -136,6 +136,22 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioHeaders.parse(Array.empty[Byte]).format === "unknown")
   }
 
+  test("AudioHeaders.parse ignores a fmt chunk declared shorter than 16 bytes") {
+    // fmt declares size 4: the PCM fields live past its end, so reading
+    // them would take the NEXT chunk's bytes as channels/rate/bits
+    val b = new Array[Byte](48)
+    "RIFF".getBytes("ASCII").copyToArray(b, 0)
+    "WAVE".getBytes("ASCII").copyToArray(b, 8)
+    "fmt ".getBytes("ASCII").copyToArray(b, 12)
+    b(16) = 4 // declared fmt size 4 < 16
+    "data".getBytes("ASCII").copyToArray(b, 24)
+    b(28) = 8 // data size
+    val info = AudioHeaders.parse(b)
+    assert(info.format === "wav")
+    assert((info.channels, info.sampleRate, info.bitsPerSample) === ((-1, -1, -1)))
+    assert(info.dataBytes === 8L)
+  }
+
   test("non-PCM (u-law) audio falls back to the stub instead of misdecoding") {
     // 8-bit u-law mono WAV: javax.sound reads it, but the companded bytes
     // are not linear PCM — decode must NOT interpret them as such

@@ -47,6 +47,32 @@ class ClusteringSpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set(0, 1)))
   }
 
+  test("kmeans errors on ragged vectors instead of mis-clustering a prefix") {
+    // the short vector would score ~0 on its missing dimensions and land
+    // in the wrong cluster (corrupting the means) if scored truncated
+    val ragged = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(5f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Clustering.kmeans(ragged, "embedding", "vec_id", k = 2, iters = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dimension"))
+  }
+
+  test("kmeans scans its upstream once, not once per Lloyd round") {
+    // the (vec_id, v) projection is pinned before the loop, so a lazy —
+    // possibly non-deterministic — upstream cannot re-execute per round
+    // (and cannot diverge between the fit and the returned assignment)
+    val hits = spark.sparkContext.longAccumulator("upstream-evals")
+    val tap = org.apache.spark.sql.functions.udf { (id: Long) => hits.add(1L); id }
+    val tapped = blobs.withColumn("vec_id", tap($"vec_id"))
+    Clustering.kmeans(tapped, "embedding", "vec_id", 3, 4).collect()
+    // init collect + the single checkpoint materialization may each touch
+    // every row, but four assign rounds + final collect must not rescan
+    assert(hits.value <= 2L * blobs.count(),
+      s"upstream evaluated ${hits.value} row-reads for ${blobs.count()} rows")
+  }
+
   test("kmeansCentroids emits k x dim rounded long-form rows") {
     val cents = Clustering.kmeansCentroids(blobs, "embedding", "vec_id", 3, 3)
       .as[(Int, Int, Double)].collect()
