@@ -115,7 +115,13 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
     var cur = this
     var i = 0
     while (i < rounds) {
-      cur = wrap(step(cur).df.localCheckpoint(true))
+      val next = wrap(step(cur).df.localCheckpoint(true))
+      // the eager checkpoint has fully materialized `next`, so the previous
+      // round's blocks are dead — release them or storage grows linearly
+      // with rounds for the app lifetime. Round 0's input is the caller's
+      // frame (possibly their own checkpoint): never released here.
+      if (i > 0) org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(cur.df)
+      cur = next
       i += 1
     }
     cur
@@ -133,6 +139,10 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
       val next = wrap(step(cur).df.localCheckpoint(true))
       val changed = next.df.exceptAll(cur.df).limit(1).count() +
         cur.df.exceptAll(next.df).limit(1).count()
+      // the change check was this round's last read of `cur` — release its
+      // blocks (every `cur` here was checkpointed by this loop, round 0
+      // included, so nothing of the caller's is touched)
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(cur.df)
       done = changed == 0
       cur = next
       i += 1

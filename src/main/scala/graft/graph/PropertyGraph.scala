@@ -161,10 +161,15 @@ final case class PropertyGraph(
         .join(state.withColumnRenamed("id", "__src"), Seq("__src"))
         .select(col("__dst").as("id"), expr(message).as("msg"))
       val merged = msgs.groupBy("id").agg(expr(mergeFunction).as("newState"))
-      state = state
+      val next = state
         .join(merged, Seq("id"), "left")
         .select(col("id"), expr(updateFunction).as("state"))
         .localCheckpoint(true)
+      // the eager checkpoint was the last read of the previous round's
+      // blocks — release them (round 0's state derives from the caller's
+      // vertices, never released here)
+      if (i > 0) org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(state)
+      state = next
       i += 1
     }
     edgesBySrc.unpersist(false)
@@ -216,10 +221,13 @@ final case class PropertyGraph(
       val contribs = e.join(state.filter(col("deg") > 0), Seq("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
       val sums = contribs.groupBy("id").agg(sum("contrib").as("contrib"))
-      state = state.join(sums, Seq("id"), "left")
+      val next = state.join(sums, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
+      // prior round's checkpoint blocks are dead once `next` materializes
+      if (i > 0) org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(state)
+      state = next
       i += 1
     }
     e.unpersist(false)
@@ -277,10 +285,18 @@ final case class PropertyGraph(
             .select(col("id"), col("prev"),
               least(col("c1"), coalesce(col("jump"), col("c1"))).as("component"))
         }
-      // carry the previous label through the checkpoint so convergence is a
-      // cheap scan of the materialized round — not an extra join+shuffle
-      val next = stepped.localCheckpoint(true)
-      val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
+      // carry the previous label through the checkpoint so ONE job both
+      // materializes the round and returns the changed count: the lazy
+      // checkpoint is fully persisted by the all-partition aggregate (a
+      // limit(1).count could skip partitions, leaving live lineage), and
+      // the separate per-round count job — half of each round's job
+      // overhead, which dominates at small scale — disappears.
+      val next = stepped.localCheckpoint(false)
+      val changed = next.agg(count(when(col("component") =!= col("prev"), 1)))
+        .head().getLong(0)
+      // every `state` here is loop-checkpointed (round 0 included) and was
+      // last read while materializing `next` — release its blocks
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(state)
       state = next.select("id", "component")
       converged = changed == 0
       i += 1
@@ -319,9 +335,11 @@ final case class PropertyGraph(
       // counts), so a lazy chain would re-derive each round's state twice
       // per successor — 2^rounds blowup. Materializing keeps every round
       // executed exactly once.
-      state = state.join(winners, Seq("id"), "left")
+      val next = state.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(state)
+      state = next
     }
     und.unpersist(false)
     state.select(col("id"), col("lbl").as("community"))
@@ -352,9 +370,12 @@ final case class PropertyGraph(
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // count() scans every partition, so it materializes the lazy
+      // checkpoint AND returns the survivor count in one job per round
       val m = next.count()
       converged = m == n
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(keep)
       keep = next
       n = m
       round += 1
@@ -386,11 +407,15 @@ final case class PropertyGraph(
         .groupBy("id").agg(min("cand").as("cand"))
       // previous distance rides along so the convergence check scans the
       // checkpointed round instead of re-joining against the old state
+      // one job per round: lazy checkpoint materialized by the full-scan
+      // changed-count aggregate (see connectedComponentsWithRounds)
       val next = state.join(relax, Seq("id"), "left")
         .select(col("id"), col("dist").as("prev"),
           least(col("dist"), coalesce(col("cand"), col("dist"))).as("dist"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("dist") =!= col("prev")).limit(1).count()
+        .localCheckpoint(false)
+      val changed = next.agg(count(when(col("dist") =!= col("prev"), 1)))
+        .head().getLong(0)
+      org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(state)
       state = next.select("id", "dist")
       converged = changed == 0
       i += 1

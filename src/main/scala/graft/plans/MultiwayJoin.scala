@@ -32,10 +32,14 @@ object MultiwayJoin {
     *   `MultiwayJoin → trie+leapfrog` strategy
     *   (execution/planning/SeccoStrategies.scala:182-191). Opt-in because it
     *   imposes SET semantics (one output row per distinct binding — callers
-    *   must dedup inputs if they carry duplicates) and requires integral
-    *   join columns (emitted as LongType); null join values are filtered
-    *   (they can never match a natural inner join). Acyclic bags and
-    *   non-eligible bags fall back to binary joins unchanged.
+    *   must dedup inputs if they carry duplicates). Join columns may be any
+    *   atomic type: integral columns run on the trie directly (emitted as
+    *   LongType), everything else is dictionary-encoded and decoded
+    *   transparently ([[graft.wcoj.WcojJoin.leapfrogAny]]), so a
+    *   string-keyed cyclic join keeps the WCOJ speedup instead of silently
+    *   falling back. Null join values are filtered (they can never match a
+    *   natural inner join). Acyclic bags fall back to binary joins
+    *   unchanged.
     */
   def join(relations: Seq[(DataFrame, Seq[String])], reduce: Boolean = false,
       wcoj: Boolean = false): DataFrame = {
@@ -52,11 +56,20 @@ object MultiwayJoin {
       if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
     }
 
-    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
-      rels.forall { case (df, attrs) =>
-        df.columns.toSet == attrs.toSet &&
-          df.schema.fields.forall(f => Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    // every column a join attribute, every type atomic (integral goes to the
+    // trie directly; the rest is dictionary-encoded), consistent per attr
+    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean = {
+      val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+      rels.forall { case (df, attrs) => df.columns.toSet == attrs.toSet } && {
+        val typed = rels.flatMap { case (df, attrs) =>
+          attrs.map(a => a -> df.schema(a).dataType)
+        }
+        typed.forall(t => graft.wcoj.WcojJoin.dictEncodable(t._2)) &&
+          typed.groupBy(_._1).values.forall { ts =>
+            ts.map(_._2).distinct.size == 1 || ts.forall(t => integral.contains(t._2))
+          }
       }
+    }
 
     /** Greedy bushy join of a bag's relations: repeatedly join the pair with
       * the largest column overlap (earliest-index tie-break, joined results
@@ -101,7 +114,7 @@ object MultiwayJoin {
         val cleaned = rels.map { case (df, attrs) =>
           (attrs.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), attrs)
         }
-        graft.wcoj.WcojJoin.leapfrogCatalyst(spark, cleaned, order)
+        graft.wcoj.WcojJoin.leapfrogAny(spark, cleaned, order)
       } else joinBag(rels.map(_._1))
     }
 

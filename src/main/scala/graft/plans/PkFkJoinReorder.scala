@@ -100,6 +100,14 @@ object PkFkJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     // group conditions per relation pair; identify PK sides by key-name sets
     val byPair = edges.groupBy { case (a, b, _) => if (a < b) (a, b) else (b, a) }
 
+    // this rule's mandate is PK-FK ordering: when NO edge touches a
+    // registered primary key there is nothing it knows that Catalyst's own
+    // cost-based ordering doesn't — and a size-only greedy rewrite of (say)
+    // a pattern query joining one edge table to itself N times is all ties,
+    // where any instability in tie-breaking makes the fixed-point batch
+    // oscillate, growing the plan each iteration until traversal overflows
+    // the stack. Leave those plans alone entirely.
+
     def pkSide(pair: ((Int, Int), Seq[(Int, Int, EqualTo)])): Option[Int] = {
       val ((ra, rb), es) = pair
       // align each condition's attributes to the relation that owns them
@@ -110,6 +118,7 @@ object PkFkJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
       }
       if (isPk(ofA)) Some(ra) else if (isPk(ofB)) Some(rb) else None
     }
+    if (!byPair.exists(p => pkSide(p).isDefined)) return None
 
     val sizes = rels.map(r => r.stats.sizeInBytes)
     val start = sizes.zipWithIndex.maxBy(_._1)._2
@@ -123,11 +132,14 @@ object PkFkJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
       // connected candidates: pairs with exactly one endpoint joined
       val cands = byPair.filter { case ((a, b), _) => joined(a) ^ joined(b) }
       if (cands.isEmpty) return None // disconnected (cross join somewhere): leave alone
-      // prefer: PK on the new side; then smaller new side
+      // prefer: PK on the new side; then smaller new side; then the lowest
+      // relation index — a TOTAL order, so ties cannot fall back to Map
+      // iteration order and flip between fixed-point iterations (the
+      // oscillation that grew plans unboundedly)
       val pick = cands.toSeq.sortBy { case (pair @ ((a, b)), es) =>
         val newSide = if (joined(a)) b else a
         val pkNew = pkSide((pair, es)).contains(newSide)
-        (if (pkNew) 0 else 1, sizes(newSide))
+        (if (pkNew) 0 else 1, sizes(newSide), newSide)
       }.head
       val newIdx = if (joined(pick._1._1)) pick._1._2 else pick._1._1
       joined += newIdx

@@ -77,6 +77,16 @@ object Events {
           |ORDER BY event_type, value DESC, event_id""".stripMargin).df
     }),
 
+    // Z-order (Morton) key used by the layout writer: min/max-normalized
+    // 16-bit ranks of (user_id, value), bit-interleaved — pure codegen'd
+    // arithmetic, so the DuckDB oracle replays the identical shifts.
+    "q98_zorder_key" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      ev.select(col("event_id"),
+          graft.operators.Layout.zValue(ev, Seq("user_id", "value"), bits = 16).as("z"))
+        .orderBy("event_id")
+    }),
+
     // ASOF JOIN in SQL text (SqlRewriter → AsofJoin operator) — the SQL-text
     // twin of q72, against DuckDB's native ASOF LEFT JOIN.
     "q93_asof_sql" -> ((s, d) => {
@@ -136,6 +146,26 @@ object Events {
         |SELECT e.event_id, e.user_id, coalesce(d.o_orderkey, -1) AS last_order
         |FROM events e ASOF LEFT JOIN d
         |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q98_zorder_key" -> {
+      // replays Layout.zValue exactly: per-column double min/max, 16-bit
+      // floor-normalized ranks (nulls -> 0, degenerate span -> 1.0), then
+      // bit b of column ci lands at position b*2 + ci
+      val bits = 16
+      val maxRank = (1L << bits) - 1
+      def rank(c: String, i: Int): String =
+        s"""coalesce(CAST(floor((CAST($c AS DOUBLE) - mn$i)
+           |  / (CASE WHEN mx$i > mn$i THEN mx$i - mn$i ELSE 1.0 END) * $maxRank) AS BIGINT), 0)""".stripMargin
+      val interleave = (for {
+        b <- 0 until bits
+        ci <- 0 until 2
+      } yield s"(((r$ci >> $b) & 1) << ${b * 2 + ci})").mkString(" | ")
+      s"""WITH bounds AS (SELECT
+         |  min(CAST(user_id AS DOUBLE)) AS mn0, max(CAST(user_id AS DOUBLE)) AS mx0,
+         |  min(CAST(value AS DOUBLE)) AS mn1, max(CAST(value AS DOUBLE)) AS mx1 FROM events),
+         |r AS (SELECT event_id, ${rank("user_id", 0)} AS r0, ${rank("value", 1)} AS r1
+         |  FROM events, bounds)
+         |SELECT event_id, $interleave AS z FROM r ORDER BY event_id""".stripMargin
+    }
   )
 }

@@ -64,6 +64,16 @@ object Pipeline {
     s"len(list_filter($duckTokens, tk -> tk IN ($set)))::DOUBLE / len($duckTokens)"
   }
 
+  /** DuckDB rendition of TextFunctions.qualityScore (shared by the q91
+    * batch pipeline and the q100 streaming-twin oracle).
+    */
+  private lazy val qualitySql: String =
+    s"""round(least(len($duckTokens), 200) / 200.0
+       |  * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+       |  * (0.5 + 0.5 * ${stopRatioSql(TextFunctions.LangProfiles.en)}), 6)""".stripMargin
+
+  private val streamGateCounter = new java.util.concurrent.atomic.AtomicInteger
+
   /* ---------- queries ---------- */
 
   val queries: Map[String, Q] = Map(
@@ -354,6 +364,64 @@ object Pipeline {
       graft.operators.Clustering.kmeans(Tables(s, d).embeddings,
           "embedding", "vec_id", k = 8, iters = 3)
         .orderBy("vec_id")
+    }),
+
+    // product-quantization ANN with asymmetric distance: per-subspace
+    // kmeans codebooks -> byte codes -> per-query ADC lookup tables. The
+    // DuckDB oracle unrolls each subspace's kmeans fit exactly like q94,
+    // then encodes and scores with the same rounding/tie rules.
+    "q97_pq_topk" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      graft.operators.Similarity.pqTopK(
+          emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // mergeable per-batch HLL sketches under the driver's gate. DuckDB
+    // cannot reproduce a DataSketches estimate bit-for-bit, so the gated
+    // row carries the EXACT distinct count (cross-engine content) plus two
+    // deterministic property checks computed Spark-side: the union of
+    // per-source sketches tracks the direct whole-data sketch (mergeability
+    // — 5%: the union promotes sparse sketches to the dense HLL array, so
+    // the merged estimate is approximate even when the direct one is
+    // sparse-exact) and the estimate lands within HLL's error envelope of
+    // the exact count (5%). The oracle states the exact count and expects
+    // both properties to hold.
+    "q99_hll_merge" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val perBatch = graft.operators.Sketches.hllSketchPerGroup(docs, "doc_id", Seq("source"))
+      val merged = graft.operators.Sketches.hllMergeEstimate(perBatch, Nil)
+        .select(col("distinct_est").as("est_merged"))
+      val direct = graft.operators.Sketches.hllMergeEstimate(
+          graft.operators.Sketches.hllSketchPerGroup(docs, "doc_id", Nil), Nil)
+        .select(col("distinct_est").as("est_direct"))
+      val exact = docs.agg(countDistinct("doc_id").as("exact_distinct"))
+      exact.crossJoin(merged).crossJoin(direct).select(
+        col("exact_distinct"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          greatest(col("est_direct") * 0.05, lit(1.0))).as("merge_tracks_direct"),
+        (abs(col("est_merged") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("within_error_bound"))
+    }),
+
+    // the STREAMING curation twin under the driver's gate: a real
+    // readStream over the documents parquet (deterministic synthetic
+    // event-time from doc_id), watermarked fingerprint dedup, memory sink.
+    // WHICH duplicate survives is arrival-order dependent on a stream, but
+    // the surviving fingerprint SET is not — that set must equal the batch
+    // pipeline's, which DuckDB recomputes from the table.
+    "q100_stream_curation" -> ((s, d) => {
+      val name = s"stream_curation_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      // the file source wants a directory: stream the sf dir, glob-filtered
+      // to the documents table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id % 300)"))
+      val q = graft.streaming.DocStreams.curateStream(stream, minQuality = 0.2)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select("fp").distinct().orderBy("fp")
     }),
 
     // END-TO-END curation pipeline, composed from the operators above:
@@ -721,12 +789,77 @@ object Pipeline {
          |${(1 to iters).map(iterSql).mkString(",\n")}
          |SELECT vec_id, CAST(cl AS INT) AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
     },
+    "q99_hll_merge" ->
+      """SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+        | true AS merge_tracks_direct, true AS within_error_bound
+        |FROM documents""".stripMargin,
+    "q100_stream_curation" ->
+      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.2),
+         |w AS (SELECT doc_id, $duckTokens AS toks FROM q),
+         |k AS (SELECT array_to_string(list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]), ' ') AS cleaned FROM w)
+         |SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(cleaned), '\\s+'))), ' ')) AS fp
+         |FROM k ORDER BY fp""".stripMargin,
+    "q97_pq_topk" -> {
+      // mirrors Similarity.pqTopK (m=8 subspaces over dim 64, codebook 16,
+      // 3 Lloyd iterations, k=10, queries = vec_id < 5) in exact lockstep:
+      // per-subspace kmeans unrolled as CTEs (the q94 technique), ENCODING
+      // against the FINAL codebooks (one assignment round past the last
+      // update), per-query ADC tables left unrounded, the m lookups summed
+      // left-to-right, the total rounded to 6 decimals, ties broken by
+      // candidate id.
+      val (m, cb, iters, dim, k) = (8, 16, 3, 64, 10)
+      val sub = dim / m
+      def l2(a: String, b: String): String =
+        s"""list_sum(list_transform(range(1, ${sub + 1}),
+           |    i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))""".stripMargin
+      def subspaceCtes(j: Int): String = {
+        def iterSql(n: Int): String =
+          s"""d${j}_$n AS (SELECT v.vec_id, c.cl, round(${l2("v.sv", "c.cv")}, 9) AS dist
+             |  FROM v$j v CROSS JOIN c${j}_${n - 1} c),
+             |a${j}_$n AS (SELECT vec_id, cl FROM (
+             |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d${j}_$n)
+             |  WHERE rn = 1),
+             |m${j}_$n AS (SELECT a.cl, CAST(u.i AS INT) AS pos, round(avg(v.sv[CAST(u.i AS INT)]), 6) AS m
+             |  FROM v$j v JOIN a${j}_$n a USING (vec_id), unnest(range(1, ${sub + 1})) AS u(i)
+             |  GROUP BY a.cl, u.i),
+             |c${j}_$n AS (SELECT p.cl, list(coalesce(m.m, p.cv[CAST(u.i AS INT)]) ORDER BY u.i) AS cv
+             |  FROM c${j}_${n - 1} p CROSS JOIN unnest(range(1, ${sub + 1})) AS u(i)
+             |  LEFT JOIN m${j}_$n m ON m.cl = p.cl AND m.pos = u.i
+             |  GROUP BY p.cl)""".stripMargin
+        s"""v$j AS (SELECT vec_id, vd[${j * sub + 1}:${(j + 1) * sub}] AS sv FROM v),
+           |c${j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, sv AS cv
+           |  FROM (SELECT vec_id, sv FROM v$j ORDER BY vec_id LIMIT $cb)),
+           |${(1 to iters).map(iterSql).mkString(",\n")},
+           |e$j AS (SELECT vec_id, cl AS code FROM (
+           |  SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY round(${l2("v.sv", "c.cv")}, 9), c.cl) AS rn
+           |  FROM v$j v CROSS JOIN c${j}_$iters c) WHERE rn = 1),
+           |t$j AS (SELECT q.vec_id AS query_id, c.cl, ${l2("q.sv", "c.cv")} AS d
+           |  FROM (SELECT vec_id, sv FROM v$j WHERE vec_id < 5) q CROSS JOIN c${j}_$iters c)""".stripMargin
+      }
+      val encJoin = (1 until m).foldLeft("SELECT e0.vec_id" +
+        (0 until m).map(j => s", e$j.code AS code$j").mkString + " FROM e0") {
+        (acc, j) => acc + s" JOIN e$j USING (vec_id)"
+      }
+      val scoreJoins = (0 until m).map { j =>
+        val qd = if (j == 0) "" else s" AND t$j.query_id = t0.query_id"
+        s"JOIN t$j ON t$j.cl = enc.code$j$qd"
+      }.mkString("\n  ")
+      val total = (0 until m).map(j => s"t$j.d").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+         |${(0 until m).map(subspaceCtes).mkString(",\n")},
+         |enc AS ($encJoin),
+         |score AS (SELECT t0.query_id, enc.vec_id, round($total, 6) AS dist
+         |  FROM enc
+         |  ${scoreJoins}),
+         |ranked AS (SELECT query_id, vec_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INT) AS rank
+         |  FROM score)
+         |SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q91_curation_pipeline" -> {
-      val quality =
-        s"""round(least(len($duckTokens), 200) / 200.0
-           |  * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / greatest(length(text), 1))
-           |  * (0.5 + 0.5 * ${stopRatioSql(TextFunctions.LangProfiles.en)}), 6)""".stripMargin
-      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.2),
+      s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.2),
          |w AS (SELECT doc_id, $duckTokens AS toks FROM q),
          |k AS (SELECT doc_id,
          |  array_to_string(list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]), ' ') AS cleaned FROM w),

@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Scale envelope: the broadcast side must fit in executor memory (true for
   * pattern queries where every relation is a projection of the same edge
-  * table and the edge table fits; the reference's full HyperCube/Shares
-  * shuffle with per-attribute share vectors is the generalization — future
-  * work, tracked in README). Skew on the first attribute behaves like any
-  * hash-partitioned hot key; pick the highest-cardinality attribute first.
+  * table and the edge table fits). [[leapfrog]] measures the complement
+  * before collecting it: when the estimated broadcast payload exceeds
+  * `graft.wcoj.broadcastBudgetBytes` (default 64 MB) it routes the whole
+  * join to [[leapfrogHyperCube]] — the full Shares shuffle with no broadcast
+  * requirement — so no driver collect of an unbounded relation is reachable
+  * by default. The route taken is recorded in the session conf
+  * `graft.wcoj.lastRoute` ("broadcast" | "hypercube") for observability.
+  * Skew on the first attribute behaves like any hash-partitioned hot key;
+  * pick the highest-cardinality attribute first.
   *
   * v1 restriction: join attributes must be LongType (graph ids).
   */
@@ -53,11 +58,32 @@ object WcojJoin {
     val (withFirst, without) = prep.partition(_._1.contains(first))
     require(withFirst.nonEmpty, s"no relation contains leading attribute $first")
 
-    // broadcast the relations lacking the partitioning attribute
+    // the complement is collected to the driver and broadcast, so its size
+    // must be bounded BEFORE the collect: one counting pass over the
+    // (persisted) complement relations, and past the budget the whole join
+    // takes the HyperCube path — one shuffle, zero broadcast requirement
+    if (without.nonEmpty) {
+      without.foreach(_._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val budget = spark.conf.get(
+        "graft.wcoj.broadcastBudgetBytes", (64L << 20).toString).toLong
+      val complementBytes = without.map { case (attrs, rdd) =>
+        SkewStats.relStat(attrs, rdd, skewAware = false).bytes
+      }.sum
+      if (complementBytes > budget) {
+        without.foreach(_._2.unpersist(blocking = false))
+        spark.conf.set("graft.wcoj.lastRoute", "hypercube")
+        return leapfrogHyperCube(spark, relations, attrOrder, numPartitions)
+      }
+    }
+    spark.conf.set("graft.wcoj.lastRoute", "broadcast")
+
+    // broadcast the relations lacking the partitioning attribute (counted
+    // above: under budget; the collect reads the cache, not a second scan)
     val bc = spark.sparkContext.broadcast(
       without.map { case (attrs, rdd) =>
         LeapFrog.Relation(attrs, LeapFrog.sortRows(rdd.collect()))
       })
+    without.foreach(_._2.unpersist(blocking = false))
 
     // tag rows with their relation index, then ONE shuffle on hash(first)
     val partitioner = new HashPartitioner(parts)
@@ -104,6 +130,95 @@ object WcojJoin {
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       LeapFrogJoinPlan.create(children.map(_._1), children.map(_._2), attrOrder))
+  }
+
+  /** Leapfrog over ARBITRARY atomic join-attribute types — lifts the
+    * LongType-only restriction of the raw paths by dictionary-encoding every
+    * attribute that is not already integral, running the Catalyst WCOJ node
+    * on the codes, and decoding the bindings back to the original values.
+    *
+    * The dictionary per attribute is the distinct value set across all
+    * relations carrying it, ranked by one range shuffle + zipWithIndex (the
+    * same distributed shape as the dedup token dictionary — no single-task
+    * global window, no driver materialization), so a string-keyed cyclic
+    * join (entity-resolution patterns) keeps the worst-case-optimal runtime
+    * at any scale. Codes are dense 1..|domain| longs: collision-free by
+    * construction, unlike a hash encoding, so no verify pass is needed.
+    *
+    * Null join values are dropped by the encode join itself (a natural
+    * inner join can never match them). Attributes whose every occurrence is
+    * already integral skip the dictionary and cast directly; when NO
+    * attribute needs encoding this is exactly [[leapfrogCatalyst]].
+    */
+  def leapfrogAny(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
+      attrOrder: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    require(relations.nonEmpty)
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+
+    def dtypeOf(df: DataFrame, a: String) = df.schema(a).dataType
+    // an attribute keeps the fast direct-cast path only when every relation
+    // carrying it is integral; otherwise all its occurrences go through one
+    // shared dictionary (they must agree on type — codes must mean the same
+    // value everywhere)
+    val attrTypes: Map[String, Seq[org.apache.spark.sql.types.DataType]] =
+      attrOrder.map { a =>
+        a -> relations.collect { case (df, attrs) if attrs.contains(a) => dtypeOf(df, a) }
+      }.toMap
+    val needDict = attrOrder.filter(a => attrTypes(a).exists(t => !integral.contains(t))).toSet
+    needDict.foreach { a =>
+      require(attrTypes(a).distinct.size == 1,
+        s"leapfrogAny: attribute $a has conflicting types ${attrTypes(a).distinct.mkString(", ")}")
+      require(dictEncodable(attrTypes(a).head),
+        s"leapfrogAny: attribute $a has non-atomic type ${attrTypes(a).head}")
+    }
+    if (needDict.isEmpty) return leapfrogCatalyst(spark, relations, attrOrder)
+
+    // per-attribute dictionary: (value, dense code), persisted because it
+    // feeds one encode join per carrying relation plus the decode join
+    val dicts: Map[String, DataFrame] = needDict.iterator.map { a =>
+      val dt = attrTypes(a).head
+      val vals = relations.collect { case (df, attrs) if attrs.contains(a) =>
+        df.select(col(a).as("__val")).filter(col("__val").isNotNull)
+      }.reduce(_ union _).distinct().orderBy("__val")
+      val withId = vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }
+      val dict = spark.createDataFrame(withId, StructType(Seq(
+        StructField("__val", dt), StructField("__code", LongType, nullable = false))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a -> dict
+    }.toMap
+
+    val encoded = relations.map { case (df, attrs) =>
+      val enc = attrs.filter(needDict).foldLeft(df) { (d, a) =>
+        d.join(dicts(a).select(col("__val").as(a), col("__code").as(s"__graft_c_$a")),
+            Seq(a), "inner")
+          .drop(a).withColumnRenamed(s"__graft_c_$a", a)
+      }
+      (enc.select(attrs.map(col): _*), attrs)
+    }
+
+    val joined = leapfrogCatalyst(spark, encoded, attrOrder)
+    val decoded = attrOrder.filter(needDict).foldLeft(joined) { (d, a) =>
+      d.join(dicts(a).select(col("__code").as(a), col("__val").as(s"__graft_v_$a")),
+          Seq(a), "inner")
+        .drop(a).withColumnRenamed(s"__graft_v_$a", a)
+    }
+    decoded.select(attrOrder.map(col): _*)
+  }
+
+  /** Atomic types the dictionary can rank and join on (Spark's AtomicType
+    * marker is package-protected, so the set is spelled out).
+    */
+  def dictEncodable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType | BooleanType | BinaryType => true
+      case FloatType | DoubleType | _: DecimalType => true
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
   }
 
   /** Full HyperCube/Shares leapfrog: ONE communication round for the whole

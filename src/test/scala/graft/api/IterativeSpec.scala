@@ -23,6 +23,32 @@ class IterativeSpec extends SparkSpec {
     assert(r.collect().head.getLong(0) === 32L)
   }
 
+  test("iterate releases prior rounds' checkpoint blocks (storage back to baseline)") {
+    // each round localCheckpoints; without the release, 20 rounds leave 20
+    // persisted RDDs in the block store for the app lifetime
+    // unpersist is async (blocking=false): poll until it settles
+    def settled(maxExpected: Int): Int = {
+      var tries = 0
+      var n = spark.sparkContext.getRDDStorageInfo.length
+      while (n > maxExpected && tries < 40) {
+        Thread.sleep(100); n = spark.sparkContext.getRDDStorageInfo.length; tries += 1
+      }
+      n
+    }
+    val baseline = spark.sparkContext.getRDDStorageInfo.length
+    val start = session.createDatasetFromSparkSQL(Seq(Tuple1(1L)).toDF("x"))
+    val r = start.iterate(20)(d => session.createDatasetFromSparkSQL(d.df.selectExpr("x + 1 AS x")))
+    assert(r.collect().head.getLong(0) === 21L)
+    // only the final round's checkpoint may remain
+    assert(settled(baseline + 1) <= baseline + 1)
+
+    val fix = start.iterateToFixpoint(25) { d =>
+      session.createDatasetFromSparkSQL(d.df.selectExpr("least(x + 1, 10L) AS x"))
+    }
+    assert(fix.collect().head.getLong(0) === 10L)
+    assert(settled(baseline + 2) <= baseline + 2)
+  }
+
   test("iterateToFixpoint stops at convergence under the cap") {
     // transitive closure of 1->2->3->4 from {1}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

@@ -120,6 +120,26 @@ class PropertyGraphSpec extends SparkSpec {
     assert(roundsJump <= 10)  // O(log diameter)
   }
 
+  test("iterative graph loops release prior rounds' checkpoint blocks") {
+    // 20+ rounds of plain hash-min on a path graph: without per-round
+    // release, every round's localCheckpoint stays in the block store for
+    // the application lifetime
+    val baseline = spark.sparkContext.getRDDStorageInfo.length
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    val g = PropertyGraph.fromEdges(chain)
+    val (cc, rounds) =
+      g.connectedComponentsWithRounds(maxIterations = 40, pointerJump = false)
+    assert(cc.collect().length === 32)
+    assert(rounds > 15)
+    // async unpersist: poll until the store settles near baseline; the
+    // final round's checkpoint (the returned frame's backing) may remain
+    var tries = 0
+    def n(): Int = spark.sparkContext.getRDDStorageInfo.length
+    while (n() > baseline + 1 && tries < 40) { Thread.sleep(100); tries += 1 }
+    assert(n() <= baseline + 1,
+      s"${n()} persisted RDDs after $rounds rounds (baseline $baseline)")
+  }
+
   test("trianglesPerVertex counts cycle membership per vertex") {
     // one 3-cycle {1,2,3} plus a chord 1->4 that is in no cycle
     val te = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")

@@ -41,6 +41,29 @@ class PkFkJoinReorderSpec extends SparkSpec {
     PkFkJoinReorder.clear()
   }
 
+  test("unrelated registered PK leaves a self-join chain untouched (no oscillation)") {
+    // regression: with ANY key registered, the rule used to size-greedy
+    // reorder every >=3-relation inner join — on a pattern-style self-join
+    // of one equal-size edge table the all-ties tie-break fell back to Map
+    // iteration order, the fixed-point batch oscillated, and the plan grew
+    // a Project per level per iteration until optimization overflowed the
+    // stack. No edge touches a PK here, so the rule must decline.
+    PkFkJoinReorder.clear()
+    val es = EngineSession(spark) // installs the rule on the session
+    es.registerPrimaryKey("unrelated_table", Seq("unrelated_key"))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    // 4-hop cycle: four copies of the same relation, all sizes equal
+    val q = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), Seq("b"))
+      .join(edges.select($"src".as("c"), $"dst".as("d")), Seq("c"))
+      .join(edges.select($"src".as("d"), $"dst".as("a2")), Seq("d"))
+    // optimizing must terminate (no StackOverflow) and not bloat the plan
+    val depth = q.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(depth < 40, s"optimized plan unexpectedly large: $depth nodes")
+    assert(q.count() === 4)
+    PkFkJoinReorder.clear()
+  }
+
   test("rule preserves results on a 4-table star with conditions intact") {
     PkFkJoinReorder.clear()
     PkFkJoinReorder.registerPrimaryKey("r1", Seq("k1"))

@@ -203,6 +203,32 @@ class WcojJoinSpec extends SparkSpec {
     assert(viaWcoj.nonEmpty) // non-vacuous on this density
   }
 
+  test("oversized broadcast complement auto-routes to the hypercube path") {
+    // the (b, c) relation lacks the leading attribute a, so the broadcast
+    // path would driver-collect it — with a budget below its size, leapfrog
+    // must take the no-broadcast HyperCube route and agree exactly
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(350)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+    def run(): Set[(Long, Long, Long)] =
+      WcojJoin.leapfrog(spark, rels, Seq("a", "b", "c"), numPartitions = 4)
+        .as[(Long, Long, Long)].collect().toSet
+    try {
+      spark.conf.set("graft.wcoj.broadcastBudgetBytes", "1")
+      val viaCube = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "hypercube")
+      spark.conf.set("graft.wcoj.broadcastBudgetBytes", (64L << 20).toString)
+      val viaBroadcast = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "broadcast")
+      assert(viaCube === viaBroadcast)
+      assert(viaCube.nonEmpty)
+    } finally spark.conf.unset("graft.wcoj.broadcastBudgetBytes")
+  }
+
   test("hypercube triangle equals DataFrame 3-way join (no broadcast side)") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
@@ -222,6 +248,59 @@ class WcojJoinSpec extends SparkSpec {
 
     assert(viaCube === viaDf)
     assert(viaCube.nonEmpty)
+  }
+
+  test("string-keyed triangle via leapfrogAny equals DataFrame 3-way join") {
+    // the dictionary path: non-integral join attributes are encoded to
+    // dense longs, joined worst-case-optimally, and decoded back — the
+    // result must agree with plain binary joins value-for-value
+    val rnd = new scala.util.Random(19)
+    val names = (0 until 30).map(i => s"node_${('a' + i % 26).toChar}$i")
+    val edges = Seq.fill(350)((names(rnd.nextInt(30)), names(rnd.nextInt(30))))
+      .distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+
+    val viaDf = edges.select($"src".as("a"), $"dst".as("b"))
+      .join(edges.select($"src".as("b"), $"dst".as("c")), "b" :: Nil)
+      .join(edges.select($"dst".as("a"), $"src".as("c")), Seq("c", "a"))
+      .select("a", "b", "c").as[(String, String, String)].collect().toSet
+
+    val viaWcoj = WcojJoin.leapfrogAny(spark, Seq(
+        (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+        (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+        (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c"))),
+      Seq("a", "b", "c"))
+    assert(viaWcoj.schema.fields.forall(_.dataType ===
+      org.apache.spark.sql.types.StringType))
+    assert(viaWcoj.as[(String, String, String)].collect().toSet === viaDf)
+    assert(viaDf.nonEmpty)
+  }
+
+  test("leapfrogAny skips the dictionary when every attribute is integral") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = WcojJoin.leapfrogAny(spark, Seq(
+        (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+        (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+        (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c"))),
+      Seq("a", "b", "c"))
+    // pure Catalyst node, no encode/decode joins around it
+    assert(out.queryExecution.executedPlan.toString.contains("LeapFrogJoin"))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Join Inner"))
+    assert(out.as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("MultiwayJoin(wcoj=true) runs a string-keyed cyclic bag on LeapFrog") {
+    val edges = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "w"))
+      .toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+    val out = graft.plans.MultiwayJoin.join(rels, wcoj = true)
+    // no silent fallback to binary joins: the WCOJ node must be in the plan
+    assert(out.queryExecution.executedPlan.toString.contains("LeapFrogJoin"))
+    assert(out.select("a", "b", "c").as[(String, String, String)].collect().toSet ===
+      Set(("x", "y", "z"), ("y", "z", "x"), ("z", "x", "y")))
   }
 
   test("Catalyst-native WCOJ plan node equals DataFrame joins and shows in explain") {
