@@ -109,6 +109,11 @@ final case class EngineDataFrame(df: DataFrame, session: EngineSession) {
   /** Fixed-round iteration — the reference's `Recursion(plan, round)` /
     * `Iterative` operators (graphOperators.scala:189, unaryOperators.scala:298).
     * Lineage is truncated each round (SURVEY §7.3 iterative-state risk).
+    *
+    * Storage contract: each round's materialized blocks are RELEASED once
+    * the following round materializes, so a `step` closure must not retain
+    * an earlier round's frame for later actions — only the returned final
+    * frame stays readable. (Same contract as iterateToFixpoint.)
     */
   def iterate(rounds: Int)(step: EngineDataFrame => EngineDataFrame): EngineDataFrame = {
     require(rounds >= 0)

@@ -33,7 +33,7 @@ object Clustering {
     */
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): DataFrame =
-    run(df, vecCol, idCol, k, iters)._1
+    run(df, vecCol, idCol, k, iters, releasePin = false)._1
 
   /** Fit only: the final k centroids as driver-side arrays (model state —
     * a few KB — for callers that inline them into further expressions, e.g.
@@ -41,7 +41,7 @@ object Clustering {
     */
   def kmeansFit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): Array[Array[Double]] =
-    run(df, vecCol, idCol, k, iters)._2
+    run(df, vecCol, idCol, k, iters, releasePin = true)._2
 
   /** Final centroids in long form: (cluster, pos, val) with `pos` 1-based
     * and `val` rounded to 6 decimals.
@@ -50,20 +50,30 @@ object Clustering {
       iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    run(df, vecCol, idCol, k, iters)._2.zipWithIndex.flatMap { case (c, ci) =>
+    run(df, vecCol, idCol, k, iters, releasePin = true)._2.zipWithIndex.flatMap { case (c, ci) =>
       c.indices.map(p => (ci, p + 1, c(p)))
     }.toSeq.toDF("cluster", "pos", "val")
   }
 
+  /** @param releasePin free the pinned input's checkpoint blocks before
+    *   returning — for the fit/centroids callers, whose result is
+    *   driver-side model state only. `kmeans` keeps the pin: it backs the
+    *   returned assignment frame.
+    */
   private def run(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int): (DataFrame, Array[Array[Double]]) = {
+      iters: Int, releasePin: Boolean): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val proj = df.select(col(idCol).as("vec_id"),
+    // Pinned BEFORE anything reads it: the init collect, every Lloyd round,
+    // and the returned assignment must all see the same rows, and a
+    // non-deterministic upstream (sample/uuid) re-evaluated between them
+    // would otherwise seed the fit with vectors absent from the data.
+    val pinned = df.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
 
     // init: model state only — k vectors, not the dataset
-    var centroids: Array[Array[Double]] = proj.orderBy("vec_id").limit(k)
+    var centroids: Array[Array[Double]] = pinned.orderBy("vec_id").limit(k)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"need at least $k rows, got ${centroids.length}")
@@ -74,13 +84,10 @@ object Clustering {
     // l2sqNative truncates to the shorter array, so a ragged/short vector
     // would score ~0 on its missing dimensions and silently land in the
     // wrong cluster (and corrupt the centroid means) — force every row to
-    // the fitted dimension instead, same guard as Similarity.pqTopK.
-    // Pinned once with localCheckpoint: the scan feeds every Lloyd round
-    // plus the returned assignment, and a non-deterministic upstream
-    // (sample/uuid) must not diverge between them.
-    val vecs = proj.filter(assert_true(size(col("v")) === dim,
+    // the fitted dimension instead, same guard as Similarity.pqTopK
+    // (a codegen'd predicate over the pinned blocks, evaluated per scan)
+    val vecs = pinned.filter(assert_true(size(col("v")) === dim,
       lit(s"kmeans: vector dimension must be $dim for every row")).isNull)
-      .localCheckpoint(true)
 
     def assignExpr: Column = {
       // distances rounded to 9 decimals before comparison: engines agree on
@@ -105,6 +112,7 @@ object Clustering {
       means.foreach { case (c, p, m) => next(c)(p) = m }
       centroids = next
     }
+    if (releasePin) org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
     (assigned.select("vec_id", "cluster"), centroids)
   }
 }

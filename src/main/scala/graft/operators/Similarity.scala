@@ -101,14 +101,14 @@ object Similarity {
       df0.filter(assert_true(size(col(vecCol)) === dim,
         lit(s"pqTopK: vector dimension must be $dim for every row")).isNull)
 
-    // fit: m independent codebooks over candidate sub-vectors (model state)
+    // fit: m independent codebooks over candidate sub-vectors (model state),
+    // trained FUSED — one scan per Lloyd iteration computes all m
+    // assignments and all m×codebook×sub means (math identical to m
+    // separate Clustering.kmeansFit calls, which would scan the corpus m
+    // times per iteration — at 100 TB the scans are the whole cost)
     val cands = dimChecked(candidates)
     val qs = dimChecked(queries)
-    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
-      Clustering.kmeansFit(
-        cands.select(col(idCol), slice0(col(vecCol), j).as("sv")),
-        "sv", idCol, codebook, iters)
-    }
+    val books = fitBooksFused(cands, vecCol, idCol, m, sub, codebook, iters)
 
     // encode: per subspace, nearest-codeword index (same rounding/tie rules
     // as Clustering's assign) — the candidate relation shrinks to m codes
@@ -137,6 +137,46 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(dist, 6).as("dist"))
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All m PQ codebooks fit in lockstep with [[Clustering]]'s deterministic
+    * recipe (smallest-id init, 9-dp-rounded index-ordered L2², lowest-index
+    * ties, 6-dp means, empty clusters keep previous) but ONE distributed
+    * pass per iteration: a row computes its m sub-assignments together,
+    * one posexplode + groupBy yields every (subspace, cluster, pos) mean,
+    * and only m×codebook×sub doubles reach the driver per round. The
+    * pinned input's blocks are released before returning (model-state-only
+    * caller).
+    */
+  private def fitBooksFused(cands: DataFrame, vecCol: String, idCol: String,
+      m: Int, sub: Int, cb: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    import graft.functions.NativeExpressions.l2sqNative
+    val pinned = cands.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v")).localCheckpoint(true)
+    val init = pinned.orderBy("vec_id").limit(cb).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == cb, s"pqTopK: need at least $cb rows, got ${init.length}")
+    var books: IndexedSeq[Array[Array[Double]]] =
+      (0 until m).map(j => init.map(full => full.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val clsExprs = (0 until m).map { j =>
+        val dists = array(books(j).map(c => round(l2sqNative(
+          slice(col("v"), j * sub + 1, sub), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
+      val jOf = (col("pos0") / sub).cast("int") // 0-based subspace of element
+      val means = pinned.withColumn("cls", array(clsExprs: _*))
+        .select(col("cls"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .select(jOf.as("j"), pmod(col("pos0"), lit(sub)).cast("int").as("pos"),
+          element_at(col("cls"), jOf + 1).as("cl"), col("x"))
+        .groupBy("j", "cl", "pos").agg(round(avg("x"), 6).as("mean"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      val next = books.map(_.map(_.clone())) // empty clusters keep previous
+      means.foreach { case (j, c, p, mv) => next(j)(c)(p) = mv }
+      books = next
+    }
+    org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
+    books
   }
 
   /** Sign-LSH top-k: exact ranking *within* the query's bucket. */

@@ -421,7 +421,13 @@ object Pipeline {
       val q = graft.streaming.DocStreams.curateStream(stream, minQuality = 0.2)
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).select("fp").distinct().orderBy("fp")
+      // pin the small fp set, then drop the memory-sink table so repeated
+      // invocations (bench passes) don't pin every run's rows for the
+      // session lifetime
+      val out = s.table(name).select("fp").distinct().orderBy("fp")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
     }),
 
     // END-TO-END curation pipeline, composed from the operators above:

@@ -175,17 +175,21 @@ object WcojJoin {
     }
     if (needDict.isEmpty) return leapfrogCatalyst(spark, relations, attrOrder)
 
-    // per-attribute dictionary: (value, dense code), persisted because it
-    // feeds one encode join per carrying relation plus the decode join
+    // per-attribute dictionary: (value, dense code). The RDD (not the
+    // DataFrame) is persisted: it feeds one encode join per carrying
+    // relation plus the decode join, and RDD-level persistence is tracked
+    // by the context cleaner, so the blocks are reclaimed once the result
+    // and dictionaries become unreachable — a DataFrame-level persist
+    // would pin them in the CacheManager for the application lifetime.
     val dicts: Map[String, DataFrame] = needDict.iterator.map { a =>
       val dt = attrTypes(a).head
       val vals = relations.collect { case (df, attrs) if attrs.contains(a) =>
         df.select(col(a).as("__val")).filter(col("__val").isNotNull)
       }.reduce(_ union _).distinct().orderBy("__val")
       val withId = vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = spark.createDataFrame(withId, StructType(Seq(
         StructField("__val", dt), StructField("__code", LongType, nullable = false))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       a -> dict
     }.toMap
 
