@@ -139,6 +139,27 @@ final class EngineSession(val spark: SparkSession) {
     else spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
   }
 
+  /** Exact distinct cardinality for several attribute SETS of a frame in
+    * one statement — the reference's `Statistics.fullCardinality`
+    * (optimization/statsEstimation/Statistics.scala:27-70), which feeds
+    * cardinality-aware attribute ordering. Each set is counted as distinct
+    * tuples (null-safe via struct equality); Spark plans the multi-distinct
+    * aggregate with one Expand pass rather than one scan per set.
+    *
+    * Returns the counts keyed by the attribute set, in input order.
+    */
+  def fullCardinality(df: org.apache.spark.sql.DataFrame,
+      attrSets: Seq[Seq[String]]): Map[Seq[String], Long] = {
+    require(attrSets.nonEmpty, "fullCardinality: no attribute sets")
+    import org.apache.spark.sql.functions.{countDistinct, struct, col}
+    val aggs = attrSets.zipWithIndex.map { case (set, i) =>
+      require(set.nonEmpty, "fullCardinality: empty attribute set")
+      countDistinct(struct(set.map(col): _*)).as(s"c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    attrSets.zipWithIndex.map { case (set, i) => set -> row.getLong(i) }.toMap
+  }
+
   /** Write a bucketed+sorted table: joins/aggregations on the bucket
     * columns between co-bucketed tables need NO shuffle — the pre-partitioned
     * layout Spark's `EnsureRequirements` recognizes. The 100 TB technique for

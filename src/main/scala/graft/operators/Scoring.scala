@@ -35,6 +35,34 @@ object Scoring {
           (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6).as("tfidf"))
   }
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * C4/CCNet-style perplexity quality filter: fit unigram probabilities on
+    * the corpus itself (count(t)/total), score each document by the mean
+    * token -ln p(t). High nll = rare-token-heavy (noisy/off-domain) text;
+    * pipelines threshold or resample on it.
+    *
+    * Scale shape: one explode feeds both the term-partitioned count
+    * aggregate and the scoring join on `tok` (map-side combine on the
+    * count; no broadcast assumption on the vocabulary — AQE picks the join
+    * strategy); the corpus total is a one-row broadcast. Engine-portable
+    * rounding: per-token logprob to 6 dp, per-doc mean to 4 dp (a
+    * transcendental's last-ulp disagreement between libm implementations
+    * cannot survive two roundings).
+    *
+    * Returns (doc_id, n_tokens, nll), one row per document with >= 1 token.
+    */
+  def unigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(counts, "tok" :: Nil)
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(round(-log(col("cnt") / col("total")), 6)), 4).as("nll"))
+  }
+
   /** BM25 scores of every document against a fixed term list.
     *
     * Returns (doc_id, score) for documents matching ≥ 1 term. Term

@@ -314,6 +314,13 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM perplexity quality scoring (the C4/CCNet filter stage):
+    // corpus-fit token probabilities, per-doc mean -ln p(t).
+    "q101_unigram_ppl" -> ((s, d) => {
+      graft.operators.Scoring.unigramLogLoss(Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: assign docs (id order) to ~2048-token training
     // shards via a distributed two-phase prefix sum — NOT the single-task
     // global window the oracle uses (the spec proves them equivalent).
@@ -805,6 +812,15 @@ object Pipeline {
          |k AS (SELECT array_to_string(list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]), ' ') AS cleaned FROM w)
          |SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(cleaned), '\\s+'))), ' ')) AS fp
          |FROM k ORDER BY fp""".stripMargin,
+    "q101_unigram_ppl" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+         |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS total FROM c)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
+         |FROM tok t JOIN c USING (tok) CROSS JOIN tot
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q97_pq_topk" -> {
       // mirrors Similarity.pqTopK (m=8 subspaces over dim 64, codebook 16,
       // 3 Lloyd iterations, k=10, queries = vec_id < 5) in exact lockstep:

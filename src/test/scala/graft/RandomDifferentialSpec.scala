@@ -53,6 +53,31 @@ class RandomDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("random string-keyed triangles: dictionary-encoded leapfrogAny == naive") {
+    // the leapfrogAny dictionary path (encode -> WCOJ on codes -> decode)
+    // must agree with binary natural joins on arbitrary string domains,
+    // including values that collide after naive numeric coercions
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 4) {
+      val domain = (0 until 12).map(i => s"v${i}_${rnd.alphanumeric.take(3).mkString}") ++
+        Seq("0", "00", "1e3", "+1", " 1") // numeric-coercion traps
+      val e = Seq.fill(140)((domain(rnd.nextInt(domain.size)), domain(rnd.nextInt(domain.size))))
+        .distinct.filter(p => p._1 != p._2)
+      val edges = e.toDF("src", "dst")
+      val rels = Seq(
+        (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+        (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+        (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+      def canonS(df: DataFrame): Set[(String, String, String)] =
+        df.select("a", "b", "c").as[(String, String, String)].collect().toSet
+      withClue(s"string triangle trial $trial: ") {
+        val base = canonS(naive(rels))
+        assert(canonS(WcojJoin.leapfrogAny(spark, rels, Seq("a", "b", "c"))) === base)
+        assert(canonS(MultiwayJoin.join(rels, wcoj = true)) === base, "wcoj-routed")
+      }
+    }
+  }
+
   test("random hypergraphs: naive == GHD == Yannakakis == hypercube") {
     val rnd = new scala.util.Random(2026)
     for (trial <- 1 to 8) {

@@ -68,4 +68,15 @@ class EngineSessionSpec extends SparkSpec {
       assert(!spark.catalog.isCached("stats_saved"))
     } finally spark.sql("DROP TABLE IF EXISTS stats_saved")
   }
+
+  test("fullCardinality counts distinct tuples per attribute set in one pass") {
+    val df = Seq(
+      (1, "a", 10), (1, "a", 20), (2, "a", 10), (2, "b", 10), (2, "b", 10)
+    ).toDF("x", "y", "z")
+    val card = session.fullCardinality(df, Seq(Seq("x"), Seq("y"), Seq("x", "y"), Seq("x", "y", "z")))
+    assert(card(Seq("x")) === 2L)
+    assert(card(Seq("y")) === 2L)
+    assert(card(Seq("x", "y")) === 3L)   // (1,a),(2,a),(2,b)
+    assert(card(Seq("x", "y", "z")) === 4L)
+  }
 }

@@ -49,6 +49,25 @@ class ScoringSpec extends SparkSpec {
     assert(!r.contains(3L))    // uncontaminated docs are absent
   }
 
+  test("unigramLogLoss: rare-token docs score higher nll; counts exact") {
+    // corpus: 8 tokens total; p(a)=5/8, p(b)=2/8, p(z)=1/8
+    val df = Seq(
+      (1L, "a a a b"),   // common tokens -> low mean -ln p
+      (2L, "a b"),
+      (3L, "a z")        // contains the rarest token -> highest nll
+    ).toDF("doc_id", "text")
+    val out = Scoring.unigramLogLoss(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(4L, 2L, 2L))
+    def lp(p: Double) = BigDecimal(-math.log(p)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def m(xs: Double*) = BigDecimal(xs.sum / xs.size).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._3 === m(lp(5 / 8.0), lp(5 / 8.0), lp(5 / 8.0), lp(2 / 8.0)))
+    assert(out(2)._3 === m(lp(5 / 8.0), lp(1 / 8.0)))
+    assert(out(2)._3 > out(0)._3) // rare-token doc is "surprising"
+  }
+
   test("tokenNgrams keeps the multiset; dupTokenFraction measures repeats") {
     val df = Seq("a b a b a", "x y z").toDF("text")
     val bgs = df.select(TextFunctions.tokenNgrams($"text", 2)).as[Seq[String]].collect()
