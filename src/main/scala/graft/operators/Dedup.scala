@@ -186,7 +186,7 @@ object Dedup {
     // above it (billions of pairs at 100 TB) the distributed path runs.
     // Both paths produce identical (doc_id, keep_id) rows (spec-asserted).
     val nEdges = edges.count() // free: the frame is checkpointed
-    if (nEdges > 0 && nEdges <= smallGraphMaxEdges) {
+    val result = if (nEdges > 0 && nEdges <= smallGraphMaxEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -217,6 +217,11 @@ object Dedup {
         .connectedComponents()
         .select(col("id").as("doc_id"), col("component").as("keep_id"))
     }
+    // both paths have fully consumed the pinned edges by now (the collect,
+    // or the component loop's eagerly-materialized rounds) — release the
+    // blocks instead of pinning them for the session lifetime
+    org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(edges)
+    result
   }
 
   /** Incremental dedup: filter a NEW batch against an already-ingested
