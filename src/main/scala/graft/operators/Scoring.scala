@@ -63,6 +63,44 @@ object Scoring {
         round(avg(round(-log(col("cnt") / col("total")), 6)), 4).as("nll"))
   }
 
+  /** DSIR-style importance score per document: the mean per-token log
+    * ratio ln p_target(t) − ln p_corpus(t) between a target-domain unigram
+    * LM (rows matching `targetFilter`) and the whole-corpus unigram LM,
+    * add-one smoothed over the corpus vocabulary. Positive = looks like
+    * the target domain; pipelines resample with probability ∝ exp(score)
+    * or keep the top fraction — the data-selection step that upweights
+    * target-like documents inside a heterogeneous crawl.
+    *
+    * Scale shape: one explode feeds both LM count aggregates (term-
+    * partitioned, map-side combined) and the scoring join on `tok`; the
+    * three corpus scalars (totals, vocabulary size) ride a one-row
+    * broadcast. Rounding as [[unigramLogLoss]] (6 dp per token, 4 dp per
+    * doc) so the score is engine-portable.
+    *
+    * Returns (doc_id, n_tokens, ilr), one row per document with ≥ 1 token.
+    */
+  def importanceLogRatio(df: DataFrame, textCol: String, idCol: String,
+      targetFilter: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"), targetFilter.as("__tgt"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(TextFunctions.tokens(col("__text"))).as("tok"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("cc"))
+    val target = toks.filter(col("__tgt")).groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("tc"))
+    val scalars = corpus.agg(sum("cc").as("ctot"),
+        count(lit(1)).cast("double").as("v"))
+      .crossJoin(broadcast(target.agg(coalesce(sum("tc"), lit(0.0)).as("ttot"))))
+    toks.join(corpus, "tok" :: Nil)
+      .join(target, "tok" :: Nil, "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(
+          round(log((coalesce(col("tc"), lit(0.0)) + 1.0) / (col("ttot") + col("v"))), 6) -
+          round(log((col("cc") + 1.0) / (col("ctot") + col("v"))), 6)), 4).as("ilr"))
+  }
+
   /** BM25 scores of every document against a fixed term list.
     *
     * Returns (doc_id, score) for documents matching ≥ 1 term. Term

@@ -321,6 +321,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance score: per-doc mean log ratio between the
+    // target-domain (lang='en') and whole-corpus unigram LMs, add-one
+    // smoothed — the data-selection weight for target-like resampling.
+    "q102_importance_score" -> ((s, d) => {
+      graft.operators.Scoring.importanceLogRatio(Tables(s, d).documents,
+          "text", "doc_id", col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: assign docs (id order) to ~2048-token training
     // shards via a distributed two-phase prefix sum — NOT the single-task
     // global window the oracle uses (the spec proves them equivalent).
@@ -821,6 +830,19 @@ object Pipeline {
          |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
          |FROM tok t JOIN c USING (tok) CROSS JOIN tot
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q102_importance_score" ->
+      s"""WITH w AS (SELECT doc_id, lang, $duckTokens AS toks FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM w),
+         |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cc FROM tok GROUP BY tok),
+         |t AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tc FROM tok WHERE lang = 'en' GROUP BY tok),
+         |scal AS (SELECT (SELECT sum(cc) FROM c) AS ctot,
+         |                (SELECT coalesce(sum(tc), 0) FROM t) AS ttot,
+         |                (SELECT CAST(count(*) AS DOUBLE) FROM c) AS v)
+         |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(round(ln((coalesce(t.tc, 0) + 1) / (s.ttot + s.v)), 6)
+         |          - round(ln((c.cc + 1) / (s.ctot + s.v)), 6)), 4) AS ilr
+         |FROM tok k JOIN c USING (tok) LEFT JOIN t USING (tok) CROSS JOIN scal s
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "q97_pq_topk" -> {
       // mirrors Similarity.pqTopK (m=8 subspaces over dim 64, codebook 16,
       // 3 Lloyd iterations, k=10, queries = vec_id < 5) in exact lockstep:

@@ -68,6 +68,28 @@ class ScoringSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3) // rare-token doc is "surprising"
   }
 
+  test("importanceLogRatio: target-domain docs score positive, off-domain negative") {
+    // target = category 't' docs; token 'x' is target-heavy, 'y' corpus-only
+    val df = Seq(
+      (1L, "x x y", "t"), (2L, "x x x", "t"),
+      (3L, "y y y", "o"), (4L, "x y y", "o")
+    ).toDF("doc_id", "text", "cat")
+    val out = Scoring.importanceLogRatio(df, "text", "doc_id", $"cat" === "t")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(3L, 3L, 3L, 3L))
+    // x: corpus 6, target 5; y: corpus 6, target 1; V=2, ctot=12, ttot=6
+    def lr(tc: Double, cc: Double) = {
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r6(math.log((tc + 1) / (6 + 2.0))) - r6(math.log((cc + 1) / (12 + 2.0)))
+    }
+    def m(xs: Double*) = BigDecimal(xs.sum / xs.size).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._3 === m(lr(5, 6), lr(5, 6), lr(5, 6))) // all-x doc
+    assert(out(2)._3 === m(lr(1, 6), lr(1, 6), lr(1, 6))) // all-y doc
+    assert(out(1)._3 > 0 && out(2)._3 < 0)
+    assert(out(1)._3 > out(0)._3 && out(0)._3 > out(2)._3)
+  }
+
   test("tokenNgrams keeps the multiset; dupTokenFraction measures repeats") {
     val df = Seq("a b a b a", "x y z").toDF("text")
     val bgs = df.select(TextFunctions.tokenNgrams($"text", 2)).as[Seq[String]].collect()
