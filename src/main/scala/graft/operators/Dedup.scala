@@ -224,6 +224,41 @@ object Dedup {
     result
   }
 
+  /** Exact repeated-span statistics — the "deduplicating training data"
+    * substring-level signal: for every document, how many of its distinct
+    * `window`-token spans also occur verbatim in ANOTHER document. Docs
+    * with a high `dup_frac` are boilerplate-heavy / partially copied even
+    * when no whole-document fingerprint matches; pipelines drop or trim
+    * them. (The suffix-array formulation finds arbitrary-length repeats;
+    * fixed windows are its bounded-memory streaming approximation — any
+    * repeat of length ≥ window is caught.)
+    *
+    * Scale shape: spans are hashed per row (one md5 per window — the text
+    * itself never shuffles), and the only aggregation key is the span
+    * hash, so the shuffle carries (hash, doc_id) pairs bounded by the
+    * corpus token count. No doc×doc comparison exists.
+    *
+    * Returns (doc_id, n_windows, n_shared, dup_frac) for docs with at
+    * least `window` tokens; window hashes are counted once per doc.
+    */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val wins = array_distinct(transform(
+      sequence(lit(1), size(toks) - window + 1),
+      i => md5(concat_ws(" ", slice(toks, i, lit(window))))))
+    val wh = df.filter(size(toks) >= window)
+      .select(col(idCol).as("doc_id"), explode(wins).as("h"))
+    val byHash = wh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    wh.join(byHash, "h" :: Nil)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        round(col("n_shared").cast("double") / col("n_windows"), 6))
+  }
+
   /** Incremental dedup: filter a NEW batch against an already-ingested
     * corpus, plus within-batch exact dedup — the every-crawl-cycle operation
     * (dedup the new snapshot against everything kept so far) that full-corpus

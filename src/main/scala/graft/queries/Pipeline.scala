@@ -321,6 +321,14 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // exact repeated-span stats (substring-level dedup signal): fraction
+    // of each doc's distinct 10-token windows that appear verbatim in
+    // another document.
+    "q103_dup_spans" -> ((s, d) => {
+      Dedup.dupSpanStats(Tables(s, d).documents, "text", "doc_id", window = 10)
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance score: per-doc mean log ratio between the
     // target-domain (lang='en') and whole-corpus unigram LMs, add-one
     // smoothed — the data-selection weight for target-like resampling.
@@ -830,6 +838,17 @@ object Pipeline {
          |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
          |FROM tok t JOIN c USING (tok) CROSS JOIN tot
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q103_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |wh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 10 + 2),
+         |         i -> md5(array_to_string(toks[i:i+9], ' '))))) AS h
+         |       FROM t WHERE len(toks) >= 10),
+         |byh AS (SELECT h, count(*) AS ndocs FROM wh GROUP BY h)
+         |SELECT wh.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN byh.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(sum(CASE WHEN byh.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+         |FROM wh JOIN byh USING (h)
+         |GROUP BY wh.doc_id ORDER BY wh.doc_id""".stripMargin,
     "q102_importance_score" ->
       s"""WITH w AS (SELECT doc_id, lang, $duckTokens AS toks FROM documents),
          |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM w),

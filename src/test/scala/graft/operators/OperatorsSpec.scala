@@ -84,6 +84,28 @@ class DedupSpec extends SparkSpec {
     assert(fast(20L) === 1L && fast(80L) === 50L && fast(91L) === 90L)
   }
 
+  test("dupSpanStats counts windows shared verbatim with another doc") {
+    // doc 1 and doc 2 share one exact 4-token span ("c d e f"); doc 3 is
+    // unrelated; doc 4 is too short for any window
+    val df = Seq(
+      (1L, "a b c d e f"),       // windows: abcd bcde cdef
+      (2L, "c d e f x y"),       // windows: cdef defx efxy
+      (3L, "p q r s t u"),       // windows: pqrs qrst rstu
+      (4L, "z z")                // < 4 tokens: excluded
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(df, "text", "doc_id", window = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(r.map(_._2).toSeq === Seq(3L, 3L, 3L))      // windows per doc
+    assert(r.map(_._3).toSeq === Seq(1L, 1L, 0L))      // shared: cdef only
+    assert(r(0)._4 === 0.333333 && r(2)._4 === 0.0)
+    // a span repeated WITHIN one doc only is not "shared"
+    val self = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val rs = Dedup.dupSpanStats(self, "text", "doc_id", window = 4)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(rs._3 === 0L)
+  }
+
   test("simHash identical docs share signature; different docs differ") {
     val sh = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
