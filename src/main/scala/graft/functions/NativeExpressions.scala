@@ -322,10 +322,17 @@ case class SimHash64(child: Expression, bits: Int)
   * input-building stage of MinHash+LSH dedup. Shingles containing null
   * tokens are skipped (the HOF chain nulls them out and min/intersect
   * ignore nulls). n < k tokens → empty array.
+  *
+  * `idBytes` widens the id: 4 (default) matches the MinHash recipe's
+  * 32-bit universe (permutations are mod a 32-bit prime); 8 takes the
+  * first 8 digest bytes big-endian for uses where ids must distinguish
+  * millions of distinct spans per corpus (birthday collisions at 32 bits
+  * start near 2^16 distinct values; at 64 bits, near 2^32).
   */
-case class ShingleTids(child: Expression, k: Int)
+case class ShingleTids(child: Expression, k: Int, idBytes: Int = 4)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1, s"shingle width must be >= 1, got $k")
+  require(idBytes == 4 || idBytes == 8, s"idBytes must be 4 or 8, got $idBytes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -354,8 +361,10 @@ case class ShingleTids(child: Expression, k: Int)
           i += 1
         }
         val d = md.digest()
-        seen.add(((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+        var id = 0L
+        var b = 0
+        while (b < idBytes) { id = (id << 8) | (d(b) & 0xffL); b += 1 }
+        seen.add(id)
       }
       j += 1
     }
@@ -415,6 +424,13 @@ object NativeExpressions {
   def shingleTidsNative(tokens: Column, k: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k))
+
+  /** 64-bit-id variant for span-level dedup, where id collisions would
+    * miscount shared windows (see [[ShingleTids]] scaladoc).
+    */
+  def shingleTids64Native(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k, idBytes = 8))
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {

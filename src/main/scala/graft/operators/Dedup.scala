@@ -233,10 +233,16 @@ object Dedup {
     * fixed windows are its bounded-memory streaming approximation — any
     * repeat of length ≥ window is caught.)
     *
-    * Scale shape: spans are hashed per row (one md5 per window — the text
-    * itself never shuffles), and the only aggregation key is the span
-    * hash, so the shuffle carries (hash, doc_id) pairs bounded by the
-    * corpus token count. No doc×doc comparison exists.
+    * Scale shape: all of a doc's distinct window ids come out of ONE pass
+    * over its tokens ([[graft.functions.ShingleTids]] streaming bytes into
+    * a reused MD5 digest — the text itself never shuffles, and no window
+    * string is ever materialized), as 8-byte longs rather than 32-char hex.
+    * The exploded (id, doc_id) frame is exchanged on the id ONCE and that
+    * exchange is reused by both consumers (the per-id doc count and the
+    * join back), so the corpus-token-bound shuffle happens a single time;
+    * the join's build side holds only ids seen in ≥2 docs — the shared
+    * tail, a tiny fraction of the id universe. No doc×doc comparison
+    * exists anywhere.
     *
     * Returns (doc_id, n_windows, n_shared, dup_frac) for docs with at
     * least `window` tokens; window hashes are counted once per doc.
@@ -245,16 +251,20 @@ object Dedup {
       window: Int = 10): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val wins = array_distinct(transform(
-      sequence(lit(1), size(toks) - window + 1),
-      i => md5(concat_ws(" ", slice(toks, i, lit(window))))))
+    // (doc_id, n_windows, one row per distinct window id) — n_windows rides
+    // along on every exploded row so the final per-doc aggregate needs no
+    // second derivation of the token array
     val wh = df.filter(size(toks) >= window)
-      .select(col(idCol).as("doc_id"), explode(wins).as("h"))
-    val byHash = wh.groupBy("h").agg(count(lit(1)).as("ndocs"))
-    wh.join(byHash, "h" :: Nil)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeExpressions.shingleTids64Native(toks, window).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("nw"), explode(col("hs")).as("h"))
+    val shared = wh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"), lit(1).as("m"))
+    wh.join(shared, Seq("h"), "left")
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        max(col("nw")).as("n_windows"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_frac",
         round(col("n_shared").cast("double") / col("n_windows"), 6))
   }
