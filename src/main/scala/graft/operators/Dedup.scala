@@ -258,13 +258,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.NativeExpressions.shingleTids64Native(toks, window).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("nw"), explode(col("hs")).as("h"))
-    val shared = wh.groupBy("h").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select(col("h"), lit(1).as("m"))
-    wh.join(shared, Seq("h"), "left")
+    // ndocs via a window over the id, not a groupBy+join-back: each (doc,
+    // id) row is already distinct, so count(*) over (partition by id) IS
+    // the doc count — the corpus is scanned and hashed once and exchanged
+    // on the id once, with no join whose build side (the shared tail)
+    // could outgrow the broadcast limit at corpus scale
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    wh.withColumn("ndocs", count(lit(1)).over(byId))
       .groupBy("doc_id").agg(
         max(col("nw")).as("n_windows"),
-        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_frac",
         round(col("n_shared").cast("double") / col("n_windows"), 6))
   }

@@ -81,6 +81,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"k-means assignment plan contains a join:\n$p")
   }
 
+  test("q103 dup-span stats scans and hashes the corpus exactly once, join-free") {
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final plan only
+    val p = executedPlan("q103_dup_spans").split("== Initial Plan ==")(0)
+    // per-id doc counts come from a window over the single id exchange; a
+    // groupBy+join-back formulation re-scans and re-hashes the corpus for
+    // the probe side (and its build side outgrows broadcast at scale)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"dup-span stats scans the corpus more than once:\n$p")
+    assert(!p.contains("Join"), s"dup-span stats plan contains a join:\n$p")
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")
