@@ -451,4 +451,33 @@ object Dedup {
       .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embeddings with the deterministic distributed k-means, then prune
+    * within each cluster — a row is dropped when a LOWER-id row in the same
+    * cluster is cosine-similar above `threshold`. Keeping the lowest id (the
+    * paper keeps the point farthest from the centroid; any deterministic
+    * keeper rule gives the same dedup rate) makes the output a pure function
+    * of the data, which is what lets the DuckDB oracle replay it exactly.
+    *
+    * Output: (vec_id, cluster, kept) for EVERY input row.
+    *
+    * Scale: all-pairs work is confined to a cluster (pick k so n/k rows fit
+    * a partition — k ~ n/50k at corpus scale; the paper also uses k in the
+    * thousands). The candidate join shuffles (id, cluster, vector) once on
+    * the cluster key; cosine is the codegen'd native expression; only the
+    * k×dim centroid model ever reaches the driver (inside kmeans).
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val assigned = Clustering.kmeans(df, vecCol, idCol, k, iters)
+    val withCluster = df
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, Seq("vec_id"))
+    val dropped = embeddingNearDup(withCluster, "v", "vec_id", "cluster", threshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("kept"))
+  }
 }

@@ -82,6 +82,43 @@ object Packing {
         sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
   }
 
+  /** Overlapping token-window chunking (RAG / long-document training prep):
+    * split each document's token sequence into windows of `window` tokens
+    * advancing by `stride` (< window ⇒ overlap), emitting
+    * (doc_id, chunk_idx, tok_start, tok_len) with `tok_start` 1-based.
+    *
+    * Chunks start at 1, 1+stride, 1+2·stride, …, stopping after the first
+    * window that reaches the end of the document (the HuggingFace
+    * `return_overflowing_tokens` rule): `n_chunks = 1 + ⌈max(0, n−window) /
+    * stride⌉`. The last chunk is truncated to the remaining tokens, so every
+    * token belongs to ≥1 chunk, no chunk is fully contained in its
+    * predecessor, and a doc shorter than `window` still yields one chunk.
+    * Docs with zero tokens yield none.
+    *
+    * Scale: zero shuffles — `sequence` + `explode` inside whole-stage
+    * codegen, each input row expanding to its own chunk rows in place. Row
+    * growth is a factor of ~window/stride over the token count, independent
+    * of corpus size, and the text column itself is never duplicated (chunks
+    * are (start, len) spans; a consumer slices lazily).
+    */
+  def chunkWindows(df: DataFrame, idCol: String,
+      tokenCountExpr: org.apache.spark.sql.Column, window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val lastStart = lit(1L) +
+      ceil(greatest(col("n_tokens") - window.toLong, lit(0L)).cast("double")
+        / stride.toDouble).cast("long") * stride.toLong
+    df.select(col(idCol).as("doc_id"), tokenCountExpr.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(1L), lastStart, lit(stride.toLong)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(window.toLong), col("n_tokens") - col("tok_start") + 1L).as("tok_len"))
+  }
+
   /** Reference formulation (single-task global window) — used by the spec as
     * the differential twin of [[packShards]]. Do NOT use at scale.
     */

@@ -80,4 +80,29 @@ object Sampling {
       .filter(unitHash(keyCol) < col("rate"))
       .drop("rate")
   }
+
+  /** Per-group quota sampling: keep at most `quota` rows per value of
+    * `groupCol`, chosen deterministically by md5(key) rank (ties by key) —
+    * the "cap any one domain/source at N documents" curation move. Unlike
+    * [[mixtureSample]]'s rate-based thinning this is an EXACT cap: a group
+    * with ≤ quota rows keeps all of them, a larger one keeps exactly
+    * `quota`, and which rows survive is a pure function of the data.
+    *
+    * Scale: one shuffle on the group key; the rank window runs per group in
+    * parallel. Skewed groups (one domain = half the corpus) serialize that
+    * group's rank scan into one task — for those, pre-thin with
+    * [[deterministicSample]] or raise spark's skew-join handling; the
+    * common curation case (quota ≪ group size, many groups) is exactly this
+    * shape. Only (key, group) flows through the shuffle when callers
+    * project first; the returned frame keeps all input columns.
+    */
+  def groupQuota(df: DataFrame, groupCol: String, keyCol: String,
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= quota)
+      .drop("__qrank")
+  }
 }

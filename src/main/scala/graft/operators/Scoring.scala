@@ -136,4 +136,59 @@ object Scoring {
       .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select(col("doc_id"), round(score, 6).as("score"))
   }
+
+  /** Trainable quality classifier: logistic regression fit by FULL-BATCH
+    * gradient descent, distributed and deterministic — the fastText-style
+    * "train a small model on weak labels, score the whole corpus" curation
+    * step, expressed so any engine replaying the recipe gets bit-identical
+    * scores (the DuckDB oracle unrolls the iterations as CTEs, the q94
+    * kmeans technique).
+    *
+    * Recipe, in lockstep with the oracle: w₀ = 0; each iteration computes
+    * per-row p = round(σ(w·x), 6), per-component gradient
+    * gⱼ = round(avg((p − y)·xⱼ), 6), then wⱼ ← round(wⱼ − lr·gⱼ, 6). The
+    * roundings make transcendental last-ulp and distributed-sum-order
+    * differences unobservable, exactly as kmeans' 6-decimal means do.
+    *
+    * Scale: each iteration is ONE codegen'd aggregate over the pinned
+    * (id, y, x…) projection with the weights inlined as literals — no
+    * shuffle of the corpus, no per-row UDF; only the d-vector gradient
+    * reaches the driver per iteration (model state, bytes). Scoring is one
+    * more codegen'd projection. The pin (localCheckpoint) guarantees the
+    * fit and the returned scores see the same rows even over a
+    * non-deterministic upstream.
+    *
+    * @param features engine-portable numeric expressions (include an
+    *   explicit `lit(1.0)` bias term if wanted)
+    * @param label 1.0/0.0 expression (the weak label)
+    * @return ((id, y, score) per row — score = σ(w_final·x) rounded 6 then
+    *   4 dp — and the fitted weights)
+    */
+  def logisticFitScore(df: DataFrame, idCol: String, features: Seq[Column],
+      label: Column, iters: Int = 3, lr: Double = 0.5): (DataFrame, Array[Double]) = {
+    require(features.nonEmpty, "logisticFitScore needs at least one feature")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = features.length
+    val pinned = df.select(
+      col(idCol).as("id") +: label.cast("double").as("y") +:
+        features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x$i") }: _*)
+      .localCheckpoint(true)
+
+    var w = Array.fill(d)(0.0)
+    for (_ <- 1 to iters) {
+      val z = (0 until d).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      val gradCols = (0 until d).map(i =>
+        round(avg((p - col("y")) * col(s"x$i")), 6).as(s"g$i"))
+      val g = pinned.agg(gradCols.head, gradCols.tail: _*).head()
+      w = Array.tabulate(d) { i =>
+        BigDecimal(w(i) - lr * g.getDouble(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val zF = (0 until d).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+    val scored = pinned.select(col("id"), col("y"),
+      round(round(lit(1.0) / (lit(1.0) + exp(-zF)), 6), 4).as("score"))
+    (scored, w)
+  }
 }

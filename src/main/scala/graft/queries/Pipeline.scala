@@ -59,6 +59,35 @@ object Pipeline {
 
   private val duckTokens = """string_split_regex(trim(text), '\s+')"""
 
+  /** The unrolled deterministic-kmeans CTE chain over `embeddings` (the q94
+    * oracle technique), ending at assignment CTE `a<iters>` with columns
+    * (vec_id, cl); `v` holds the double-cast vectors. Shared by every oracle
+    * that replays a kmeans fit (q94 clustering, q104 SemDeDup).
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    def iterSql(n: Int): String = {
+      val prev = s"c${n - 1}"
+      s"""d$n AS (SELECT v.vec_id, c.cl,
+         |  round(list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 9) AS dist
+         |  FROM v CROSS JOIN $prev c),
+         |a$n AS (SELECT vec_id, cl FROM (
+         |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d$n)
+         |  WHERE rn = 1),
+         |m$n AS (SELECT a.cl, CAST(u.i AS INT) AS pos, round(avg(v.v[CAST(u.i AS INT)]), 6) AS m
+         |  FROM v JOIN a$n a USING (vec_id), unnest(range(1, ${dim + 1})) AS u(i)
+         |  GROUP BY a.cl, u.i),
+         |c$n AS (SELECT p.cl, list(coalesce(m.m, p.cv[CAST(u.i AS INT)]) ORDER BY u.i) AS cv
+         |  FROM $prev p CROSS JOIN unnest(range(1, ${dim + 1})) AS u(i)
+         |  LEFT JOIN m$n m ON m.cl = p.cl AND m.pos = u.i
+         |  GROUP BY p.cl)""".stripMargin
+    }
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS cv
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k)),
+       |${(1 to iters).map(iterSql).mkString(",\n")}""".stripMargin
+  }
+
   private def stopRatioSql(profile: Seq[String]): String = {
     val set = profile.map(w => s"'$w'").mkString(", ")
     s"len(list_filter($duckTokens, tk -> tk IN ($set)))::DOUBLE / len($duckTokens)"
@@ -388,6 +417,52 @@ object Pipeline {
       graft.operators.Clustering.kmeans(Tables(s, d).embeddings,
           "embedding", "vec_id", k = 8, iters = 3)
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup semantic deduplication: k-means clusters (the q94 fit) +
+    // within-cluster cosine pruning — drop a row when a lower-id row in its
+    // cluster is ≥ 0.35 cosine-similar (the synthetic embeddings are near-
+    // orthogonal, so 0.35 plays the role the paper's ~0.9 does on real
+    // data: it prunes ~19%). All-pairs work confined to clusters.
+    "q104_semdedup" -> ((s, d) => {
+      Dedup.semDedup(Tables(s, d).embeddings, "embedding", "vec_id",
+          k = 8, iters = 3, threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // overlapping token-window chunking (RAG / long-doc prep): 40-token
+    // windows, stride 30 — zero-shuffle sequence+explode spans.
+    "q105_chunk_windows" -> ((s, d) => {
+      graft.operators.Packing.chunkWindows(Tables(s, d).documents, "doc_id",
+          TextFunctions.tokenCount(col("text")), window = 40, stride = 30)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // per-source quota cap (20 docs/source), keeper chosen by md5 rank —
+    // the "no domain dominates" curation move, exact per-group cap.
+    "q106_source_quota" -> ((s, d) => {
+      graft.operators.Sampling.groupQuota(Tables(s, d).documents,
+          "source", "doc_id", quota = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // trainable quality classifier: full-batch-GD logistic regression on
+    // (bias, scaled ln length, tokens-per-char) weak-labeled by lang='en';
+    // the oracle replays the unrolled GD iterations as CTEs. Features are
+    // O(1)-scaled so lr=2 descends instead of saturating.
+    "q107_quality_classifier" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val (scored, _) = graft.operators.Scoring.logisticFitScore(
+        docs, "doc_id",
+        features = Seq(lit(1.0),
+          log(col("n_chars").cast("double") + 1.0) / 10.0,
+          TextFunctions.tokenCount(col("text")).cast("double") /
+            (col("n_chars").cast("double") + 1.0)),
+        label = (col("lang") === "en").cast("double"),
+        iters = 4, lr = 2.0)
+      scored.select(col("id").as("doc_id"), col("y"), col("score"))
+        .orderBy("doc_id")
     }),
 
     // product-quantization ANN with asymmetric distance: per-subspace
@@ -789,35 +864,71 @@ object Pipeline {
          |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
          |FROM k ORDER BY doc_id""".stripMargin,
-    "q94_kmeans" -> {
-      // unrolled Lloyd iterations as CTEs, in exact lockstep with
-      // Clustering.kmeans: double vectors, index-ordered squared-L2 with
-      // explicit (a-b)*(a-b) products rounded to 9 decimals, lowest-cluster
-      // tie-break, 6-decimal centroid means, empty clusters keeping the
-      // previous centroid via the left-join coalesce.
-      val (k, iters, dim) = (8, 3, 64)
-      def iterSql(n: Int): String = {
-        val prev = s"c${n - 1}"
-        s"""d$n AS (SELECT v.vec_id, c.cl,
-           |  round(list_sum(list_transform(range(1, ${dim + 1}),
-           |    i -> (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 9) AS dist
-           |  FROM v CROSS JOIN $prev c),
-           |a$n AS (SELECT vec_id, cl FROM (
-           |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d$n)
-           |  WHERE rn = 1),
-           |m$n AS (SELECT a.cl, CAST(u.i AS INT) AS pos, round(avg(v.v[CAST(u.i AS INT)]), 6) AS m
-           |  FROM v JOIN a$n a USING (vec_id), unnest(range(1, ${dim + 1})) AS u(i)
-           |  GROUP BY a.cl, u.i),
-           |c$n AS (SELECT p.cl, list(coalesce(m.m, p.cv[CAST(u.i AS INT)]) ORDER BY u.i) AS cv
-           |  FROM $prev p CROSS JOIN unnest(range(1, ${dim + 1})) AS u(i)
-           |  LEFT JOIN m$n m ON m.cl = p.cl AND m.pos = u.i
-           |  GROUP BY p.cl)""".stripMargin
-      }
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS cv
-         |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k)),
-         |${(1 to iters).map(iterSql).mkString(",\n")}
-         |SELECT vec_id, CAST(cl AS INT) AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
+    "q94_kmeans" ->
+      // unrolled Lloyd iterations as CTEs (shared with q104), in exact
+      // lockstep with Clustering.kmeans: double vectors, index-ordered
+      // squared-L2 with explicit (a-b)*(a-b) products rounded to 9 decimals,
+      // lowest-cluster tie-break, 6-decimal centroid means, empty clusters
+      // keeping the previous centroid via the left-join coalesce.
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)}
+         |SELECT vec_id, CAST(cl AS INT) AS cluster FROM a3 ORDER BY vec_id""".stripMargin,
+    "q104_semdedup" -> {
+      // the q94 kmeans CTEs verbatim, then SemDeDup's within-cluster prune:
+      // a row is a duplicate when a LOWER-id row in its cluster has cosine
+      // (double dot / norms, rounded 6 — the q60 formula) >= 0.8.
+      def dotE(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
+      val cos = s"round(${dotE("x.v", "y.v")} / (sqrt(${dotE("x.v", "x.v")}) * sqrt(${dotE("y.v", "y.v")})), 6)"
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+         |asg AS (SELECT vec_id, CAST(cl AS INT) AS cluster FROM a3),
+         |vv AS (SELECT a.vec_id, a.cluster, v.v FROM asg a JOIN v USING (vec_id)),
+         |dup AS (SELECT DISTINCT y.vec_id FROM vv x JOIN vv y
+         |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE $cos >= 0.35)
+         |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         |FROM asg a LEFT JOIN dup d USING (vec_id) ORDER BY vec_id""".stripMargin
+    },
+    "q105_chunk_windows" ->
+      // n_chunks = 1 + ceil(max(0, n-window)/stride); last chunk truncated.
+      s"""WITH w AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens, CAST(u.i AS INT) AS chunk_idx,
+         |    CAST(1 + u.i * 30 AS BIGINT) AS tok_start
+         |  FROM w, unnest(range(0, 1 + CAST(ceil(greatest(n_tokens - 40, 0)::DOUBLE / 30) AS BIGINT))) AS u(i)
+         |  WHERE n_tokens > 0)
+         |SELECT doc_id, chunk_idx, tok_start,
+         |  CAST(least(40, n_tokens - tok_start + 1) AS BIGINT) AS tok_len
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q106_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q107_quality_classifier" -> {
+      // full-batch GD unrolled as CTEs in lockstep with logisticFitScore:
+      // w0 = 0; per-row p = round(sigmoid(w·x), 6); per-component gradient
+      // rounded 6; weight update w - 2*g rounded 6; final score rounded
+      // 6 then 4. Feature arithmetic is written in the exact evaluation
+      // order of the Spark expressions.
+      val feats =
+        s"""1.0 AS x0, ln(CAST(n_chars AS DOUBLE) + 1.0) / 10.0 AS x1,
+           |  CAST(len($duckTokens) AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1.0) AS x2""".stripMargin
+      def z(w: String) = s"f.x0 * $w.w0 + f.x1 * $w.w1 + f.x2 * $w.w2"
+      def iterCtes(n: Int): String =
+        s"""gr$n AS (SELECT round(avg((p - y) * x0), 6) AS g0,
+           |    round(avg((p - y) * x1), 6) AS g1, round(avg((p - y) * x2), 6) AS g2
+           |  FROM (SELECT f.y, f.x0, f.x1, f.x2,
+           |    round(1.0 / (1.0 + exp(-(${z(s"wi${n - 1}")}))), 6) AS p
+           |    FROM f CROSS JOIN wi${n - 1})),
+           |wi$n AS (SELECT round(w.w0 - 2.0 * g.g0, 6) AS w0,
+           |    round(w.w1 - 2.0 * g.g1, 6) AS w1, round(w.w2 - 2.0 * g.g2, 6) AS w2
+           |  FROM wi${n - 1} w CROSS JOIN gr$n g)""".stripMargin
+      s"""WITH f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |  $feats FROM documents),
+         |wi0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |${(1 to 4).map(iterCtes).mkString(",\n")}
+         |SELECT f.doc_id, f.y,
+         |  round(round(1.0 / (1.0 + exp(-(${z("wi4")}))), 6), 4) AS score
+         |FROM f CROSS JOIN wi4 ORDER BY doc_id""".stripMargin
     },
     "q99_hll_merge" ->
       """SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,

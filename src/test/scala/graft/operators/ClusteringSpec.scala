@@ -149,3 +149,37 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("dimension"))
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // two well-separated blobs; within blob A, id 3 is a positive scaling of
+  // id 0 (cosine exactly 1) and id 6 points elsewhere; blob B likewise has
+  // a scaled copy (4 of 1, norm kept comparable so L2-kmeans co-clusters it)
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 10f, 10f)),
+    (3L, Seq(5f, 0f, 0f)), (4L, Seq(0f, 9f, 9f)),
+    (6L, Seq(1f, 0.9f, 0f)), (7L, Seq(0f, 10f, 11f))
+  ).toDF("vec_id", "embedding")
+
+  test("scaled copies are dropped toward the lowest id; distinct directions kept") {
+    val out = Dedup.semDedup(vecs, "embedding", "vec_id", k = 2, iters = 4,
+      threshold = 0.95).as[(Long, Int, Boolean)].collect()
+    assert(out.length === 6, "one row per input")
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept.contains(0L) && !kept.contains(3L), "3 is a scaled copy of 0")
+    assert(kept.contains(1L) && !kept.contains(4L), "4 is a scaled copy of 1")
+    assert(kept.contains(6L), "distinct direction in blob A survives")
+  }
+
+  test("threshold above 1 keeps everything; output is deterministic under repartition") {
+    val all = Dedup.semDedup(vecs, "embedding", "vec_id", 2, 3, threshold = 1.01)
+    assert(all.filter(!col("kept")).count() === 0)
+    val a = Dedup.semDedup(vecs.repartition(7), "embedding", "vec_id", 2, 3, 0.95)
+      .orderBy("vec_id").collect().toSeq
+    val b = Dedup.semDedup(vecs.repartition(2), "embedding", "vec_id", 2, 3, 0.95)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+}

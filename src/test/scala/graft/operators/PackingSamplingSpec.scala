@@ -181,3 +181,63 @@ class ScrubRunsSpec extends SparkSpec {
     })
   }
 }
+
+class ChunkWindowsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def chunks(n: Long, w: Int, s: Int): Seq[(Int, Long, Long)] =
+    Packing.chunkWindows(Seq((1L, n)).toDF("id", "n"), "id", col("n"), w, s)
+      .select("chunk_idx", "tok_start", "tok_len")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("stops after the first window reaching the end; last chunk truncated") {
+    assert(chunks(10, 8, 4) === Seq((0, 1L, 8L), (1, 5L, 6L)))
+    assert(chunks(10, 4, 4) === Seq((0, 1L, 4L), (1, 5L, 4L), (2, 9L, 2L)))
+    assert(chunks(3, 8, 4) === Seq((0, 1L, 3L)))
+    assert(chunks(8, 8, 4) === Seq((0, 1L, 8L)))
+    assert(chunks(0, 8, 4).isEmpty)
+  }
+
+  test("random lengths: full coverage, no chunk subsumed, correct count") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(300)
+      val w = 1 + rnd.nextInt(50)
+      val s = 1 + rnd.nextInt(w)
+      val cs = chunks(n.toLong, w, s)
+      val expected = 1 + math.ceil(math.max(0, n - w).toDouble / s).toLong
+      assert(cs.length.toLong === expected, s"n=$n w=$w s=$s")
+      val covered = cs.flatMap { case (_, st, ln) => st until (st + ln) }.toSet
+      assert(covered === (1L to n.toLong).toSet, s"coverage n=$n w=$w s=$s")
+      cs.foreach { case (_, st, ln) => assert(ln >= 1 && ln <= w) }
+    }
+  }
+}
+
+class GroupQuotaSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private lazy val rows = (1L to 100L).map(i => (i, s"g${i % 3}", s"payload$i"))
+    .toDF("id", "grp", "payload")
+
+  test("caps each group at exactly quota; small groups untouched") {
+    val out = Sampling.groupQuota(rows, "grp", "id", quota = 10)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ === 10L))
+    val loose = Sampling.groupQuota(rows, "grp", "id", quota = 1000)
+    assert(loose.count() === 100L)
+  }
+
+  test("keeper set is a pure function of the data (stable under repartition)") {
+    val a = Sampling.groupQuota(rows.repartition(13), "grp", "id", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.groupQuota(rows.repartition(2), "grp", "id", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.length === 21)
+    // all original columns survive
+    assert(Sampling.groupQuota(rows, "grp", "id", 7).columns.toSeq
+      === Seq("id", "grp", "payload"))
+  }
+}

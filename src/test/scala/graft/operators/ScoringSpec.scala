@@ -108,3 +108,44 @@ class ScoringSpec extends SparkSpec {
     assert(q === Seq(64, -127, 32)) // scale = 127/4 = 31.75; floor(63.5+0.5)=64
   }
 }
+
+class LogisticFitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // linearly separable by the single feature: positives at x=+1, negatives
+  // at x=-1
+  private lazy val sep = ((1L to 40L).map(i => (i, 1.0, 1.0)) ++
+    (41L to 80L).map(i => (i, -1.0, 0.0))).toDF("id", "x", "y")
+
+  test("GD separates separable data; one score per row in [0,1]") {
+    val (scored, w) = Scoring.logisticFitScore(sep, "id",
+      features = Seq(lit(1.0), col("x")), label = col("y"), iters = 8, lr = 1.0)
+    val rows = scored.as[(Long, Double, Double)].collect()
+    assert(rows.length === 80)
+    assert(rows.forall { case (_, _, s) => s >= 0.0 && s <= 1.0 })
+    val pos = rows.filter(_._2 == 1.0).map(_._3).min
+    val neg = rows.filter(_._2 == 0.0).map(_._3).max
+    assert(pos > neg, s"separable data must separate: min-pos $pos <= max-neg $neg")
+    assert(w.length === 2 && w(1) > 0, "feature weight points toward the positives")
+  }
+
+  test("fit is deterministic under repartitioning (rounded recipe)") {
+    val (s1, w1) = Scoring.logisticFitScore(sep.repartition(17), "id",
+      Seq(lit(1.0), col("x")), col("y"), iters = 5, lr = 0.7)
+    val (s2, w2) = Scoring.logisticFitScore(sep.repartition(3), "id",
+      Seq(lit(1.0), col("x")), col("y"), iters = 5, lr = 0.7)
+    assert(w1.toSeq === w2.toSeq)
+    assert(s1.orderBy("id").collect().toSeq === s2.orderBy("id").collect().toSeq)
+  }
+
+  test("weights stay at zero on a balanced uninformative feature") {
+    // y is independent of x and balanced, so every gradient component
+    // cancels exactly: avg((0.5 - y) * x) = 0 for x in {+1,-1} paired
+    val bal = Seq((1L, 1.0, 1.0), (2L, 1.0, 0.0), (3L, -1.0, 1.0),
+      (4L, -1.0, 0.0)).toDF("id", "x", "y")
+    val (_, w) = Scoring.logisticFitScore(bal, "id", Seq(col("x")), col("y"),
+      iters = 3, lr = 1.0)
+    assert(w.toSeq === Seq(0.0))
+  }
+}
