@@ -93,6 +93,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"dup-span stats plan contains a join:\n$p")
   }
 
+  test("q105 chunking is zero-shuffle: explode in place, no exchange") {
+    val p = executedPlan("q105_chunk_windows").split("== Initial Plan ==")(0)
+    assert(p.contains("Generate"), s"no explode in chunking plan:\n$p")
+    // the orderBy in the gate adds one range exchange for presentation; the
+    // chunking operator itself must not add any hash exchange
+    assert(!p.contains("hashpartitioning"),
+      s"chunking shuffled on a hash key:\n$p")
+    assert(!p.contains("Join"), s"chunking plan contains a join:\n$p")
+  }
+
+  test("q104 semdedup pair work is cluster-bucketed: no cartesian product") {
+    val p = executedPlan("q104_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup went nested-loop:\n$p")
+  }
+
+  test("q107 classifier scoring is join-free: weights ride as literals") {
+    val p = executedPlan("q107_quality_classifier")
+    assert(!p.contains("Join"),
+      s"classifier scoring plan contains a join:\n$p")
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")
