@@ -119,6 +119,61 @@ object Packing {
         least(lit(window.toLong), col("n_tokens") - col("tok_start") + 1L).as("tok_len"))
   }
 
+  /** Length-bucketed batch assignment (padding-efficiency prep): bucket
+    * documents by token-length band (`bucket = (n_tokens − 1) / bucketSize`),
+    * then number each bucket's docs in id order and cut them into batches of
+    * `batchSize` — so every training batch holds similar-length sequences
+    * and pad-token waste is bounded by `bucketSize`, the standard
+    * bucketed-batching move.
+    *
+    * Output: (doc_id, n_tokens, bucket, batch_idx); semantics ≡ row_number
+    * OVER (PARTITION BY bucket ORDER BY doc_id), `batch_idx = (rank−1) /
+    * batchSize` — which is what the DuckDB oracle computes.
+    *
+    * Scale: a per-bucket rank via a plain bucket-partitioned window
+    * serializes EACH bucket into one task (a handful of length bands over a
+    * 100 TB corpus = a handful of tasks). Instead this runs the same
+    * two-phase distributed prefix shape as [[packShards]], generalized to
+    * groups: range-partition by (bucket, id) — so a bucket spans many
+    * ordered partitions — take per-(bucket, pid) local row numbers in
+    * parallel, and add broadcast exclusive offsets computed on the tiny
+    * (bucket, pid)-counts table. Only (id, n_tokens) ever moves.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+      tokenExpr: org.apache.spark.sql.Column, bucketSize: Int,
+      batchSize: Int, partitions: Int = 0): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // pinned for the same reason as packShards: pid assignment must be one
+    // fact shared by the offsets aggregate and the final join
+    val local = df
+      .select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
+      .withColumn("bucket", floor((col("n_tokens") - 1).cast("double") / bucketSize).cast("long"))
+      .repartitionByRange(p, col("bucket"), col("doc_id"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn",
+        row_number().over(Window.partitionBy("bucket", "pid").orderBy("doc_id")))
+      .localCheckpoint(true)
+
+    // tiny table: one row per (bucket, pid) slice; exclusive running count
+    // within the bucket across ascending pids (ranges are ordered, so pid
+    // order IS (bucket, id) order)
+    val offsets = local.groupBy("bucket", "pid").agg(count(lit(1)).as("c"))
+      .withColumn("offset",
+        coalesce(sum("c").over(Window.partitionBy("bucket").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "pid", "offset")
+
+    local.join(broadcast(offsets), Seq("bucket", "pid"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        floor((col("local_rn") + col("offset") - 1).cast("double") / batchSize)
+          .cast("long").as("batch_idx"))
+  }
+
   /** Reference formulation (single-task global window) — used by the spec as
     * the differential twin of [[packShards]]. Do NOT use at scale.
     */

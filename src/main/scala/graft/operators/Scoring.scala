@@ -161,8 +161,12 @@ object Scoring {
     * @param features engine-portable numeric expressions (include an
     *   explicit `lit(1.0)` bias term if wanted)
     * @param label 1.0/0.0 expression (the weak label)
-    * @return ((id, y, score) per row — score = σ(w_final·x) rounded 6 then
-    *   4 dp — and the fitted weights)
+    * @return ((id, y, score) per row — score = σ(w_final·x) rounded to
+    *   6 dp — and the fitted weights. A SINGLE rounding: round-twice
+    *   (6 then 4 dp) puts ~1% of rows exactly on a 4-dp half-way tie,
+    *   where Java's shortest-repr BigDecimal and a multiply-based C round
+    *   legitimately disagree; one rounding of the continuous sigmoid has
+    *   only ulp-level boundary risk.)
     */
   def logisticFitScore(df: DataFrame, idCol: String, features: Seq[Column],
       label: Column, iters: Int = 3, lr: Double = 0.5): (DataFrame, Array[Double]) = {
@@ -188,7 +192,7 @@ object Scoring {
     }
     val zF = (0 until d).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
     val scored = pinned.select(col("id"), col("y"),
-      round(round(lit(1.0) / (lit(1.0) + exp(-zF)), 6), 4).as("score"))
+      round(lit(1.0) / (lit(1.0) + exp(-zF)), 6).as("score"))
     (scored, w)
   }
 }

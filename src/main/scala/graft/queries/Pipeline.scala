@@ -59,6 +59,20 @@ object Pipeline {
 
   private val duckTokens = """string_split_regex(trim(text), '\s+')"""
 
+  /** Corpus-fit unigram-LM per-doc nll as a CTE chain ending in
+    * `nllt(doc_id, n_tokens, nll)` — the q101 recipe, shared with the
+    * percentile-threshold filter oracle (q109).
+    */
+  private lazy val unigramNllCtes: String =
+    s"""w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+       |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS total FROM c),
+       |nllt AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
+       |FROM tok t JOIN c USING (tok) CROSS JOIN tot
+       |GROUP BY t.doc_id)""".stripMargin
+
   /** The unrolled deterministic-kmeans CTE chain over `embeddings` (the q94
     * oracle technique), ending at assignment CTE `a<iters>` with columns
     * (vec_id, cl); `v` holds the double-cast vectors. Shared by every oracle
@@ -444,6 +458,29 @@ object Pipeline {
       graft.operators.Sampling.groupQuota(Tables(s, d).documents,
           "source", "doc_id", quota = 20)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // length-bucketed batch assignment (64-token bands, batches of 8):
+    // padding-efficient trainer batches via the distributed per-bucket rank
+    // (two-phase prefix, never one task per bucket).
+    "q108_length_batches" -> ((s, d) => {
+      graft.operators.Packing.lengthBucketBatches(Tables(s, d).documents,
+          "doc_id", TextFunctions.tokenCount(col("text")),
+          bucketSize = 64, batchSize = 8)
+        .orderBy("doc_id")
+    }),
+
+    // perplexity-threshold filtering: keep docs at or below the 75th
+    // percentile of the corpus-fit unigram nll (the "drop the weirdest
+    // quartile" quality step). Exact interpolated percentile, one broadcast
+    // scalar — the corpus is never shuffled.
+    "q109_ppl_filter" -> ((s, d) => {
+      val nll = graft.operators.Scoring.unigramLogLoss(
+        Tables(s, d).documents, "text", "doc_id")
+      val cut = nll.agg(round(expr("percentile(nll, 0.75)"), 6).as("cut"))
+      nll.crossJoin(broadcast(cut)).filter(col("nll") <= col("cut"))
+        .select("doc_id", "n_tokens", "nll")
         .orderBy("doc_id")
     }),
 
@@ -907,8 +944,10 @@ object Pipeline {
       // full-batch GD unrolled as CTEs in lockstep with logisticFitScore:
       // w0 = 0; per-row p = round(sigmoid(w·x), 6); per-component gradient
       // rounded 6; weight update w - 2*g rounded 6; final score rounded
-      // 6 then 4. Feature arithmetic is written in the exact evaluation
-      // order of the Spark expressions.
+      // ONCE to 6 dp (round-twice lands ~1% of rows on 4-dp half ties,
+      // where the engines' round algorithms legitimately differ). Feature
+      // arithmetic is written in the exact evaluation order of the Spark
+      // expressions.
       val feats =
         s"""1.0 AS x0, ln(CAST(n_chars AS DOUBLE) + 1.0) / 10.0 AS x1,
            |  CAST(len($duckTokens) AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1.0) AS x2""".stripMargin
@@ -927,7 +966,7 @@ object Pipeline {
          |wi0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
          |${(1 to 4).map(iterCtes).mkString(",\n")}
          |SELECT f.doc_id, f.y,
-         |  round(round(1.0 / (1.0 + exp(-(${z("wi4")}))), 6), 4) AS score
+         |  round(1.0 / (1.0 + exp(-(${z("wi4")}))), 6) AS score
          |FROM f CROSS JOIN wi4 ORDER BY doc_id""".stripMargin
     },
     "q99_hll_merge" ->
@@ -941,14 +980,21 @@ object Pipeline {
          |SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(cleaned), '\\s+'))), ' ')) AS fp
          |FROM k ORDER BY fp""".stripMargin,
     "q101_unigram_ppl" ->
-      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM w),
-         |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
-         |tot AS (SELECT sum(cnt) AS total FROM c)
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
-         |FROM tok t JOIN c USING (tok) CROSS JOIN tot
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $unigramNllCtes
+         |SELECT doc_id, n_tokens, nll FROM nllt ORDER BY doc_id""".stripMargin,
+    "q108_length_batches" ->
+      s"""WITH w AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CAST(floor((n_tokens - 1)::DOUBLE / 64) AS BIGINT) AS bucket FROM w),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CAST(floor((rn - 1)::DOUBLE / 8) AS BIGINT) AS batch_idx
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q109_ppl_filter" ->
+      s"""WITH $unigramNllCtes,
+         |cut AS (SELECT round(quantile_cont(nll, 0.75), 6) AS cut FROM nllt)
+         |SELECT doc_id, n_tokens, nll FROM nllt CROSS JOIN cut
+         |WHERE nll <= cut ORDER BY doc_id""".stripMargin,
     "q103_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
          |wh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 10 + 2),

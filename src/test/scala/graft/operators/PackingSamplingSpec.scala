@@ -241,3 +241,43 @@ class GroupQuotaSpec extends SparkSpec {
       === Seq("id", "grp", "payload"))
   }
 }
+
+class LengthBucketSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, bucketSize: Int,
+      batchSize: Int): Seq[(Long, Long, Long, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    df.select(col("id").as("doc_id"), col("n").cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        floor((col("n_tokens") - 1).cast("double") / bucketSize).cast("long"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .select("doc_id", "n_tokens", "bucket", "batch_idx")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("distributed per-bucket rank matches the naive bucket window") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 500L).map(i => (i, 1 + rnd.nextInt(400))).toDF("id", "n")
+    for ((bs, bat, parts) <- Seq((64, 8, 7), (50, 3, 32), (1000, 16, 2))) {
+      val dist = Packing.lengthBucketBatches(docs, "id", col("n"), bs, bat, parts)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(dist === naive(docs, bs, bat), s"bucketSize=$bs batch=$bat parts=$parts")
+    }
+  }
+
+  test("batches respect the size cap and similar-length grouping") {
+    val docs = (1L to 100L).map(i => (i, i.toInt)).toDF("id", "n")
+    val out = Packing.lengthBucketBatches(docs, "id", col("n"),
+      bucketSize = 10, batchSize = 4)
+    val sizes = out.groupBy("bucket", "batch_idx").count()
+      .as[(Long, Long, Long)].collect()
+    assert(sizes.forall(_._3 <= 4), "no batch exceeds batchSize")
+    // every bucket holds only lengths from its own 10-token band
+    val bands = out.select("bucket", "n_tokens").as[(Long, Long)].collect()
+    assert(bands.forall { case (b, n) => (n - 1) / 10 === b })
+  }
+}
