@@ -461,6 +461,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // distributed BPE merge learning (4 rounds over word types): the
+    // tokenizer-training step — weighted adjacent-pair counts, highest
+    // count wins (ties to smallest pair), greedy left-to-right fuse via
+    // string replace. The oracle replays the identical rounds.
+    "q110_bpe_merges" -> ((s, d) => {
+      graft.operators.Bpe.learnMerges(Tables(s, d).documents, "text", merges = 4)
+        .orderBy("merge_idx")
+    }),
+
     // length-bucketed batch assignment (64-token bands, batches of 8):
     // padding-efficient trainer batches via the distributed per-bucket rank
     // (two-phase prefix, never one task per bucket).
@@ -982,6 +991,31 @@ object Pipeline {
     "q101_unigram_ppl" ->
       s"""WITH $unigramNllCtes
          |SELECT doc_id, n_tokens, nll FROM nllt ORDER BY doc_id""".stripMargin,
+    "q110_bpe_merges" -> {
+      // unrolled BPE rounds in lockstep with Bpe.learnMerges: word types
+      // with frequencies, STX/ETX-bracketed symbol strings, weighted pair
+      // counts, (n DESC, left, right) winner, replace()-fused — replace is
+      // left-to-right non-overlapping in both engines (greedy BPE).
+      val toksOf = s"string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2))"
+      def roundCtes(m: Int): String =
+        s"""p$m AS (SELECT t[CAST(u.i AS INT)] AS l, t[CAST(u.i AS INT) + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
+           |    unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY 1, 2),
+           |t$m AS (SELECT l, r, n FROM p$m ORDER BY n DESC, l, r LIMIT 1),
+           |s$m AS (SELECT wc,
+           |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
+           |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin
+      s"""WITH words AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+         |    SELECT unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0 GROUP BY tok),
+         |s0 AS (SELECT wc, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM words),
+         |${(1 to 4).map(roundCtes).mkString(",\n")}
+         |SELECT merge_idx, l AS "left", r AS "right", n FROM (
+         |  SELECT 1 AS merge_idx, * FROM t1 UNION ALL SELECT 2, * FROM t2
+         |  UNION ALL SELECT 3, * FROM t3 UNION ALL SELECT 4, * FROM t4)
+         |ORDER BY merge_idx""".stripMargin
+    },
     "q108_length_batches" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
          |b AS (SELECT doc_id, n_tokens,
