@@ -100,4 +100,38 @@ object Bpe {
     */
   private def substring_index_char(w: Column, i: Column): Column =
     call_function("substring", w, i, lit(1))
+
+  /** Apply a learned merge list to the corpus: per-document BPE symbol
+    * stats (doc_id, n_words, n_chars, n_bpe) where `n_bpe` is the symbol
+    * count after fusing every merge in order within each word.
+    *
+    * ZERO shuffle: each word is bracket-encoded, run through the merge
+    * `replace` chain (merges inlined as literals — broadcast-free model
+    * state), and its symbols counted as ETX occurrences
+    * (`length(s) − length(replace(s, ETX, ''))`), all inside one codegen'd
+    * projection; per-doc totals are an `aggregate` HOF over the word array,
+    * not an explode+groupBy.
+    */
+  def encodeStats(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0)
+    def encoded(w: Column): Column = {
+      val base = array_join(transform(sequence(lit(1), length(w)),
+        i => concat(lit(Stx), substring_index_char(w, i), lit(Etx))), "")
+      merges.foldLeft(base) { case (s, (l, r)) =>
+        call_function("replace", s, lit(Stx + l + Etx + Stx + r + Etx),
+          lit(Stx + l + r + Etx))
+      }
+    }
+    def symCount(w: Column): Column = {
+      val s = encoded(w)
+      length(s) - length(call_function("replace", s, lit(Etx), lit("")))
+    }
+    df.select(col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .as("n_chars"),
+      aggregate(words, lit(0L), (acc, w) => acc + symCount(w).cast("long"))
+        .as("n_bpe"))
+  }
 }

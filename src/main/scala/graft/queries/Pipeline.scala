@@ -470,6 +470,19 @@ object Pipeline {
         .orderBy("merge_idx")
     }),
 
+    // BPE tokenization with the learned merges (train + apply): per-doc
+    // symbol counts after the 4-merge fuse chain — zero shuffle, merges
+    // inlined as literals.
+    "q111_bpe_encode" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", merges = 4)
+        .orderBy("merge_idx")
+        .select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Bpe.encodeStats(docs, "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
+
     // length-bucketed batch assignment (64-token bands, batches of 8):
     // padding-efficient trainer batches via the distributed per-bucket rank
     // (two-phase prefix, never one task per bucket).
@@ -1015,6 +1028,42 @@ object Pipeline {
          |  SELECT 1 AS merge_idx, * FROM t1 UNION ALL SELECT 2, * FROM t2
          |  UNION ALL SELECT 3, * FROM t3 UNION ALL SELECT 4, * FROM t4)
          |ORDER BY merge_idx""".stripMargin
+    },
+    "q111_bpe_encode" -> {
+      // the q110 training CTEs (t1..t4 winners), then per-doc apply: encode
+      // each word, run the 4-replace fuse chain, count symbols as ETX
+      // occurrences. LEFT JOIN keeps docs with zero non-empty words.
+      val toksOf = s"string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2))"
+      def roundCtes(m: Int): String =
+        s"""p$m AS (SELECT t[CAST(u.i AS INT)] AS l, t[CAST(u.i AS INT) + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
+           |    unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY 1, 2),
+           |t$m AS (SELECT l, r, n FROM p$m ORDER BY n DESC, l, r LIMIT 1),
+           |s$m AS (SELECT wc,
+           |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
+           |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin
+      val applied = (1 to 4).foldLeft("e.s") { (acc, m) =>
+        s"replace($acc, chr(2)||t$m.l||chr(3)||chr(2)||t$m.r||chr(3), chr(2)||t$m.l||t$m.r||chr(3))"
+      }
+      s"""WITH words AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+         |    SELECT unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0 GROUP BY tok),
+         |s0 AS (SELECT wc, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM words),
+         |${(1 to 4).map(roundCtes).mkString(",\n")},
+         |wd AS (SELECT doc_id, tok AS w FROM (
+         |    SELECT doc_id, unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0),
+         |e AS (SELECT doc_id, length(w) AS nc, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM wd),
+         |ap AS (SELECT e.doc_id, e.nc, $applied AS s
+         |  FROM e CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(sum(length(s) - length(replace(s, chr(3), ''))) AS BIGINT) AS n_bpe
+         |  FROM ap GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_chars, 0) AS n_chars, coalesce(a.n_bpe, 0) AS n_bpe
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
     "q108_length_batches" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),

@@ -75,4 +75,19 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.learnMerges(df, "text", merges = 5).count()
     assert(got === 0L, "single-char words have no adjacent pairs")
   }
+
+  test("encodeStats: no merges counts chars; merges fuse greedily per word") {
+    val df = Seq((1L, "aaa ab"), (2L, "")).toDF("doc_id", "text")
+    val plain = Bpe.encodeStats(df, "text", "doc_id", Nil)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plain === Seq((1L, 2L, 5L, 5L), (2L, 0L, 0L, 0L)))
+    val fused = Bpe.encodeStats(df, "text", "doc_id", Seq(("a", "a")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // "aaa" -> (aa)(a) = 2 symbols, "ab" -> (a)(b) = 2 symbols
+    assert(fused === Seq((1L, 2L, 5L, 4L), (2L, 0L, 0L, 0L)))
+    val chain = Bpe.encodeStats(df, "text", "doc_id", Seq(("a", "a"), ("aa", "a")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // round 2 fuses (aa)(a) -> (aaa): 1 symbol
+    assert(chain === Seq((1L, 2L, 5L, 3L), (2L, 0L, 0L, 0L)))
+  }
 }
