@@ -174,6 +174,58 @@ object Packing {
           .cast("long").as("batch_idx"))
   }
 
+  /** Per-group running totals, distributed: (doc_id, group, value, cum)
+    * where `cum` is the inclusive running sum of `valueExpr` within each
+    * group in id order — semantics ≡ `sum(value) OVER (PARTITION BY group
+    * ORDER BY id)`, computed with the grouped two-phase prefix sum (range
+    * partition on (group, id) → per-(group, pid) windows → broadcast
+    * exclusive offsets) so no group ever serializes into one task.
+    *
+    * The building block behind token-budget quotas ([[tokenQuota]]) and any
+    * "cumulative X within domain" curation rule.
+    */
+  def groupRunningTotals(df: DataFrame, groupCol: String, idCol: String,
+      valueExpr: org.apache.spark.sql.Column, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val local = df
+      .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        valueExpr.cast("long").as("value"))
+      .repartitionByRange(p, col("grp"), col("doc_id"))
+      .sortWithinPartitions("grp", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_cum",
+        sum("value").over(Window.partitionBy("grp", "pid").orderBy("doc_id")))
+      .localCheckpoint(true)
+
+    val offsets = local.groupBy("grp", "pid").agg(sum("value").as("c"))
+      .withColumn("offset",
+        coalesce(sum("c").over(Window.partitionBy("grp").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("grp", "pid", "offset")
+
+    local.join(broadcast(offsets), Seq("grp", "pid"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("value"),
+        (col("local_cum") + col("offset")).as("cum"))
+  }
+
+  /** Exact per-group TOKEN budget: keep each group's docs (in id order)
+    * while the cumulative token count stays within `budget` — the "at most
+    * N tokens per domain" mixing rule, a token-weighted sharpening of the
+    * per-doc-count quota. A doc is kept iff its inclusive running total fits
+    * the budget entirely (docs larger than the budget are dropped even when
+    * first).
+    */
+  def tokenQuota(df: DataFrame, groupCol: String, idCol: String,
+      tokenExpr: org.apache.spark.sql.Column, budget: Long,
+      partitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    groupRunningTotals(df, groupCol, idCol, tokenExpr, partitions)
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col(groupCol), col("value").as("n_tokens"), col("cum"))
+  }
+
   /** Reference formulation (single-task global window) — used by the spec as
     * the differential twin of [[packShards]]. Do NOT use at scale.
     */

@@ -470,6 +470,15 @@ object Pipeline {
         .orderBy("merge_idx")
     }),
 
+    // exact per-source TOKEN budget (1200 tokens/source, id order): the
+    // token-weighted quota via the grouped distributed prefix sum.
+    "q112_token_quota" -> ((s, d) => {
+      graft.operators.Packing.tokenQuota(Tables(s, d).documents,
+          "source", "doc_id", TextFunctions.tokenCount(col("text")),
+          budget = 1200L)
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenization with the learned merges (train + apply): per-doc
     // symbol counts after the 4-merge fuse chain — zero shuffle, merges
     // inlined as literals.
@@ -957,6 +966,13 @@ object Pipeline {
          |SELECT doc_id, chunk_idx, tok_start,
          |  CAST(least(40, n_tokens - tok_start + 1) AS BIGINT) AS tok_len
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q112_token_quota" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM w)
+         |SELECT doc_id, source, n_tokens, cum FROM r
+         |WHERE cum <= 1200 ORDER BY doc_id""".stripMargin,
     "q106_source_quota" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -281,3 +281,37 @@ class LengthBucketSpec extends SparkSpec {
     assert(bands.forall { case (b, n) => (n - 1) / 10 === b })
   }
 }
+
+class TokenQuotaSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("groupRunningTotals matches the naive group window on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 300L).map(i => (i, s"g${i % 5}", 1 + rnd.nextInt(50)))
+      .toDF("id", "grp", "v")
+    for (parts <- Seq(2, 9, 32)) {
+      val dist = Packing.groupRunningTotals(rows, "grp", "id", col("v"), parts)
+        .select("doc_id", "grp", "cum").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("id")
+      val naive = rows.withColumn("cum", sum(col("v").cast("long")).over(w))
+        .select(col("id"), col("grp"), col("cum"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(dist === naive, s"parts=$parts")
+    }
+  }
+
+  test("tokenQuota: budget is an exact inclusive cap; oversized first doc dropped") {
+    val rows = Seq((1L, "a", 40L), (2L, "a", 50L), (3L, "a", 20L),
+      (4L, "b", 200L), (5L, "b", 10L)).toDF("id", "src", "n")
+    val kept = Packing.tokenQuota(rows, "src", "id", col("n"), budget = 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a: 40, 90, 110 -> keep 1, 2; b: first doc alone exceeds -> only id 5
+    // is NOT kept either (cum 210 after the 200) — the oversized head blocks
+    assert(kept === Seq(1L, 2L))
+    val loose = Packing.tokenQuota(rows, "src", "id", col("n"), budget = 1000L)
+    assert(loose.count() === 5L)
+  }
+}
