@@ -74,4 +74,33 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The trainer-facing sink: pack `df` into fixed-token shards
+    * ([[Packing.packShards]] semantics) and write one directory per shard
+    * (`shard=N/`, Hive-partitioned) in the chosen format, each shard's rows
+    * in ascending id order — so a data loader streams shard files of
+    * ~`budget` tokens with a deterministic, resumable order.
+    *
+    * Format "json" writes JSON-lines (the interchange format most training
+    * stacks ingest); "parquet" keeps columnar. One extra exchange beyond
+    * the packing prefix sum: the partitioned write clusters rows by shard
+    * so each shard directory is written by the tasks owning it, not
+    * appended from every task (thousands of tiny files otherwise).
+    *
+    * Returns the packed frame (doc_id, n_tokens, shard) for auditing.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String,
+      tokenExpr: Column, budget: Long, path: String,
+      format: String = "json"): DataFrame = {
+    require(format == "json" || format == "parquet",
+      s"format must be json or parquet, got $format")
+    val packed = Packing.packShards(df, idCol, tokenExpr, budget)
+    val out = df.join(packed.select(col("doc_id").as(idCol), col("n_tokens"),
+        col("shard")), Seq(idCol))
+    out.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").format(format)
+      .partitionBy("shard").save(path)
+    packed
+  }
 }

@@ -87,3 +87,32 @@ class LayoutSpec extends SparkSpec {
     assert(z.length === 2 && z.forall(_ >= 0L))
   }
 }
+
+class TrainingShardsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("writeTrainingShards partitions by shard with resumable id order") {
+    val docs = (1L to 200L).map(i => (i, s"text body number $i", 10 + (i % 7)))
+      .toDF("doc_id", "text", "n")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      val packed = graft.operators.Layout.writeTrainingShards(
+        docs, "doc_id", col("n"), budget = 100L, path = dir, format = "json")
+      val nShards = packed.select("shard").distinct().count()
+      assert(nShards > 1, "budget must split the corpus into multiple shards")
+      // hive-partitioned layout: one directory per shard
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      assert(shardDirs.size.toLong === nShards)
+      // round-trip: every doc present exactly once, shard matches packing
+      val back = spark.read.json(dir).select("doc_id", "shard")
+        .as[(Long, Long)].collect().toMap
+      val expect = packed.select("doc_id", "shard")
+        .as[(Long, Long)].collect().toMap
+      assert(back === expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
