@@ -144,34 +144,54 @@ object Packing {
       batchSize: Int, partitions: Int = 0): DataFrame = {
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    // pinned for the same reason as packShards: pid assignment must be one
-    // fact shared by the offsets aggregate and the final join
-    val local = df
+    val rows = df
       .select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
       .withColumn("bucket", floor((col("n_tokens") - 1).cast("double") / bucketSize).cast("long"))
-      .repartitionByRange(p, col("bucket"), col("doc_id"))
-      .sortWithinPartitions("bucket", "doc_id")
-      .withColumn("pid", spark_partition_id())
-      .withColumn("local_rn",
-        row_number().over(Window.partitionBy("bucket", "pid").orderBy("doc_id")))
+    groupedRowNumbers(rows, Seq("bucket"), Seq("doc_id"), partitions)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        floor((col("rank") - 1).cast("double") / batchSize)
+          .cast("long").as("batch_idx"))
+  }
+
+  /** Distributed row_number: `rank` = row_number OVER (PARTITION BY
+    * `grpCols` ORDER BY `ordCols`) computed with the grouped two-phase
+    * prefix (one range exchange on grp+ord, per-(grp, pid) windows in
+    * parallel, broadcast exclusive per-slice offsets) — a group never
+    * serializes into one task. Every input column rides through.
+    *
+    * Shared machinery of [[lengthBucketBatches]], [[groupRunningTotals]]'
+    * rank twin, and `Sampling.stratifiedSplit`. The pin (localCheckpoint)
+    * makes the pid assignment one fact shared by the offsets aggregate and
+    * the final join.
+    */
+  private[operators] def groupedRowNumbers(rows: DataFrame,
+      grpCols: Seq[String], ordCols: Seq[String], partitions: Int): DataFrame = {
+    val spark = rows.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = (grpCols ++ ordCols).map(col)
+    val local = rows
+      .repartitionByRange(p, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy((grpCols :+ "__pid").map(col): _*)
+          .orderBy(ordCols.map(col): _*)))
       .localCheckpoint(true)
 
-    // tiny table: one row per (bucket, pid) slice; exclusive running count
-    // within the bucket across ascending pids (ranges are ordered, so pid
-    // order IS (bucket, id) order)
-    val offsets = local.groupBy("bucket", "pid").agg(count(lit(1)).as("c"))
-      .withColumn("offset",
-        coalesce(sum("c").over(Window.partitionBy("bucket").orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "pid", "offset")
+    // tiny table: one row per (grp, pid) slice; exclusive running count
+    // within the group across ascending pids (ranges are ordered, so pid
+    // order IS (grp, ord) order)
+    val offsets = local
+      .groupBy((grpCols :+ "__pid").map(col): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum("__c").over(Window.partitionBy(grpCols.map(col): _*)
+          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((grpCols :+ "__pid").map(col) :+ col("__off"): _*)
 
-    local.join(broadcast(offsets), Seq("bucket", "pid"))
-      .select(col("doc_id"), col("n_tokens"), col("bucket"),
-        floor((col("local_rn") + col("offset") - 1).cast("double") / batchSize)
-          .cast("long").as("batch_idx"))
+    local.join(broadcast(offsets), grpCols :+ "__pid")
+      .withColumn("rank", col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn")
   }
 
   /** Per-group running totals, distributed: (doc_id, group, value, cum)

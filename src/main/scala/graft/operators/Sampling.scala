@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data pipelines.
@@ -79,6 +79,44 @@ object Sampling {
     df.join(broadcast(rates), sourceCol :: Nil)
       .filter(unitHash(keyCol) < col("rate"))
       .drop("rate")
+  }
+
+  /** Exact stratified split: partition each stratum's rows into named
+    * splits with EXACT per-stratum proportions — `floor(n_s · cumfrac_i)`
+    * rows to the first i splits, the last split taking the remainder — the
+    * eval-set construction where "10% held out" must hold per language /
+    * domain, not just in expectation (the md5-bucket [[hashSplit]] is only
+    * approximate). Which rows land where is a pure function of the data:
+    * rows are ranked within their stratum by (md5(key), key).
+    *
+    * Scale: the per-stratum rank is `Packing.groupedRowNumbers` — the
+    * grouped two-phase distributed prefix, so a dominant stratum (half the
+    * corpus one language) never serializes into one task; stratum sizes are
+    * a tiny broadcast table. Cumulative fractions are inlined as exact
+    * double literals so any engine computing `floor(n · cum)` agrees.
+    *
+    * @param fracs one fraction per name, summing to ~1; the last name
+    *   absorbs floor rounding remainders
+    * @return (keyCol, strataCol, split)
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, keyCol: String,
+      fracs: Seq[Double], names: Seq[String], partitions: Int = 0): DataFrame = {
+    require(fracs.nonEmpty && fracs.length == names.length,
+      s"need one fraction per split name, got ${fracs.length} vs ${names.length}")
+    require(fracs.forall(f => f > 0 && f <= 1) && math.abs(fracs.sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fracs")
+    val cums = fracs.scanLeft(0.0)(_ + _).tail // exact doubles, inlined both sides
+    val rows = df.select(col(keyCol), col(strataCol),
+      md5(col(keyCol).cast("string")).as("__h"))
+    val ranked = graft.operators.Packing.groupedRowNumbers(
+      rows, Seq(strataCol), Seq("__h", keyCol), partitions)
+    val sizes = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val split = cums.init.zipWithIndex.foldRight(lit(names.last): Column) {
+      case ((c, i), rest) =>
+        when(col("rank") <= floor(col("__n") * lit(c)), names(i)).otherwise(rest)
+    }
+    ranked.join(broadcast(sizes), strataCol :: Nil)
+      .select(col(keyCol), col(strataCol), split.as("split"))
   }
 
   /** Per-group quota sampling: keep at most `quota` rows per value of

@@ -470,6 +470,16 @@ object Pipeline {
         .orderBy("merge_idx")
     }),
 
+    // exact stratified 80/10/10 split per language: per-stratum md5 rank
+    // (grouped distributed prefix — no stratum in one task) cut at
+    // floor(n·cum) thresholds. Exact proportions per stratum, not
+    // hash-approximate.
+    "q113_stratified_split" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedSplit(Tables(s, d).documents,
+          "lang", "doc_id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+        .orderBy("doc_id")
+    }),
+
     // exact per-source TOKEN budget (1200 tokens/source, id order): the
     // token-weighted quota via the grouped distributed prefix sum.
     "q112_token_quota" -> ((s, d) => {
@@ -966,6 +976,21 @@ object Pipeline {
          |SELECT doc_id, chunk_idx, tok_start,
          |  CAST(least(40, n_tokens - tok_start + 1) AS BIGINT) AS tok_len
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q113_stratified_split" -> {
+      // cum fractions inlined as the EXACT Scala doubles (0.8 + 0.1 is
+      // 0.9000000000000001 — writing "0.9" would disagree with the engine
+      // whenever n·cum straddles an integer between the two values)
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      s"""WITH r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN rn <= floor(n * ${cums(0)}) THEN 'train'
+         |       WHEN rn <= floor(n * ${cums(1)}) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "q112_token_quota" ->
       s"""WITH w AS (SELECT doc_id, source,
          |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),

@@ -315,3 +315,47 @@ class TokenQuotaSpec extends SparkSpec {
     assert(loose.count() === 5L)
   }
 }
+
+class StratifiedSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private lazy val rows = (1L to 237L).map(i => (i, s"lang${i % 4}"))
+    .toDF("id", "lang")
+
+  test("per-stratum proportions are exact: floor(n*cum) cuts, remainder to last") {
+    val out = Sampling.stratifiedSplit(rows, "lang", "id",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val got = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, g) =>
+        l -> g.map(x => x._2 -> x._3).toMap }
+    val sizes = rows.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+    for ((lang, n) <- sizes) {
+      val c1 = math.floor(n * cums(0)).toLong
+      val c2 = math.floor(n * cums(1)).toLong
+      assert(got(lang).getOrElse("train", 0L) === c1, s"$lang train")
+      assert(got(lang).getOrElse("val", 0L) === c2 - c1, s"$lang val")
+      assert(got(lang).getOrElse("test", 0L) === n - c2, s"$lang test")
+    }
+  }
+
+  test("assignment is deterministic under repartitioning and total") {
+    val a = Sampling.stratifiedSplit(rows.repartition(11), "lang", "id",
+      Seq(0.5, 0.5), Seq("a", "b")).orderBy("id").collect().toSeq
+    val b = Sampling.stratifiedSplit(rows.repartition(3), "lang", "id",
+      Seq(0.5, 0.5), Seq("a", "b"), partitions = 5).orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(a.length === 237)
+  }
+
+  test("rejects mismatched or non-unit fractions") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(rows, "lang", "id", Seq(0.5), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(rows, "lang", "id", Seq(0.5, 0.4), Seq("a", "b"))
+    }
+  }
+}
