@@ -326,10 +326,16 @@ final case class PropertyGraph(
     for (_ <- 1 to rounds) {
       val counts = und.join(state.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b").as("id"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("cnt").desc, col("lbl").asc)
-      val winners = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("id"), col("lbl").as("newLbl"))
+      // the round winner (cnt DESC, lbl ASC) as a lexicographic struct max
+      // — a map-side-combinable aggregate instead of a per-id window, which
+      // costs a sort of every (id, lbl) pair each round; negating the label
+      // turns "smallest label" into the max ordering. Semantics identical
+      // to row_number()=1 over (cnt DESC, lbl ASC): counts are exact longs,
+      // so (cnt, -lbl) pairs are totally ordered with no rounding ties.
+      val winners = counts
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("newLbl"))
       // per-round truncation is load-bearing, not just a deep-plan guard:
       // state feeds BOTH sides of the join (directly, and inside winners'
       // counts), so a lazy chain would re-derive each round's state twice
