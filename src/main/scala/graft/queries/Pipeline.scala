@@ -73,12 +73,14 @@ object Pipeline {
        |FROM tok t JOIN c USING (tok) CROSS JOIN tot
        |GROUP BY t.doc_id)""".stripMargin
 
-  /** The unrolled deterministic-kmeans CTE chain over `embeddings` (the q94
+  /** The unrolled deterministic-kmeans CTE chain over `src` (the q94
     * oracle technique), ending at assignment CTE `a<iters>` with columns
     * (vec_id, cl); `v` holds the double-cast vectors. Shared by every oracle
-    * that replays a kmeans fit (q94 clustering, q104 SemDeDup).
+    * that replays a kmeans fit (q94 clustering, q104 SemDeDup, q114's
+    * semantic curation stage).
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+      src: String = "embeddings"): String = {
     def iterSql(n: Int): String = {
       val prev = s"c${n - 1}"
       s"""d$n AS (SELECT v.vec_id, c.cl,
@@ -96,7 +98,7 @@ object Pipeline {
          |  LEFT JOIN m$n m ON m.cl = p.cl AND m.pos = u.i
          |  GROUP BY p.cl)""".stripMargin
     }
-    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $src),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS cv
        |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $k)),
        |${(1 to iters).map(iterSql).mkString(",\n")}""".stripMargin
@@ -468,6 +470,29 @@ object Pipeline {
     "q110_bpe_merges" -> ((s, d) => {
       graft.operators.Bpe.learnMerges(Tables(s, d).documents, "text", merges = 4)
         .orderBy("merge_idx")
+    }),
+
+    // END-TO-END curation with a SEMANTIC stage: quality filter →
+    // fingerprint dedup (keep min id) → SemDeDup over the survivors'
+    // embeddings (docs without an embedding pass through — at sf0.1 most
+    // of the corpus, so left semantics is load-bearing, not decorative).
+    "q114_semantic_curation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, d)
+      val quality = t.documents
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.2)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val survivors = quality
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id")
+      val emb = t.embeddings
+      val se = emb.join(survivors, emb("vec_id") === survivors("doc_id"))
+        .select(emb("vec_id"), emb("embedding"))
+      val dropped = Dedup.semDedup(se, "embedding", "vec_id",
+          k = 8, iters = 3, threshold = 0.35)
+        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+      survivors.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
     // exact stratified 80/10/10 split per language: per-stratum md5 rank
@@ -976,6 +1001,27 @@ object Pipeline {
          |SELECT doc_id, chunk_idx, tok_start,
          |  CAST(least(40, n_tokens - tok_start + 1) AS BIGINT) AS tok_len
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q114_semantic_curation" -> {
+      // quality + fingerprint-dedup survivors, then the q104 SemDeDup CTEs
+      // refit over ONLY the survivors' embeddings (src = se), left-anti
+      // the dropped ids — docs without embeddings pass through.
+      def dotE(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
+      val cos = s"round(${dotE("x.v", "y.v")} / (sqrt(${dotE("x.v", "x.v")}) * sqrt(${dotE("y.v", "y.v")})), 6)"
+      s"""WITH q AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fp
+         |  FROM documents WHERE $qualitySql >= 0.2),
+         |sv AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS k FROM q) WHERE doc_id = k),
+         |se AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN sv ON e.vec_id = sv.doc_id),
+         |${kmeansCtes(k = 8, iters = 3, dim = 64, src = "se")},
+         |asg AS (SELECT vec_id, CAST(cl AS INT) AS cluster FROM a3),
+         |vv AS (SELECT a.vec_id, a.cluster, v.v FROM asg a JOIN v USING (vec_id)),
+         |dup AS (SELECT DISTINCT y.vec_id FROM vv x JOIN vv y
+         |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE $cos >= 0.35)
+         |SELECT sv.doc_id FROM sv LEFT JOIN dup d ON sv.doc_id = d.vec_id
+         |WHERE d.vec_id IS NULL ORDER BY sv.doc_id""".stripMargin
+    },
     "q113_stratified_split" -> {
       // cum fractions inlined as the EXACT Scala doubles (0.8 + 0.1 is
       // 0.9000000000000001 — writing "0.9" would disagree with the engine
