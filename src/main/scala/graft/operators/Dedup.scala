@@ -100,16 +100,15 @@ object Dedup {
     *   depends only on set membership), and the reported pairs are always
     *   exact-Jaccard verified.
     */
-  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
-    // (doc_id, tids): distinct token-id set per doc, persisted because it
-    // feeds both the signature computation and both sides of the
-    // verification join. Small relative to the corpus (ids, not text).
-    // Portable mode streams shingle bytes straight into MD5 in one native
-    // pass ([[graft.functions.NativeExpressions.shingleTidsNative]] —
-    // differential-tested against this HOF chain); xxhash mode keeps the
-    // HOF chain (xxhash64 is already a single cheap expression).
+  /** (doc_id, tids) — the distinct shingle-token-id set per doc, the shared
+    * base of every MinHash path. Portable mode streams shingle bytes straight
+    * into MD5 in one native pass
+    * ([[graft.functions.NativeExpressions.shingleTidsNative]] —
+    * differential-tested against the HOF chain); xxhash mode keeps the HOF
+    * chain (xxhash64 is already a single cheap expression).
+    */
+  private def shingleTids(df: DataFrame, textCol: String, idCol: String,
+      shingle: Int, portableIds: Boolean): DataFrame = {
     val tidsExpr: Column =
       if (portableIds)
         graft.functions.NativeExpressions.shingleTidsNative(
@@ -120,39 +119,59 @@ object Dedup {
           else shingleArray(col(textCol), shingle)
         array_distinct(transform(sh, t => pmod(xxhash64(t), lit(1L << 32))))
       }
-    val base = df
-      .select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
+    df.select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
       .filter(size(col("tids")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** (doc_id, band) — each doc exploded to its LSH band keys. One frame, so
+    * all bands shuffle once in a single join whose key carries the band
+    * index; collisions only form within a band.
+    */
+  private def lshBands(base: DataFrame, perms: Seq[Perm], bandSize: Int): DataFrame = {
     // all K signature mins in ONE native-expression pass over the tid array
     // (the HOF chain — K × transform+array_min — walks it K times)
     val sigs = base.select(col("doc_id"),
       graft.functions.NativeExpressions.minhashSigsNative(
         col("tids"), perms.map(p => (p.a, p.b)), MinHashMod).as("sigs"))
-
-    // one self-join over (band_idx, band_value) rather than a union of
-    // per-band joins: the band index rides in the join key, so all bands
-    // shuffle once and collide only within their own band.
     val nBands = perms.size / bandSize
     val bandExprs = (0 until nBands).map { b =>
       val bandCols = (0 until bandSize).map(j => element_at(col("sigs"), b * bandSize + j + 1))
       struct(lit(b).as("b"), concat_ws("_", bandCols: _*).as("v"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
-    val candidates = banded.select(col("doc_id").as("doc1"), col("band"))
-      .join(banded.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
-      .filter(col("doc1") < col("doc2")).select("doc1", "doc2").distinct()
+    sigs.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+  }
 
-    val result = candidates
-      .join(base.select(col("doc_id").as("doc1"), col("tids").as("tids1")), "doc1" :: Nil)
-      .join(base.select(col("doc_id").as("doc2"), col("tids").as("tids2")), "doc2" :: Nil)
+  /** Exact-Jaccard verification of candidate (doc1, doc2) pairs against the
+    * tid sets in `base1`/`base2`: returns (doc1, doc2, jaccard) for pairs at
+    * or above `threshold`.
+    */
+  private def verifyJaccard(candidates: DataFrame, base1: DataFrame,
+      base2: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(base1.select(col("doc_id").as("doc1"), col("tids").as("tids1")), "doc1" :: Nil)
+      .join(base2.select(col("doc_id").as("doc2"), col("tids").as("tids2")), "doc2" :: Nil)
       .select(col("doc1"), col("doc2"),
         size(array_intersect(col("tids1"), col("tids2"))).cast("long").as("inter"),
         size(col("tids1")).cast("long").as("sz1"), size(col("tids2")).cast("long").as("sz2"))
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
+    // (doc_id, tids): distinct token-id set per doc, persisted because it
+    // feeds both the signature computation and both sides of the
+    // verification join. Small relative to the corpus (ids, not text).
+    val base = shingleTids(df, textCol, idCol, shingle, portableIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = lshBands(base, perms, bandSize)
+    val candidates = banded.select(col("doc_id").as("doc1"), col("band"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
+      .filter(col("doc1") < col("doc2")).select("doc1", "doc2").distinct()
+
+    val result = verifyJaccard(candidates, base, base, threshold)
     // materialize the (small) verified-pair set eagerly and truncate its
     // lineage so the persisted intermediate can be released NOW instead of
     // leaking in long-lived sessions.
@@ -314,6 +333,66 @@ object Dedup {
           .drop("in_bloom", "kl")
       }
     novel.select("doc_id")
+  }
+
+  /** Incremental FUZZY dedup: MinHash+LSH a NEW crawl batch against the
+    * already-ingested corpus — the rolling-crawl near-dup filter that
+    * full-corpus re-dedup ([[minHashLsh]] over batch ∪ corpus) cannot
+    * replace at 100 TB, because it would re-band and re-join the entire
+    * history every cycle.
+    *
+    * A batch doc is DROPPED when an exact-Jaccard-verified near-dup
+    * (≥ `threshold`) exists either (a) anywhere in the corpus, or (b) at a
+    * LOWER id within the batch itself — the same deterministic lower-id
+    * keeper rule as [[semDedup]], chosen over transitive clustering so the
+    * output is a pure function of the pair predicate (replayable by a
+    * non-recursive oracle). Returns the surviving (doc_id) set, including
+    * batch docs too short to shingle (nothing to match on — they pass
+    * through, mirroring [[minHashLsh]]'s base filter).
+    *
+    * Scale shape: the corpus contributes only (doc_id, band) keys and
+    * (doc_id, tids) id-arrays — never text; candidate generation is one
+    * batch×corpus band join plus one within-batch band self-join, each
+    * colliding only inside a band. In production the corpus side of both
+    * frames is exactly what a signature store would persist between crawl
+    * cycles — recompute here keeps the operator self-contained, and the
+    * plan from the store is identical from the join down.
+    */
+  def incrementalMinHashDedup(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
+    val bBase = shingleTids(batch, textCol, idCol, shingle, portableIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBase = shingleTids(corpus, textCol, idCol, shingle, portableIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = lshBands(bBase, perms, bandSize)
+    val cBands = lshBands(cBase, perms, bandSize)
+
+    // vs-corpus: candidates keyed (batch doc1, corpus doc2) — ids may
+    // coincide across the two sides, so no ordering filter applies here
+    val vsCorpus = verifyJaccard(
+      bBands.select(col("doc_id").as("doc1"), col("band"))
+        .join(cBands.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
+        .select("doc1", "doc2").distinct(),
+      bBase, cBase, threshold)
+      .select(col("doc1").as("dup_id")).distinct()
+
+    // within-batch: the higher id of each verified pair is the drop
+    val withinBatch = verifyJaccard(
+      bBands.select(col("doc_id").as("doc1"), col("band"))
+        .join(bBands.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
+        .filter(col("doc1") < col("doc2")).select("doc1", "doc2").distinct(),
+      bBase, bBase, threshold)
+      .select(col("doc2").as("dup_id")).distinct()
+
+    val dropped = vsCorpus.unionByName(withinBatch).distinct()
+    val out = batch.select(col(idCol).as("doc_id"))
+      .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
+      .localCheckpoint(true) // survivors are batch-bound; release the bases now
+    bBase.unpersist(false)
+    cBase.unpersist(false)
+    out
   }
 
   /** LCG token hash for SimHash — engine-independent (DuckDB twin uses the

@@ -495,6 +495,20 @@ object Pipeline {
       survivors.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
+    // incremental FUZZY dedup: MinHash(8)+LSH(2×4) the new crawl batch
+    // (src10..19) against the ingested corpus (src0..9), exact-Jaccard
+    // verified at 0.3 — the rolling-crawl twin of q89's exact path. A batch
+    // doc survives unless a verified near-dup exists in the corpus or at a
+    // lower batch id.
+    "q115_incremental_fuzzy" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      Dedup.incrementalMinHashDedup(
+          docs.filter(snum >= 10), docs.filter(snum < 10),
+          "text", "doc_id", threshold = 0.3, portableIds = true)
+        .orderBy("doc_id")
+    }),
+
     // exact stratified 80/10/10 split per language: per-stratum md5 rank
     // (grouped distributed prefix — no stratum in one task) cut at
     // floor(n·cum) thresholds. Exact proportions per stratum, not
@@ -1021,6 +1035,41 @@ object Pipeline {
          |  WHERE $cos >= 0.35)
          |SELECT sv.doc_id FROM sv LEFT JOIN dup d ON sv.doc_id = d.vec_id
          |WHERE d.vec_id IS NULL ORDER BY sv.doc_id""".stripMargin
+    },
+    "q115_incremental_fuzzy" -> {
+      // q55's shingle→md5-tid→MinHash CTEs, carrying the source number so
+      // the band join splits batch (snum >= 10) vs corpus (< 10); a batch
+      // doc survives unless a 0.3-Jaccard-verified near-dup exists in the
+      // corpus or at a lower batch id. Short docs (< 3 tokens, no
+      // shingles) never enter `t` and pass through the anti-joins.
+      val bandConds = (0 until 2).map { b =>
+        (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val jac = "len(list_intersect(s1.tids, s2.tids))::DOUBLE / " +
+        "(len(s1.tids) + len(s2.tids) - len(list_intersect(s1.tids, s2.tids)))"
+      s"""WITH w0 AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS snum,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |sh AS (SELECT doc_id, snum,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
+         |  FROM w0 WHERE len(w) >= 3),
+         |t AS (SELECT doc_id, snum,
+         |  list_distinct(list_transform(shingles, s -> ${portableTidSql("s")})) AS tids
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, snum, tids, $sigExprsSql FROM t),
+         |dup AS (
+         |  SELECT DISTINCT s1.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON s1.snum >= 10 AND s2.snum < 10 AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3
+         |  UNION
+         |  SELECT DISTINCT s2.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON s1.snum >= 10 AND s2.snum >= 10 AND s1.doc_id < s2.doc_id
+         |    AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3)
+         |SELECT doc_id FROM documents
+         |WHERE CAST(substr(source, 4) AS INT) >= 10
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin
     },
     "q113_stratified_split" -> {
       // cum fractions inlined as the EXACT Scala doubles (0.8 + 0.1 is

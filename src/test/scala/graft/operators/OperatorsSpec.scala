@@ -64,6 +64,27 @@ class DedupSpec extends SparkSpec {
     hashed.keySet.intersect(dict.keySet).foreach { k => assert(hashed(k) === dict(k)) }
   }
 
+  test("incrementalMinHashDedup drops corpus near-dups and higher-id batch dups") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact dup of corpus 1 → drop
+      (11L, "the quick brown fox jumps over the lazy cat"),  // near dup of corpus 1 → drop
+      (12L, "a wholly novel document about spark engines and nothing else"),
+      (13L, "a wholly novel document about spark engines and nothing else"), // dup of 12 → drop
+      (14L, "tiny doc"),                                     // < 3 tokens: no shingles, passes
+      (15L, "unrelated fresh content describing distributed joins at scale")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id",
+      threshold = 0.5).as[Long].collect().toSet
+    assert(kept === Set(12L, 14L, 15L))
+    val keptPortable = Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id",
+      threshold = 0.5, portableIds = true).as[Long].collect().toSet
+    assert(keptPortable === kept)
+  }
+
   test("dedupClusters collapses transitive pairs to min-id keepers") {
     // chain 1~2, 2~3 (transitive cluster {1,2,3}) + isolated pair 7~9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
