@@ -104,6 +104,83 @@ object Sketches {
       confidence: Double = 0.99, seed: Int = 42): CountMinSketch =
     df.stat.countMinSketch(col0, eps, confidence, seed)
 
+  /* ---------- portable DataFrame-native Count-Min sketch ----------
+   *
+   * Spark's `stat.countMinSketch` merges per-partition sketches on the
+   * driver into one opaque binary — fine as side-data, but not storable as
+   * a TABLE, not mergeable in SQL, and not replayable by another engine.
+   * The rows-CMS below keeps the sketch as a (d, bucket, cnt) DataFrame:
+   *   - build is ONE scan + one shuffle whose key space is at most
+   *     depth × width rows, regardless of input size;
+   *   - per-batch sketch tables merge by summing counts — the same
+   *     incremental-ingest shape as [[hllSketchPerGroup]]/[[hllMergeEstimate]],
+   *     no rescan of history;
+   *   - estimates join the probe set against the sketch with the sketch
+   *     BROADCAST (bounded d×w rows), so the probe side never shuffles;
+   *   - the hash family is engine-portable integer arithmetic
+   *     (tid·a + b mod p mod w, all within int64), so a SQL oracle can
+   *     replay the sketch bit-for-bit.
+   */
+
+  /** Pairwise-independent-ish hash family for the rows-CMS: one (a, b) per
+    * depth row, h_i(x) = ((x·a_i + b_i) mod [[CmsPrime]]) mod width. Keys
+    * must lie in [0, 2^32) ([[graft.operators.Dedup.portableTokenId]]'s
+    * range) so x·a stays within int64 in every engine.
+    */
+  val CmsPerms: Seq[(Long, Long)] =
+    Seq((1000003L, 12345L), (999983L, 54321L), (823117L, 98765L), (611953L, 13579L))
+  val CmsPrime = 2147483647L // 2^31 − 1
+
+  private def cmsBucket(key: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(key * a + b, lit(CmsPrime)), lit(width))
+
+  /** Build a rows-CMS over int64 keys in `keyCol` (hash string keys first,
+    * e.g. with [[graft.operators.Dedup.portableTokenId]]): returns
+    * (groupCols..., d, bucket, cnt) — one sketch per `groupCols` value
+    * (e.g. per ingest batch), or one global sketch when empty. Each input
+    * row contributes 1 to one bucket per depth row; the explode happens
+    * map-side and partial aggregation collapses it to ≤ depth × width rows
+    * per partition before the shuffle.
+    */
+  def cmsBuildRows(df: DataFrame, keyCol: String, groupCols: Seq[String] = Nil,
+      perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64): DataFrame = {
+    val db = explode(array(perms.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("d"), cmsBucket(col(keyCol), a, b, width).as("bucket"))
+    }: _*)).as("db")
+    df.select(groupCols.map(col) :+ db: _*)
+      .select(groupCols.map(col) :+ col("db.d").as("d") :+ col("db.bucket").as("bucket"): _*)
+      .groupBy((groupCols :+ "d" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-batch rows-CMS tables (built with the SAME perms/width) into
+    * one global sketch by summing bucket counts — input is the sketch
+    * table(s), never the data that produced them.
+    */
+  def cmsMergeRows(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-lookup estimates: adds `estCol` = min over depth rows of the
+    * probed bucket's count (0 for never-seen buckets) to `probes`. The
+    * sketch side is broadcast (≤ depth × width rows by construction), so
+    * the probe side keeps its partitioning; the only exchange is the
+    * per-probe-row min aggregation. CMS guarantee: est ≥ true count.
+    */
+  def cmsEstimate(probes: DataFrame, sketch: DataFrame, keyCol: String,
+      perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
+      estCol: String = "est"): DataFrame = {
+    val inCols = probes.columns.toSeq
+    val db = explode(array(perms.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("d"), cmsBucket(col(keyCol), a, b, width).as("bucket"))
+    }: _*)).as("db")
+    probes.select(struct(inCols.map(col): _*).as("_p"), db)
+      .select(col("_p"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col("_p"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+      .select(inCols.map(c => col(s"_p.$c").as(c)) :+ col(estCol): _*)
+  }
+
   /** Exact-vs-sketch profiling row for a column: exact distinct, HLL
     * estimate, and the relative error between them — the calibration check
     * a pipeline runs at small scale before trusting sketches at large.

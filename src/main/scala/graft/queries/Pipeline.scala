@@ -509,6 +509,25 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // portable rows-CMS frequency gate: per-source sketches (the per-batch
+    // ingest shape) merged by bucket-count sum — never rescanning the
+    // batches — then probed for every distinct token. width 64 forces real
+    // bucket collisions, so est > exact for some tokens: the CMS
+    // overestimate is part of the gated contract (the oracle replays the
+    // identical hash family), not noise.
+    "q116_cms_freq" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("tid", Dedup.portableTokenId(col("tok")))
+      val perSource = graft.operators.Sketches.cmsBuildRows(toks, "tid", Seq("source"))
+      val merged = graft.operators.Sketches.cmsMergeRows(perSource)
+      val probes = toks.groupBy("tok", "tid").agg(count(lit(1)).as("exact"))
+      graft.operators.Sketches.cmsEstimate(probes, merged, "tid")
+        .select(col("tok"), col("exact"), col("est"))
+        .orderBy("tok")
+    }),
+
     // exact stratified 80/10/10 split per language: per-stratum md5 rank
     // (grouped distributed prefix — no stratum in one task) cut at
     // floor(n·cum) thresholds. Exact proportions per stratum, not
@@ -1070,6 +1089,27 @@ object Pipeline {
          |WHERE CAST(substr(source, 4) AS INT) >= 10
          |  AND doc_id NOT IN (SELECT doc_id FROM dup)
          |ORDER BY doc_id""".stripMargin
+    },
+    "q116_cms_freq" -> {
+      // replay the rows-CMS exactly: same md5-prefix token ids, same
+      // (a, b, prime, width) hash family, same bucket counts. The merge
+      // step is a sum over per-source sketches, so the global sketch the
+      // Spark side probes equals the direct global counts computed here.
+      val w = 64
+      val p = graft.operators.Sketches.CmsPrime
+      val branches = graft.operators.Sketches.CmsPerms.zipWithIndex.map {
+        case ((a, b), i) => s"SELECT $i AS d, ((tid*$a+$b)%$p)%$w AS bucket FROM tids"
+      }.mkString(" UNION ALL ")
+      val lookups = graft.operators.Sketches.CmsPerms.zipWithIndex.map {
+        case ((a, b), i) =>
+          s"coalesce((SELECT cnt FROM sketch s WHERE s.d = $i AND s.bucket = ((e.tid*$a+$b)%$p)%$w), 0)"
+      }.mkString("least(", ",\n         |   ", ")")
+      s"""WITH toks AS (SELECT unnest($duckTokens) AS tok FROM documents),
+         |tids AS (SELECT tok, ${portableTidSql("tok")} AS tid FROM toks),
+         |sketch AS (SELECT d, bucket, count(*) AS cnt FROM ($branches) u GROUP BY d, bucket),
+         |e AS (SELECT tok, any_value(tid) AS tid, count(*) AS exact FROM tids GROUP BY tok)
+         |SELECT e.tok, e.exact, $lookups AS est
+         |FROM e ORDER BY e.tok""".stripMargin
     },
     "q113_stratified_split" -> {
       // cum fractions inlined as the EXACT Scala doubles (0.8 + 0.1 is

@@ -164,6 +164,16 @@ class PlanQualitySpec extends SparkSpec {
       s"BPE encode shuffled on a hash key:\n$p111")
   }
 
+  test("q116 CMS probe joins the sketch broadcast, never sort-merge") {
+    // the sketch is bounded (depth × width rows) by construction, so the
+    // probe side must keep its partitioning: a SortMergeJoin here means the
+    // broadcast hint was lost and the probe side started shuffling for a
+    // join against ≤256 rows
+    val p = executedPlan("q116_cms_freq")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")

@@ -34,6 +34,37 @@ class SketchesSpec extends SparkSpec {
     assert(est >= 10L && est <= 15L)
   }
 
+  test("rows-CMS: never underestimates, per-batch merge equals direct build") {
+    import org.apache.spark.sql.functions._
+    // zipf-ish keys: key k appears (101 - k) times, across two "batches"
+    val rows = (1L to 100L).flatMap(k => Seq.fill((101 - k).toInt)(k))
+    val df = rows.toDF("k")
+      .withColumn("batch", when($"k" % 2 === 0, "b1").otherwise("b2"))
+    val width = 32 // small enough to force collisions
+
+    val direct = Sketches.cmsBuildRows(df, "k", Nil, width = width)
+    val merged = Sketches.cmsMergeRows(
+      Sketches.cmsBuildRows(df, "k", Seq("batch"), width = width))
+    // merging per-batch sketches (batches never rescanned) is bit-identical
+    // to the sketch built over all data at once
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+
+    val probes = df.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(probes, direct, "k", width = width)
+      .as[(Long, Long, Long)].collect()
+    est.foreach { case (k, exact, e) =>
+      assert(e >= exact, s"CMS underestimated key $k: $e < $exact")
+    }
+    // with width 32 < 100 keys, collisions must inflate at least one key
+    assert(est.exists { case (_, exact, e) => e > exact })
+
+    // never-inserted keys estimate 0 unless all their buckets collide
+    val unseen = Sketches.cmsEstimate(
+      Seq(100000L).toDF("k"), direct, "k", width = width)
+      .select("est").as[Long].head()
+    assert(unseen >= 0L)
+  }
+
   test("distinctErrorProfile reports calibrated relative error") {
     val r = Sketches.distinctErrorProfile(nums, "bucket")
       .as[(Long, Long, Double)].head()
