@@ -395,6 +395,157 @@ object ShingleTids {
     })
 }
 
+/** All `m` product-quantization sub-space assignments in ONE pass over the
+  * vector: out[j] = the 0-based index of the codeword minimizing
+  * round(l2sq(v[j·sub .. j·sub+sub), books(j)(c)), dp), ties toward the
+  * lowest index — bit-identical to the
+  * `array(round(l2sqNative(slice(v, …), lit(codeword)), dp), …)` +
+  * `array_position(_, array_min(_))` chain it replaces (same
+  * scala-BigDecimal HALF_UP rounding as Spark's `round`, same
+  * truncate-to-shorter l2sq semantics, NaN ordered last like Spark's
+  * array_min), but ONE expression tree instead of m×cb fused loops: janino
+  * compile cost stops scaling with the codebook (the m=8, cb=16 PQ encode
+  * was ~130 generated loops — recompiled per Lloyd iteration during fit),
+  * and per row the vector is walked once with zero slice/array allocation.
+  *
+  * `books` is flat: codeword p of (subspace j, cluster c) at
+  * ((j·cb + c)·sub + p). With m=1, cb=k, sub=dim this is exactly the
+  * k-means assign step ([[graft.operators.Clustering]]'s recipe).
+  */
+case class PqCodes(child: Expression, books: Array[Double], m: Int, cb: Int,
+    sub: Int, dp: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(books.length == m * cb * sub, "books must be m*cb*sub doubles")
+
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_codes expects array<float|double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  /** Spark RoundBase's double path, verbatim (HALF_UP via scala BigDecimal,
+    * NaN/Inf passed through) — the determinism contract of the oracles.
+    */
+  @inline private def rnd(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def codes(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      // l2sq truncates to the shorter side: elements past the vector end
+      // contribute nothing (slice() would have returned a short array)
+      val n = math.min(sub, math.max(0, len - off))
+      var best = 0
+      var bestD = Double.NaN
+      var c = 0
+      while (c < cb) {
+        val boff = (j * cb + c) * sub
+        var s = 0.0
+        var p = 0
+        while (p < n) {
+          val d = (if (isDouble) a.getDouble(off + p)
+                   else a.getFloat(off + p).toDouble) - books(boff + p)
+          s += d * d
+          p += 1
+        }
+        val r = rnd(s)
+        // Spark's array_min orders NaN after every number, and
+        // array_position takes the FIRST min — so: strictly smaller wins,
+        // NaN counts as +∞, equal keeps the earlier index
+        if (c == 0 || (!r.isNaN && (bestD.isNaN || r < bestD))) {
+          best = c; bestD = r
+        }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    codes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodesExpr", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.codes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query PQ asymmetric-distance table in one pass: out[j][c] =
+  * UNROUNDED l2sq(v[j·sub ..), books(j)(c)) — the `m × cb` lookup table a
+  * query carries to score candidates by `m` element_at lookups. Same flat
+  * `books` layout and truncation semantics as [[PqCodes]].
+  */
+case class PqAdcTable(child: Expression, books: Array[Double], m: Int, cb: Int,
+    sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(books.length == m * cb * sub, "books must be m*cb*sub doubles")
+
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_adc_table expects array<float|double>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  def table(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val n = math.min(sub, math.max(0, len - off))
+      val row = new Array[Any](cb)
+      var c = 0
+      while (c < cb) {
+        val boff = (j * cb + c) * sub
+        var s = 0.0
+        var p = 0
+        while (p < n) {
+          val d = (if (isDouble) a.getDouble(off + p)
+                   else a.getFloat(off + p).toDouble) - books(boff + p)
+          s += d * d
+          p += 1
+        }
+        row(c) = s
+        c += 1
+      }
+      rows(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    table(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcTableExpr", this, classOf[PqAdcTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.table($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(HammingDistance64(
@@ -431,6 +582,27 @@ object NativeExpressions {
   def shingleTids64Native(tokens: Column, k: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k, idBytes = 8))
+
+  /** `books`: m subspaces × cb codewords × sub dims (m=1, cb=k, sub=dim for
+    * plain k-means assignment).
+    */
+  def pqCodesNative(v: Column, books: Seq[Array[Array[Double]]], dp: Int): Column = {
+    val m = books.size
+    val cb = books.head.length
+    val sub = books.head.head.length
+    org.apache.spark.sql.GraftSqlBridge.columnOf(PqCodes(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(v),
+      books.flatMap(_.flatMap(_.toSeq)).toArray, m, cb, sub, dp))
+  }
+
+  def pqAdcTableNative(v: Column, books: Seq[Array[Array[Double]]]): Column = {
+    val m = books.size
+    val cb = books.head.length
+    val sub = books.head.head.length
+    org.apache.spark.sql.GraftSqlBridge.columnOf(PqAdcTable(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(v),
+      books.flatMap(_.flatMap(_.toSeq)).toArray, m, cb, sub))
+  }
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {

@@ -89,17 +89,14 @@ object Clustering {
     val vecs = pinned.filter(assert_true(size(col("v")) === dim,
       lit(s"kmeans: vector dimension must be $dim for every row")).isNull)
 
-    def assignExpr: Column = {
-      // distances rounded to 9 decimals before comparison: engines agree on
-      // the raw doubles to far better than 1e-9, so after rounding either
-      // the min is unambiguous or the tie-break below decides — either way
-      // every engine picks the same cluster
-      val dists = array(centroids.map(c => round(NativeExpressions.l2sqNative(
-        col("v"), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
-      // array_position returns the FIRST index of the min → ties break
-      // toward the lowest cluster index
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    def assignExpr: Column =
+      // distances rounded to 9 decimals before comparison (engines agree on
+      // the raw doubles to far better than 1e-9), ties toward the lowest
+      // cluster index — PqCodes with a single subspace replicates the
+      // round + array_position(array_min) chain bit-for-bit in one fused
+      // pass, so codegen compile cost no longer scales with k
+      element_at(NativeExpressions.pqCodesNative(
+        col("v"), Seq(centroids), 9), 1)
 
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {

@@ -85,13 +85,10 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int,
       m: Int = 8, codebook: Int = 16, iters: Int = 3): DataFrame = {
-    import graft.functions.NativeExpressions.l2sqNative
     val dim = candidates.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
     val sub = dim / m
 
-    def slice0(c: org.apache.spark.sql.Column, j: Int) =
-      slice(c, j * sub + 1, sub)
     // the sliced distances silently truncate to the shorter array, so a
     // ragged vector would score as a spurious near-perfect match on its
     // missing subspaces — force every row to the fitted dimension instead.
@@ -110,24 +107,20 @@ object Similarity {
     val qs = dimChecked(queries)
     val books = fitBooksFused(cands, vecCol, idCol, m, sub, codebook, iters)
 
-    // encode: per subspace, nearest-codeword index (same rounding/tie rules
-    // as Clustering's assign) — the candidate relation shrinks to m codes
-    def codeExpr(vc: org.apache.spark.sql.Column, j: Int) = {
-      val dists = array(books(j).map(c =>
-        round(l2sqNative(slice0(vc, j), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // encode: all m nearest-codeword indexes in ONE fused pass (same
+    // rounding/tie rules as Clustering's assign — PqCodes replicates the
+    // round-9 + first-min chain bit-for-bit) — the candidate relation
+    // shrinks to m codes. The unfused chain was m×cb generated loops whose
+    // janino compile time dominated the whole query at every data scale.
     val encoded = cands.select(col(idCol).as("vec_id"),
-      array((0 until m).map(j => codeExpr(col(vecCol), j)): _*).as("codes"))
+      graft.functions.NativeExpressions.pqCodesNative(
+        col(vecCol), (0 until m).map(books(_)), 9).as("codes"))
 
     // per-query ADC tables: dists from the query's j-th sub-vector to every
     // codeword — computed once per query row, broadcast with it
-    val tableExpr = array((0 until m).map { j =>
-      array(books(j).map(c =>
-        l2sqNative(slice0(col("qv"), j), typedlit(c.toSeq))).toIndexedSeq: _*)
-    }: _*)
     val q = qs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qtab", tableExpr).drop("qv")
+      .withColumn("qtab", graft.functions.NativeExpressions.pqAdcTableNative(
+        col("qv"), (0 until m).map(books(_)))).drop("qv")
 
     // score: m lookups per (query, candidate) pair
     val dist = (0 until m).map { j =>
@@ -150,7 +143,6 @@ object Similarity {
     */
   private def fitBooksFused(cands: DataFrame, vecCol: String, idCol: String,
       m: Int, sub: Int, cb: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
-    import graft.functions.NativeExpressions.l2sqNative
     val pinned = cands.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v")).localCheckpoint(true)
     val init = pinned.orderBy("vec_id").limit(cb).select("v").collect()
@@ -159,13 +151,10 @@ object Similarity {
     var books: IndexedSeq[Array[Array[Double]]] =
       (0 until m).map(j => init.map(full => full.slice(j * sub, (j + 1) * sub)))
     for (_ <- 1 to iters) {
-      val clsExprs = (0 until m).map { j =>
-        val dists = array(books(j).map(c => round(l2sqNative(
-          slice(col("v"), j * sub + 1, sub), typedlit(c.toSeq)), 9)).toIndexedSeq: _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }
       val jOf = (col("pos0") / sub).cast("int") // 0-based subspace of element
-      val means = pinned.withColumn("cls", array(clsExprs: _*))
+      val means = pinned.withColumn("cls",
+          graft.functions.NativeExpressions.pqCodesNative(
+            col("v"), (0 until m).map(books(_)), 9))
         .select(col("cls"), posexplode(col("v")).as(Seq("pos0", "x")))
         .select(jOf.as("j"), pmod(col("pos0"), lit(sub)).cast("int").as("pos"),
           element_at(col("cls"), jOf + 1).as("cl"), col("x"))
