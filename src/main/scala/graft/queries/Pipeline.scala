@@ -653,8 +653,17 @@ object Pipeline {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id % 300)"))
-      val q = graft.streaming.DocStreams.curateStream(stream, minQuality = 0.2)
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      // project to fp BEFORE the sink: the gate consumes only the
+      // fingerprint set, and a memory sink materializes every output column
+      // on the driver — shipping the cleaned text there is pure overhead
+      // (and the kind that kills a real collect-side consumer at scale)
+      // (fewer state partitions was tried and is NOT a win here: 32 stores
+      // commit in parallel across the 32 cores; shrinking to 8 serialized
+      // the same state file traffic and benched 35% slower)
+      val curated = graft.streaming.DocStreams.curateStream(stream, minQuality = 0.2)
+        .select("fp")
+      val q = curated.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       // pin the small fp set, then drop the memory-sink table so repeated
       // invocations (bench passes) don't pin every run's rows for the
