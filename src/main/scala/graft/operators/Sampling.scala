@@ -143,4 +143,22 @@ object Sampling {
       .filter(col("__qrank") <= quota)
       .drop("__qrank")
   }
+
+  /** Deterministic global training order: (keyCol, pos) with pos 0..n−1, a
+    * pure function of (key, salt) — the epoch shuffle a trainer consumes.
+    * A new epoch is a salt change, never a data move. The rank over the
+    * salted md5 is computed by the grouped two-phase distributed prefix
+    * (range partition on the hash → per-partition row numbers → broadcast
+    * offsets), so no single task ever sorts the corpus and the order is
+    * identical across cluster sizes and engines — unlike `orderBy(rand())`,
+    * which is neither reproducible nor resumable mid-epoch.
+    */
+  def trainOrder(df: DataFrame, keyCol: String, salt: String,
+      partitions: Int = 0): DataFrame = {
+    val rows = df.select(col(keyCol),
+      md5(concat_ws(":", lit(salt), col(keyCol).cast("string"))).as("__h"))
+    graft.operators.Packing.groupedRowNumbers(
+        rows, Nil, Seq("__h", keyCol), partitions)
+      .select(col(keyCol), (col("rank") - 1).cast("long").as("pos"))
+  }
 }

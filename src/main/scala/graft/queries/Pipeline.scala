@@ -528,6 +528,29 @@ object Pipeline {
         .orderBy("tok")
     }),
 
+    // per-source dataset datasheet in ONE grouped pass: docs, tokens, mean
+    // quality, language spread, exact-dup profile — the "data card" scan a
+    // curation run publishes alongside its output. All five metrics ride
+    // one shuffle on the source key.
+    "q117_source_stats" -> ((s, d) => {
+      Tables(s, d).documents.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        round(avg(TextFunctions.qualityScore(col("text"))), 6).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique")
+      ).orderBy("source")
+    }),
+
+    // deterministic epoch shuffle: global training position as a pure
+    // function of (doc_id, salt) via the distributed md5 rank — no
+    // single-task sort, no rand() irreproducibility
+    "q118_train_order" -> ((s, d) => {
+      graft.operators.Sampling.trainOrder(
+          Tables(s, d).documents, "doc_id", "epoch0")
+        .orderBy("doc_id")
+    }),
+
     // exact stratified 80/10/10 split per language: per-stratum md5 rank
     // (grouped distributed prefix — no stratum in one task) cut at
     // floor(n·cum) thresholds. Exact proportions per stratum, not
@@ -1120,6 +1143,17 @@ object Pipeline {
          |SELECT e.tok, e.exact, $lookups AS est
          |FROM e ORDER BY e.tok""".stripMargin
     },
+    "q117_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens,
+         | round(avg($qualitySql), 6) AS avg_quality,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         | CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q118_train_order" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q113_stratified_split" -> {
       // cum fractions inlined as the EXACT Scala doubles (0.8 + 0.1 is
       // 0.9000000000000001 — writing "0.9" would disagree with the engine

@@ -359,3 +359,32 @@ class StratifiedSplitSpec extends SparkSpec {
     }
   }
 }
+
+class TrainOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = (1L to 500L).toDF("id")
+
+  test("positions are a bijection onto 0..n-1") {
+    val pos = Sampling.trainOrder(docs, "id", "epoch0")
+      .select("pos").as[Long].collect().sorted
+    assert(pos.toSeq === (0L until 500L))
+  }
+
+  test("order is a pure function of (key, salt): repartition-stable, salt-sensitive") {
+    def orderOf(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.trainOrder(df, "id", salt).as[(Long, Long)].collect().toMap
+    val base = orderOf(docs, "epoch0")
+    assert(orderOf(docs.repartition(13), "epoch0") === base)
+    assert(orderOf(docs, "epoch1") !== base) // a new epoch is a salt change
+    // matches the naive single-window rank it replaces
+    val naive = docs
+      .withColumn("h", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws(":",
+          org.apache.spark.sql.functions.lit("epoch0"), $"id".cast("string"))))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"h", $"id")) - 1)
+      .select($"id", $"pos".cast("long")).as[(Long, Long)].collect().toMap
+    assert(base === naive)
+  }
+}
