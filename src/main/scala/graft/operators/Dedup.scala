@@ -84,22 +84,6 @@ object Dedup {
     withTid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
-    *
-    * Fully per-row signature computation: shingles → token ids → K MinHash
-    * values, all computed inside whole-stage codegen over array columns —
-    * the only shuffles are the LSH band self-join (candidate generation,
-    * never O(N²)) and the two joins that fetch token-id arrays for the exact
-    * `array_intersect` verification of each candidate. No dictionary build,
-    * no explode+groupBy re-aggregation. Returns (doc1, doc2, jaccard).
-    *
-    * @param portableIds true = md5-derived ids ([[portableTokenId]]) —
-    *   reproducible in any engine (the correctness oracle's mode); false
-    *   (default) = xxhash64 ids, marginally cheaper. Both are pure map-side;
-    *   MinHash quality is identical either way (ids are just labels; jaccard
-    *   depends only on set membership), and the reported pairs are always
-    *   exact-Jaccard verified.
-    */
   /** (doc_id, tids) — the distinct shingle-token-id set per doc, the shared
     * base of every MinHash path. Portable mode streams shingle bytes straight
     * into MD5 in one native pass
@@ -157,6 +141,22 @@ object Dedup {
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Fully per-row signature computation: shingles → token ids → K MinHash
+    * values, all computed inside whole-stage codegen over array columns —
+    * the only shuffles are the LSH band self-join (candidate generation,
+    * never O(N²)) and the two joins that fetch token-id arrays for the exact
+    * `array_intersect` verification of each candidate. No dictionary build,
+    * no explode+groupBy re-aggregation. Returns (doc1, doc2, jaccard).
+    *
+    * @param portableIds true = md5-derived ids ([[portableTokenId]]) —
+    *   reproducible in any engine (the correctness oracle's mode); false
+    *   (default) = xxhash64 ids, marginally cheaper. Both are pure map-side;
+    *   MinHash quality is identical either way (ids are just labels; jaccard
+    *   depends only on set membership), and the reported pairs are always
+    *   exact-Jaccard verified.
+    */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
       shingle: Int = 3, portableIds: Boolean = false): DataFrame = {

@@ -134,23 +134,45 @@ object Sketches {
   private def cmsBucket(key: Column, a: Long, b: Long, width: Int): Column =
     pmod(pmod(key * a + b, lit(CmsPrime)), lit(width))
 
+  /** The exploded (d, bucket) pairs for one key — ONE definition shared by
+    * the build and probe sides, because the two mappings must stay
+    * bit-identical or every estimate is silently garbage.
+    */
+  private def cmsDbExpr(keyCol: String, perms: Seq[(Long, Long)], width: Int): Column =
+    explode(array(perms.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("d"), cmsBucket(col(keyCol), a, b, width).as("bucket"))
+    }: _*))
+
+  /** The key-domain precondition, enforced: keys outside [0, 2^32) would
+    * overflow key·a — wrapping silently in Spark while the SQL oracle
+    * errors or disagrees, breaking the replayability contract with no
+    * diagnostic. Same un-prunable assert_true pattern as kmeans' dimension
+    * guard: rows pass through, malformed ones fail loudly.
+    */
+  private def cmsKeyChecked(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(assert_true(col(keyCol) >= 0 && col(keyCol) < lit(1L << 32),
+      lit(s"rows-CMS keys must lie in [0, 2^32): hash wider ids first " +
+        s"(e.g. Dedup.portableTokenId)")).isNull)
+
   /** Build a rows-CMS over int64 keys in `keyCol` (hash string keys first,
     * e.g. with [[graft.operators.Dedup.portableTokenId]]): returns
     * (groupCols..., d, bucket, cnt) — one sketch per `groupCols` value
     * (e.g. per ingest batch), or one global sketch when empty. Each input
-    * row contributes 1 to one bucket per depth row; the explode happens
-    * map-side and partial aggregation collapses it to ≤ depth × width rows
-    * per partition before the shuffle.
+    * row contributes `weightCol` (default 1) to one bucket per depth row —
+    * pass a weight to build from pre-aggregated (key, count) multisets
+    * without re-expanding them. The explode happens map-side and partial
+    * aggregation collapses it to ≤ depth × width rows per partition before
+    * the shuffle.
     */
   def cmsBuildRows(df: DataFrame, keyCol: String, groupCols: Seq[String] = Nil,
-      perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64): DataFrame = {
-    val db = explode(array(perms.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("d"), cmsBucket(col(keyCol), a, b, width).as("bucket"))
-    }: _*)).as("db")
-    df.select(groupCols.map(col) :+ db: _*)
-      .select(groupCols.map(col) :+ col("db.d").as("d") :+ col("db.bucket").as("bucket"): _*)
+      perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    cmsKeyChecked(df, keyCol)
+      .select(groupCols.map(col) :+ w.as("__w") :+ cmsDbExpr(keyCol, perms, width).as("db"): _*)
+      .select(groupCols.map(col) :+ col("__w") :+ col("db.d").as("d") :+ col("db.bucket").as("bucket"): _*)
       .groupBy((groupCols :+ "d" :+ "bucket").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
   }
 
   /** Merge per-batch rows-CMS tables (built with the SAME perms/width) into
@@ -170,13 +192,16 @@ object Sketches {
       perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
       estCol: String = "est"): DataFrame = {
     val inCols = probes.columns.toSeq
-    val db = explode(array(perms.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("d"), cmsBucket(col(keyCol), a, b, width).as("bucket"))
-    }: _*)).as("db")
-    probes.select(struct(inCols.map(col): _*).as("_p"), db)
-      .select(col("_p"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+    // a synthetic per-row id keeps duplicate probe rows distinct through
+    // the explode→min round-trip (grouping on the value struct alone would
+    // silently collapse them); ephemeral — grouped on, then dropped
+    cmsKeyChecked(probes, keyCol)
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(struct(inCols.map(col): _*).as("_p"), col("__rid"),
+        cmsDbExpr(keyCol, perms, width).as("db"))
+      .select(col("_p"), col("__rid"), col("db.d").as("d"), col("db.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("d", "bucket"), "left")
-      .groupBy(col("_p"))
+      .groupBy(col("_p"), col("__rid"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
       .select(inCols.map(c => col(s"_p.$c").as(c)) :+ col(estCol): _*)
   }

@@ -516,13 +516,20 @@ object Pipeline {
     // overestimate is part of the gated contract (the oracle replays the
     // identical hash family), not noise.
     "q116_cms_freq" -> ((s, d) => {
-      val toks = Tables(s, d).documents
+      // ONE corpus scan: per-(source, token) exact counts, pinned (vocab ×
+      // sources rows — KBs), feed both the weighted sketch build and the
+      // probe set; the unaggregated form re-tokenized and re-hashed the
+      // corpus once per consumer
+      val grouped = Tables(s, d).documents
         .select(col("source"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
         .withColumn("tid", Dedup.portableTokenId(col("tok")))
-      val perSource = graft.operators.Sketches.cmsBuildRows(toks, "tid", Seq("source"))
+        .groupBy("source", "tok", "tid").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val perSource = graft.operators.Sketches.cmsBuildRows(
+        grouped, "tid", Seq("source"), weightCol = Some("w"))
       val merged = graft.operators.Sketches.cmsMergeRows(perSource)
-      val probes = toks.groupBy("tok", "tid").agg(count(lit(1)).as("exact"))
+      val probes = grouped.groupBy("tok", "tid").agg(sum("w").as("exact"))
       graft.operators.Sketches.cmsEstimate(probes, merged, "tid")
         .select(col("tok"), col("exact"), col("est"))
         .orderBy("tok")

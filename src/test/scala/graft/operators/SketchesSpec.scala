@@ -58,11 +58,41 @@ class SketchesSpec extends SparkSpec {
     // with width 32 < 100 keys, collisions must inflate at least one key
     assert(est.exists { case (_, exact, e) => e > exact })
 
-    // never-inserted keys estimate 0 unless all their buckets collide
-    val unseen = Sketches.cmsEstimate(
-      Seq(100000L).toDF("k"), direct, "k", width = width)
-      .select("est").as[Long].head()
-    assert(unseen >= 0L)
+    // differential against a Scala replica of the bucket math: EVERY
+    // estimate — inserted or never-seen (empty buckets take the left-join
+    // coalesce path) — must equal min over d of that bucket's true count
+    def bucketOf(k: Long, a: Long, b: Long): Int =
+      (((k * a + b) % Sketches.CmsPrime) % width).toInt
+    val trueCounts: Map[(Int, Int), Long] = rows
+      .flatMap(k => Sketches.CmsPerms.zipWithIndex.map { case ((a, b), i) =>
+        (i, bucketOf(k, a, b)) })
+      .groupBy(identity).map { case (db, hits) => (db, hits.size.toLong) }
+    def expected(k: Long): Long = Sketches.CmsPerms.zipWithIndex.map {
+      case ((a, b), i) => trueCounts.getOrElse((i, bucketOf(k, a, b)), 0L)
+    }.min
+    val probeKeys = (1L to 100L) ++ Seq(100000L, 424242L, 4294967295L)
+    Sketches.cmsEstimate(probeKeys.toDF("k"), direct, "k", width = width)
+      .as[(Long, Long)].collect().foreach { case (k, e) =>
+        assert(e === expected(k), s"estimate for key $k")
+      }
+
+    // duplicate probe rows stay distinct rows (the estimate is added to
+    // probes, never aggregated over them)
+    val dup = Sketches.cmsEstimate(Seq(5L, 5L).toDF("k"), direct, "k", width = width)
+      .as[(Long, Long)].collect()
+    assert(dup.length === 2 && dup.toSet.size === 1)
+
+    // weighted build from the pre-aggregated (key, count) multiset is
+    // bit-identical to the row-expanded build
+    val weighted = Sketches.cmsBuildRows(
+      df.groupBy("k").agg(count(lit(1)).as("w")), "k",
+      width = width, weightCol = Some("w"))
+    assert(weighted.except(direct).isEmpty && direct.except(weighted).isEmpty)
+
+    // out-of-domain keys fail loudly instead of silently wrapping
+    intercept[Exception] {
+      Sketches.cmsBuildRows(Seq(-1L).toDF("k"), "k", width = width).count()
+    }
   }
 
   test("distinctErrorProfile reports calibrated relative error") {
