@@ -60,6 +60,16 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples.getOrElse(name, Nil)
       } catch { case e: Throwable => errors(name) = e.getClass.getName }
+      // UNTIMED inter-query drain: gates that pin localCheckpoint blocks
+      // release them via the weak-ref ContextCleaner, which only fires
+      // after a driver GC — and a 128 GiB heap almost never GCs on its
+      // own, so pinned blocks accumulate across the run and the storage
+      // pressure taxes whichever queries happen to run late in the pass
+      // (measured: q91 +48% in a full pass vs isolated). A forced GC plus
+      // a short cleaner drain between queries makes each measurement
+      // independent of its position in the run order.
+      System.gc()
+      Thread.sleep(100)
     }
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) timeOne(name)
     for (name <- names if volatile(name) && !errors.contains(name)) timeOne(name)
