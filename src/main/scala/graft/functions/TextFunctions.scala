@@ -109,21 +109,27 @@ object TextFunctions {
 
   /** Collapse runs of consecutive identical tokens to a single occurrence —
     * the repetition *scrub* companion to the repetition *statistics*
-    * ([[dupTokenFraction]]): "the the the cat" → "the cat". Pure per-row
-    * indexed-lambda filter (token i survives iff i = 0 or it differs from
-    * token i−1), codegen'd, zero shuffle. `get` is 0-based and null out of
-    * bounds, and `true OR null = true`, so the first token always survives
-    * without tripping ANSI array indexing.
+    * ([[dupTokenFraction]]): "the the the cat" → "the cat". Token i
+    * survives iff i = 0 or it differs from token i−1 — one native
+    * UTF8String-compare pass ([[NativeExpressions.scrubRunsNative]]), zero
+    * shuffle; the indexed-lambda HOF it replaces interpreted the lambda per
+    * token and dominated the curation pipeline's text stage
+    * (differential-tested in FunctionsSpec).
     */
-  def scrubTokenRuns(text: Column): Column = {
-    val toks = tokens(text)
-    array_join(filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1))), " ")
-  }
+  def scrubTokenRuns(text: Column): Column =
+    array_join(scrubTokens(tokens(text)), " ")
+
+  /** The kept-token array of [[scrubTokenRuns]], for callers that keep
+    * working with tokens (fingerprint, token count) instead of re-joining
+    * and re-splitting the string.
+    */
+  def scrubTokens(toks: Column): Column =
+    NativeExpressions.scrubRunsNative(toks)
 
   /** Number of tokens [[scrubTokenRuns]] removes. */
   def tokenRunsRemoved(text: Column): Column = {
     val toks = tokens(text)
-    size(toks) - size(filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1))))
+    size(toks) - size(scrubTokens(toks))
   }
 
   /** duplicate-token fraction: 1 − |distinct tokens| / |tokens| — an

@@ -718,7 +718,7 @@ object Pipeline {
       // The dedup window then shuffles only (doc_id, fp, n_tokens) — the
       // text never moves past the first projection.
       val toks = TextFunctions.tokens(col("text"))
-      val kept = filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1)))
+      val kept = TextFunctions.scrubTokens(toks)
       val scrubbed = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.2)
         .select(col("doc_id"),
           md5(concat_ws(" ", array_sort(array_distinct(kept)))).as("fp"),

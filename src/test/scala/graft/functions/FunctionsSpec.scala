@@ -99,6 +99,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(m("b")._1 - m("b")._2) < 1e-9)
   }
 
+  test("native scrub_runs matches the indexed-lambda HOF twin on random streams") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "bbb", "ü¢", "x")
+    val rows = (1 to 200).map { i =>
+      (i, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    } :+ (0, Seq.empty[String])
+    val df = rows.toDF("id", "toks")
+    val both = df.select($"id",
+        graft.functions.NativeExpressions.scrubRunsNative($"toks").as("native"),
+        filter($"toks", (t, i) => (i === 0) || (t =!= get($"toks", i - 1))).as("hof"))
+      .as[(Int, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, n, h) => assert(n === h, s"row $id") }
+  }
+
   test("scrubPii redacts emails, phones and IPs; clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.co.uk today",
