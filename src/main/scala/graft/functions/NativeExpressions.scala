@@ -445,6 +445,59 @@ case class TokenRunScrub(child: Expression)
     copy(child = newChild)
 }
 
+/** Highest multiplicity among the token n-grams of one document (n-grams
+  * joined by single spaces, matching the zip_with+concat chain): the
+  * per-row core of intra-document repetition stats. Replaces an
+  * explode → groupBy(doc, gram) → groupBy(doc) max TWO-SHUFFLE plan with a
+  * zero-shuffle projection — a repeated-n-gram count is a fact about one
+  * row, and at corpus scale it should never cost the corpus a shuffle.
+  * Returns 0 when the document has fewer than n tokens.
+  */
+case class NgramMaxCount(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngram_max_count expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+
+  def maxCount(a: ArrayData): Long = {
+    val len = a.numElements()
+    if (len < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var best = 0L
+    var i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(a.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val key = sb.toString
+      val c = counts.getOrDefault(key, 0L) + 1L
+      counts.put(key, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    maxCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramMaxCountExpr", this, classOf[NgramMaxCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.maxCount($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All `m` product-quantization sub-space assignments in ONE pass over the
   * vector: out[j] = the 0-based index of the codeword minimizing
   * round(l2sq(v[j·sub .. j·sub+sub), books(j)(c)), dp), ties toward the
@@ -636,6 +689,10 @@ object NativeExpressions {
   def scrubRunsNative(tokens: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(TokenRunScrub(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens)))
+
+  def ngramMaxCountNative(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(NgramMaxCount(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), n))
 
   /** `books`: m subspaces × cb codewords × sub dims (m=1, cb=k, sub=dim for
     * plain k-means assignment).

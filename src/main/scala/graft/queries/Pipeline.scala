@@ -300,16 +300,19 @@ object Pipeline {
 
     // intra-document repetition signals (Gopher-style quality filters):
     // duplicate-token fraction + most-frequent-bigram fraction.
+    // repetition stats are facts about ONE row, so they run as a pure
+    // projection: the top-bigram count is a native one-pass expression,
+    // replacing an explode → two-groupBy → join plan that shuffled every
+    // bigram of the corpus twice. Docs with < 2 tokens have no bigram and
+    // drop out, matching the inner join they used to fall out of.
     "q75_doc_repetition" -> ((s, d) => {
-      val t = Tables(s, d).documents
-      val bg = t.select(col("doc_id"),
-          explode(TextFunctions.tokenNgrams(col("text"), 2)).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
-      t.select(col("doc_id"),
+      Tables(s, d).documents
+        .select(col("doc_id"),
           TextFunctions.dupTokenFraction(col("text")).as("dup_frac"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(bg, "doc_id" :: Nil)
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.functions.NativeExpressions.ngramMaxCountNative(
+            TextFunctions.tokens(col("text")), 2).as("max_bg"))
+        .filter(col("n_tokens") >= 2)
         .select(col("doc_id"), col("dup_frac"),
           round(col("max_bg").cast("double") / (col("n_tokens") - 1), 6).as("top_bigram_frac"))
         .orderBy("doc_id")

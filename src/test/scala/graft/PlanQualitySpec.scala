@@ -164,6 +164,14 @@ class PlanQualitySpec extends SparkSpec {
       s"BPE encode shuffled on a hash key:\n$p111")
   }
 
+  test("q75 repetition stats are a pure projection: no join, no aggregation exchange") {
+    // per-row facts must not cost the corpus a shuffle; the only exchange
+    // allowed is the final presentation orderBy (range partitioning)
+    val p = executedPlan("q75_doc_repetition")
+    assert(!p.contains("Join"))
+    assert(!p.contains("hashpartitioning"))
+  }
+
   test("q116 CMS probe joins the sketch broadcast, never sort-merge") {
     // the sketch is bounded (depth × width rows) by construction, so the
     // probe side must keep its partitioning: a SortMergeJoin here means the

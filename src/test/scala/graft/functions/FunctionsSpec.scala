@@ -114,6 +114,31 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (id, n, h) => assert(n === h, s"row $id") }
   }
 
+  test("native ngram_max_count matches the explode+groupBy twin on random docs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "b", "c", "ü")
+    val rows = (1 to 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select($"doc_id",
+          graft.functions.NativeExpressions.ngramMaxCountNative(
+            TextFunctions.tokens($"text"), n).as("m"))
+        .as[(Long, Long)].collect().toMap
+      val twin = df.select($"doc_id",
+          explode(TextFunctions.tokenNgrams($"text", n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max($"c").as("m"))
+        .as[(Long, Long)].collect().toMap
+      // docs with < n tokens are absent from the exploded twin and 0 native
+      rows.foreach { case (id, _) =>
+        assert(native(id) === twin.getOrElse(id, 0L), s"doc $id n=$n")
+      }
+    }
+  }
+
   test("scrubPii redacts emails, phones and IPs; clean text untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.co.uk today",
