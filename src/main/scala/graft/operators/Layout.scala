@@ -95,7 +95,11 @@ object Layout {
     require(format == "json" || format == "parquet",
       s"format must be json or parquet, got $format")
     val packed = Packing.packShards(df, idCol, tokenExpr, budget)
-    val out = df.join(packed.select(col("doc_id").as(idCol), col("n_tokens"),
+    // natural upstream frames (tokenQuota, lengthBucketBatches output)
+    // already carry n_tokens — drop caller-side collisions so the join-back
+    // never produces duplicate columns / ambiguous references at write
+    val clean = Seq("n_tokens", "shard").foldLeft(df)(_ drop _)
+    val out = clean.join(packed.select(col("doc_id").as(idCol), col("n_tokens"),
         col("shard")), Seq(idCol))
     out.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))

@@ -189,9 +189,17 @@ object Packing {
           .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((grpCols :+ "__pid").map(col) :+ col("__off"): _*)
 
-    local.join(broadcast(offsets), grpCols :+ "__pid")
+    // null-SAFE reattach: a plain equi-join would silently drop rows whose
+    // group value is NULL (NULL != NULL), while the contract — and the
+    // PARTITION BY twin the oracles replay — keeps a NULL partition
+    val offT = grpCols.foldLeft(offsets.withColumnRenamed("__pid", "__opid")) {
+      (d, c) => d.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond = (grpCols.map(c => col(c) <=> col(s"__g_$c")) :+
+      (col("__pid") === col("__opid"))).reduce(_ && _)
+    local.join(broadcast(offT), cond)
       .withColumn("rank", col("__lrn") + col("__off"))
-      .drop("__pid", "__lrn")
+      .drop(grpCols.map(c => s"__g_$c") :+ "__opid" :+ "__off" :+ "__pid" :+ "__lrn": _*)
   }
 
   /** Per-group running totals, distributed: (doc_id, group, value, cum)
@@ -223,9 +231,12 @@ object Packing {
       .withColumn("offset",
         coalesce(sum("c").over(Window.partitionBy("grp").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("grp", "pid", "offset")
+      .select(col("grp").as("ogrp"), col("pid").as("opid"), col("offset"))
 
-    local.join(broadcast(offsets), Seq("grp", "pid"))
+    // null-safe on grp: a NULL group is a real partition (the PARTITION BY
+    // twin keeps it); a plain equi-join would silently drop its rows
+    local.join(broadcast(offsets),
+        col("grp") <=> col("ogrp") && col("pid") === col("opid"))
       .select(col("doc_id"), col("grp").as(groupCol), col("value"),
         (col("local_cum") + col("offset")).as("cum"))
   }

@@ -111,11 +111,14 @@ object Sampling {
     val ranked = graft.operators.Packing.groupedRowNumbers(
       rows, Seq(strataCol), Seq("__h", keyCol), partitions)
     val sizes = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(strataCol, "__ostrata")
     val split = cums.init.zipWithIndex.foldRight(lit(names.last): Column) {
       case ((c, i), rest) =>
         when(col("rank") <= floor(col("__n") * lit(c)), names(i)).otherwise(rest)
     }
-    ranked.join(broadcast(sizes), strataCol :: Nil)
+    // null-safe: a NULL stratum is still a stratum (groupBy and the
+    // PARTITION BY twin both keep it); an equi-join would drop its rows
+    ranked.join(broadcast(sizes), col(strataCol) <=> col("__ostrata"))
       .select(col(keyCol), col(strataCol), split.as("split"))
   }
 

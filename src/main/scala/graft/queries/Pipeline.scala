@@ -1053,7 +1053,9 @@ object Pipeline {
     "q104_semdedup" -> {
       // the q94 kmeans CTEs verbatim, then SemDeDup's within-cluster prune:
       // a row is a duplicate when a LOWER-id row in its cluster has cosine
-      // (double dot / norms, rounded 6 — the q60 formula) >= 0.8.
+      // (double dot / norms, rounded 6 — the q60 formula) >= 0.35 (the
+      // gate's threshold — the synthetic embeddings are near-orthogonal, so
+      // 0.35 plays the role the paper's ~0.9 does on real text).
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]))"
       val cos = s"round(${dotE("x.v", "y.v")} / (sqrt(${dotE("x.v", "x.v")}) * sqrt(${dotE("y.v", "y.v")})), 6)"
@@ -1244,7 +1246,9 @@ object Pipeline {
            |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
            |    unnest(range(1, len(t))) AS u(i)
            |  GROUP BY 1, 2),
-           |t$m AS (SELECT l, r, n FROM p$m ORDER BY n DESC, l, r LIMIT 1),
+           |t$m AS (SELECT l, r, n FROM (
+           |    SELECT l, r, n, 0 AS pri FROM p$m
+           |    UNION ALL SELECT '', '', 0, 1) ORDER BY pri, n DESC, l, r LIMIT 1),
            |s$m AS (SELECT wc,
            |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
            |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin
@@ -1256,7 +1260,7 @@ object Pipeline {
          |SELECT merge_idx, l AS "left", r AS "right", n FROM (
          |  SELECT 1 AS merge_idx, * FROM t1 UNION ALL SELECT 2, * FROM t2
          |  UNION ALL SELECT 3, * FROM t3 UNION ALL SELECT 4, * FROM t4)
-         |ORDER BY merge_idx""".stripMargin
+         |WHERE n > 0 ORDER BY merge_idx""".stripMargin
     },
     "q111_bpe_encode" -> {
       // the q110 training CTEs (t1..t4 winners), then per-doc apply: encode
@@ -1268,7 +1272,9 @@ object Pipeline {
            |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
            |    unnest(range(1, len(t))) AS u(i)
            |  GROUP BY 1, 2),
-           |t$m AS (SELECT l, r, n FROM p$m ORDER BY n DESC, l, r LIMIT 1),
+           |t$m AS (SELECT l, r, n FROM (
+           |    SELECT l, r, n, 0 AS pri FROM p$m
+           |    UNION ALL SELECT '', '', 0, 1) ORDER BY pri, n DESC, l, r LIMIT 1),
            |s$m AS (SELECT wc,
            |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
            |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin

@@ -303,6 +303,27 @@ class TokenQuotaSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys survive the offset reattach (window-twin parity)") {
+    // a NULL group is a real partition under PARTITION BY; the broadcast
+    // offset join must be null-safe or its rows silently vanish
+    val rows = (1L to 60L).map(i =>
+        (i, if (i % 3 == 0) null else s"g${i % 2}", (i % 7 + 1).toInt))
+      .toDF("id", "grp", "v")
+    val dist = Packing.groupRunningTotals(rows, "grp", "id", col("v"), 5)
+      .select("doc_id", "grp", "cum").as[(Long, Option[String], Long)]
+      .collect().sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("id")
+    val naive = rows.withColumn("cum", sum(col("v").cast("long")).over(w))
+      .select(col("id"), col("grp"), col("cum"))
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1).toSeq
+    assert(dist === naive)
+    assert(dist.count(_._2.isEmpty) === 20) // every null-group row present
+
+    val split = Sampling.stratifiedSplit(rows, "grp", "id",
+      Seq(0.5, 0.5), Seq("a", "b"))
+    assert(split.count() === 60L) // null stratum rows not dropped
+  }
+
   test("tokenQuota: budget is an exact inclusive cap; oversized first doc dropped") {
     val rows = Seq((1L, "a", 40L), (2L, "a", 50L), (3L, "a", 20L),
       (4L, "b", 200L), (5L, "b", 10L)).toDF("id", "src", "n")
