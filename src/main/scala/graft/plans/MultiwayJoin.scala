@@ -56,20 +56,17 @@ object MultiwayJoin {
       if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
     }
 
-    // every column a join attribute, every type atomic (integral goes to the
-    // trie directly; the rest is dictionary-encoded), consistent per attr
-    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean = {
-      val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    // every column a join attribute, and every attribute's occurrences pass
+    // the ONE shared eligibility rule (WcojJoin.attrOccurrencesEligible) —
+    // duplicating the rule here let planner and executor drift apart
+    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
       rels.forall { case (df, attrs) => df.columns.toSet == attrs.toSet } && {
         val typed = rels.flatMap { case (df, attrs) =>
           attrs.map(a => a -> df.schema(a).dataType)
         }
-        typed.forall(t => graft.wcoj.WcojJoin.dictEncodable(t._2)) &&
-          typed.groupBy(_._1).values.forall { ts =>
-            ts.map(_._2).distinct.size == 1 || ts.forall(t => integral.contains(t._2))
-          }
+        typed.groupBy(_._1).values.forall(ts =>
+          graft.wcoj.WcojJoin.attrOccurrencesEligible(ts.map(_._2)))
       }
-    }
 
     /** Greedy bushy join of a bag's relations: repeatedly join the pair with
       * the largest column overlap (earliest-index tie-break, joined results

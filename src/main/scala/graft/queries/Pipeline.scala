@@ -669,7 +669,7 @@ object Pipeline {
         (abs(col("est_merged") - col("est_direct")) <=
           greatest(col("est_direct") * 0.05, lit(1.0))).as("merge_tracks_direct"),
         (abs(col("est_merged") - col("exact_distinct")) <=
-          col("exact_distinct") * 0.05).as("within_error_bound"))
+          greatest(col("exact_distinct") * 0.05, lit(1.0))).as("within_error_bound"))
     }),
 
     // the STREAMING curation twin under the driver's gate: a real

@@ -116,6 +116,11 @@ object WcojJoin {
     * operator appears in `.explain()` and composes with downstream Catalyst
     * optimization like any built-in. Registers the strategy on the session
     * on first use (also installable via GraftExtensions).
+    *
+    * NULL contract: a WCOJ variable has no NULL binding (every attribute is
+    * a trie level), so rows with NULL in ANY listed attribute are dropped
+    * before the trie build — without that filter the exec's row.getLong
+    * would read NULL as key 0 and emit phantom matches against genuine 0s.
     */
   def leapfrogCatalyst(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
       attrOrder: Seq[String]): DataFrame = {
@@ -125,7 +130,12 @@ object WcojJoin {
     val order = attrOrder.toArray
     val children = relations.map { case (df, attrs) =>
       val sortedAttrs = attrs.sortBy(order.indexOf(_))
-      val projected = df.select(sortedAttrs.map(c => col(c).cast(LongType)): _*)
+      // natural inner-join semantics: a NULL join value can never match.
+      // Without this filter the exec's row.getLong would read NULL fields
+      // as 0 and bind them against genuine 0 keys — phantom join rows.
+      val nonNull = sortedAttrs.map(col(_).isNotNull).reduce(_ && _)
+      val projected = df.filter(nonNull)
+        .select(sortedAttrs.map(c => col(c).cast(LongType)): _*)
       (org.apache.spark.sql.GraftSqlBridge.logicalPlan(projected), sortedAttrs)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -152,10 +162,7 @@ object WcojJoin {
     */
   def leapfrogAny(spark: SparkSession, relations: Seq[(DataFrame, Seq[String])],
       attrOrder: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     require(relations.nonEmpty)
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(ByteType, ShortType, IntegerType, LongType)
 
     def dtypeOf(df: DataFrame, a: String) = df.schema(a).dataType
     // an attribute keeps the fast direct-cast path only when every relation
@@ -166,12 +173,11 @@ object WcojJoin {
       attrOrder.map { a =>
         a -> relations.collect { case (df, attrs) if attrs.contains(a) => dtypeOf(df, a) }
       }.toMap
-    val needDict = attrOrder.filter(a => attrTypes(a).exists(t => !integral.contains(t))).toSet
-    needDict.foreach { a =>
-      require(attrTypes(a).distinct.size == 1,
-        s"leapfrogAny: attribute $a has conflicting types ${attrTypes(a).distinct.mkString(", ")}")
-      require(dictEncodable(attrTypes(a).head),
-        s"leapfrogAny: attribute $a has non-atomic type ${attrTypes(a).head}")
+    val needDict =
+      attrOrder.filter(a => attrTypes(a).exists(t => !IntegralKeyTypes.contains(t))).toSet
+    attrOrder.foreach { a =>
+      require(attrOccurrencesEligible(attrTypes(a)),
+        s"leapfrogAny: attribute $a has conflicting or non-atomic types ${attrTypes(a).distinct.mkString(", ")}")
     }
     if (needDict.isEmpty) return leapfrogCatalyst(spark, relations, attrOrder)
 
@@ -210,6 +216,25 @@ object WcojJoin {
     }
     decoded.select(attrOrder.map(col): _*)
   }
+
+  /** Integral key types that skip the dictionary and cast straight to trie
+    * keys.
+    */
+  val IntegralKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
+  /** The ONE attribute-eligibility rule, shared by [[leapfrogAny]]'s
+    * requires and MultiwayJoin's planner check so the two can never drift
+    * (a planner that approves what the executor rejects turns the graceful
+    * binary-join fallback into a runtime error): every occurrence of the
+    * attribute must be dict-encodable, and occurrences must either agree on
+    * one type (one dictionary) or all be integral (direct cast).
+    */
+  def attrOccurrencesEligible(types: Seq[org.apache.spark.sql.types.DataType]): Boolean =
+    types.nonEmpty && types.forall(dictEncodable) &&
+      (types.distinct.size == 1 || types.forall(IntegralKeyTypes.contains))
 
   /** Atomic types the dictionary can rank and join on (Spark's AtomicType
     * marker is package-protected, so the set is spelled out).

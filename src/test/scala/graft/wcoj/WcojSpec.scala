@@ -203,6 +203,24 @@ class WcojJoinSpec extends SparkSpec {
     assert(viaWcoj.nonEmpty) // non-vacuous on this density
   }
 
+  test("NULL join keys never match: no phantom rows against genuine 0 keys") {
+    // nullable integral attrs skip the dictionary (and its null-dropping
+    // encode join); without the catalyst-path null filter, row.getLong
+    // reads NULL as 0 and binds it against real 0 keys
+    val l = Seq[(java.lang.Long, java.lang.Long)]((0L, 1L), (null, 1L), (2L, 1L))
+      .toDF("a", "b")
+    val r = Seq[(java.lang.Long, java.lang.Long)]((1L, 0L), (1L, null), (1L, 3L))
+      .toDF("b", "c")
+    val viaDf = l.join(r, "b" :: Nil).select("a", "b", "c")
+      .collect().map(x => (x.get(0), x.get(1), x.get(2))).toSet
+    val viaWcoj = WcojJoin.leapfrogCatalyst(spark, Seq(
+        (l, Seq("a", "b")), (r, Seq("b", "c"))), Seq("a", "b", "c"))
+      .collect().map(x => (x.get(0), x.get(1), x.get(2))).toSet
+    // natural inner join: rows with NULL a or c never appear
+    assert(viaWcoj === viaDf.filter(t => t._1 != null && t._3 != null))
+    assert(viaWcoj.exists(_._1 == 0L)) // the genuine-0 rows DO join
+  }
+
   test("oversized broadcast complement auto-routes to the hypercube path") {
     // the (b, c) relation lacks the leading attribute a, so the broadcast
     // path would driver-collect it — with a budget below its size, leapfrog
