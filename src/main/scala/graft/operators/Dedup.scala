@@ -353,19 +353,49 @@ object Dedup {
     * Scale shape: the corpus contributes only (doc_id, band) keys and
     * (doc_id, tids) id-arrays — never text; candidate generation is one
     * batch×corpus band join plus one within-batch band self-join, each
-    * colliding only inside a band. In production the corpus side of both
-    * frames is exactly what a signature store would persist between crawl
-    * cycles — recompute here keeps the operator self-contained, and the
-    * plan from the store is identical from the join down.
+    * colliding only inside a band. The corpus side of both frames is
+    * exactly a [[signatureStore]]; this entry point recomputes it from
+    * text for self-containment, [[incrementalMinHashDedupFromStore]] reads
+    * the persisted store instead — same plan from the join down.
     */
   def incrementalMinHashDedup(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, threshold: Double,
       perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
-    val bBase = shingleTids(batch, textCol, idCol, shingle, portableIds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cBase = shingleTids(corpus, textCol, idCol, shingle, portableIds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame =
+    incrementalCore(batch, shingleTids(batch, textCol, idCol, shingle, portableIds),
+      shingleTids(corpus, textCol, idCol, shingle, portableIds),
+      idCol, threshold, perms, bandSize)
+
+  /** The (doc_id, tids) SIGNATURE STORE: persist this once per ingest cycle
+    * (e.g. `signatureStore(newDocs, …).write.parquet(storePath)` appended
+    * alongside the corpus) and every future crawl cycle runs
+    * [[incrementalMinHashDedupFromStore]] against the store WITHOUT
+    * re-reading or re-shingling corpus text — the missing piece that makes
+    * rolling-crawl dedup O(|batch| + |store ids|) per cycle at 100 TB.
+    * Bands are re-derived from the stored tids at probe time (K cheap
+    * arithmetic mins per row), so the store is banding-scheme-agnostic:
+    * threshold/band changes need no store rebuild.
+    */
+  def signatureStore(corpus: DataFrame, textCol: String, idCol: String,
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame =
+    shingleTids(corpus, textCol, idCol, shingle, portableIds)
+
+  /** [[incrementalMinHashDedup]] with the corpus side read from a persisted
+    * [[signatureStore]] — identical result, no corpus text touched.
+    */
+  def incrementalMinHashDedupFromStore(batch: DataFrame, store: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame =
+    incrementalCore(batch, shingleTids(batch, textCol, idCol, shingle, portableIds),
+      store.select(col("doc_id"), col("tids")),
+      idCol, threshold, perms, bandSize)
+
+  private def incrementalCore(batch: DataFrame, bBase0: DataFrame,
+      cBase0: DataFrame, idCol: String, threshold: Double,
+      perms: Seq[Perm], bandSize: Int): DataFrame = {
+    val bBase = bBase0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBase = cBase0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = lshBands(bBase, perms, bandSize)
     val cBands = lshBands(cBase, perms, bandSize)
 

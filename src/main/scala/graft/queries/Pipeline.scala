@@ -512,6 +512,23 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // the signature-STORE path of q115: corpus signatures are written to a
+    // parquet store once, the batch is deduped against the store with no
+    // corpus text touched — the O(|batch|)-per-crawl-cycle shape. Same
+    // oracle as q115: the store round-trip must be invisible to the result.
+    "q119_store_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+      Dedup.signatureStore(docs.filter(snum < 10), "text", "doc_id",
+          portableIds = true)
+        .write.mode("overwrite").parquet(dir)
+      Dedup.incrementalMinHashDedupFromStore(
+          docs.filter(snum >= 10), s.read.parquet(dir),
+          "text", "doc_id", threshold = 0.3, portableIds = true)
+        .orderBy("doc_id")
+    }),
+
     // portable rows-CMS frequency gate: per-source sketches (the per-batch
     // ingest shape) merged by bucket-count sum — never rescanning the
     // batches — then probed for every distinct token. width 64 forces real
@@ -756,6 +773,44 @@ object Pipeline {
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
     s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** Oracle shared by q115 (recompute path) and q119 (signature-store
+    * path) — the store round-trip must be invisible to the result. */
+  private lazy val incrementalFuzzySql: String = {
+      // q55's shingle→md5-tid→MinHash CTEs, carrying the source number so
+      // the band join splits batch (snum >= 10) vs corpus (< 10); a batch
+      // doc survives unless a 0.3-Jaccard-verified near-dup exists in the
+      // corpus or at a lower batch id. Short docs (< 3 tokens, no
+      // shingles) never enter `t` and pass through the anti-joins.
+      val bandConds = (0 until 2).map { b =>
+        (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val jac = "len(list_intersect(s1.tids, s2.tids))::DOUBLE / " +
+        "(len(s1.tids) + len(s2.tids) - len(list_intersect(s1.tids, s2.tids)))"
+      s"""WITH w0 AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS snum,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |sh AS (SELECT doc_id, snum,
+         |  list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
+         |  FROM w0 WHERE len(w) >= 3),
+         |t AS (SELECT doc_id, snum,
+         |  list_distinct(list_transform(shingles, s -> ${portableTidSql("s")})) AS tids
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, snum, tids, $sigExprsSql FROM t),
+         |dup AS (
+         |  SELECT DISTINCT s1.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON s1.snum >= 10 AND s2.snum < 10 AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3
+         |  UNION
+         |  SELECT DISTINCT s2.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON s1.snum >= 10 AND s2.snum >= 10 AND s1.doc_id < s2.doc_id
+         |    AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3)
+         |SELECT doc_id FROM documents
+         |WHERE CAST(substr(source, 4) AS INT) >= 10
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin
+    }
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" ->
@@ -1099,41 +1154,9 @@ object Pipeline {
          |SELECT sv.doc_id FROM sv LEFT JOIN dup d ON sv.doc_id = d.vec_id
          |WHERE d.vec_id IS NULL ORDER BY sv.doc_id""".stripMargin
     },
-    "q115_incremental_fuzzy" -> {
-      // q55's shingle→md5-tid→MinHash CTEs, carrying the source number so
-      // the band join splits batch (snum >= 10) vs corpus (< 10); a batch
-      // doc survives unless a 0.3-Jaccard-verified near-dup exists in the
-      // corpus or at a lower batch id. Short docs (< 3 tokens, no
-      // shingles) never enter `t` and pass through the anti-joins.
-      val bandConds = (0 until 2).map { b =>
-        (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      val jac = "len(list_intersect(s1.tids, s2.tids))::DOUBLE / " +
-        "(len(s1.tids) + len(s2.tids) - len(list_intersect(s1.tids, s2.tids)))"
-      s"""WITH w0 AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS snum,
-         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
-         |sh AS (SELECT doc_id, snum,
-         |  list_distinct(list_transform(range(1, len(w) - 1),
-         |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
-         |  FROM w0 WHERE len(w) >= 3),
-         |t AS (SELECT doc_id, snum,
-         |  list_distinct(list_transform(shingles, s -> ${portableTidSql("s")})) AS tids
-         |  FROM sh),
-         |sigs AS (SELECT doc_id, snum, tids, $sigExprsSql FROM t),
-         |dup AS (
-         |  SELECT DISTINCT s1.doc_id FROM sigs s1 JOIN sigs s2
-         |    ON s1.snum >= 10 AND s2.snum < 10 AND ($bandConds)
-         |  WHERE round($jac, 6) >= 0.3
-         |  UNION
-         |  SELECT DISTINCT s2.doc_id FROM sigs s1 JOIN sigs s2
-         |    ON s1.snum >= 10 AND s2.snum >= 10 AND s1.doc_id < s2.doc_id
-         |    AND ($bandConds)
-         |  WHERE round($jac, 6) >= 0.3)
-         |SELECT doc_id FROM documents
-         |WHERE CAST(substr(source, 4) AS INT) >= 10
-         |  AND doc_id NOT IN (SELECT doc_id FROM dup)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q115_incremental_fuzzy" -> incrementalFuzzySql,
+    // identical math through a persisted signature store: same oracle
+    "q119_store_dedup" -> incrementalFuzzySql,
     "q116_cms_freq" -> {
       // replay the rows-CMS exactly: same md5-prefix token ids, same
       // (a, b, prime, width) hash family, same bucket counts. The merge

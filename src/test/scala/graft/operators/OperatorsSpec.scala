@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
     assert(keptPortable === kept)
   }
 
+  test("signature-store dedup equals the recompute path through a parquet round-trip") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"),
+      (11L, "a wholly novel document about spark engines and nothing else"),
+      (12L, "a wholly novel document about spark engines and nothing else")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id",
+      threshold = 0.5).as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_spec").toString
+    Dedup.signatureStore(corpus, "text", "doc_id").write.mode("overwrite").parquet(dir)
+    val viaStore = Dedup.incrementalMinHashDedupFromStore(
+        batch, spark.read.parquet(dir), "text", "doc_id", threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(viaStore === direct && direct === Set(11L))
+  }
+
   test("dedupClusters collapses transitive pairs to min-id keepers") {
     // chain 1~2, 2~3 (transitive cluster {1,2,3}) + isolated pair 7~9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
