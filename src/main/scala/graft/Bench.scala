@@ -43,8 +43,11 @@ object Bench {
     // plans get ONE extra pass (min-of-3) plus a reported relative spread
     // ((max-min)/min across their passes), so a real regression is
     // distinguishable from machine noise without tripling the whole bench
+    // refreshed r6: q8/q75/q47's drift sources were fixed (plan rewrites);
+    // the queries that still swing >10% under unchanged plans are the
+    // iterative/streaming floors
     val volatile = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA",
-      "q43_wcc,q8_semi_join,q75_doc_repetition,q47_wcoj_triangle")
+      "q43_wcc,q95_label_prop,q86_recursive_sql,q100_stream_curation")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

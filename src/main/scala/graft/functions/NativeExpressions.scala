@@ -717,9 +717,23 @@ object NativeExpressions {
 
   /** SQL registration (reference FunctionRegistry surface). */
   def registerAll(spark: SparkSession): Unit = {
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal, got $other")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming64", exprs => HammingDistance64(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq", exprs => L2SquaredDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNgrams(exprs(0), intLit(exprs(1), "char_ngrams")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scrub_runs", exprs => TokenRunScrub(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_max_count",
+      exprs => NgramMaxCount(exprs(0), intLit(exprs(1), "ngram_max_count")), "built-in")
   }
 }

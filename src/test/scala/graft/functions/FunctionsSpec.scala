@@ -82,6 +82,18 @@ class FunctionsSpec extends SparkSpec {
     // type check error is clean
     val err = intercept[Exception](Seq((1, 2)).toDF("a", "b").select(cosineNative($"a", $"b")).collect())
     assert(err.getMessage.toLowerCase.contains("cosine_sim") || err.getMessage.contains("array<float>"))
+
+    // the text natives registered for SQL callers
+    Seq((1L, "a a b b b c")).toDF("id", "text").createOrReplaceTempView("native_txt")
+    val (scrubbed, maxBg) = spark.sql(
+      """SELECT array_join(scrub_runs(split(text, ' ')), ' '),
+        |  ngram_max_count(split(text, ' '), 1) FROM native_txt""".stripMargin)
+      .as[(String, Long)].head()
+    assert(scrubbed === "a b c" && maxBg === 3L)
+    // non-literal n fails loudly, not silently
+    val badN = intercept[Exception](spark.sql(
+      "SELECT ngram_max_count(split(text, ' '), id) FROM native_txt").collect())
+    assert(badN.getMessage.contains("integer literal"))
   }
 
   test("untyped (legacy-API) UDAF registers and matches the typed Aggregator") {
