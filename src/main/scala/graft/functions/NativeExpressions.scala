@@ -418,8 +418,11 @@ case class TokenRunScrub(child: Expression)
     var prev: org.apache.spark.unsafe.types.UTF8String = null
     var i = 0
     while (i < n) {
-      // null elements: the HOF kept a null iff the previous element was
-      // non-null (null =!= x is null → filter drops); replicate exactly
+      // null elements, exactly as the HOF: `null =!= x` and `x =!= null`
+      // are both unknown, so any comparison involving a null drops the
+      // element — only position 0 survives unconditionally (i === 0 is
+      // true regardless); a null still acts as the previous element for
+      // its successor's comparison
       val t = if (a.isNullAt(i)) null
         else a.getUTF8String(i)
       val keep =
@@ -468,19 +471,29 @@ case class NgramMaxCount(child: Expression, n: Int)
     if (len < n) return 0L
     val counts = new java.util.HashMap[String, Long]()
     var best = 0L
-    var i = 0
+    var nullGrams = 0L // concat null-propagates: every null-containing
+    var i = 0          // window is the SAME null gram in the HOF twin
     while (i + n <= len) {
       val sb = new java.lang.StringBuilder()
+      var hasNull = false
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(a.getUTF8String(i + j).toString)
+      while (j < n && !hasNull) {
+        if (a.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+        }
         j += 1
       }
-      val key = sb.toString
-      val c = counts.getOrDefault(key, 0L) + 1L
-      counts.put(key, c)
-      if (c > best) best = c
+      if (hasNull) {
+        nullGrams += 1L
+        if (nullGrams > best) best = nullGrams
+      } else {
+        val key = sb.toString
+        val c = counts.getOrDefault(key, 0L) + 1L
+        counts.put(key, c)
+        if (c > best) best = c
+      }
       i += 1
     }
     best

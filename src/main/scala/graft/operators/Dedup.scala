@@ -379,17 +379,35 @@ object Dedup {
   def signatureStore(corpus: DataFrame, textCol: String, idCol: String,
       shingle: Int = 3, portableIds: Boolean = false): DataFrame =
     shingleTids(corpus, textCol, idCol, shingle, portableIds)
+      // hashing-scheme metadata rides IN the store: a later cycle probing
+      // with a different scheme would intersect NO tids and silently keep
+      // every near-duplicate — the worst possible failure mode for a dedup
+      .withColumn("sig_shingle", lit(shingle))
+      .withColumn("sig_portable", lit(portableIds))
 
   /** [[incrementalMinHashDedup]] with the corpus side read from a persisted
-    * [[signatureStore]] — identical result, no corpus text touched.
+    * [[signatureStore]] — identical result, no corpus text touched. The
+    * batch MUST be hashed with the store's scheme: validated against the
+    * store's embedded metadata (stores written before the metadata columns
+    * existed skip the check).
     */
   def incrementalMinHashDedupFromStore(batch: DataFrame, store: DataFrame,
       textCol: String, idCol: String, threshold: Double,
       perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
-      shingle: Int = 3, portableIds: Boolean = false): DataFrame =
+      shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
+    if (store.columns.contains("sig_shingle")) {
+      store.select("sig_shingle", "sig_portable").head(1).foreach { m =>
+        require(m.getInt(0) == shingle && m.getBoolean(1) == portableIds,
+          s"signature store was built with (shingle=${m.getInt(0)}, " +
+            s"portableIds=${m.getBoolean(1)}) but the batch would be hashed " +
+            s"with (shingle=$shingle, portableIds=$portableIds) — tids would " +
+            "never intersect and every near-dup would silently survive")
+      }
+    }
     incrementalCore(batch, shingleTids(batch, textCol, idCol, shingle, portableIds),
       store.select(col("doc_id"), col("tids")),
       idCol, threshold, perms, bandSize)
+  }
 
   private def incrementalCore(batch: DataFrame, bBase0: DataFrame,
       cBase0: DataFrame, idCol: String, threshold: Double,

@@ -168,7 +168,13 @@ object Sketches {
       perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
       weightCol: Option[String] = None): DataFrame = {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    cmsKeyChecked(df, keyCol)
+    // a NULL weight would be skipped by sum() and a negative one would
+    // subtract — both silently break the no-underestimate guarantee, so
+    // malformed weights fail as loudly as out-of-domain keys do
+    val weightChecked = weightCol.fold(df)(c =>
+      df.filter(assert_true(col(c).isNotNull && col(c) >= 0,
+        lit(s"rows-CMS weights ($c) must be non-null and non-negative")).isNull))
+    cmsKeyChecked(weightChecked, keyCol)
       .select(groupCols.map(col) :+ w.as("__w") :+ cmsDbExpr(keyCol, perms, width).as("db"): _*)
       .select(groupCols.map(col) :+ col("__w") :+ col("db.d").as("d") :+ col("db.bucket").as("bucket"): _*)
       .groupBy((groupCols :+ "d" :+ "bucket").map(col): _*)

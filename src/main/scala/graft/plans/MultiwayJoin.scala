@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** GHD-guided n-ary natural join planner — the Spark-first rendition of the
   * reference's MultiwayJoin operator (multiwayOperators.scala:57-154) +
@@ -58,14 +57,23 @@ object MultiwayJoin {
 
     // every column a join attribute, and every attribute's occurrences pass
     // the ONE shared eligibility rule (WcojJoin.attrOccurrencesEligible) —
-    // duplicating the rule here let planner and executor drift apart
+    // duplicating the rule here let planner and executor drift apart.
+    // NULL parity: the WCOJ kernel drops rows with NULL in ANY listed
+    // attribute (a trie level has no NULL binding), which matches the
+    // binary fallback only for attributes that actually join (≥ 2
+    // occurrences); a NULLABLE attribute carried by a single relation
+    // would ride through the fallback as a value but be dropped by the
+    // kernel — such bags take the fallback, keeping wcoj a pure plan
+    // choice rather than a semantics change.
     def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
       rels.forall { case (df, attrs) => df.columns.toSet == attrs.toSet } && {
-        val typed = rels.flatMap { case (df, attrs) =>
-          attrs.map(a => a -> df.schema(a).dataType)
+        val fields = rels.flatMap { case (df, attrs) =>
+          attrs.map(a => a -> df.schema(a))
         }
-        typed.groupBy(_._1).values.forall(ts =>
-          graft.wcoj.WcojJoin.attrOccurrencesEligible(ts.map(_._2)))
+        fields.groupBy(_._1).values.forall { fs =>
+          graft.wcoj.WcojJoin.attrOccurrencesEligible(fs.map(_._2.dataType)) &&
+            (fs.size >= 2 || !fs.head._2.nullable)
+        }
       }
 
     /** Greedy bushy join of a bag's relations: repeatedly join the pair with

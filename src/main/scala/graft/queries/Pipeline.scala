@@ -519,14 +519,18 @@ object Pipeline {
     "q119_store_dedup" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
-      val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+      val dir = java.nio.file.Files.createTempDirectory("graft_sigstore")
       Dedup.signatureStore(docs.filter(snum < 10), "text", "doc_id",
           portableIds = true)
-        .write.mode("overwrite").parquet(dir)
-      Dedup.incrementalMinHashDedupFromStore(
-          docs.filter(snum >= 10), s.read.parquet(dir),
+        .write.mode("overwrite").parquet(dir.toString)
+      // the FromStore result is eagerly pinned (localCheckpoint inside), so
+      // the store files are fully consumed by return — delete them here
+      // rather than leaking one store per invocation into tmp
+      try Dedup.incrementalMinHashDedupFromStore(
+          docs.filter(snum >= 10), s.read.parquet(dir.toString),
           "text", "doc_id", threshold = 0.3, portableIds = true)
         .orderBy("doc_id")
+      finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
     // portable rows-CMS frequency gate: per-source sketches (the per-batch

@@ -97,12 +97,22 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val direct = Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id",
       threshold = 0.5).as[Long].collect().toSet
-    val dir = java.nio.file.Files.createTempDirectory("sigstore_spec").toString
-    Dedup.signatureStore(corpus, "text", "doc_id").write.mode("overwrite").parquet(dir)
-    val viaStore = Dedup.incrementalMinHashDedupFromStore(
-        batch, spark.read.parquet(dir), "text", "doc_id", threshold = 0.5)
-      .as[Long].collect().toSet
-    assert(viaStore === direct && direct === Set(11L))
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_spec")
+    try {
+      Dedup.signatureStore(corpus, "text", "doc_id")
+        .write.mode("overwrite").parquet(dir.toString)
+      val store = spark.read.parquet(dir.toString)
+      val viaStore = Dedup.incrementalMinHashDedupFromStore(
+          batch, store, "text", "doc_id", threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(viaStore === direct && direct === Set(11L))
+      // scheme mismatch fails loudly instead of silently keeping every dup
+      val err = intercept[IllegalArgumentException] {
+        Dedup.incrementalMinHashDedupFromStore(batch, store, "text", "doc_id",
+          threshold = 0.5, portableIds = true)
+      }
+      assert(err.getMessage.contains("signature store"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("dedupClusters collapses transitive pairs to min-id keepers") {
