@@ -45,9 +45,10 @@ object Scoring {
     * aggregate and the scoring join on `tok` (map-side combine on the
     * count; no broadcast assumption on the vocabulary — AQE picks the join
     * strategy); the corpus total is a one-row broadcast. Engine-portable
-    * rounding: per-token logprob to 6 dp, per-doc mean to 4 dp (a
-    * transcendental's last-ulp disagreement between libm implementations
-    * cannot survive two roundings).
+    * rounding: per-token logprob to 6 dp, lifted to an exact ×1e6 integer
+    * and SUMMED as integers (order-free), divided once by 1e6·n and rounded
+    * once to 4 dp — `avg` of the rounded doubles would re-introduce an
+    * aggregation-order dependence at 4-dp half-ties (the q102 driver red).
     *
     * Returns (doc_id, n_tokens, nll), one row per document with >= 1 token.
     */
@@ -60,7 +61,10 @@ object Scoring {
       .crossJoin(broadcast(total))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(round(-log(col("cnt") / col("total")), 6)), 4).as("nll"))
+        round(
+          sum(round(round(-log(col("cnt") / col("total")), 6) * 1e6, 0).cast("long"))
+            .cast("double") / (lit(1e6) * count(lit(1)).cast("double")),
+          4).as("nll"))
   }
 
   /** DSIR-style importance score per document: the mean per-token log
@@ -74,8 +78,15 @@ object Scoring {
     * Scale shape: one explode feeds both LM count aggregates (term-
     * partitioned, map-side combined) and the scoring join on `tok`; the
     * three corpus scalars (totals, vocabulary size) ride a one-row
-    * broadcast. Rounding as [[unigramLogLoss]] (6 dp per token, 4 dp per
-    * doc) so the score is engine-portable.
+    * broadcast.
+    *
+    * Portability: each per-token log term is rounded to 6 dp and then
+    * lifted to an exact integer (×1e6) BEFORE aggregation, so the per-doc
+    * mean is an exact integer sum divided once — `avg` of rounded doubles
+    * is a floating sum in partition order, and a doc whose exact mean sits
+    * on a 4-dp half-tie can round differently per aggregation order (the
+    * round-6 driver red). Integer sums are order-free; the single division
+    * and final 4-dp rounding are then identical on any IEEE engine.
     *
     * Returns (doc_id, n_tokens, ilr), one row per document with ≥ 1 token.
     */
@@ -96,9 +107,12 @@ object Scoring {
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(
-          round(log((coalesce(col("tc"), lit(0.0)) + 1.0) / (col("ttot") + col("v"))), 6) -
-          round(log((col("cc") + 1.0) / (col("ctot") + col("v"))), 6)), 4).as("ilr"))
+        round(
+          sum(
+            round(round(log((coalesce(col("tc"), lit(0.0)) + 1.0) / (col("ttot") + col("v"))), 6) * 1e6, 0).cast("long") -
+            round(round(log((col("cc") + 1.0) / (col("ctot") + col("v"))), 6) * 1e6, 0).cast("long")
+          ).cast("double") / (lit(1e6) * count(lit(1)).cast("double")),
+          4).as("ilr"))
   }
 
   /** BM25 scores of every document against a fixed term list.

@@ -69,7 +69,8 @@ object Pipeline {
        |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
        |tot AS (SELECT sum(cnt) AS total FROM c),
        |nllt AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |  round(avg(round(-ln(c.cnt / tot.total), 6)), 4) AS nll
+       |  round(CAST(sum(CAST(round(round(-ln(c.cnt / tot.total), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+       |    / (1e6 * count(*)), 4) AS nll
        |FROM tok t JOIN c USING (tok) CROSS JOIN tot
        |GROUP BY t.doc_id)""".stripMargin
 
@@ -1360,8 +1361,10 @@ object Pipeline {
          |                (SELECT coalesce(sum(tc), 0) FROM t) AS ttot,
          |                (SELECT CAST(count(*) AS DOUBLE) FROM c) AS v)
          |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(avg(round(ln((coalesce(t.tc, 0) + 1) / (s.ttot + s.v)), 6)
-         |          - round(ln((c.cc + 1) / (s.ctot + s.v)), 6)), 4) AS ilr
+         |  round(CAST(sum(
+         |      CAST(round(round(ln((coalesce(t.tc, 0) + 1) / (s.ttot + s.v)), 6) * 1e6, 0) AS BIGINT)
+         |    - CAST(round(round(ln((c.cc + 1) / (s.ctot + s.v)), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / (1e6 * count(*)), 4) AS ilr
          |FROM tok k JOIN c USING (tok) LEFT JOIN t USING (tok) CROSS JOIN scal s
          |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "q97_pq_topk" -> {
