@@ -18,17 +18,98 @@ import org.apache.spark.sql.functions._
   * window partition) — a non-starter at 100 TB. [[packShards]] instead runs
   * the classic two-phase distributed prefix sum:
   *
-  *   1. range-partition by id (ascending ranges land on ascending partition
-  *      ids) and sort within partitions — a total order, but parallel;
-  *   2. per-partition running sums via a window PARTITIONED by partition id
-  *      (parallel across the 32/1000s of partitions);
-  *   3. one tiny per-partition-totals table (rows = #partitions) turned into
+  *   1. assign each row a deterministic range BUCKET — a pure function of
+  *      its sort-key values against boundary literals sampled once (below);
+  *      buckets are monotone in key order, so bucket order IS key order;
+  *   2. per-bucket running sums via a window PARTITIONED by bucket
+  *      (parallel across the 32/1000s of buckets);
+  *   3. one tiny per-bucket-totals table (rows = #buckets) turned into
   *      exclusive offsets on the driver-sized side and broadcast back.
+  *
+  * Buckets are VALUE-derived, never `spark_partition_id()`: a physical
+  * partition id depends on which exchange instance a row came through, so
+  * any recomputation (block loss, failed reuse, a different environment's
+  * range-sampler) could in principle re-key a row between the offsets
+  * aggregate and the final join. With value-derived buckets every
+  * intermediate is a pure function of the row's data — the recipe needs no
+  * checkpoint pinning and produces identical output on any cluster layout,
+  * partition count, or AQE decision.
   *
   * Only (id, n_tokens) flows through the prefix-sum shuffles — the text
   * column never moves. Wall-clock is O(N/P) per task instead of O(N) on one.
   */
 object Packing {
+
+  /** Deterministic range-bucket boundaries for `keyCols`: a uniform sample
+    * (the `sampleN` rows with the smallest xxhash64 of the key — a fixed,
+    * engine-deterministic choice, unlike `RangePartitioner`'s reservoir),
+    * sorted, thinned to `p − 1` evenly spaced key tuples. Collected once to
+    * the driver (bounded: ≤ max(32·p, 1024) slim key rows) and re-entered as
+    * literals, so bucket assignment downstream is a pure per-row expression.
+    * Boundary quality only affects bucket BALANCE, never correctness:
+    * `bucket = |{b : b < key}|` is monotone in key order for any boundary
+    * multiset.
+    */
+  private[graft] def rangeBucketBoundaries(rows: DataFrame,
+      keyCols: Seq[String], p: Int): Seq[Seq[Any]] = {
+    if (p <= 1) return Nil
+    val sampleN = math.min(math.max(32 * p, 1024), 1 << 16)
+    val sample = rows
+      .select(keyCols.map(col): _*)
+      .orderBy(xxhash64(keyCols.map(col): _*) +: keyCols.map(col): _*)
+      .limit(sampleN)
+      .collect()
+      .map(r => keyCols.indices.map(r.get))
+    if (sample.isEmpty) return Nil
+    val ord: Ordering[Seq[Any]] = (a, b) =>
+      a.iterator.zip(b.iterator).map { case (x, y) => cmpAny(x, y) }
+        .find(_ != 0).getOrElse(0)
+    val sorted = sample.sorted(ord)
+    (1 until p).map(i => sorted((i.toLong * sorted.length / p).toInt))
+      .distinct // equal boundaries would only make empty buckets
+  }
+
+  /** Driver-side comparator matching Spark's ascending-nulls-first column
+    * order (strings by UTF-8 bytes, as Spark's UTF8String compares). Only
+    * bucket balance depends on it, so near-agreement suffices.
+    */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: String, y: String) => java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
+    case (x: Short, y: Short)     => java.lang.Short.compare(x, y)
+    case (x: Byte, y: Byte)       => java.lang.Byte.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported range-bucket key type: ${a.getClass.getName}")
+  }
+
+  /** The bucket expression: `|{b ∈ boundaries : b < (keyCols…)}|`, i.e. a
+    * chain of codegen'd lexicographic comparisons against literals —
+    * ascending, nulls-first (a NULL key compares below every non-null
+    * boundary; a NULL boundary component matches only NULL keys). O(p)
+    * comparisons per row, whole-stage-codegen friendly, zero shuffles.
+    */
+  private[graft] def rangeBucketExpr(keyCols: Seq[String],
+      boundaries: Seq[Seq[Any]]): org.apache.spark.sql.Column = {
+    def keyGt(b: Seq[Any]): org.apache.spark.sql.Column =
+      keyCols.zip(b).foldRight(lit(false)) { case ((c, bv), rest) =>
+        val gt = if (bv == null) col(c).isNotNull else col(c) > lit(bv)
+        val eq = if (bv == null) col(c).isNull else col(c) <=> lit(bv)
+        gt || (eq && rest)
+      }
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(keyGt(b), 1).otherwise(0)
+    }
+  }
 
   /** (doc_id, n_tokens, shard) for every row of `df`, where `tokenExpr` is
     * evaluated per row (e.g. `TextFunctions.tokenCount(col("text"))`).
@@ -40,46 +121,43 @@ object Packing {
       tokenExpr: org.apache.spark.sql.Column, budget: Long,
       partitions: Int = 0): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    // The localCheckpoint pins ONE materialization of the range shuffle:
-    // `local` feeds both the offsets aggregate and the final join, and
-    // repartitionByRange samples its bounds per execution — if exchange
-    // reuse ever failed to dedup the two branches, boundary rows could land
-    // in different pids per branch and pair with the wrong offset. The
-    // checkpointed frame (ids + three longs, no text) makes the pid
-    // assignment a fact rather than a plan.
-    val local = prefixSummed(df, idCol, tokenExpr, partitions).localCheckpoint(true)
+    // `local` feeds both the offsets aggregate and the final join; its
+    // bucket key is a pure function of row values (see object doc), so the
+    // branches agree by construction even if the exchange were recomputed —
+    // no checkpoint pinning needed, no pinned blocks to leak.
+    val local = prefixSummed(df, idCol, tokenExpr, partitions)
 
-    // phase 3: exclusive prefix offsets over the tiny (p rows) totals table.
-    // The global-order window here is fine: it sees #partitions rows, not N.
-    val offsets = local.groupBy("pid").agg(sum("n_tokens").as("part_total"))
+    // phase 3: exclusive prefix offsets over the tiny (≤ p rows) totals
+    // table. The global-order window here is fine: it sees #buckets rows,
+    // not N.
+    val offsets = local.groupBy("bkt").agg(sum("n_tokens").as("part_total"))
       .withColumn("offset",
         coalesce(sum("part_total").over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "offset")
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "offset")
 
-    local.join(broadcast(offsets), "pid")
+    local.join(broadcast(offsets), "bkt")
       .select(col("doc_id"), col("n_tokens"),
         floor((col("local_cum") + col("offset") - col("n_tokens"))
           .cast("double") / budget.toDouble).cast("long").as("shard"))
   }
 
-  /** Phases 1–2 as a lazy plan: range partition by id, per-partition
-    * running sums with a pid-keyed window. Exposed so the plan-shape spec
-    * can assert the scale properties (RangePartitioning, parallel windows)
-    * that [[packShards]] hides behind its pinning checkpoint.
+  /** Phases 1–2 as a lazy plan: deterministic range buckets over id,
+    * per-bucket running sums with a bucket-keyed window. Exposed so the
+    * plan-shape spec can assert the scale properties (bucket-parallel
+    * windows, no single-partition exchange).
     */
   private[graft] def prefixSummed(df: DataFrame, idCol: String,
       tokenExpr: org.apache.spark.sql.Column, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    df.select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      // per-partition running sums: the window is keyed by pid, so every
-      // partition's scan runs in parallel (no global-order single task)
+    val rows = df.select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
+    val bounds = rangeBucketBoundaries(rows, Seq("doc_id"), p)
+    rows.withColumn("bkt", rangeBucketExpr(Seq("doc_id"), bounds))
+      // per-bucket running sums: the window is keyed by bkt, so every
+      // bucket's scan runs in parallel (no global-order single task)
       .withColumn("local_cum",
-        sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+        sum("n_tokens").over(Window.partitionBy("bkt").orderBy("doc_id")))
   }
 
   /** Overlapping token-window chunking (RAG / long-document training prep):
@@ -155,59 +233,67 @@ object Packing {
 
   /** Distributed row_number: `rank` = row_number OVER (PARTITION BY
     * `grpCols` ORDER BY `ordCols`) computed with the grouped two-phase
-    * prefix (one range exchange on grp+ord, per-(grp, pid) windows in
-    * parallel, broadcast exclusive per-slice offsets) — a group never
-    * serializes into one task. Every input column rides through.
+    * prefix (deterministic range buckets over grp+ord, per-(grp, bucket)
+    * windows in parallel, broadcast exclusive per-slice offsets) — a group
+    * never serializes into one task. Every input column rides through.
     *
     * Shared machinery of [[lengthBucketBatches]], [[groupRunningTotals]]'
-    * rank twin, and `Sampling.stratifiedSplit`. The pin (localCheckpoint)
-    * makes the pid assignment one fact shared by the offsets aggregate and
-    * the final join.
+    * rank twin, and `Sampling.stratifiedSplit`. Buckets are value-derived
+    * (see object doc), so the offsets aggregate and the final join agree by
+    * construction — no checkpoint pinning. Deterministic for any
+    * deterministic input; pin upstream yourself if it contains `rand()`.
+    *
+    * Ties across `ordCols` must be broken (pass a unique key last): a tie
+    * straddling a bucket boundary would otherwise rank engine-dependently,
+    * exactly as a plain window would.
     */
   private[operators] def groupedRowNumbers(rows: DataFrame,
       grpCols: Seq[String], ordCols: Seq[String], partitions: Int): DataFrame = {
     val spark = rows.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val rangeCols = (grpCols ++ ordCols).map(col)
+    val keyCols = grpCols ++ ordCols
+    require(!rows.columns.contains("__bkt"),
+      "groupedRowNumbers reserves column name __bkt")
+    val bounds = rangeBucketBoundaries(rows, keyCols, p)
     val local = rows
-      .repartitionByRange(p, rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__bkt", rangeBucketExpr(keyCols, bounds))
       .withColumn("__lrn", row_number().over(
-        Window.partitionBy((grpCols :+ "__pid").map(col): _*)
+        Window.partitionBy((grpCols :+ "__bkt").map(col): _*)
           .orderBy(ordCols.map(col): _*)))
-      .localCheckpoint(true)
 
-    // tiny table: one row per (grp, pid) slice; exclusive running count
-    // within the group across ascending pids (ranges are ordered, so pid
-    // order IS (grp, ord) order)
+    // tiny table: one row per (grp, bucket) slice; exclusive running count
+    // within the group across ascending buckets (buckets are monotone in
+    // (grp, ord) order, so bucket order IS ord order within a group)
     val offsets = local
-      .groupBy((grpCols :+ "__pid").map(col): _*).agg(count(lit(1)).as("__c"))
+      .groupBy((grpCols :+ "__bkt").map(col): _*).agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         coalesce(sum("__c").over(Window.partitionBy(grpCols.map(col): _*)
-          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((grpCols :+ "__pid").map(col) :+ col("__off"): _*)
+          .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((grpCols :+ "__bkt").map(col) :+ col("__off"): _*)
 
     // null-SAFE reattach: a plain equi-join would silently drop rows whose
     // group value is NULL (NULL != NULL), while the contract — and the
     // PARTITION BY twin the oracles replay — keeps a NULL partition
-    val offT = grpCols.foldLeft(offsets.withColumnRenamed("__pid", "__opid")) {
+    val offT = grpCols.foldLeft(offsets.withColumnRenamed("__bkt", "__obkt")) {
       (d, c) => d.withColumnRenamed(c, s"__g_$c")
     }
     val cond = (grpCols.map(c => col(c) <=> col(s"__g_$c")) :+
-      (col("__pid") === col("__opid"))).reduce(_ && _)
+      (col("__bkt") === col("__obkt"))).reduce(_ && _)
     local.join(broadcast(offT), cond)
       .withColumn("rank", col("__lrn") + col("__off"))
-      .drop(grpCols.map(c => s"__g_$c") :+ "__opid" :+ "__off" :+ "__pid" :+ "__lrn": _*)
+      .drop(grpCols.map(c => s"__g_$c") :+ "__obkt" :+ "__off" :+ "__bkt" :+ "__lrn": _*)
   }
 
   /** Per-group running totals, distributed: (doc_id, group, value, cum)
     * where `cum` is the inclusive running sum of `valueExpr` within each
     * group in id order — semantics ≡ `sum(value) OVER (PARTITION BY group
-    * ORDER BY id)`, computed with the grouped two-phase prefix sum (range
-    * partition on (group, id) → per-(group, pid) windows → broadcast
-    * exclusive offsets) so no group ever serializes into one task.
+    * ORDER BY id)`, computed with the grouped two-phase prefix sum
+    * (deterministic range buckets over (group, id) → per-(group, bucket)
+    * windows → broadcast exclusive offsets) so no group ever serializes
+    * into one task. Buckets are value-derived (see object doc): both the
+    * offsets aggregate and the final join re-derive each row's bucket from
+    * its data, so they agree on any cluster layout with no checkpoint pin.
     *
     * The building block behind token-budget quotas ([[tokenQuota]]) and any
     * "cumulative X within domain" curation rule.
@@ -217,26 +303,25 @@ object Packing {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val local = df
+    val rows = df
       .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
         valueExpr.cast("long").as("value"))
-      .repartitionByRange(p, col("grp"), col("doc_id"))
-      .sortWithinPartitions("grp", "doc_id")
-      .withColumn("pid", spark_partition_id())
+    val bounds = rangeBucketBoundaries(rows, Seq("grp", "doc_id"), p)
+    val local = rows
+      .withColumn("bkt", rangeBucketExpr(Seq("grp", "doc_id"), bounds))
       .withColumn("local_cum",
-        sum("value").over(Window.partitionBy("grp", "pid").orderBy("doc_id")))
-      .localCheckpoint(true)
+        sum("value").over(Window.partitionBy("grp", "bkt").orderBy("doc_id")))
 
-    val offsets = local.groupBy("grp", "pid").agg(sum("value").as("c"))
+    val offsets = local.groupBy("grp", "bkt").agg(sum("value").as("c"))
       .withColumn("offset",
-        coalesce(sum("c").over(Window.partitionBy("grp").orderBy("pid")
+        coalesce(sum("c").over(Window.partitionBy("grp").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("grp").as("ogrp"), col("pid").as("opid"), col("offset"))
+      .select(col("grp").as("ogrp"), col("bkt").as("obkt"), col("offset"))
 
     // null-safe on grp: a NULL group is a real partition (the PARTITION BY
     // twin keeps it); a plain equi-join would silently drop its rows
     local.join(broadcast(offsets),
-        col("grp") <=> col("ogrp") && col("pid") === col("opid"))
+        col("grp") <=> col("ogrp") && col("bkt") === col("obkt"))
       .select(col("doc_id"), col("grp").as(groupCol), col("value"),
         (col("local_cum") + col("offset")).as("cum"))
   }

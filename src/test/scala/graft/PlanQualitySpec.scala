@@ -48,24 +48,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q87 packing prefix-sum runs range-partitioned, windows keyed by pid") {
-    // packShards pins its prefix sum behind a checkpoint (so the gate's
-    // own plan is a checkpoint scan); the scale properties live in the
-    // lazy phase it materializes — assert on that plan directly
+  test("q87 packing prefix-sum windows are bucket-keyed, never one global task") {
     val docs = Tables(spark, sf0001).documents
     val df = graft.operators.Packing.prefixSummed(docs, "doc_id",
       graft.functions.TextFunctions.tokenCount(
         org.apache.spark.sql.functions.col("text")), 8)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // phase 1: the corpus flows through a RANGE exchange (parallel total
-    // order), and the per-partition running sum is a Window PARTITIONED by
-    // pid — the corpus never funnels through one global-order window task
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"no range partitioning in packShards plan:\n$p")
-    assert(p.contains("partitionBy=[pid]") ||
-      p.contains("windowspecdefinition(pid"),
-      s"per-partition running sum is not keyed by pid:\n$p")
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the per-bucket running sum is a Window PARTITIONED by the value-derived
+    // bucket — parallel across buckets; a global-order window would plan as
+    // an Exchange SinglePartition funneling the corpus through one task
+    assert(p.contains("partitionBy=[bkt]") ||
+      p.contains("windowspecdefinition(bkt"),
+      s"running sum is not keyed by the range bucket:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packShards prefix sum funnels through a single partition:\n$p")
   }
 
   test("q88 mixture sampling broadcasts the rate table, never shuffles the corpus") {
@@ -117,39 +114,23 @@ class PlanQualitySpec extends SparkSpec {
       s"classifier scoring plan contains a join:\n$p")
   }
 
-  test("q108 length-bucket rank is range-partitioned with (bucket, pid) windows") {
+  test("q108 length-bucket rank windows are (bucket, range-bucket)-keyed, offsets broadcast") {
     // same two-phase prefix properties as q87, generalized to groups: the
-    // corpus flows through ONE range exchange and the local rank window is
-    // keyed by (bucket, pid) — never one task per length band
+    // local rank window is keyed by (bucket, __bkt) — never one task per
+    // length band — and the tiny offsets table reattaches via broadcast
     val docs = Tables(spark, sf0001).documents
     val df = graft.operators.Packing.lengthBucketBatches(docs, "doc_id",
       graft.functions.TextFunctions.tokenCount(
         org.apache.spark.sql.functions.col("text")), 64, 8, 8)
     df.collect()
-    // the operator pins its ranked frame; the properties live in the plan
-    // it materialized — re-derive the lazy phase shape via explain of the
-    // un-checkpointed twin
-    val lazyTwin = docs
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        graft.functions.TextFunctions.tokenCount(
-          org.apache.spark.sql.functions.col("text")).cast("long").as("n_tokens"))
-      .withColumn("bucket",
-        org.apache.spark.sql.functions.floor(
-          (org.apache.spark.sql.functions.col("n_tokens") - 1)
-            .cast("double") / 64).cast("long"))
-      .repartitionByRange(8, org.apache.spark.sql.functions.col("bucket"),
-        org.apache.spark.sql.functions.col("doc_id"))
-      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-      .withColumn("local_rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("bucket", "pid").orderBy("doc_id")))
-    lazyTwin.collect()
-    val p = lazyTwin.queryExecution.executedPlan.toString
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"no range partitioning in length-bucket plan:\n$p")
-    assert(p.contains("partitionBy=[bucket, pid]") ||
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partitionBy=[bucket, __bkt]") ||
       p.contains("windowspecdefinition(bucket"),
-      s"rank window not keyed by (bucket, pid):\n$p")
+      s"rank window not keyed by (bucket, __bkt):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-slice offsets did not reattach via broadcast:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"length-bucket rank funnels through a single partition:\n$p")
   }
 
   test("q110/q111 BPE plans: pair counts TakeOrdered, encode join-free") {

@@ -324,6 +324,42 @@ class TokenQuotaSpec extends SparkSpec {
     assert(split.count() === 60L) // null stratum rows not dropped
   }
 
+  test("groupRunningTotals fuzz: partition layouts 1..64 × AQE on/off × skew/NULL/empty") {
+    // the q112 driver-only hash red was never reproduced locally; this fuzz
+    // pins the invariant that killed the suspect — every intermediate is a
+    // pure function of row values, so NO layout knob may change the output
+    val rnd = new scala.util.Random(23)
+    // skewed: one giant group, several tiny ones, a NULL group, single-row
+    // groups, and duplicated ids within a group (ties on the order key)
+    val rows = ((1L to 400L).map(i => (i, "giant", 1 + rnd.nextInt(90))) ++
+      (401L to 410L).map(i => (i, s"tiny${i % 3}", 1 + rnd.nextInt(9))) ++
+      (411L to 440L).map(i => (i, null: String, 1)) ++
+      Seq((441L, "solo", 5), (200L, "giant", 3), (200L, "giant", 3)))
+      .toDF("id", "grp", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("id")
+    val naive = rows.withColumn("cum", sum(col("v").cast("long")).over(w))
+      .select(col("id"), col("grp"), col("cum"))
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1).toSeq
+    for (aqe <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        for (parts <- Seq(1, 2, 7, 33, 64); inLayout <- Seq(1, 13)) {
+          val dist = Packing.groupRunningTotals(
+              rows.repartition(inLayout), "grp", "id", col("v"), parts)
+            .select("doc_id", "grp", "cum").as[(Long, Option[String], Long)]
+            .collect().sortBy(_._1).toSeq
+          assert(dist === naive, s"aqe=$aqe parts=$parts inLayout=$inLayout")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // empty input: no boundaries, no rows, schema intact
+    val empty = Packing.groupRunningTotals(
+      rows.filter(lit(false)), "grp", "id", col("v"), 8)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("doc_id", "grp", "v", "cum")
+      || empty.columns.toSeq === Seq("doc_id", "grp", "value", "cum"))
+  }
+
   test("tokenQuota: budget is an exact inclusive cap; oversized first doc dropped") {
     val rows = Seq((1L, "a", 40L), (2L, "a", 50L), (3L, "a", 20L),
       (4L, "b", 200L), (5L, "b", 10L)).toDF("id", "src", "n")
