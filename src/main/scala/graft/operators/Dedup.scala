@@ -396,13 +396,18 @@ object Dedup {
       perms: Seq[Perm] = DefaultPerms, bandSize: Int = 4,
       shingle: Int = 3, portableIds: Boolean = false): DataFrame = {
     if (store.columns.contains("sig_shingle")) {
-      store.select("sig_shingle", "sig_portable").head(1).foreach { m =>
-        require(m.getInt(0) == shingle && m.getBoolean(1) == portableIds,
-          s"signature store was built with (shingle=${m.getInt(0)}, " +
-            s"portableIds=${m.getBoolean(1)}) but the batch would be hashed " +
-            s"with (shingle=$shingle, portableIds=$portableIds) — tids would " +
-            "never intersect and every near-dup would silently survive")
-      }
+      // validate EVERY scheme present, not a sampled row: a store appended
+      // across cycles with different settings must fail loudly — the rows
+      // hashed under another scheme would intersect no tids and silently
+      // keep every near-duplicate. Bounded collect: one row per distinct
+      // scheme ever appended (normally exactly one).
+      val schemes = store.select("sig_shingle", "sig_portable").distinct()
+        .collect().map(m => (m.getInt(0), m.getBoolean(1))).toSeq.sorted
+      require(schemes == Seq((shingle, portableIds)),
+        s"signature store holds rows hashed with scheme(s) " +
+          s"${schemes.mkString(", ")} but the batch would be hashed with " +
+          s"(shingle=$shingle, portableIds=$portableIds) — tids would " +
+          "never intersect and every near-dup would silently survive")
     }
     incrementalCore(batch, shingleTids(batch, textCol, idCol, shingle, portableIds),
       store.select(col("doc_id"), col("tids")),

@@ -184,6 +184,12 @@ object Packing {
       stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // stride > window skips tokens — and the lastStart formula would emit a
+    // degenerate (tok_start > n, tok_len < 1) final chunk; the HF overflow
+    // rule this implements assumes overlapping-or-adjacent windows
+    require(stride <= window,
+      s"stride ($stride) must be <= window ($window): larger strides skip " +
+        "tokens and violate the every-token-covered invariant")
     val lastStart = lit(1L) +
       ceil(greatest(col("n_tokens") - window.toLong, lit(0L)).cast("double")
         / stride.toDouble).cast("long") * stride.toLong

@@ -172,6 +172,13 @@ object Scoring {
     * fit and the returned scores see the same rows even over a
     * non-deterministic upstream.
     *
+    * Storage note: the pin's blocks back the RETURNED frame, so they stay
+    * live until a driver GC lets the weak-ref ContextCleaner fire. A
+    * long-lived session that has fully materialized the scores can release
+    * them eagerly with `GraftSqlBridge.releaseCheckpoint(scored)` (the
+    * returned frame is a thin projection over the pin, which that call
+    * resolves); the frame must not be scanned again afterwards.
+    *
     * @param features engine-portable numeric expressions (include an
     *   explicit `lit(1.0)` bias term if wanted)
     * @param label 1.0/0.0 expression (the weak label)

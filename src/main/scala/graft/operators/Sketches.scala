@@ -167,6 +167,10 @@ object Sketches {
   def cmsBuildRows(df: DataFrame, keyCol: String, groupCols: Seq[String] = Nil,
       perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
       weightCol: Option[String] = None): DataFrame = {
+    val reserved = groupCols.toSet.intersect(Set("d", "bucket", "cnt", "__w"))
+    require(reserved.isEmpty,
+      s"cmsBuildRows reserves column name(s) ${reserved.mkString(", ")} for " +
+        "the sketch output — rename the group column(s)")
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     // a NULL weight would be skipped by sum() and a negative one would
     // subtract — both silently break the no-underestimate guarantee, so
@@ -198,6 +202,11 @@ object Sketches {
       perms: Seq[(Long, Long)] = CmsPerms, width: Int = 64,
       estCol: String = "est"): DataFrame = {
     val inCols = probes.columns.toSeq
+    require(!inCols.contains(estCol),
+      s"cmsEstimate output column '$estCol' collides with an input column — " +
+        "pass a different estCol")
+    require(!inCols.contains("__rid"),
+      "cmsEstimate reserves column name __rid")
     // a synthetic per-row id keeps duplicate probe rows distinct through
     // the explode→min round-trip (grouping on the value struct alone would
     // silently collapse them); ephemeral — grouped on, then dropped

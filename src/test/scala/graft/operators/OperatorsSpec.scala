@@ -112,6 +112,17 @@ class DedupSpec extends SparkSpec {
           threshold = 0.5, portableIds = true)
       }
       assert(err.getMessage.contains("signature store"))
+      // a store APPENDED under a second scheme must fail even though some
+      // rows still match the probe scheme — a sampled-row check would let
+      // the mismatched rows silently keep their near-dups
+      Dedup.signatureStore(corpus, "text", "doc_id", shingle = 4)
+        .write.mode("append").parquet(dir.toString)
+      val mixed = spark.read.parquet(dir.toString)
+      val err2 = intercept[IllegalArgumentException] {
+        Dedup.incrementalMinHashDedupFromStore(batch, mixed, "text", "doc_id",
+          threshold = 0.5)
+      }
+      assert(err2.getMessage.contains("scheme"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 

@@ -199,6 +199,11 @@ class ChunkWindowsSpec extends SparkSpec {
     assert(chunks(0, 8, 4).isEmpty)
   }
 
+  test("rejects stride > window (would skip tokens and emit degenerate chunks)") {
+    val err = intercept[IllegalArgumentException] { chunks(45, 40, 100) }
+    assert(err.getMessage.contains("stride"))
+  }
+
   test("random lengths: full coverage, no chunk subsumed, correct count") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 30) {

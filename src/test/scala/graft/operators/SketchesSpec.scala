@@ -93,6 +93,19 @@ class SketchesSpec extends SparkSpec {
     intercept[Exception] {
       Sketches.cmsBuildRows(Seq(-1L).toDF("k"), "k", width = width).count()
     }
+
+    // reserved/colliding column names are rejected up front, not emitted as
+    // duplicate/ambiguous output columns
+    intercept[IllegalArgumentException] {
+      Sketches.cmsBuildRows(df.withColumn("bucket", lit(1)), "k", Seq("bucket"))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(Seq(5L).toDF("est"), direct, "est")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(Seq(5L).toDF("k").withColumn("__rid", lit(1L)),
+        direct, "k")
+    }
   }
 
   test("distinctErrorProfile reports calibrated relative error") {
