@@ -124,6 +124,27 @@ object Graph {
         .agg(count(lit(1)).as("n_cycles"))
     }),
 
+    // the string-keyed WCOJ path under the hard gate: the same dense
+    // triangle, but over OPAQUE ENTITY KEYS ('ent-<n>') instead of longs —
+    // an entity-resolution-style cyclic self-join. leapfrogAny
+    // dictionary-encodes each attribute (distinct values ranked by one
+    // range shuffle + zipWithIndex), runs the Catalyst LeapFrogJoin on the
+    // dense codes, and decodes the bindings back to strings; the full
+    // binding ENUMERATION (not a count) is emitted so the decode joins are
+    // part of the compared result.
+    "q120_wcoj_string_triangle" -> ((s, d) => {
+      val e = denseEdges(Tables(s, d)).select(
+        concat(lit("ent-"), col("src").cast("string")).as("u"),
+        concat(lit("ent-"), col("dst").cast("string")).as("v"))
+      graft.wcoj.WcojJoin.leapfrogAny(s, Seq(
+          (e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b")),
+          (e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c")),
+          (e.select(col("v").as("a"), col("u").as("c")), Seq("a", "c"))),
+        Seq("a", "b", "c"))
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .orderBy("a", "b", "c")
+    }),
+
     // directed 4-cycle count on the sparse graph — a cyclic query whose join
     // order comes from the GHD planner (pattern() → MultiwayJoin).
     "q46_ghd_4cycle" -> ((s, d) => {
@@ -272,6 +293,15 @@ object Graph {
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
          |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,
+    "q120_wcoj_string_triangle" ->
+      s"""WITH edges0 AS ($denseEdgesSql),
+         |e AS (SELECT 'ent-' || CAST(src AS VARCHAR) AS u,
+         |             'ent-' || CAST(dst AS VARCHAR) AS v FROM edges0)
+         |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |FROM e e1 JOIN e e2 ON e1.v = e2.u
+         | JOIN e e3 ON e2.v = e3.u AND e3.v = e1.u
+         |WHERE e1.u < e1.v AND e1.u < e2.v
+         |ORDER BY a, b, c""".stripMargin,
     "q46_ghd_4cycle" ->
       s"""WITH edges AS ($mediumEdgesSql)
          |SELECT count(*) AS n_cycles

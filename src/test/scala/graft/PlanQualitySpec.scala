@@ -42,6 +42,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(executedPlan("q47_wcoj_triangle").contains("LeapFrogJoin"))
   }
 
+  test("q120 string-keyed WCOJ still runs through LeapFrogJoin (dictionary path)") {
+    val p = executedPlan("q120_wcoj_string_triangle")
+    assert(p.contains("LeapFrogJoin"),
+      s"string-keyed triangle did not reach the WCOJ node:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"string-keyed triangle fell back to an all-pairs join:\n$p")
+  }
+
   test("q62 simhash pairs never go all-pairs: no cartesian/nested-loop join") {
     val p = executedPlan("q62_simhash_hamming")
     assert(!p.contains("CartesianProduct"))
