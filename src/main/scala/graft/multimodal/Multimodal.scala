@@ -352,6 +352,44 @@ object Multimodal {
     }
   }
 
+  /** Flat decode table for a fixture directory — the driver-gate surface
+    * (q121): every file in `dir` decoded for REAL through [[MediaCodec]]
+    * (WAV via javax.sound, PNG/BMP via ImageIO), one row per (file,
+    * feature index) with the container format from the independent header
+    * parsers and the grid-intensity / RMS-envelope feature rounded to 4 dp
+    * (floats re-rounded once so the committed expected table compares
+    * exactly). Modality derives from the file extension; names (not hashed
+    * ids) key the rows so the output is self-describing.
+    */
+  def decodeDirTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .withColumn("modality",
+        when(col("name").endsWith(".wav"), "audio").otherwise("image"))
+      .select(col("name"), col("modality"), col("content"))
+      .as[(String, String, Array[Byte])]
+    raw.mapPartitions { it =>
+      it.map { case (name, modality, bytes) =>
+        val d = MediaCodec.decode(MediaRow(0L, modality, bytes))
+        val fmt =
+          if (modality == "audio") AudioHeaders.parse(bytes).format
+          else ImageHeaders.parse(bytes).format
+        (name, modality, fmt, d.meta.width, d.meta.height, d.meta.channels,
+          d.meta.sampleRate, d.meta.durationMs, d.meta.nFrames,
+          d.meta.sizeBytes,
+          d.features.map(f => BigDecimal(f.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toDF("name", "modality", "format", "width", "height", "channels",
+        "sample_rate", "duration_ms", "n_frames", "size_bytes", "feats")
+      .select(col("name"), col("modality"), col("format"), col("width"),
+        col("height"), col("channels"), col("sample_rate"),
+        col("duration_ms"), col("n_frames"), col("size_bytes"),
+        posexplode(col("feats")).as(Seq("feat_idx", "feat")))
+  }
+
   /** Fixed-stride video frame sampling: explodes each binary into
     * (id, frame_idx, frame_bytes) slices — pure native expressions, no UDF,
     * so frame extraction stays in codegen and only the decode of each frame

@@ -574,6 +574,21 @@ object Pipeline {
       ).orderBy("source")
     }),
 
+    // REAL image/audio decode under the driver gate: the committed WAV/
+    // PNG/BMP fixtures (several with analytically-known decode results —
+    // white image ⇒ grid intensity exactly 1.0, constant sine ⇒ RMS
+    // windows at amp/√2, trailing silence ⇒ 0) decode through the JDK
+    // codec seam at Verify time; the oracle just reads the committed
+    // expected table. sfDir-independent by design — the fixtures ARE the
+    // dataset.
+    "q121_multimodal_decode" -> ((s, _) => {
+      val local = new java.io.File("fixtures/multimodal")
+      val dir = if (local.isDirectory) local.getAbsolutePath
+        else "/root/repo/fixtures/multimodal"
+      graft.multimodal.Multimodal.decodeDirTable(s, dir)
+        .orderBy("name", "feat_idx")
+    }),
+
     // deterministic epoch shuffle: global training position as a pure
     // function of (doc_id, salt) via the distributed md5 rank — no
     // single-task sort, no rand() irreproducibility
@@ -1162,6 +1177,12 @@ object Pipeline {
     "q115_incremental_fuzzy" -> incrementalFuzzySql,
     // identical math through a persisted signature store: same oracle
     "q119_store_dedup" -> incrementalFuzzySql,
+    // the oracle for the fixture decode is the committed expected table
+    // (several rows analytically known — see the query comment); DuckDB
+    // reads it directly
+    "q121_multimodal_decode" ->
+      """SELECT * FROM '/root/repo/fixtures/multimodal_expected.parquet/*.parquet'
+        |ORDER BY name, feat_idx""".stripMargin,
     "q116_cms_freq" -> {
       // replay the rows-CMS exactly: same md5-prefix token ids, same
       // (a, b, prime, width) hash family, same bucket counts. The merge

@@ -307,6 +307,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 100))
   }
 
+  test("committed fixtures decode to the committed expected table (q121 twin)") {
+    val dir = new java.io.File("fixtures/multimodal")
+    assert(dir.isDirectory, "committed fixture directory missing")
+    val fresh = Multimodal.decodeDirTable(spark, dir.getAbsolutePath)
+    val expected = spark.read.parquet("fixtures/multimodal_expected.parquet")
+    assert(fresh.count() === 5L * MediaCodec.FeatureDim)
+    assert(fresh.except(expected).isEmpty && expected.except(fresh).isEmpty,
+      "decode output drifted from the committed expected table — " +
+        "regenerate via graft.multimodal.FixtureGen ONLY if the change is intended")
+    // the analytically-known rows, independent of the recording: white ⇒
+    // exactly 1.0 everywhere, black ⇒ 0.0, constant tone ⇒ amp/√2 (16-bit
+    // quantized), steps.wav tail ⇒ digital silence
+    val byName = fresh.select("name", "feat_idx", "feat")
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byName("white.png").forall(_ === 1.0))
+    assert(byName("black.bmp").forall(_ === 0.0))
+    assert(byName("tone440.wav").forall(f => f > 0.35 && f < 0.36))
+    assert(byName("steps.wav").takeRight(4).forall(_ === 0.0))
+  }
+
   test("resizeMeta caps dimensions, preserves struct shape") {
     val ds = spark.createDataset(Seq(media(9, "image", 64)))
     val decoded = decode(ds)
