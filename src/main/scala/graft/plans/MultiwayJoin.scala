@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions.col
   */
 object MultiwayJoin {
 
+  /** Attribute order for a cyclic WCOJ bag: most-covered attributes first
+    * (tightest intersections early); with `cardinality`, ascending measured
+    * distinct-count within equal coverage (smaller trie levels bind first,
+    * pruning the search highest up — the reference's fullCardinality-driven
+    * ordering); attribute name last for determinism. Cardinalities are
+    * exact per-attribute distinct counts over the union of carrying
+    * relations — bounded plan-time jobs whose results never affect
+    * correctness, only the enumeration order.
+    */
+  private[graft] def wcojAttrOrder(rels: Seq[(DataFrame, Seq[String])],
+      attrs: Set[String], cardinality: Boolean): Seq[String] = {
+    val card: Map[String, Long] =
+      if (!cardinality) Map.empty[String, Long].withDefaultValue(0L)
+      else attrs.toSeq.map { a =>
+        a -> rels.collect { case (df, as) if as.contains(a) =>
+          df.select(col(a).as("__v")).filter(col("__v").isNotNull)
+        }.reduce(_ union _).distinct().count()
+      }.toMap.withDefaultValue(0L)
+    attrs.toSeq.sortBy(a => (-rels.count(_._2.contains(a)), card(a), a))
+  }
+
   /** Natural-join the relations (join attributes = same-named columns),
     * ordering the joins by the minimum-fhtw GHD of the join hypergraph.
     *
@@ -39,9 +60,17 @@ object MultiwayJoin {
     *   falling back. Null join values are filtered (they can never match a
     *   natural inner join). Acyclic bags fall back to binary joins
     *   unchanged.
+    * @param cardinalityOrder order each cyclic bag's WCOJ attributes by
+    *   measured cardinality (within equal coverage): the reference's
+    *   `Statistics.fullCardinality`-driven attribute ordering
+    *   (optimization/statsEstimation/Statistics.scala:27-70). Costs one
+    *   exact distinct-count job per bag attribute at PLAN time — the same
+    *   eager-stats trade the reference's Statistics layer makes — so it
+    *   pays off when the join itself dominates (big data, selective small
+    *   domains early), not on micro-queries. Off by default.
     */
   def join(relations: Seq[(DataFrame, Seq[String])], reduce: Boolean = false,
-      wcoj: Boolean = false): DataFrame = {
+      wcoj: Boolean = false, cardinalityOrder: Boolean = false): DataFrame = {
     require(relations.nonEmpty, "no relations to join")
     if (relations.size == 1) return relations.head._1
 
@@ -112,10 +141,7 @@ object MultiwayJoin {
       val cyclic = rels.size >= 2 && !JoinHyperGraph.isAcyclic(rels.map(_._2.toSet))
       if (wcoj && cyclic && wcojEligible(rels)) {
         val spark = rels.head._1.sparkSession
-        // attr order: most-covered attributes first (tightest intersections
-        // early), name tie-break for determinism
-        val order = b.attrs.toSeq
-          .sortBy(a => (-rels.count(_._2.contains(a)), a))
+        val order = wcojAttrOrder(rels, b.attrs, cardinalityOrder)
         val cleaned = rels.map { case (df, attrs) =>
           (attrs.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), attrs)
         }
