@@ -12,14 +12,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read natively;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and this converts
-    * the nano longs to TimestampType. Lossless here: the generator emits
-    * microsecond-aligned values (verified: epoch_ns % 1000 == 0 for all rows).
+  /** events.ts has shipped in two parquet encodings across driver testdata
+    * generations: TIMESTAMP(NANOS) — which Spark cannot read natively, so
+    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and it arrives as
+    * LongType — and native timestamp[us]/[ns] TimestampType. Branch on the
+    * observed dtype so either generation loads; both paths yield the same
+    * microsecond TimestampType values (the generator emits micro-aligned
+    * nanos: epoch_ns % 1000 == 0 for all rows, and the r6-green hash baseline
+    * matches the r8 native-timestamp reads).
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table("events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet dtype $other — expected nanos-as-long or timestamp")
+    }
   }
 
   def region: DataFrame     = table("region")

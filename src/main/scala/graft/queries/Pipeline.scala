@@ -787,7 +787,9 @@ object Pipeline {
   private val cosSql = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
-    s"round(${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})), 6)"
+    // `+ 0.0` canonicalizes DuckDB's signed zero: a tiny negative cosine
+    // rounds to -0.0 there but +0.0 in Spark, and the driver hashes bits.
+    s"round(${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})), 6) + 0.0"
   }
 
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
@@ -954,14 +956,14 @@ object Pipeline {
          |ORDER BY query_id, rank""".stripMargin,
     "q65_embedding_centroids" ->
       """SELECT label, CAST(i AS INT) AS pos,
-        | round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mean_v
+        | round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) + 0.0 AS mean_v
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q61_ann_ivf" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
       def cosE(a: String, b: String) =
-        s"round(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})), 6)"
+        s"round(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})), 6) + 0.0"
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv0 FROM embeddings WHERE vec_id % 100 = 0),
          |asg AS (SELECT vec_id, cv, cent_id FROM (
          |  SELECT c.vec_id, c.cv, ct.cent_id,
@@ -1006,7 +1008,7 @@ object Pipeline {
     "q60_near_dup_embedding" -> {
       def dotE(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
-      val cos = s"round(${dotE("v1", "v2")} / (sqrt(${dotE("v1", "v1")}) * sqrt(${dotE("v2", "v2")})), 6)"
+      val cos = s"round(${dotE("v1", "v2")} / (sqrt(${dotE("v1", "v1")}) * sqrt(${dotE("v2", "v2")})), 6) + 0.0"
       s"""WITH pairs AS (SELECT e1.vec_id AS id1, e2.vec_id AS id2,
          |  e1.embedding AS v1, e2.embedding AS v2
          | FROM embeddings e1 JOIN embeddings e2
@@ -1234,7 +1236,8 @@ object Pipeline {
       s"""WITH w AS (SELECT doc_id, source,
          |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
          |r AS (SELECT doc_id, source, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM w)
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |         AS BIGINT) AS cum FROM w)
          |SELECT doc_id, source, n_tokens, cum FROM r
          |WHERE cum <= 1200 ORDER BY doc_id""".stripMargin,
     "q106_source_quota" ->
@@ -1385,7 +1388,7 @@ object Pipeline {
          |  round(CAST(sum(
          |      CAST(round(round(ln((coalesce(t.tc, 0) + 1) / (s.ttot + s.v)), 6) * 1e6, 0) AS BIGINT)
          |    - CAST(round(round(ln((c.cc + 1) / (s.ctot + s.v)), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
-         |    / (1e6 * count(*)), 4) AS ilr
+         |    / (1e6 * count(*)), 4) + 0.0 AS ilr
          |FROM tok k JOIN c USING (tok) LEFT JOIN t USING (tok) CROSS JOIN scal s
          |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "q97_pq_topk" -> {
