@@ -94,6 +94,14 @@ object Bench {
       val ss = samples(k)
       "\"" + k + "\":" + math.rint((ss.max - ss.min) / ss.min * 1000) / 1000.0
     }.mkString("{", ",", "}")
+    // median of the 3 passes alongside the min for the volatile set: on a
+    // contended box min-of-3 can still catch one lucky pass, and a large
+    // spread alone doesn't say which end is real. min ≈ median → the min is
+    // reproducible; min << median → the box was noisy, not the plan.
+    val medians = names.filter(k => volatile(k) && !errors.contains(k)).map { k =>
+      val ss = samples(k).sorted
+      "\"" + k + "\":" + math.rint(ss(ss.length / 2) * 1000) / 1000.0
+    }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1).map { case (k, e) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
@@ -103,7 +111,7 @@ object Bench {
     val minOf3 =
       if (minOf3Set.isEmpty) "[]"
       else minOf3Set.sorted.mkString("[\"", "\",\"", "\"]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"sf":"$sfDir"}"""
     println(json)
     // the driver snapshots only a stdout tail (2000 chars — fewer than the
     // per-query map needs past ~65 queries); the full line also lands in a

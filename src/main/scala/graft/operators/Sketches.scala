@@ -64,10 +64,21 @@ object Sketches {
     */
   def bloomFlag(df: DataFrame, col0: String, bf: BloomFilter,
       flagCol: String = "in_bloom"): DataFrame = {
-    val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-    df.withColumn(flagCol, mightContain(col(col0).cast("long")))
+    // Native BloomFilterMightContain (the expression Catalyst's
+    // InjectRuntimeFilter plants) instead of a Scala UDF: the probe stays
+    // inside whole-stage codegen, and the serialized filter rides the
+    // stage's broadcast task binary as a literal — one copy per executor,
+    // same distribution cost as the old explicit broadcast.
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.GraftSqlBridge.columnOf(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.exprOf(col(col0).cast("long"))))
+    // the old UDF mapped a NULL key to false; might_contain yields NULL
+    df.withColumn(flagCol, coalesce(probe, lit(false)))
   }
 
   /** Mergeable HLL sketches (Apache DataSketches, Spark's `hll_sketch_agg`

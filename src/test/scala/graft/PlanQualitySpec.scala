@@ -171,6 +171,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("explicit bloom probe (bloomFlag) is native might_contain, not a UDF") {
+    // the probe side of incremental dedup scans the full batch — a Scala
+    // UDF there breaks the whole-stage-codegen span on the hottest column
+    val t = Tables(spark, sf0001)
+    val keys = t.documents.select(org.apache.spark.sql.functions.col("doc_id"))
+    val bf = operators.Sketches.bloomFilter(keys.filter("doc_id % 2 = 0"), "doc_id", 1000L)
+    val flagged = operators.Sketches.bloomFlag(keys, "doc_id", bf)
+    val p = flagged.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"probe not native:\n$p")
+    assert(!p.contains("UDF"), s"probe fell back to a UDF:\n$p")
+    // semantics: no false negatives, NULL-safe false
+    val hits = flagged.filter("in_bloom").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keys.filter("doc_id % 2 = 0").collect().map(_.getLong(0)).forall(hits))
+  }
+
   test("runtime Bloom-filter pruning reaches the fact side of a shuffle join") {
     val es = graft.api.EngineSession(spark)
     es.enableRuntimeFiltering(applicationSideThreshold = "1B", creationSideThreshold = "100MB")
