@@ -46,6 +46,50 @@ object FixtureGen {
     bos.toByteArray
   }
 
+  /** Minimal MJPEG-in-AVI writer: RIFF(AVI ) { LIST(hdrl){ avih,
+    * LIST(strl){ strh(vids/MJPG), strf(BITMAPINFOHEADER) } }, LIST(movi){
+    * 00dc = one standalone JPEG per frame } }. Written with the same JDK
+    * JPEG encoder whose decoder later reads the frames back.
+    */
+  private[multimodal] def mjpegAvi(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+
+    val usPerFrame = 1000000L / fps
+    val maxFrameBytes = frames.map(_.length).max.toLong
+    val avih = le32(usPerFrame) ++ le32(maxFrameBytes * fps) ++ le32(0) ++
+      le32(0) /*flags: no index*/ ++ le32(frames.length.toLong) ++
+      le32(0) ++ le32(1) ++ le32(maxFrameBytes) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+      le32(1) /*scale*/ ++ le32(fps.toLong) /*rate*/ ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(maxFrameBytes) ++ le32(0xffffffffL) /*quality*/ ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+      "MJPG".getBytes("US-ASCII") ++ le32(w.toLong * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(riffBody.length.toLong))
+    bos.write(riffBody)
+    bos.toByteArray
+  }
+
+  private[multimodal] def jpegFrame(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] =
+    image("jpg", w, h)(rgb)
+
   def writeFixtures(dir: String): Unit = {
     val d = new File(dir)
     d.mkdirs()
@@ -63,6 +107,14 @@ object FixtureGen {
     // horizontal ramp: grid columns see increasing mean intensity
     put("ramp.png", image("png", 64, 64)((x, _) => {
       val v = x * 255 / 63; (v << 16) | (v << 8) | v
+    }))
+    // MJPEG AVI, 16 constant-gray frames ramping black → white: the
+    // temporal luminance envelope must ramp ~i/15 (constant-color JPEG
+    // frames decode near-losslessly: DC-only blocks), frame count and
+    // duration are analytic (16 frames @ 8 fps = 2000 ms)
+    put("ramp16.avi", mjpegAvi(32, 24, 8, (0 until 16).map { i =>
+      val v = i * 255 / 15
+      jpegFrame(32, 24)((_, _) => (v << 16) | (v << 8) | v)
     }))
   }
 

@@ -6,20 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * IMAGE and AUDIO decode are REAL: [[MediaCodec.decode]] runs the JDK's own
-  * `javax.imageio` (java.desktop — PNG/JPEG/GIF/BMP readers ship with the
-  * JDK, headless-safe) to true pixel dimensions, channel count, and
-  * grid-pooled intensity features, and `javax.sound.sampled` (WAV/AIFF/AU
-  * PCM) to true sample rate, channel count, duration, and windowed-RMS
-  * energy features. VIDEO remains STUBBED (no video codec ships with the
-  * JDK): [[MediaCodec.decodeStub]] derives deterministic fake metadata and
-  * features from the bytes, and undecodable image/audio bytes fall back to
-  * it rather than failing the task. Everything around the codec seam — the
-  * schema, the `Dataset[MediaRow]` encoder, the mapPartitions batch shape
-  * (one codec context per partition, rows streamed through it), the
-  * frame-sampling explode, and the partitioning — is real Spark and is what
-  * survives when a native video decoder (JNI/FFI) replaces the remaining
-  * stub at 100 TB.
+  * IMAGE, AUDIO and (MJPEG) VIDEO decode are REAL: [[MediaCodec.decode]]
+  * runs the JDK's own `javax.imageio` (java.desktop — PNG/JPEG/GIF/BMP
+  * readers ship with the JDK, headless-safe) to true pixel dimensions,
+  * channel count, and grid-pooled intensity features;
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM) to true sample rate, channel
+  * count, duration, and windowed-RMS energy features; and for video, the
+  * [[VideoHeaders]] RIFF/AVI walk plus per-frame ImageIO JPEG decode —
+  * MJPEG-in-AVI is exactly "one standalone JPEG per frame chunk", so the
+  * bare JDK decodes it — to true dims/fps/frame-count and a temporal
+  * mean-luminance envelope. Other video codings (H.26x etc. — no JDK
+  * decoder exists) fall back to [[MediaCodec.decodeStub]]'s deterministic
+  * fake, as do undecodable image/audio bytes, rather than failing the
+  * task. Everything around the codec seam — the schema, the
+  * `Dataset[MediaRow]` encoder, the mapPartitions batch shape (one codec
+  * context per partition, rows streamed through it), the frame-sampling
+  * explode, and the partitioning — is real Spark and is what survives when
+  * a native H.26x decoder (JNI/FFI) widens the codec set at 100 TB.
   */
 object Multimodal {
 
@@ -53,6 +56,7 @@ object Multimodal {
     def decode(row: MediaRow): DecodedRow =
       if (row.modality == "image") decodeImage(row).getOrElse(decodeStub(row))
       else if (row.modality == "audio") decodeAudio(row).getOrElse(decodeStub(row))
+      else if (row.modality == "video") decodeVideo(row).getOrElse(decodeStub(row))
       else decodeStub(row)
 
     /** Real image decode: true width/height/channels from the decoded raster
@@ -190,6 +194,79 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
 
+    /** Real video decode for MJPEG-in-AVI — the one video coding this
+      * container CAN decode with the bare JDK, because each `##dc` chunk is
+      * a standalone JPEG and ImageIO ships a JPEG reader. Container
+      * dims/timing come from the avih header ([[VideoHeaders]]); features
+      * are [[FeatureDim]] temporal windows of mean frame luminance (the
+      * video twin of audio's RMS envelope), computed over at most
+      * [[MaxDecodedFrames]] evenly-sampled frames so decode cost per row is
+      * bounded regardless of clip length. Non-AVI / non-JPEG payloads
+      * (a real deployment adds codecs behind this same seam) fall back to
+      * the stub, as do clips whose sampled frames all fail to decode.
+      */
+    val MaxDecodedFrames = 64
+
+    private def decodeVideo(row: MediaRow): Option[DecodedRow] =
+      try {
+        val info = VideoHeaders.parse(row.content)
+        val chunks = VideoHeaders.frameChunks(row.content)
+        if (info.format != "avi" || chunks.isEmpty) None
+        else {
+          val n = chunks.length
+          val sampled =
+            if (n <= MaxDecodedFrames) chunks.indices
+            else 0 until MaxDecodedFrames map (i => i * n / MaxDecodedFrames)
+          val feats = new Array[Float](FeatureDim)
+          val counts = new Array[Int](FeatureDim)
+          var decodedAny = false
+          var (w0, h0, ch0) = (info.width, info.height, 3)
+          sampled.foreach { fi =>
+            val (off, len) = chunks(fi)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.content, off, len))
+            if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+              decodedAny = true
+              if (w0 <= 0) { w0 = img.getWidth; h0 = img.getHeight }
+              ch0 = img.getColorModel.getNumComponents
+              // bounded mean-luminance pass (same stride cap as decodeImage)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val stride = math.max(1, math.max(w, h) / 64)
+              var (sum, cnt, y) = (0.0, 0, 0)
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+                  cnt += 1
+                  x += stride
+                }
+                y += stride
+              }
+              val win = math.min(FeatureDim - 1, fi * FeatureDim / n)
+              feats(win) += (sum / math.max(1, cnt)).toFloat
+              counts(win) += 1
+            }
+          }
+          if (!decodedAny) None
+          else {
+            var c = 0
+            while (c < FeatureDim) {
+              if (counts(c) > 0) feats(c) /= counts(c)
+              c += 1
+            }
+            val nFrames = if (info.nFrames > 0) info.nFrames else n
+            val durationMs =
+              if (info.usPerFrame > 0) nFrames.toLong * info.usPerFrame / 1000L else 0L
+            val meta = MediaMeta(
+              width = w0, height = h0, channels = ch0,
+              sampleRate = 0, durationMs = durationMs, nFrames = nFrames,
+              sizeBytes = row.content.length.toLong)
+            Some(DecodedRow(row.id, row.modality, meta, feats))
+          }
+        }
+      } catch { case _: Exception => None }
+
     def decodeStub(row: MediaRow): DecodedRow = {
       val bytes = row.content
       def byteAt(i: Int): Int = if (bytes.length > i) bytes(i) & 0xff else 0
@@ -298,6 +375,101 @@ object Multimodal {
     }
   }
 
+  /** REAL video-container header parsing — AVI is RIFF like WAV, so the
+    * same chunk-walk applies: LIST(hdrl) → avih main header for dims /
+    * frame timing, strl → strh+strf for the stream codec fourcc, and
+    * LIST(movi) for the frame payload chunks. Pure byte arithmetic, no
+    * decoder; unknown/corrupt content yields ("unknown", -1, …) instead of
+    * failing the task.
+    */
+  object VideoHeaders {
+    final case class VideoInfo(format: String, codec: String, width: Int,
+        height: Int, usPerFrame: Long, nFrames: Int)
+
+    private def u8(bytes: Array[Byte], i: Int): Int = bytes(i) & 0xff
+    private def le16(bytes: Array[Byte], i: Int): Int =
+      u8(bytes, i) | (u8(bytes, i + 1) << 8)
+    private def le32(bytes: Array[Byte], i: Int): Long =
+      (le16(bytes, i) | (le16(bytes, i + 2).toLong << 16)) & 0xffffffffL
+    private def tag(bytes: Array[Byte], i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && s.indices.forall(j => u8(bytes, i + j) == s(j))
+    private def fourcc(bytes: Array[Byte], i: Int): String =
+      if (bytes.length < i + 4) "????"
+      else new String(Array(bytes(i), bytes(i + 1), bytes(i + 2), bytes(i + 3)), "US-ASCII")
+
+    def isAvi(bytes: Array[Byte]): Boolean =
+      tag(bytes, 0, "RIFF") && tag(bytes, 8, "AVI ")
+
+    def parse(bytes: Array[Byte]): VideoInfo = {
+      if (!isAvi(bytes)) VideoInfo("unknown", "", -1, -1, -1L, -1)
+      else {
+        var (w, h, us, nf) = (-1, -1, -1L, -1)
+        var codec = ""
+        // walk: top-level chunks; descend ONLY into LIST(hdrl)/LIST(strl) —
+        // same clamp-and-progress discipline as AudioHeaders (sizes are
+        // untrusted; never spin, never index out of bounds)
+        def walk(from: Int, to: Int): Unit = {
+          var i = from
+          var sane = true
+          while (sane && i + 8 <= to) {
+            val size = le32(bytes, i + 4)
+            val body = i + 8
+            if (tag(bytes, i, "LIST") && body + 4 <= to) {
+              val listType = fourcc(bytes, body)
+              if (listType == "hdrl" || listType == "strl")
+                walk(body + 4, math.min(to.toLong, body + size).toInt)
+            } else if (tag(bytes, i, "avih") && size >= 40L && body + 40 <= to) {
+              us = le32(bytes, body)
+              nf = le32(bytes, body + 16).toInt
+              w = le32(bytes, body + 32).toInt
+              h = le32(bytes, body + 36).toInt
+            } else if (tag(bytes, i, "strh") && size >= 8L && body + 8 <= to) {
+              if (fourcc(bytes, body) == "vids") codec = fourcc(bytes, body + 4)
+            }
+            val step = 8L + size + (size & 1L)
+            if (i + step > to.toLong) sane = false
+            else i += step.toInt
+          }
+        }
+        walk(12, bytes.length)
+        VideoInfo("avi", codec, w, h, us, nf)
+      }
+    }
+
+    /** (offset, size) of each video-frame payload chunk (`##dc`/`##db`)
+      * inside LIST(movi) — the real frame boundaries, unlike a fixed-stride
+      * byte split. Bounded, clamped walk; empty on non-AVI bytes.
+      */
+    def frameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+      if (!isAvi(bytes)) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def isFrame(i: Int): Boolean =
+        bytes.length >= i + 4 &&
+          Character.isDigit(bytes(i).toChar) && Character.isDigit(bytes(i + 1).toChar) &&
+          bytes(i + 2).toChar == 'd' &&
+          (bytes(i + 3).toChar == 'c' || bytes(i + 3).toChar == 'b')
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        var sane = true
+        while (sane && i + 8 <= to) {
+          val size = le32(bytes, i + 4)
+          val body = i + 8
+          if (tag(bytes, i, "LIST") && body + 4 <= to) {
+            val listType = fourcc(bytes, body)
+            if (listType == "movi" || listType == "rec ")
+              walk(body + 4, math.min(to.toLong, body + size).toInt)
+          } else if (isFrame(i) && size > 0L && body + size <= to)
+            out += ((body, size.toInt))
+          val step = 8L + size + (size & 1L)
+          if (i + step > to.toLong) sane = false
+          else i += step.toInt
+        }
+      }
+      walk(12, bytes.length)
+      out.toSeq
+    }
+  }
+
   /** Ingest a directory of media files through Spark's `binaryFile` source:
     * (id, modality, content, path, size_bytes) with a deterministic id from
     * the file path (xxhash64 — stable across runs and cluster sizes). The
@@ -367,7 +539,9 @@ object Multimodal {
       .select(col("path"), col("content"))
       .withColumn("name", element_at(split(col("path"), "/"), -1))
       .withColumn("modality",
-        when(col("name").endsWith(".wav"), "audio").otherwise("image"))
+        when(col("name").endsWith(".wav"), "audio")
+          .when(col("name").endsWith(".avi"), "video")
+          .otherwise("image"))
       .select(col("name"), col("modality"), col("content"))
       .as[(String, String, Array[Byte])]
     raw.mapPartitions { it =>
@@ -375,6 +549,7 @@ object Multimodal {
         val d = MediaCodec.decode(MediaRow(0L, modality, bytes))
         val fmt =
           if (modality == "audio") AudioHeaders.parse(bytes).format
+          else if (modality == "video") VideoHeaders.parse(bytes).format
           else ImageHeaders.parse(bytes).format
         (name, modality, fmt, d.meta.width, d.meta.height, d.meta.channels,
           d.meta.sampleRate, d.meta.durationMs, d.meta.nFrames,
@@ -390,10 +565,33 @@ object Multimodal {
         posexplode(col("feats")).as(Seq("feat_idx", "feat")))
   }
 
-  /** Fixed-stride video frame sampling: explodes each binary into
-    * (id, frame_idx, frame_bytes) slices — pure native expressions, no UDF,
-    * so frame extraction stays in codegen and only the decode of each frame
-    * needs the codec seam.
+  /** REAL video frame extraction: explodes each AVI binary into
+    * (id, frame_idx, frame) rows at the container's true frame boundaries
+    * ([[VideoHeaders.frameChunks]]), taking every `everyNth` frame. For
+    * MJPEG each emitted `frame` is a standalone JPEG, so downstream the
+    * rows feed straight back through the IMAGE path
+    * (`decode` with modality "image") — video processing composes out of
+    * the container walk plus the existing image machinery, no new decoder.
+    * Non-AVI rows emit nothing (corrupt inputs must not fail the task).
+    */
+  def videoFrames(media: Dataset[MediaRow], everyNth: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.content
+        VideoHeaders.frameChunks(bytes).zipWithIndex.iterator.collect {
+          case ((off, len), idx) if idx % everyNth == 0 =>
+            (r.id, idx, java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      }
+    }.toDF("id", "frame_idx", "frame")
+  }
+
+  /** Fixed-stride frame sampling for RAW (constant-frame-size) payloads:
+    * explodes each binary into (id, frame_idx, frame_bytes) slices — pure
+    * native expressions, no UDF, so the extraction stays in codegen; for
+    * container formats with real frame boundaries use [[videoFrames]].
     */
   def sampleFrames(media: DataFrame, contentCol: String, idCol: String,
       frameBytes: Int, everyNth: Int): DataFrame = {

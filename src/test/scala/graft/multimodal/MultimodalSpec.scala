@@ -307,12 +307,88 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 100))
   }
 
+  test("decode runs a REAL MJPEG video decode: RIFF walk + per-frame ImageIO") {
+    // 16 constant-gray JPEG frames ramping black → white in a hand-built
+    // AVI — written by the same JDK JPEG encoder whose decoder reads it
+    val avi = FixtureGen.mjpegAvi(32, 24, 8, (0 until 16).map { i =>
+      val v = i * 255 / 15
+      FixtureGen.jpegFrame(32, 24)((_, _) => (v << 16) | (v << 8) | v)
+    })
+    // container parse agrees with what the writer put in avih/strh
+    val info = VideoHeaders.parse(avi)
+    assert(info === VideoHeaders.VideoInfo("avi", "MJPG", 32, 24, 125000L, 16))
+    assert(VideoHeaders.frameChunks(avi).length === 16)
+
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "video", avi),
+      MediaRow(2L, "video", Array[Byte](1, 2, 3)))) // non-AVI → stub fallback
+    val out = decode(ds).collect().map(r => r.id -> r).toMap
+    val v = out(1L)
+    assert((v.meta.width, v.meta.height, v.meta.channels) === ((32, 24, 3)))
+    assert(v.meta.nFrames === 16)
+    assert(v.meta.durationMs === 2000L) // 16 frames @ 8 fps
+    assert(v.meta.sampleRate === 0)
+    // 16 frames over FeatureDim=16 windows: window i sees exactly frame i,
+    // whose constant gray decodes near-losslessly (DC-only JPEG blocks) —
+    // the temporal luminance envelope ramps ~i/15
+    val f = v.features
+    assert(f.length === MediaCodec.FeatureDim)
+    f.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(x - i / 15.0f) < 0.02f, s"window $i: $x vs ${i / 15.0f}")
+    }
+    // stub fallback keeps the pipeline total
+    assert(out(2L).meta.sizeBytes === 3L)
+  }
+
+  test("videoFrames explodes real AVI frame boundaries; frames re-decode as images") {
+    val avi = FixtureGen.mjpegAvi(16, 12, 4, (0 until 6).map { i =>
+      val v = if (i % 2 == 0) 0xffffff else 0x000000
+      FixtureGen.jpegFrame(16, 12)((_, _) => v)
+    })
+    val ds = spark.createDataset(Seq(MediaRow(5L, "video", avi)))
+    val frames = videoFrames(ds, everyNth = 2).orderBy("frame_idx")
+    val rows = frames.as[(Long, Int, Array[Byte])].collect()
+    assert(rows.map(_._2).toSeq === Seq(0, 2, 4)) // every 2nd of 6 frames
+    // each emitted frame is a standalone JPEG the IMAGE path really decodes
+    val decoded = decode(frames.select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("image").as("modality"),
+        org.apache.spark.sql.functions.col("frame").as("content"))
+      .as[MediaRow]).collect()
+    assert(decoded.length === 3)
+    assert(decoded.forall(r => r.meta.width === 16 && r.meta.height === 12))
+    assert(decoded.forall(_.features.forall(f => f > 0.97f))) // sampled = white frames
+    // corrupt bytes emit zero frames, not an exception
+    assert(videoFrames(spark.createDataset(Seq(
+      MediaRow(6L, "video", Array[Byte](9, 9, 9))))).count() === 0L)
+  }
+
+  test("VideoHeaders walks never hang or throw on corrupt chunk sizes") {
+    def avi(size: Long): Array[Byte] = {
+      val b = new Array[Byte](40)
+      "RIFF".getBytes("ASCII").copyToArray(b, 0)
+      "AVI ".getBytes("ASCII").copyToArray(b, 8)
+      "LIST".getBytes("ASCII").copyToArray(b, 12)
+      for (j <- 0 until 4) b(16 + j) = ((size >> (8 * j)) & 0xff).toByte
+      "movi".getBytes("ASCII").copyToArray(b, 20)
+      "00dc".getBytes("ASCII").copyToArray(b, 24)
+      for (j <- 0 until 4) b(28 + j) = ((size >> (8 * j)) & 0xff).toByte
+      b
+    }
+    for (bad <- Seq(0xFFFFFFF8L, 0x80000000L, 0x7FFFFFFFL)) {
+      assert(VideoHeaders.parse(avi(bad)).format === "avi")
+      assert(VideoHeaders.frameChunks(avi(bad)).isEmpty) // clamped, no OOB slice
+    }
+    assert(VideoHeaders.parse(Array.empty[Byte]).format === "unknown")
+    assert(VideoHeaders.frameChunks(Array.empty[Byte]).isEmpty)
+  }
+
   test("committed fixtures decode to the committed expected table (q121 twin)") {
     val dir = new java.io.File("fixtures/multimodal")
     assert(dir.isDirectory, "committed fixture directory missing")
     val fresh = Multimodal.decodeDirTable(spark, dir.getAbsolutePath)
     val expected = spark.read.parquet("fixtures/multimodal_expected.parquet")
-    assert(fresh.count() === 5L * MediaCodec.FeatureDim)
+    assert(fresh.count() === 6L * MediaCodec.FeatureDim)
     assert(fresh.except(expected).isEmpty && expected.except(fresh).isEmpty,
       "decode output drifted from the committed expected table — " +
         "regenerate via graft.multimodal.FixtureGen ONLY if the change is intended")
@@ -326,6 +402,11 @@ class MultimodalSpec extends SparkSpec {
     assert(byName("black.bmp").forall(_ === 0.0))
     assert(byName("tone440.wav").forall(f => f > 0.35 && f < 0.36))
     assert(byName("steps.wav").takeRight(4).forall(_ === 0.0))
+    // ramp16.avi: 16 constant-gray MJPEG frames black → white, one per
+    // temporal window — the luminance envelope ramps ~i/15
+    byName("ramp16.avi").zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(x - i / 15.0) < 0.02, s"avi window $i: $x")
+    }
   }
 
   test("resizeMeta caps dimensions, preserves struct shape") {
