@@ -15,7 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); read as long, converted in Tables.events
+      // older testdata generations write events.ts as TIMESTAMP(NANOS) — read
+    // as long, converted in Tables.events (schema-adaptive; harmless when
+    // the data is native timestamp[us])
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,21 +64,60 @@ object Sketches {
     */
   def bloomFlag(df: DataFrame, col0: String, bf: BloomFilter,
       flagCol: String = "in_bloom"): DataFrame = {
-    // Native BloomFilterMightContain (the expression Catalyst's
-    // InjectRuntimeFilter plants) instead of a Scala UDF: the probe stays
-    // inside whole-stage codegen, and the serialized filter rides the
-    // stage's broadcast task binary as a literal — one copy per executor,
-    // same distribution cost as the old explicit broadcast.
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    // Native codegen probe over an EXPLICIT broadcast — not a Scala UDF
+    // (boxes every row, breaks the whole-stage-codegen span on the probe
+    // scan) and not Spark's BloomFilterMightContain-over-a-Literal (a
+    // megabyte filter inlined as a plan literal gets re-walked by every
+    // canonicalization/equality pass and re-serialized into every stage
+    // that references the probe subtree — measured 2x on the incremental
+    // dedup gate). The broadcast ships the filter once per executor and
+    // the plan carries only the handle.
+    val bcast = df.sparkSession.sparkContext.broadcast(bf)
     val probe = org.apache.spark.sql.GraftSqlBridge.columnOf(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal.create(
-          bos.toByteArray,
-          org.apache.spark.sql.types.BinaryType),
+      BloomMightContainBcast(bcast,
         org.apache.spark.sql.GraftSqlBridge.exprOf(col(col0).cast("long"))))
-    // the old UDF mapped a NULL key to false; might_contain yields NULL
+    // NULL keys flag false (a NULL is never "in" the filter)
     df.withColumn(flagCol, coalesce(probe, lit(false)))
+  }
+
+  /** Codegen'd Bloom-membership probe bound to a broadcast filter: the
+    * generated code resolves the broadcast once per partition into a local
+    * field and calls `mightContainLong` per row — the probe stays inside
+    * whole-stage codegen with a constant-size plan node.
+    */
+  case class BloomMightContainBcast(
+      bcast: org.apache.spark.broadcast.Broadcast[BloomFilter],
+      child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom probe key must be LongType, got ${child.dataType}")
+
+    override def prettyName: String = "bloom_might_contain"
+
+    @transient private lazy val filter: BloomFilter = bcast.value
+
+    override protected def nullSafeEval(input: Any): Any =
+      filter.mightContainLong(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcastRef = ctx.addReferenceObj("bloomBcast", bcast,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val bfVar = ctx.addMutableState(
+        classOf[BloomFilter].getName, "bloomFilter",
+        v => s"$v = (${classOf[BloomFilter].getName}) $bcastRef.value();")
+      defineCodeGen(ctx, ev, c => s"$bfVar.mightContainLong($c)")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+      copy(child = newChild)
   }
 
   /** Mergeable HLL sketches (Apache DataSketches, Spark's `hll_sketch_agg`

@@ -179,7 +179,7 @@ class PlanQualitySpec extends SparkSpec {
     val bf = operators.Sketches.bloomFilter(keys.filter("doc_id % 2 = 0"), "doc_id", 1000L)
     val flagged = operators.Sketches.bloomFlag(keys, "doc_id", bf)
     val p = flagged.queryExecution.executedPlan.toString
-    assert(p.contains("might_contain"), s"probe not native:\n$p")
+    assert(p.contains("bloom_might_contain"), s"probe not native:\n$p")
     assert(!p.contains("UDF"), s"probe fell back to a UDF:\n$p")
     // semantics: no false negatives, NULL-safe false
     val hits = flagged.filter("in_bloom").select("doc_id").collect().map(_.getLong(0)).toSet
