@@ -19,6 +19,43 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb dedup stage that
+    * strips navigation menus, cookie banners and footers): a line that
+    * occurs — byte-identical after trimming — in at least `minDocs`
+    * DISTINCT documents is dropped from every document; surviving lines
+    * keep their original order. Returns (doc_id, clean) with one row per
+    * input document (a fully-boilerplate document keeps an empty string —
+    * dropping rows is the caller's policy decision, not this operator's).
+    *
+    * Scale shape: lines shuffle on their md5 hash (never the raw line
+    * bytes) for the distinct-doc count with map-side partial aggregation,
+    * the verdict joins back on the same hash key, and the reassembly
+    * groups on doc_id — three bounded-key exchanges, no driver state, no
+    * all-pairs anything; duplicate lines WITHIN one document count that
+    * document once but are each kept/dropped by the global verdict.
+    */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", md5(trim(col("line"))))
+    val verdict = lines.select("doc_id", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs) // boilerplate hashes only: the join
+      .select(col("lh"), lit(true).as("drop")) //   side stays small-ish
+    lines.join(verdict, Seq("lh"), "left")
+      .groupBy("doc_id")
+      // collect_list skips nulls, so dropped lines vanish while the doc's
+      // row survives — a fully-boilerplate document reassembles to ""
+      .agg(array_sort(collect_list(
+        when(col("drop").isNull, struct(col("pos"), col("line"))))).as("kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), k => k("line")), delim).as("clean"))
+  }
+
   /** Fixed MinHash permutation parameters (aᵢ·tid + bᵢ) mod P. */
   final case class Perm(a: Long, b: Long)
   val DefaultPerms: Seq[Perm] = Seq(

@@ -589,6 +589,28 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // line-level boilerplate removal (the CCNet/RefinedWeb stage): a line
+    // occurring in >= 5 distinct docs is dropped everywhere, order kept.
+    // The synthetic corpus is single-line, so both sides first build the
+    // same line structure deterministically (the q67 injection pattern):
+    // body tokens wrapped every 10 into lines, a banner line prepended to
+    // every 3rd doc and a footer appended to every 2nd — the operator must
+    // strip exactly the injected boilerplate and keep every body line.
+    "q122_line_dedup" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val body = array_join(transform(
+        sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n")
+      val lined = concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+        body,
+        when(col("doc_id") % 2 === 0, lit("all rights reserved example footer")))
+      graft.operators.Dedup.dropBoilerplateLines(
+          Tables(s, d).documents.select(col("doc_id"), lined.as("text")),
+          "text", "doc_id", minDocs = 5)
+        .orderBy("doc_id")
+    }),
+
     // deterministic epoch shuffle: global training position as a pure
     // function of (doc_id, salt) via the distributed md5 rank — no
     // single-task sort, no rand() irreproducibility
@@ -1464,6 +1486,30 @@ object Pipeline {
          |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM s)
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q122_line_dedup" ->
+      // replay the line construction (10-token body lines + banner on every
+      // 3rd doc + footer on every 2nd), then the boilerplate verdict: a
+      // trimmed-identical line in >= 5 distinct docs is dropped everywhere,
+      // survivors keep document order; an all-boilerplate doc yields ''
+      s"""WITH w0 AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |b AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, 1 + (len(toks) - 1) // 10),
+         |    i -> array_to_string(toks[i*10+1 : i*10+10], ' ')), chr(10)) AS body FROM w0),
+         |w AS (SELECT doc_id, concat_ws(chr(10),
+         |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+         |    body,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved example footer' END) AS text
+         |  FROM b),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM w),
+         |l AS (SELECT doc_id, CAST(u.i AS INT) AS pos, lines[CAST(u.i AS INT)] AS line
+         |  FROM ls, unnest(range(1, len(lines) + 1)) AS u(i)),
+         |h AS (SELECT doc_id, pos, line, md5(trim(line)) AS lh FROM l),
+         |v AS (SELECT lh FROM (
+         |  SELECT lh, count(DISTINCT doc_id) AS nd FROM h GROUP BY lh) WHERE nd >= 5)
+         |SELECT h.doc_id, coalesce(array_to_string(
+         |    list(h.line ORDER BY h.pos) FILTER (WHERE v.lh IS NULL), chr(10)), '') AS clean
+         |FROM h LEFT JOIN v USING (lh)
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
   )
 }

@@ -171,6 +171,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q122 line dedup: verdict on line hashes, partial agg, no cross join") {
+    // the boilerplate verdict must aggregate md5 line-hashes (partial+final,
+    // never raw line bytes as the shuffle key payload beyond the hash) and
+    // the verdict join must not degenerate to a cartesian
+    val p = executedPlan("q122_line_dedup")
+    assert(!p.contains("CartesianProduct"), s"line-dedup went all-pairs:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("explicit bloom probe (bloomFlag) is native might_contain, not a UDF") {
     // the probe side of incremental dedup scans the full batch — a Scala
     // UDF there breaks the whole-stage-codegen span on the hottest column

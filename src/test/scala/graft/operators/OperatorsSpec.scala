@@ -43,6 +43,36 @@ class DedupSpec extends SparkSpec {
     assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("dropBoilerplateLines strips cross-doc lines, keeps order, handles edge docs") {
+    val banner = "subscribe now"
+    val lined = Seq(
+      (1L, s"$banner\nalpha one\nbeta two"),
+      (2L, s"$banner\ngamma three"),
+      (3L, s"$banner\ndelta four\n$banner"), // within-doc duplicate boilerplate
+      (4L, s"shared twice\nepsilon five"),
+      (5L, s"shared twice\nzeta six"),       // "shared twice" in only 2 docs < minDocs
+      (6L, banner)                           // all-boilerplate doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(lined, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out.size === 6) // one row per input doc, always
+    assert(out(1L) === "alpha one\nbeta two")     // order preserved
+    assert(out(2L) === "gamma three")
+    assert(out(3L) === "delta four")              // both copies dropped
+    assert(out(4L) === "shared twice\nepsilon five") // below threshold: kept
+    assert(out(5L) === "shared twice\nzeta six")
+    assert(out(6L) === "")                        // fully boilerplate → empty
+    // trimming unifies padded copies: "  subscribe now  " counts as banner
+    val padded = lined.unionByName(Seq((7L, s"  $banner  \neta seven")).toDF("doc_id", "text"))
+    val out2 = Dedup.dropBoilerplateLines(padded, "text", "doc_id", minDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out2(7L) === "eta seven")
+    // determinism under repartitioning
+    val out3 = Dedup.dropBoilerplateLines(lined.repartition(7), "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out3 === out)
+  }
+
   test("minHashLsh finds exact pair with jaccard 1.0 and near pair high") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
