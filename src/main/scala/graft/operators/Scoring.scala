@@ -67,6 +67,54 @@ object Scoring {
           4).as("nll"))
   }
 
+  /** Bigram-LM perplexity — the next step up the n-gram ladder from
+    * [[unigramLogLoss]] toward the 5-gram KenLM filters CCNet-style
+    * pipelines run: fit p(tok | prev) = (c(prev,tok) + 1) / (c(prev) + V)
+    * on the corpus itself (add-one smoothed over the corpus vocabulary V),
+    * score each document by the mean −ln p over its token TRANSITIONS.
+    * Context-aware: a doc of common tokens in an unusual ORDER scores high
+    * where the unigram model sees nothing wrong. Documents with < 2 tokens
+    * have no transitions and are excluded — route them separately.
+    *
+    * Scale shape: one pass builds the transition pairs natively (indexed
+    * `transform` + explode — no UDF, no self-join of the token table);
+    * bigram and context counts are term-partitioned aggregates with
+    * map-side combine; the vocabulary size rides a one-row broadcast; the
+    * scoring joins key on (prev, tok) / prev with no broadcast assumption
+    * on the vocabulary (AQE picks the strategy). Same order-free integer
+    * sum as [[unigramLogLoss]]: per-transition logprob rounded to 6 dp,
+    * lifted ×1e6 to exact integers, summed, divided once, rounded once.
+    *
+    * Returns (doc_id, n_transitions, nll), one row per doc with ≥ 2 tokens.
+    */
+  def bigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withToks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val pairs = withToks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(2), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 1).as("prev"),
+          element_at(col("toks"), i).as("tok")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
+    val bigram = pairs.groupBy("prev", "tok").agg(count(lit(1)).cast("double").as("bc"))
+    // c(prev) = Σ_tok c(prev,tok): derived from the (small) bigram-type
+    // table, not by a second aggregate over the (large) transition table —
+    // and attached to it before scoring, so the transition table pays ONE
+    // join on (prev, tok) instead of one per model column
+    val model = bigram.join(
+      bigram.groupBy("prev").agg(sum("bc").as("cc")), Seq("prev"))
+    val vocab = withToks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    pairs.join(model, Seq("prev", "tok"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_transitions"),
+        round(
+          sum(round(round(-log((col("bc") + 1.0) / (col("cc") + col("v"))), 6) * 1e6, 0).cast("long"))
+            .cast("double") / (lit(1e6) * count(lit(1)).cast("double")),
+          4).as("nll"))
+  }
+
   /** DSIR-style importance score per document: the mean per-token log
     * ratio ln p_target(t) − ln p_corpus(t) between a target-domain unigram
     * LM (rows matching `targetFilter`) and the whole-corpus unigram LM,

@@ -611,6 +611,16 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // bigram-LM perplexity (context-aware quality signal — the n-gram step
+    // toward CCNet's KenLM filter): corpus-fit add-one-smoothed
+    // p(tok|prev), per-doc mean -ln p over transitions, integer-summed for
+    // engine portability like q101/q102
+    "q123_bigram_ppl" -> ((s, d) => {
+      graft.operators.Scoring.bigramLogLoss(
+          Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // deterministic epoch shuffle: global training position as a pure
     // function of (doc_id, salt) via the distributed md5 rank — no
     // single-task sort, no rand() irreproducibility
@@ -1510,6 +1520,24 @@ object Pipeline {
          |SELECT h.doc_id, coalesce(array_to_string(
          |    list(h.line ORDER BY h.pos) FILTER (WHERE v.lh IS NULL), chr(10)), '') AS clean
          |FROM h LEFT JOIN v USING (lh)
-         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "q123_bigram_ppl" ->
+      // replay bigramLogLoss: transition pairs, add-one-smoothed
+      // p(tok|prev) over the corpus vocabulary, per-doc mean -ln p as the
+      // q101 exact integer sum (order-free; single division + final round)
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |pr AS (SELECT doc_id, toks[CAST(u.i - 1 AS INT)] AS prev,
+         |    toks[CAST(u.i AS INT)] AS tok
+         |  FROM w, unnest(range(2, len(toks) + 1)) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |bc AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS bc FROM pr GROUP BY 1, 2),
+         |cc AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cc FROM pr GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+         |  SELECT unnest(toks) AS tok FROM w))
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  round(CAST(sum(CAST(round(round(-ln((bc.bc + 1) / (cc.cc + v.v)), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / (1e6 * count(*)), 4) AS nll
+         |FROM pr p JOIN bc USING (prev, tok) JOIN cc USING (prev) CROSS JOIN v
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   )
 }

@@ -181,23 +181,32 @@ object WcojJoin {
     }
     if (needDict.isEmpty) return leapfrogCatalyst(spark, relations, attrOrder)
 
-    // per-attribute dictionary: (value, dense code). The RDD (not the
-    // DataFrame) is persisted: it feeds one encode join per carrying
-    // relation plus the decode join, and RDD-level persistence is tracked
-    // by the context cleaner, so the blocks are reclaimed once the result
-    // and dictionaries become unreachable — a DataFrame-level persist
-    // would pin them in the CacheManager for the application lifetime.
-    val dicts: Map[String, DataFrame] = needDict.iterator.map { a =>
-      val dt = attrTypes(a).head
-      val vals = relations.collect { case (df, attrs) if attrs.contains(a) =>
-        df.select(col(a).as("__val")).filter(col("__val").isNotNull)
-      }.reduce(_ union _).distinct().orderBy("__val")
-      val withId = vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dict = spark.createDataFrame(withId, StructType(Seq(
-        StructField("__val", dt), StructField("__code", LongType, nullable = false))))
-      a -> dict
-    }.toMap
+    // ONE shared dictionary per key dtype, not one per attribute: codes
+    // only need to mean the same value everywhere, so attributes of the
+    // same type can share — and in the common pattern-matching case
+    // (triangle/cycle over one edge table) the per-attribute domains
+    // overlap almost entirely, so separate dictionaries would re-sort the
+    // same values once per attribute (measured: 3 sort+zipWithIndex rounds
+    // for a string triangle where 1 suffices). The RDD (not the DataFrame)
+    // is persisted: it feeds one encode join per carrying relation plus
+    // the decode join, and RDD-level persistence is tracked by the context
+    // cleaner, so the blocks are reclaimed once the result and
+    // dictionaries become unreachable — a DataFrame-level persist would
+    // pin them in the CacheManager for the application lifetime.
+    val dictByType: Map[org.apache.spark.sql.types.DataType, DataFrame] =
+      needDict.groupBy(a => attrTypes(a).head).map { case (dt, attrs) =>
+        val vals = relations.collect { case (df, rAttrs) if rAttrs.exists(attrs) =>
+          rAttrs.filter(attrs).map(a =>
+            df.select(col(a).as("__val")).filter(col("__val").isNotNull))
+        }.flatten.reduce(_ union _).distinct().orderBy("__val")
+        val withId = vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dict = spark.createDataFrame(withId, StructType(Seq(
+          StructField("__val", dt), StructField("__code", LongType, nullable = false))))
+        dt -> dict
+      }
+    val dicts: Map[String, DataFrame] =
+      needDict.iterator.map(a => a -> dictByType(attrTypes(a).head)).toMap
 
     val encoded = relations.map { case (df, attrs) =>
       val enc = attrs.filter(needDict).foldLeft(df) { (d, a) =>

@@ -68,6 +68,33 @@ class ScoringSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3) // rare-token doc is "surprising"
   }
 
+  test("bigramLogLoss: unusual token ORDER scores high where unigrams cannot see it") {
+    // corpus transitions: "a b" ×3 docs and one doc "b a" — same unigram
+    // bag, reversed order. bigram counts: (a,b)=3, (b,a)=1; contexts:
+    // c(a)=3, c(b)=1; vocab V=2.
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "b a"),   // common tokens, rare ORDER -> highest bigram nll
+      (5L, "a")      // single token: no transitions, excluded
+    ).toDF("doc_id", "text")
+    val out = Scoring.bigramLogLoss(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L)) // doc 5 excluded
+    assert(out.map(_._2).toSeq === Seq(1L, 1L, 1L, 1L))
+    def nll(bc: Double, cc: Double) = {
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(r6(-math.log((bc + 1) / (cc + 2.0))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0)._3 === nll(3, 3)) // p(b|a) = 4/5
+    assert(out(3)._3 === nll(1, 1)) // p(a|b) = 2/3
+    assert(out(3)._3 > out(0)._3)   // reversed-order doc is "surprising"
+    // determinism under repartitioning (the integer-sum recipe)
+    val again = Scoring.bigramLogLoss(df.repartition(5), "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("importanceLogRatio: target-domain docs score positive, off-domain negative") {
     // target = category 't' docs; token 'x' is target-heavy, 'y' corpus-only
     val df = Seq(
