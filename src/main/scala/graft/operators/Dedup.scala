@@ -328,6 +328,65 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_windows"), 6))
   }
 
+  /** Duplicate-SPAN removal — the rewrite counterpart of [[dupSpanStats]]
+    * (which only reports): the "deduplicate training data" semantics of
+    * Lee et al. 2022 at k-token-window granularity. Every k-window is
+    * hashed; for each hash the lexicographically first occurrence
+    * (doc_id, start) is canonical and every other occurrence is a
+    * duplicate; a TOKEN is removed iff it is covered by at least one
+    * duplicate window and by no canonical window — so exactly one copy of
+    * every repeated span survives, boundary tokens shared with unique
+    * text survive, and a document that fully duplicates an earlier one
+    * reassembles to ''. Documents shorter than k carry no windows and
+    * pass through untouched.
+    *
+    * Scale shape: windows shuffle once on the window hash for the
+    * first-occurrence aggregate (map-side combined min-struct), flagged
+    * occurrences group back to one row per document, and the per-token
+    * keep mask is evaluated INSIDE that row with array HOFs — O(n·w)
+    * work bounded by document length, zero additional shuffle, instead of
+    * exploding a k-times-larger (doc, position) coverage table through
+    * the exchange. A true suffix-array build (exact maximal repeats, not
+    * k-windows) needs global order infrastructure Spark does not give
+    * you cheaply; window granularity is the Spark-native approximation.
+    *
+    * Returns (doc_id, clean, n_removed), one row per input document.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val wins = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(i.as("ws"),
+          md5(array_join(slice(col("toks"), i, lit(k)), " ")).as("wh")))).as("w"))
+      .select(col("doc_id"), col("w.ws").as("ws"), col("w.wh").as("wh"))
+    val first = wins.groupBy("wh")
+      .agg(min(struct(col("doc_id"), col("ws"))).as("keep"))
+    val perDoc = wins.join(first, Seq("wh"))
+      .withColumn("dup",
+        !(col("keep.doc_id") === col("doc_id") && col("keep.ws") === col("ws")))
+      .groupBy("doc_id").agg(
+        collect_list(when(col("dup"), col("ws"))).as("dups"),
+        collect_list(when(!col("dup"), col("ws"))).as("goods"))
+    def covers(starts: Column, p: Column): Column =
+      exists(starts, s => s <= p && p < s + k)
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("dups"), array().cast("array<int>")).as("dups"),
+        coalesce(col("goods"), array().cast("array<int>")).as("goods"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        filter(
+          transform(sequence(lit(1), size(col("toks"))),
+            p => struct(p.as("p"), element_at(col("toks"), p).as("t"))),
+          s => covers(col("goods"), s("p")) || !covers(col("dups"), s("p"))).as("kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), s => s("t")), " ").as("clean"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Incremental dedup: filter a NEW batch against an already-ingested
     * corpus, plus within-batch exact dedup — the every-crawl-cycle operation
     * (dedup the new snapshot against everything kept so far) that full-corpus

@@ -611,6 +611,16 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // duplicate-span REMOVAL (the rewrite counterpart of q103's stats —
+    // Lee et al. 2022 semantics at 10-token-window granularity): one copy
+    // of every repeated span survives, later occurrences are cut, docs
+    // shorter than the window pass through
+    "q124_span_dedup" -> ((s, d) => {
+      graft.operators.Dedup.removeDuplicateSpans(
+          Tables(s, d).documents, "text", "doc_id", k = 10)
+        .orderBy("doc_id")
+    }),
+
     // bigram-LM perplexity (context-aware quality signal — the n-gram step
     // toward CCNet's KenLM filter): corpus-fit add-one-smoothed
     // p(tok|prev), per-doc mean -ln p over transitions, integer-summed for
@@ -1538,6 +1548,30 @@ object Pipeline {
          |  round(CAST(sum(CAST(round(round(-ln((bc.bc + 1) / (cc.cc + v.v)), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
          |    / (1e6 * count(*)), 4) AS nll
          |FROM pr p JOIN bc USING (prev, tok) JOIN cc USING (prev) CROSS JOIN v
-         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "q124_span_dedup" ->
+      // replay removeDuplicateSpans: 10-token window hashes, lexicographic
+      // first occurrence canonical, token kept iff covered by a canonical
+      // window or by no duplicate window; short docs carry no windows
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |wins AS (SELECT doc_id, CAST(u.i AS INT) AS ws,
+         |    md5(array_to_string(toks[CAST(u.i AS INT) : CAST(u.i + 9 AS INT)], ' ')) AS wh
+         |  FROM w, unnest(range(1, len(toks) - 10 + 2)) AS u(i)
+         |  WHERE len(toks) >= 10),
+         |fl AS (SELECT doc_id, ws,
+         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, ws) > 1 AS dup FROM wins),
+         |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p, toks[CAST(u.i AS INT)] AS t
+         |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |cov AS (SELECT pos.doc_id, pos.p, pos.t,
+         |    coalesce(bool_or(NOT fl.dup), false) AS good,
+         |    coalesce(bool_or(fl.dup), false) AS hasdup
+         |  FROM pos LEFT JOIN fl ON fl.doc_id = pos.doc_id
+         |    AND fl.ws <= pos.p AND pos.p < fl.ws + 10
+         |  GROUP BY pos.doc_id, pos.p, pos.t)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(
+         |    list(t ORDER BY p) FILTER (WHERE good OR NOT hasdup), ' '), '') AS clean,
+         |  CAST(count(*) FILTER (WHERE NOT (good OR NOT hasdup)) AS BIGINT) AS n_removed
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

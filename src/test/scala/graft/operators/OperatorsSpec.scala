@@ -73,6 +73,86 @@ class DedupSpec extends SparkSpec {
     assert(out3 === out)
   }
 
+  test("removeDuplicateSpans cuts later span copies, keeps boundaries and short docs") {
+    val spans = Seq(
+      (1L, "a b c d e f g h"),           // canonical: every window first here
+      (2L, "a b c d e f g h"),           // full duplicate of doc 1
+      (3L, "x y a b c d e f g h z"),     // shares doc 1's run with unique edges
+      (4L, "p q")                        // shorter than k: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(spans, "text", "doc_id", k = 3)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === (("a b c d e f g h", 0L)))  // first occurrence untouched
+    assert(out(2L) === (("", 8L)))                 // full dup emptied
+    // doc 3 windows: starts 1,2 (contain x/y) and 9 (contains z) are
+    // canonical and cover positions 1-4 and 9-11; duplicate windows
+    // (starts 3..8 = doc 1's) cover 3-10 → positions 5..8 (c d e f) are
+    // dup-only and cut; boundary tokens a b / g h survive
+    assert(out(3L) === (("x y a b g h z", 4L)))
+    assert(out(4L) === (("p q", 0L)))              // short doc passes through
+    // within-doc repetition: "m n o" ×3 — windows 1..3 are canonical and
+    // cover 1-5, later repeats are dup-only from position 6 on
+    val rep = Seq((9L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(rep, "text", "doc_id", k = 3)
+      .as[(Long, String, Long)].collect().head
+    assert(r === ((9L, "m n o m n", 4L)))
+    // determinism under repartitioning
+    val again = Dedup.removeDuplicateSpans(spans.repartition(5), "text", "doc_id", k = 3)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(again === out)
+  }
+
+  test("removeDuplicateSpans agrees with a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(1234)
+    def refSpans(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val toks = docs.sortBy(_._1).map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val firstSeen = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+      for ((id, ts) <- toks; ws <- 1 to ts.length - k + 1) {
+        val w = ts.slice(ws - 1, ws - 1 + k)
+        if (!firstSeen.contains(w)) firstSeen(w) = (id, ws)
+      }
+      toks.map { case (id, ts) =>
+        val n = ts.length
+        val wins = (1 to n - k + 1).map(ws =>
+          ws -> (firstSeen(ts.slice(ws - 1, ws - 1 + k)) == (id, ws)))
+        def covered(p: Int, good: Boolean) =
+          wins.exists { case (ws, g) => g == good && ws <= p && p < ws + k }
+        val kept = (1 to n).filter(p => covered(p, good = true) || !covered(p, good = false))
+        id -> ((kept.map(p => ts(p - 1)).mkString(" "), (n - kept.size).toLong))
+      }.toMap
+    }
+    for (trial <- 1 to 3) {
+      // tiny vocabulary forces heavy window collisions within and across docs
+      val vocab = Vector("a", "b", "c")
+      val docs = (1L to 8L).map(id =>
+        id -> Seq.fill(2 + rnd.nextInt(14))(vocab(rnd.nextInt(3))).mkString(" "))
+      val out = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id", k = 3)
+        .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(out === refSpans(docs, 3), s"trial $trial on $docs")
+    }
+  }
+
+  test("dropBoilerplateLines agrees with a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(5678)
+    def refLines(docs: Seq[(Long, String)], minDocs: Int): Map[Long, String] = {
+      val lines = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+      val counts = lines.flatMap { case (id, ls) => ls.map(_.trim).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      lines.map { case (id, ls) =>
+        id -> ls.filter(l => counts(l.trim) < minDocs).mkString("\n")
+      }.toMap
+    }
+    val pool = Vector("alpha beta", "gamma", "  alpha beta  ", "delta epsilon", "zeta", "eta theta")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 7L).map(id =>
+        id -> Seq.fill(1 + rnd.nextInt(5))(pool(rnd.nextInt(pool.size))).mkString("\n"))
+      val minDocs = 2 + rnd.nextInt(2)
+      val out = Dedup.dropBoilerplateLines(docs.toDF("doc_id", "text"), "text", "doc_id", minDocs)
+        .as[(Long, String)].collect().toMap
+      assert(out === refLines(docs, minDocs), s"trial $trial minDocs=$minDocs on $docs")
+    }
+  }
+
   test("minHashLsh finds exact pair with jaccard 1.0 and near pair high") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
