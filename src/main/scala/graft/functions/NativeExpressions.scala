@@ -448,6 +448,48 @@ case class TokenRunScrub(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer — canonical
+  * composition: decomposed "e" + U+0301 becomes "é") as a codegen'd
+  * expression. Multilingual crawls mix composed and decomposed encodings
+  * of the same text, which breaks every byte-keyed stage upstream of it —
+  * exact dedup, fingerprints, token ids — so pipelines normalize FIRST.
+  * Zero shuffle (a per-row fact); the fast path skips the (allocating)
+  * normalizer entirely for pure-ASCII rows, which at web-corpus skew is
+  * most of them.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc expects string, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc"
+
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII bytes are NFC by construction — return the input buffer as-is
+    if (s.isFullAscii) s
+    else {
+      val j = s.toString
+      if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcExpr", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.normalize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Highest multiplicity among the token n-grams of one document (n-grams
   * joined by single spaces, matching the zip_with+concat chain): the
   * per-row core of intra-document repetition stats. Replaces an
@@ -699,6 +741,10 @@ object NativeExpressions {
     org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k, idBytes = 8))
 
+  def nfcNormalizeNative(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(NfcNormalize(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(text)))
+
   def scrubRunsNative(tokens: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(TokenRunScrub(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens)))
@@ -745,6 +791,8 @@ object NativeExpressions {
       "char_ngrams", exprs => CharNgrams(exprs(0), intLit(exprs(1), "char_ngrams")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "scrub_runs", exprs => TokenRunScrub(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc", exprs => NfcNormalize(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_max_count",
       exprs => NgramMaxCount(exprs(0), intLit(exprs(1), "ngram_max_count")), "built-in")

@@ -611,6 +611,39 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization (codegen'd java.text.Normalizer): the
+    // corpus is ASCII, so both sides append the same DECOMPOSED suffix
+    // (e + U+0301, u + U+0308) — the normalized output must compose it
+    // to é/ü, shrinking the codepoint count by exactly 2 per doc
+    "q126_nfc_normalize" -> ((s, d) => {
+      val dirty = concat(col("text"), lit(" cafe\u0301 u\u0308ber"))
+      Tables(s, d).documents.select(col("doc_id"),
+          graft.functions.NativeExpressions.nfcNormalizeNative(dirty).as("norm"),
+          (length(dirty) - length(
+            graft.functions.NativeExpressions.nfcNormalizeNative(dirty)))
+            .cast("long").as("n_composed"))
+        .orderBy("doc_id")
+    }),
+
+    // URL decomposition + blocklist verdict over a synthesized crawl
+    // manifest (the corpus has no URL column, so both sides derive the
+    // same deterministic URL from source/doc_id — the q67 injection
+    // pattern); exercises native parse_url, the registrable-domain
+    // heuristic, and suffix blocklist semantics ("example.org" blocks
+    // "www.x.example.org", "src3.example.com" blocks its www host)
+    "q125_url_curation" -> ((s, d) => {
+      val url = concat(lit("https://www."), col("source"), lit(".example."),
+        when(col("doc_id") % 2 === 0, "com").otherwise("org"),
+        lit("/p/"), col("doc_id"), lit("?ref=crawl"))
+      val parts = graft.operators.Web.urlParts(
+        Tables(s, d).documents.select(col("doc_id"), url.as("url")), "url")
+      parts.select(col("doc_id"), col("host"), col("path"), col("query"),
+          col("domain"),
+          graft.operators.Web.hostBlocked(col("host"),
+            Seq("example.org", "src3.example.com")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate-span REMOVAL (the rewrite counterpart of q103's stats —
     // Lee et al. 2022 semantics at 10-token-window granularity): one copy
     // of every repeated span survives, later occurrences are cut, docs
@@ -1572,6 +1605,29 @@ object Pipeline {
          |  coalesce(array_to_string(
          |    list(t ORDER BY p) FILTER (WHERE good OR NOT hasdup), ' '), '') AS clean,
          |  CAST(count(*) FILTER (WHERE NOT (good OR NOT hasdup)) AS BIGINT) AS n_removed
-         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q125_url_curation" ->
+      """WITH m AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) || '?ref=crawl' AS url
+        | FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        | FROM m)
+        |SELECT doc_id, host, path, query,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  (host = 'example.org' OR host LIKE '%.example.org'
+        |   OR host = 'src3.example.com' OR host LIKE '%.src3.example.com') AS blocked
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q126_nfc_normalize" ->
+      """WITH w AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS dirty
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS norm,
+        |  CAST(length(dirty) - length(nfc_normalize(dirty)) AS BIGINT) AS n_composed
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

@@ -126,6 +126,32 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (id, n, h) => assert(n === h, s"row $id") }
   }
 
+  test("native nfc composes decomposed sequences; ASCII and composed pass through") {
+    import org.apache.spark.sql.functions._
+    graft.functions.NativeExpressions.registerAll(spark)
+    val rows = Seq(
+      (1, "cafe\u0301"),         // decomposed e + combining acute -> composed
+      (2, "café"),           // already composed: unchanged
+      (3, "plain ascii text"),    // ASCII fast path: unchanged
+      (4, "über straße gárden"), // mixed marks
+      (5, "")                     // empty
+    ).toDF("id", "s")
+    val out = rows.select($"id",
+        graft.functions.NativeExpressions.nfcNormalizeNative($"s").as("n"))
+      .as[(Int, String)].collect().toMap
+    val ref = rows.as[(Int, String)].collect().toMap.view.mapValues(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)).toMap
+    assert(out === ref)
+    assert(out(1) === "café" && out(2) === "café")
+    assert(out(3) === "plain ascii text" && out(5) === "")
+    // idempotence + SQL registration + null propagation
+    rows.createOrReplaceTempView("nfc_t")
+    val sql = spark.sql("SELECT id, nfc(nfc(s)) AS n FROM nfc_t")
+      .as[(Int, String)].collect().toMap
+    assert(sql === out)
+    assert(spark.sql("SELECT nfc(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
+
   test("native ngram_max_count matches the explode+groupBy twin on random docs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
