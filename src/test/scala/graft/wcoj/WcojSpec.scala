@@ -293,6 +293,30 @@ class WcojJoinSpec extends SparkSpec {
     assert(viaDf.nonEmpty)
   }
 
+  test("leapfrogAny mixes per-dtype shared dictionaries with direct integral attrs") {
+    // attrs: u (string, dictionary), d (date, its own dictionary — shared
+    // per dtype, not per attribute), k (long, direct cast — no dictionary).
+    // Chain u -[R]- d -[S]- k must agree with plain binary joins and
+    // round-trip every value exactly.
+    val r = Seq(("alice", java.sql.Date.valueOf("2024-01-01")),
+        ("bob", java.sql.Date.valueOf("2024-02-02")),
+        ("alice", java.sql.Date.valueOf("2024-02-02")))
+      .toDF("u", "d")
+    val s = Seq((java.sql.Date.valueOf("2024-01-01"), 10L),
+        (java.sql.Date.valueOf("2024-02-02"), 20L),
+        (java.sql.Date.valueOf("2024-02-02"), 30L))
+      .toDF("d", "k")
+    val viaDf = r.join(s, "d" :: Nil).select("u", "d", "k")
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    val viaWcoj = WcojJoin.leapfrogAny(spark,
+        Seq((r, Seq("u", "d")), (s, Seq("d", "k"))), Seq("u", "d", "k"))
+      .select("u", "d", "k")
+    assert(viaWcoj.schema("u").dataType === org.apache.spark.sql.types.StringType)
+    assert(viaWcoj.schema("d").dataType === org.apache.spark.sql.types.DateType)
+    assert(viaWcoj.as[(String, java.sql.Date, Long)].collect().toSet === viaDf)
+    assert(viaDf.size === 5)
+  }
+
   test("leapfrogAny skips the dictionary when every attribute is integral") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val out = WcojJoin.leapfrogAny(spark, Seq(
