@@ -448,6 +448,94 @@ case class TokenRunScrub(child: Expression)
     copy(child = newChild)
 }
 
+/** Total occurrence count of ANY of a fixed pattern list in one string —
+  * Aho-Corasick over UTF-8 bytes, one pass per row regardless of pattern
+  * count. The banned-term / blocklist scan of a crawl pipeline: a regex
+  * alternation re-scans per alternative and a `contains` chain re-scans
+  * per term, both linear in |patterns|; the automaton is built once per
+  * expression instance (driver side, shipped serialized) and matching is
+  * O(bytes) with pattern count irrelevant. Byte-level matching is
+  * codepoint-safe: UTF-8 lead/continuation ranges are disjoint, so an
+  * encoded pattern can only match at codepoint boundaries. Counts every
+  * match occurrence (self-overlapping included: "aa" hits "aaa" twice);
+  * total = Σ per-pattern occurrence counts.
+  */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_pattern_count needs at least one non-empty pattern")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"multi_pattern_count expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "multi_pattern_count"
+
+  // goto/fail/output automaton over bytes; built lazily on first use per
+  // JVM (the case class ships only the pattern strings)
+  @transient private lazy val automaton: (Array[java.util.HashMap[Byte, Integer]], Array[Int], Array[Int]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Byte, Integer]())
+    val out = scala.collection.mutable.ArrayBuffer(0)
+    patterns.foreach { p =>
+      var s = 0
+      p.getBytes("UTF-8").foreach { b =>
+        val nxt = goto(s).get(b)
+        s = if (nxt != null) nxt.intValue()
+        else {
+          goto += new java.util.HashMap[Byte, Integer]()
+          out += 0
+          goto(s).put(b, goto.size - 1)
+          goto.size - 1
+        }
+      }
+      out(s) += 1
+    }
+    val fail = Array.fill(goto.size)(0)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    goto(0).forEach((_, v) => queue.enqueue(v.intValue()))
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      goto(r).forEach { (b, v) =>
+        val u = v.intValue()
+        queue.enqueue(u)
+        var f = fail(r)
+        while (f != 0 && goto(f).get(b) == null) f = fail(f)
+        val g = goto(f).get(b)
+        fail(u) = if (g != null && g.intValue() != u) g.intValue() else 0
+        out(u) += out(fail(u))
+      }
+    }
+    (goto.toArray, fail, out.toArray)
+  }
+
+  def countMatches(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val (goto, fail, out) = automaton
+    val bytes = s.getBytes
+    var (st, total, i) = (0, 0L, 0)
+    while (i < bytes.length) {
+      val b = bytes(i)
+      var g = goto(st).get(b)
+      while (g == null && st != 0) { st = fail(st); g = goto(st).get(b) }
+      st = if (g != null) g.intValue() else 0
+      total += out(st)
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    countMatches(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acExpr", this, classOf[MultiPatternCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countMatches($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization (java.text.Normalizer — canonical
   * composition: decomposed "e" + U+0301 becomes "é") as a codegen'd
   * expression. Multilingual crawls mix composed and decomposed encodings
@@ -741,6 +829,10 @@ object NativeExpressions {
     org.apache.spark.sql.GraftSqlBridge.columnOf(ShingleTids(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), k, idBytes = 8))
 
+  def multiPatternCountNative(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(MultiPatternCount(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(text), patterns))
+
   def nfcNormalizeNative(text: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(NfcNormalize(
       org.apache.spark.sql.GraftSqlBridge.exprOf(text)))
@@ -793,6 +885,17 @@ object NativeExpressions {
       "scrub_runs", exprs => TokenRunScrub(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_pattern_count", exprs => {
+        def strLit(e: Expression): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"multi_pattern_count expects string-literal patterns, got $other")
+        }
+        MultiPatternCount(exprs.head, exprs.tail.map(strLit))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_max_count",
       exprs => NgramMaxCount(exprs(0), intLit(exprs(1), "ngram_max_count")), "built-in")

@@ -611,6 +611,19 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // banned-term scan (Aho-Corasick over UTF-8 bytes, one pass per row
+    // regardless of pattern count — the blocklist/NSFW filter stage): total
+    // occurrence count across the term list plus the keep/drop verdict.
+    // Patterns chosen with no self-overlap so DuckDB's replace-based
+    // occurrence count replays the exact number
+    "q127_blocklist_scan" -> ((s, d) => {
+      val terms = Seq("join", "hash", "spark", "window", "scan")
+      val n = graft.functions.NativeExpressions.multiPatternCountNative(col("text"), terms)
+      Tables(s, d).documents
+        .select(col("doc_id"), n.as("n_matches"), (n === 0).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC normalization (codegen'd java.text.Normalizer): the
     // corpus is ASCII, so both sides append the same DECOMPOSED suffix
     // (e + U+0301, u + U+0308) — the normalized output must compose it
@@ -1622,6 +1635,14 @@ object Pipeline {
         |  (host = 'example.org' OR host LIKE '%.example.org'
         |   OR host = 'src3.example.com' OR host LIKE '%.src3.example.com') AS blocked
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q127_blocklist_scan" -> {
+      val terms = Seq("join", "hash", "spark", "window", "scan")
+      val counts = terms.map(t =>
+        s"(length(text) - length(replace(text, '$t', ''))) / ${t.length}").mkString(" + ")
+      s"""SELECT doc_id, CAST($counts AS BIGINT) AS n_matches,
+         |  ($counts) = 0 AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q126_nfc_normalize" ->
       """WITH w AS (SELECT doc_id,
         |  text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS dirty

@@ -152,6 +152,41 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT nfc(CAST(NULL AS STRING))").collect().head.isNullAt(0))
   }
 
+  test("native multi_pattern_count matches brute force incl. overlaps and multi-byte") {
+    import org.apache.spark.sql.functions._
+    // brute force: for each pattern, count every start offset where it
+    // occurs (self-overlapping included) — the Aho-Corasick contract
+    def ref(s: String, pats: Seq[String]): Long =
+      pats.map(p => (0 to s.length - p.length).count(i => s.startsWith(p, i)).toLong).sum
+    val pats = Seq("ab", "aba", "ba", "üx", "c")
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcü"
+    val rows = (1 to 300).map(i =>
+      (i, (0 until rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)) ++
+      Seq((0, ""), (1001, "ababab"), (1002, "aaaa"), (1003, "üxüxü"))
+    val df = rows.toDF("id", "s")
+    val out = df.select($"id",
+        graft.functions.NativeExpressions.multiPatternCountNative($"s", pats).as("n"))
+      .as[(Int, Long)].collect().toMap
+    rows.foreach { case (id, s) =>
+      assert(out(id) === ref(s, pats), s"row $id: '$s'")
+    }
+    // "ababab": ab×3, aba×2, ba×2 = 7 — overlapping matches all counted
+    assert(out(1001) === 7L)
+    // SQL registration with literal patterns + null propagation
+    graft.functions.NativeExpressions.registerAll(spark)
+    df.createOrReplaceTempView("ac_t")
+    val viaSql = spark.sql("SELECT id, multi_pattern_count(s, 'ab', 'aba', 'ba', 'üx', 'c') FROM ac_t")
+      .as[(Int, Long)].collect().toMap
+    assert(viaSql === out)
+    assert(spark.sql("SELECT multi_pattern_count(CAST(NULL AS STRING), 'x')")
+      .collect().head.isNullAt(0))
+    // non-literal pattern fails loudly
+    val bad = intercept[Exception](spark.sql(
+      "SELECT multi_pattern_count(s, s) FROM ac_t").collect())
+    assert(bad.getMessage.contains("string-literal"))
+  }
+
   test("native ngram_max_count matches the explode+groupBy twin on random docs") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
