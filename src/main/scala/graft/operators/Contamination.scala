@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Train/eval contamination detection: which held-out documents share
@@ -37,5 +37,61 @@ object Contamination {
     shared.join(sizes, "doc_id" :: Nil)
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("shared_frac"))
+  }
+
+  /** Span-level DECONTAMINATION — the rewrite counterpart of
+    * [[shingleOverlap]] (which only reports): cut every `k`-token window of
+    * a corpus document that also appears in the benchmark split, keeping
+    * the rest of the document. Whole-doc dropping throws away an entire
+    * document for one quoted benchmark sentence; span surgery removes
+    * exactly the leaked text. A token is removed iff at least one
+    * contaminated window covers it and no clean window does — the same
+    * conservative boundary rule as
+    * [[Dedup.removeDuplicateSpans]]: tokens a leaked span shares with
+    * original text survive.
+    *
+    * Scale shape: benchmark windows reduce to DISTINCT hashes (tiny — eval
+    * sets are MBs against a 100 TB corpus); the corpus windows LEFT-join
+    * them on the hash (AQE broadcasts the benchmark side), flagged windows
+    * group back to one row per doc, and the keep mask is evaluated inside
+    * that row with array HOFs — no (doc, position) explosion through a
+    * shuffle, same as removeDuplicateSpans.
+    *
+    * Returns (doc_id, clean, n_removed), one row per corpus document.
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    def winsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => struct(i.as("ws"),
+            md5(array_join(slice(col("toks"), i, lit(k)), " ")).as("wh")))).as("w"))
+        .select(col("doc_id"), col("w.ws").as("ws"), col("w.wh").as("wh"))
+    val benchHashes = winsOf(bench).select(col("wh"), lit(true).as("bad")).distinct()
+    val perDoc = winsOf(corpus)
+      .join(benchHashes, Seq("wh"), "left")
+      .groupBy("doc_id").agg(
+        collect_list(when(col("bad"), col("ws"))).as("bads"),
+        collect_list(when(col("bad").isNull, col("ws"))).as("goods"))
+    def covers(starts: Column, p: Column): Column =
+      exists(starts, s => s <= p && p < s + k)
+    corpus.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("bads"), array().cast("array<int>")).as("bads"),
+        coalesce(col("goods"), array().cast("array<int>")).as("goods"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        filter(
+          transform(sequence(lit(1), size(col("toks"))),
+            p => struct(p.as("p"), element_at(col("toks"), p).as("t"))),
+          s => covers(col("goods"), s("p")) || !covers(col("bads"), s("p"))).as("kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), s => s("t")), " ").as("clean"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"))
   }
 }

@@ -328,6 +328,39 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_windows"), 6))
   }
 
+  /** Corpus-level repeated-n-gram report — the diagnostic view behind
+    * span-level dedup (which n-grams repeat, how widely, how often): every
+    * n-token window of every document, grouped by its text, kept when it
+    * appears in at least `minDocs` DISTINCT documents. The output is the
+    * boilerplate/template inventory an operator inspects before choosing
+    * span-removal thresholds, and the memorization-risk report (Lee et al.
+    * 2022 §4 measure duplicated substrings exactly this way).
+    *
+    * Scale shape: one explode to (doc, ngram), one shuffle on the ngram
+    * for a map-side-combined count + distinct-doc count; no doc×doc work.
+    * At 100 TB the group key is the n-gram string — cap the explode with a
+    * WHERE on token count upstream if documents are pathological, and the
+    * ≥ minDocs filter runs inside the aggregate (HAVING), so only the
+    * repeated tail leaves the exchange.
+    *
+    * Returns (ngram, n_docs, n_occ) for n-grams in ≥ `minDocs` docs.
+    */
+  def repeatedNgrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => array_join(slice(col("toks"), i, lit(n)), " "))).as("ngram"))
+      .groupBy("ngram").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Duplicate-SPAN removal — the rewrite counterpart of [[dupSpanStats]]
     * (which only reports): the "deduplicate training data" semantics of
     * Lee et al. 2022 at k-token-window granularity. Every k-window is

@@ -264,4 +264,52 @@ object Scoring {
       round(lit(1.0) / (lit(1.0) + exp(-zF)), 6).as("score"))
     (scored, w)
   }
+
+  /** DoReMi-style domain mixture weights (Xie et al. 2023, reduced to the
+    * statistic a data pipeline can compute without training a proxy model):
+    * per-domain EXCESS LOSS against the whole-corpus reference, normalized
+    * into sampling weights. Domains whose documents the corpus-fit unigram
+    * LM finds surprising (high mean −ln p, i.e. under-represented token
+    * distributions) get upweighted; domains at or below the reference get
+    * the `eps` floor so no domain starves.
+    *
+    *   excess(s) = max(0, nll(s) − nll(corpus))
+    *   weight(s) = (excess(s) + eps) / Σ_s' (excess(s') + eps)
+    *
+    * Engine portability: the per-doc nll is [[unigramLogLoss]]'s order-free
+    * integer sum rounded to 4 dp; per-domain and corpus means re-lift those
+    * 4-dp values to exact integers (×1e4) so every cross-row sum is integer
+    * and order-free; the weight normalizer likewise sums integer-lifted
+    * (×1e6) excesses. Every division happens once, on identical integers.
+    *
+    * Scale shape: one corpus pass for the LM + per-doc nll (inherited from
+    * [[unigramLogLoss]]); the domain aggregate is map-side combined on the
+    * domain key; the reference mean and the weight normalizer are one-row
+    * broadcasts. Domain count is the only driver-side cardinality and it is
+    * the output size.
+    *
+    * Returns (source, n_docs, snll, excess, weight) — one row per domain.
+    */
+  def domainWeights(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, eps: Double = 0.01): DataFrame = {
+    require(eps > 0, s"eps must be > 0 so every domain keeps sampling mass, got $eps")
+    val perDoc = unigramLogLoss(df, textCol, idCol)
+      .join(df.select(col(idCol).as("doc_id"), col(domainCol).as("source")), Seq("doc_id"))
+      .select(col("source"), round(col("nll") * 1e4, 0).cast("long").as("ni"))
+    val perDom = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ni").as("s"))
+    val ref = perDom.agg(sum("s").as("gs"), sum("n_docs").as("gn"))
+    val scored = perDom.crossJoin(broadcast(ref))
+      .withColumn("snll", col("s").cast("double") / (lit(1e4) * col("n_docs")))
+      .withColumn("excess", greatest(lit(0.0),
+        col("snll") - col("gs").cast("double") / (lit(1e4) * col("gn"))))
+      .withColumn("ei", round((col("excess") + lit(eps)) * 1e6, 0).cast("long"))
+    val norm = scored.agg(sum("ei").as("te"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"),
+        round(col("snll"), 4).as("snll"),
+        // + 0.0 canonicalizes a possible −0.0 from greatest(0.0, −0.0)
+        (round(col("excess"), 6) + lit(0.0)).as("excess"),
+        round(col("ei").cast("double") / col("te"), 6).as("weight"))
+  }
 }

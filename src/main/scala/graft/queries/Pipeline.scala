@@ -589,6 +589,56 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // salted skew join: documents (hot key: 20 sources for the whole
+    // corpus — at 100 TB each source key holds TBs) against a per-source
+    // aggregate dim, with the hot key split across `factor` tasks by the
+    // salt. The salt is physical only — the gate proves the result equals
+    // the plain join (integer-only above-average compare: zero FP risk).
+    "q128_salted_join" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+      val dim = docs.groupBy("source")
+        .agg(sum("len").as("tot"), count(lit(1)).as("n"))
+      graft.operators.Salting.saltedJoin(docs, dim, "source", factor = 8)
+        .select(col("doc_id"), col("source"),
+          (col("len") * col("n") > col("tot")).as("above_avg"))
+        .orderBy("doc_id")
+    }),
+
+    // DoReMi-lite domain mixture weights: per-source excess unigram loss
+    // vs the corpus reference, eps-floored and normalized to sampling
+    // weights — the mixture-optimization step between curation and
+    // training. Integer-lifted sums end to end (order-free).
+    "q129_domain_weights" -> ((s, d) => {
+      graft.operators.Scoring.domainWeights(
+          Tables(s, d).documents, "text", "doc_id", "source")
+        .orderBy("source")
+    }),
+
+    // corpus-level repeated-8-gram inventory (the Lee et al. 2022
+    // duplicated-substring report): every 8-token window in >= 2 distinct
+    // docs, with doc and occurrence counts — the threshold-picking
+    // diagnostic for span dedup.
+    "q130_repeated_ngrams" -> ((s, d) => {
+      graft.operators.Dedup.repeatedNgrams(
+          Tables(s, d).documents, "text", "doc_id", n = 8, minDocs = 2)
+        .orderBy("ngram")
+    }),
+
+    // span-level decontamination: docs with doc_id % 50 = 0 act as the
+    // benchmark split; every 8-token window of a remaining doc that also
+    // appears in the benchmark is cut (conservative boundary rule — tokens
+    // also covered by a clean window survive). The surgical alternative to
+    // q76's whole-doc contamination verdict.
+    "q131_span_decontam" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      graft.operators.Contamination.decontaminateSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // line-level boilerplate removal (the CCNet/RefinedWeb stage): a line
     // occurring in >= 5 distinct docs is dropped everywhere, order kept.
     // The synthetic corpus is single-line, so both sides first build the
@@ -1553,6 +1603,80 @@ object Pipeline {
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "q128_salted_join" ->
+      // the salt is invisible to the logical result: plain join + the
+      // integer-only above-average compare (len·n > tot — no FP division)
+      """WITH dim AS (SELECT source, sum(length(text)) AS tot, count(*) AS n
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  length(d.text) * dim.n > dim.tot AS above_avg
+        |FROM documents d JOIN dim ON dim.source = d.source
+        |ORDER BY d.doc_id""".stripMargin,
+    "q129_domain_weights" ->
+      // replay domainWeights: per-doc 4-dp nll lifted x1e4 to exact
+      // integers, per-source/corpus integer sums, excess vs the corpus
+      // mean, eps-floored x1e6 integer normalizer — every cross-row sum
+      // integer (order-free), every division once on identical integers
+      s"""WITH $unigramNllCtes,
+         |pd AS (SELECT n.doc_id, dm.source,
+         |    CAST(round(n.nll * 1e4, 0) AS BIGINT) AS ni
+         |  FROM nllt n JOIN documents dm ON dm.doc_id = n.doc_id),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ni) AS BIGINT) AS s FROM pd GROUP BY source),
+         |g AS (SELECT CAST(sum(s) AS BIGINT) AS gs,
+         |    CAST(sum(n_docs) AS BIGINT) AS gn FROM ps),
+         |e AS (SELECT source, n_docs,
+         |    CAST(s AS DOUBLE) / (1e4 * n_docs) AS snll,
+         |    greatest(0.0, CAST(s AS DOUBLE) / (1e4 * n_docs)
+         |      - CAST(g.gs AS DOUBLE) / (1e4 * g.gn)) AS excess
+         |  FROM ps CROSS JOIN g),
+         |ei AS (SELECT source, n_docs, snll, excess,
+         |    CAST(round((excess + 0.01) * 1e6, 0) AS BIGINT) AS ei FROM e),
+         |t AS (SELECT CAST(sum(ei) AS BIGINT) AS te FROM ei)
+         |SELECT source, n_docs, round(snll, 4) AS snll,
+         |  round(excess, 6) + 0.0 AS excess,
+         |  round(CAST(ei.ei AS DOUBLE) / t.te, 6) AS weight
+         |FROM ei CROSS JOIN t ORDER BY source""".stripMargin,
+    "q130_repeated_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |g AS (SELECT doc_id, array_to_string(
+         |    toks[CAST(u.i AS INT) : CAST(u.i + 7 AS INT)], ' ') AS ngram
+         |  FROM w, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+         |  WHERE len(toks) >= 8)
+         |SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY ngram""".stripMargin,
+    "q131_span_decontam" ->
+      // q124's coverage replay with the dup flag swapped for benchmark
+      // membership: benchmark docs (doc_id % 50 = 0) contribute distinct
+      // 8-window hashes; corpus tokens are cut iff covered by a benchmark
+      // window and by no clean window
+      s"""WITH w0 AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |bw AS (SELECT DISTINCT md5(array_to_string(
+         |    toks[CAST(u.i AS INT) : CAST(u.i + 7 AS INT)], ' ')) AS wh
+         |  FROM w0, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+         |  WHERE doc_id % 50 = 0 AND len(toks) >= 8),
+         |w AS (SELECT doc_id, toks FROM w0 WHERE doc_id % 50 <> 0),
+         |wins AS (SELECT doc_id, CAST(u.i AS INT) AS ws,
+         |    md5(array_to_string(toks[CAST(u.i AS INT) : CAST(u.i + 7 AS INT)], ' ')) AS wh
+         |  FROM w, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |fl AS (SELECT wins.doc_id, wins.ws, bw.wh IS NOT NULL AS bad
+         |  FROM wins LEFT JOIN bw ON bw.wh = wins.wh),
+         |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p, toks[CAST(u.i AS INT)] AS t
+         |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |cov AS (SELECT pos.doc_id, pos.p, pos.t,
+         |    coalesce(bool_or(NOT fl.bad), false) AS good,
+         |    coalesce(bool_or(fl.bad), false) AS hasbad
+         |  FROM pos LEFT JOIN fl ON fl.doc_id = pos.doc_id
+         |    AND fl.ws <= pos.p AND pos.p < fl.ws + 8
+         |  GROUP BY pos.doc_id, pos.p, pos.t)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(
+         |    list(t ORDER BY p) FILTER (WHERE good OR NOT hasbad), ' '), '') AS clean,
+         |  CAST(count(*) FILTER (WHERE NOT (good OR NOT hasbad)) AS BIGINT) AS n_removed
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q122_line_dedup" ->
       // replay the line construction (10-token body lines + banner on every
       // 3rd doc + footer on every 2nd), then the boilerplate verdict: a

@@ -389,3 +389,81 @@ class SaltingSpec extends graft.SparkSpec {
     assert(top.getLong(0) === 7L && top.getLong(1) === 100L)
   }
 }
+
+class RepeatedNgramsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("repeated n-grams counted across docs with doc and occurrence counts") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),
+      (3L, "a b c d q")).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgrams(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a b c", 3L, 3L), ("b c d", 2L, 2L)))
+  }
+
+  test("a doc repeating an n-gram counts once for n_docs, each time for n_occ") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b z")).toDF("doc_id", "text")
+    // "a b a" at 1,  "b a b" at 2, "a b a" at 3... n=3 windows of doc 1:
+    // aba, bab, aba, bab; doc 2: "a b z". No 3-gram crosses docs.
+    val out = Dedup.repeatedNgrams(docs, "text", "doc_id", n = 3, minDocs = 2)
+    assert(out.count() === 0)
+    val bi = Dedup.repeatedNgrams(docs, "text", "doc_id", n = 2, minDocs = 2)
+      .as[(String, Long, Long)].collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(bi("a b") === (2L, 4L)) // 3 occurrences in doc 1 + 1 in doc 2
+  }
+}
+
+class DecontamSpansSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("benchmark spans are cut; boundary tokens shared with clean text survive") {
+    val bench = Seq((100L, "s1 s2 s3")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b s1 s2 s3 c d"), // every token also under a clean window
+      (2L, "s1 s2 s3"),         // exactly the benchmark: fully removed
+      (3L, "q r")               // shorter than k: passes through
+    ).toDF("doc_id", "text")
+    val out = Contamination.decontaminateSpans(corpus, bench, "text", "doc_id", k = 3)
+      .as[(Long, String, Long)].collect().map { case (i, c, n) => i -> ((c, n)) }.toMap
+    assert(out(1L) === ("a b s1 s2 s3 c d", 0L))
+    assert(out(2L) === ("", 3L))
+    assert(out(3L) === ("q r", 0L))
+  }
+
+  test("a mid-document leak with no clean cover is cut exactly") {
+    val bench = Seq((100L, "p q r s")).toDF("doc_id", "text")
+    // doc: x p q r s y — windows (k=4): "x p q r" clean, "p q r s" BAD,
+    // "q r s y" clean; p covered by w1 (clean) kept, q/r by w1/w3 kept,
+    // s by w3 kept, so conservative rule keeps all. Repeat the leak with
+    // no neighbors to see a real cut.
+    val corpus = Seq((1L, "x p q r s y"), (2L, "p q r s")).toDF("doc_id", "text")
+    val out = Contamination.decontaminateSpans(corpus, bench, "text", "doc_id", k = 4)
+      .as[(Long, String, Long)].collect().map { case (i, c, n) => i -> ((c, n)) }.toMap
+    assert(out(1L) === ("x p q r s y", 0L))
+    assert(out(2L) === ("", 4L))
+  }
+}
+
+class DomainWeightsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("surprising domains upweighted; weights positive and sum to 1") {
+    // domain "common": the same frequent tokens; domain "rare": singleton
+    // tokens the corpus LM finds surprising
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat", "common")) ++
+      (9L to 12L).map(i => (i, s"zeta$i omega$i lambda$i", "rare")))
+      .toDF("doc_id", "text", "source")
+    val out = Scoring.domainWeights(docs, "text", "doc_id", "source")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nCommon, snllCommon, excessCommon, wCommon) = out("common")
+    val (_, nRare, snllRare, excessRare, wRare) = out("rare")
+    assert(nCommon === 8L && nRare === 4L)
+    assert(snllRare > snllCommon)
+    assert(excessRare > 0.0 && excessCommon === 0.0)
+    assert(wRare > wCommon && wCommon > 0.0)
+    assert(math.abs(wRare + wCommon - 1.0) < 1e-5)
+  }
+}
