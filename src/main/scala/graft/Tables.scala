@@ -21,20 +21,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * nanos: epoch_ns % 1000 == 0 for all rows, and the r6-green hash baseline
     * matches the r8 native-timestamp reads).
     */
-  def events: DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = table("events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-      case TimestampType => raw
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts: unsupported parquet dtype $other — expected nanos-as-long or timestamp")
-    }
-  }
+  def events: DataFrame = Tables.adaptEventTs(table("events"))
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -45,4 +32,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = table("lineitem")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Normalize the `ts` column to TimestampType whichever of the known
+    * parquet encodings the driver's generator emitted (see [[Tables.events]]
+    * doc above). Works on batch and streaming frames alike — the branch is
+    * on the SCHEMA, the conversion itself is a per-row expression.
+    */
+  def adaptEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet dtype $other — expected nanos-as-long or timestamp")
+    }
+  }
 }

@@ -13,7 +13,38 @@ import graft.streaming.EventStreams
 object Events {
   type Q = (SparkSession, String) => DataFrame
 
+  private val streamGateCounter = new java.util.concurrent.atomic.AtomicInteger
+
   val queries: Map[String, Q] = Map(
+    // the STREAMING stateful sessionizer under the driver's gate: a real
+    // readStream over the events parquet through flatMapGroupsWithState
+    // (custom per-user state, 30-min gap). A stream only emits CLOSED
+    // sessions — each user's final session stays open when the source
+    // drains — so the oracle replays the batch gap rule minus each user's
+    // last session. The file source delivers the single parquet file in
+    // one micro-batch, so within-batch event-time sorting makes the
+    // output arrival-order-free; total_value is excluded from the gate
+    // (stream accumulates in event order, DuckDB in its own — a double
+    // sum is order-sensitive; session identity and µs boundaries are not).
+    "q132_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_sessionize_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val evts = stream.select("event_id", "user_id", "ts", "value")
+        .as[EventStreams.Evt]
+      val q = EventStreams.sessionizeStateful(evts, gapSeconds = 1800)
+        .select("user_id", "session_idx", "n_events", "start", "end")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("user_id", "session_idx")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
     // hourly tumbling-window aggregate (streaming twin: EventStreams.windowedAgg
     // with watermark over readStream).
     "q70_events_hourly" -> ((s, d) => {
@@ -102,6 +133,25 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_stream_sessionize" ->
+      // q71's gap rule aggregated to session rows, minus each user's last
+      // (never-closed) session
+      """WITH x AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(prev_ts) > CAST(1800 AS BIGINT) * 1000000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM x),
+        |g AS (SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ts) AS start, max(ts) AS "end" FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(session_idx) AS last_idx FROM g GROUP BY 1)
+        |SELECT g.user_id, g.session_idx, g.n_events, g.start, g."end"
+        |FROM g JOIN m ON m.user_id = g.user_id
+        |WHERE g.session_idx <> m.last_idx
+        |ORDER BY g.user_id, g.session_idx""".stripMargin,
     "q70_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

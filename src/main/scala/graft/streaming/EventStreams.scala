@@ -56,6 +56,18 @@ object EventStreams {
     */
   private type SessState = (Long, Long, Long, Long, Double)
 
+  /** micros → Timestamp preserving sub-millisecond precision. The
+    * Timestamp(millis) constructor alone drops the micro remainder — on
+    * event data with µs resolution that truncation silently shifts every
+    * emitted boundary (caught against real testdata: ~100% of event rows
+    * carry a non-zero sub-ms component).
+    */
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming sessionization with custom state — `flatMapGroupsWithState`
     * over user_id with a processing-time timeout (the KeyValueGroupedDataset
     * custom-state path the reference has no analog for). Emits one row per
@@ -87,7 +99,7 @@ object EventStreams {
                 open = Some((idx, n + 1, st, t, tot + e.value))
               case Some((idx, n, st, last, tot)) =>
                 closed += Session(user, idx, n,
-                  new Timestamp(st / 1000), new Timestamp(last / 1000), tot)
+                  tsOfMicros(st), tsOfMicros(last), tot)
                 open = Some((idx + 1, 1L, t, t, e.value))
               case None =>
                 open = Some((1L, 1L, t, t, e.value))
@@ -102,7 +114,7 @@ object EventStreams {
           if (!streaming) {
             open.foreach { case (idx, n, st, last, tot) =>
               closed += Session(user, idx, n,
-                new Timestamp(st / 1000), new Timestamp(last / 1000), tot)
+                tsOfMicros(st), tsOfMicros(last), tot)
             }
           }
           closed.result().iterator
@@ -151,7 +163,7 @@ object EventStreams {
             case (_, tm, true, v, _) =>
               if (last.forall(_._1 <= tm)) last = Some((tm, v))
             case (_, tm, false, _, pid) =>
-              out += AsofMatch(pid, key, new Timestamp(tm / 1000),
+              out += AsofMatch(pid, key, tsOfMicros(tm),
                 last.collect { case (rt, rv) if rt <= tm => rv })
           }
           last.foreach(state.update)

@@ -36,6 +36,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions((100L, 1L)).start === ts(0) && sessions((100L, 1L)).end === ts(10))
   }
 
+  test("stateful sessionization preserves sub-millisecond event times") {
+    import EventStreams.Evt
+    // µs-resolution timestamps (the real events table has sub-ms on ~every
+    // row): session boundaries must round-trip micros exactly, not truncate
+    // to the Timestamp(millis) constructor's resolution
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val a = tsUs(1000L * 1000000L + 123457L)  // 1000.123457 s
+    val b = tsUs(1010L * 1000000L + 999001L)
+    val ds = Seq(Evt(1, 5, a, 1.0), Evt(2, 5, b, 1.0)).toDS()
+    val s = EventStreams.sessionizeStateful(ds, gapSeconds = 1800).collect().head
+    assert(s.start === a && s.end === b)
+  }
+
   test("stateful sessionization over a real stream emits closed sessions") {
     import EventStreams.Evt
     val dir = java.nio.file.Files.createTempDirectory("sess").toString
