@@ -180,6 +180,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q130 repeated-ngram inventory: one map-side-combined aggregate, no join") {
+    val p = executedPlan("q130_repeated_ngrams")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"ngram inventory should be join-free:\n$p")
+  }
+
+  test("q131 span decontam: benchmark hashes broadcast, no cartesian") {
+    // the benchmark side is tiny (distinct window hashes of the eval split)
+    // — it must ride a broadcast, and nothing may degenerate to all-pairs
+    val p = executedPlan("q131_span_decontam")
+    assert(!p.contains("CartesianProduct"), s"decontam went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+  }
+
+  test("q129 domain weights: corpus scalars ride broadcasts, domain agg partial") {
+    val p = executedPlan("q129_domain_weights")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row scalars not broadcast:\n$p")
+  }
+
   test("explicit bloom probe (bloomFlag) is native might_contain, not a UDF") {
     // the probe side of incremental dedup scans the full batch — a Scala
     // UDF there breaks the whole-stage-codegen span on the hottest column
