@@ -265,6 +265,48 @@ object Scoring {
     (scored, w)
   }
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, Appendix A1.1) — the
+    * published heuristic filter most large-corpus pipelines start from:
+    * word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' and '…'-as-'...') below 0.1, over 80% of
+    * words containing an alphabetic character, and at least 2 of the 8
+    * canonical stop words present. Emits every signal plus the AND
+    * verdict, so a pipeline can re-threshold without recomputing.
+    *
+    * Scale shape: pure per-row projection — one corpus scan, zero
+    * shuffles, all signals from one tokens array inside whole-stage
+    * codegen. Portability: each ratio is one division of exact integer
+    * counts (occurrence counts via non-overlapping replace, identical
+    * left-to-right in any engine), so thresholds compare identical
+    * doubles; rounding happens only on the emitted copy.
+    *
+    * Returns (doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * stop_hits, kept).
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val text = col(textCol)
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks).cast("long")
+    val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val alpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val symbols =
+      (length(text) - length(replace(text, lit("#"), lit("")))).cast("double") +
+        (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val stopHits = stops.map(w => when(array_contains(toks, lit(w)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val mwl = chars.cast("double") / n
+    val sr = symbols / n
+    val af = alpha.cast("double") / n
+    df.select(col(idCol).as("doc_id"), n.as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(sr, 6).as("symbol_ratio"),
+      round(af, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (n.between(50L, 100000L) && mwl.between(3.0, 10.0) && sr < 0.1 &&
+        af > 0.8 && stopHits >= 2).as("kept"))
+  }
+
   /** DoReMi-style domain mixture weights (Xie et al. 2023, reduced to the
     * statistic a data pipeline can compute without training a proxy model):
     * per-domain EXCESS LOSS against the whole-corpus reference, normalized

@@ -589,6 +589,15 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // the Gopher heuristic filter (Rae et al. 2021 A1.1): word count,
+    // mean word length, symbol ratio, alpha-word fraction, stop-word
+    // presence — every signal plus the AND verdict, one scan, no shuffle.
+    "q133_gopher_rules" -> ((s, d) => {
+      graft.operators.Scoring.gopherRules(
+          Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // salted skew join: documents (hot key: 20 sources for the whole
     // corpus — at 100 TB each source key holds TBs) against a per-source
     // aggregate dim, with the hot key split across `factor` tasks by the
@@ -1603,6 +1612,34 @@ object Pipeline {
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "q133_gopher_rules" ->
+      // every ratio is one division of exact integer counts; '...' count
+      // via non-overlapping replace (left-to-right in both engines)
+      s"""WITH w AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS chars,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) AS alpha,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         |      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS symbols,
+         |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words,
+         |  round(chars / n_words, 6) AS mean_word_len,
+         |  round(symbols / n_words, 6) AS symbol_ratio,
+         |  round(alpha / n_words, 6) AS alpha_frac,
+         |  stop_hits,
+         |  (n_words BETWEEN 50 AND 100000 AND chars / n_words BETWEEN 3 AND 10
+         |   AND symbols / n_words < 0.1 AND alpha / n_words > 0.8
+         |   AND stop_hits >= 2) AS kept
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q128_salted_join" ->
       // the salt is invisible to the logical result: plain join + the
       // integer-only above-average compare (len·n > tot — no FP division)

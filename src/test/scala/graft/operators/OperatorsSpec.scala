@@ -446,6 +446,33 @@ class DecontamSpansSpec extends graft.SparkSpec {
   }
 }
 
+class GopherRulesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("signals and verdict on hand-computed docs") {
+    val good = (Seq("the", "of", "and") ++ Seq.fill(47)("word")).mkString(" ") // 50 words
+    val docs = Seq(
+      (1L, good),                         // passes every rule
+      (2L, "the of and short doc"),       // 5 words < 50
+      (3L, ("the of " + Seq.fill(48)("### ... ###").mkString(" ")))  // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = Scoring.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = out(1L)
+    assert(g.getAs[Long]("n_words") === 50L)
+    assert(g.getAs[Double]("mean_word_len") === (3 + 2 + 3 + 47 * 4) / 50.0)
+    assert(g.getAs[Double]("symbol_ratio") === 0.0)
+    assert(g.getAs[Double]("alpha_frac") === 1.0)
+    assert(g.getAs[Long]("stop_hits") === 3L)
+    assert(g.getAs[Boolean]("kept"))
+    assert(!out(2L).getAs[Boolean]("kept")) // word count below 50
+    val s = out(3L)
+    // 48 groups of "### ... ###": 6 '#' + 1 '...' each → symbols/word ≥ 0.1
+    assert(s.getAs[Double]("symbol_ratio") > 0.1)
+    assert(!s.getAs[Boolean]("kept"))
+  }
+}
+
 class DomainWeightsSpec extends graft.SparkSpec {
   import spark.implicits._
 
