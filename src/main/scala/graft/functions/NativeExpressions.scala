@@ -641,6 +641,96 @@ case class NgramMaxCount(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Gopher repetition signals (Rae et al. 2021 A1.1) for one `n` in a single
+  * pass over the token array: `[top_chars, dup_chars, total_chars]` where
+  * `top_chars` = max over n-grams g of count(g)·charlen(g) (the numerator of
+  * the "fraction of characters in the most frequent n-gram" rule — the
+  * count·chars product form is tie-robust where "the most frequent
+  * n-gram"'s char fraction depends on which of the tied grams an engine
+  * picks), `dup_chars` = characters of tokens COVERED by at least one
+  * n-gram occurring ≥ 2 times in the document (coverage semantics — no
+  * double counting of overlapping duplicate windows), and `total_chars` =
+  * Σ token chars. charlen(g) counts gram token chars without separators.
+  * Null tokens count as empty strings.
+  *
+  * One HashMap build over the W windows plus one coverage walk — O(W·n)
+  * per row, bounded by document length, no shuffle anywhere. The HOF
+  * formulation of the same thing is O(W²) per row (count via
+  * filter-per-window), which a 10k-token document turns into 10^8 ops.
+  */
+case class NgramRepChars(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 2, "n must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngram_rep_chars expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def repChars(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    val toks = new Array[String](len)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      toks(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+      total += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    if (len < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(0L, 0L, total))
+    val counts = new java.util.HashMap[String, Long]()
+    val keys = new Array[String](len - n + 1)
+    i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      keys(i) = sb.toString
+      counts.merge(keys(i), 1L, java.lang.Long.sum(_, _))
+      i += 1
+    }
+    var top = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      val chars = k.codePointCount(0, k.length) - (n - 1)
+      val prod = e.getValue * chars
+      if (prod > top) top = prod
+    }
+    val covered = new Array[Boolean](len)
+    i = 0
+    while (i + n <= len) {
+      if (counts.get(keys(i)) >= 2L) {
+        var j = 0
+        while (j < n) { covered(i + j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var dup = 0L
+    i = 0
+    while (i < len) {
+      if (covered(i)) dup += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(top, dup, total))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    repChars(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramRepCharsExpr", this, classOf[NgramRepChars].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.repChars($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All `m` product-quantization sub-space assignments in ONE pass over the
   * vector: out[j] = the 0-based index of the codeword minimizing
   * round(l2sq(v[j·sub .. j·sub+sub), books(j)(c)), dp), ties toward the
@@ -843,6 +933,13 @@ object NativeExpressions {
 
   def ngramMaxCountNative(tokens: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(NgramMaxCount(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), n))
+
+  /** `[top_chars, dup_chars, total_chars]` repetition signals — see
+    * [[NgramRepChars]].
+    */
+  def ngramRepCharsNative(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(NgramRepChars(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), n))
 
   /** `books`: m subspaces × cb codewords × sub dims (m=1, cb=k, sub=dim for

@@ -589,6 +589,32 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // Gopher REPETITION signals (Rae et al. A1.1 Table A1): fraction of
+    // characters in the most frequent {2,3,4}-gram (tie-robust
+    // count·chars product form) and fraction of characters covered by
+    // duplicated {5,10}-grams — all five from one-pass native expressions
+    // (O(W·n) hashmap per row; the HOF twin is O(W²)), zero shuffle.
+    "q134_gopher_repetition" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      def rep(nv: Int) =
+        graft.functions.NativeExpressions.ngramRepCharsNative(toks, nv)
+      def topFrac(r: org.apache.spark.sql.Column) =
+        round(element_at(r, 1).cast("double") / element_at(r, 3), 6)
+      def dupFrac(r: org.apache.spark.sql.Column) =
+        round(element_at(r, 2).cast("double") / element_at(r, 3), 6)
+      Tables(s, d).documents
+        .select(col("doc_id"), rep(2).as("r2"), rep(3).as("r3"),
+          rep(4).as("r4"), rep(5).as("r5"), rep(10).as("r10"))
+        .select(col("doc_id"),
+          element_at(col("r2"), 3).as("total_chars"),
+          topFrac(col("r2")).as("top2_frac"),
+          topFrac(col("r3")).as("top3_frac"),
+          topFrac(col("r4")).as("top4_frac"),
+          dupFrac(col("r5")).as("dup5_frac"),
+          dupFrac(col("r10")).as("dup10_frac"))
+        .orderBy("doc_id")
+    }),
+
     // the Gopher heuristic filter (Rae et al. 2021 A1.1): word count,
     // mean word length, symbol ratio, alpha-word fraction, stop-word
     // presence — every signal plus the AND verdict, one scan, no shuffle.
@@ -1611,6 +1637,52 @@ object Pipeline {
          |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM s)
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q134_gopher_repetition" -> {
+      // per n: window grams, count·chars max (top) or >= 2-count coverage
+      // char sum (dup); chars of a gram = length(g) − (n−1) separators
+      def winsCte(nv: Int): String =
+        s"""wins$nv AS (SELECT doc_id, CAST(u.i AS INT) AS ws,
+           |    array_to_string(toks[CAST(u.i AS INT) : CAST(u.i + ${nv - 1} AS INT)], ' ') AS g
+           |  FROM w, unnest(range(1, len(toks) - $nv + 2)) AS u(i)
+           |  WHERE len(toks) >= $nv)""".stripMargin
+      def topCte(nv: Int): String =
+        s"""top$nv AS (SELECT doc_id, max(c * chars) AS top FROM (
+           |  SELECT doc_id, count(*) AS c, length(g) - ${nv - 1} AS chars
+           |  FROM wins$nv GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+      def covCte(nv: Int): String =
+        s"""c$nv AS (SELECT doc_id, g FROM wins$nv GROUP BY doc_id, g HAVING count(*) >= 2),
+           |d$nv AS (SELECT ws.doc_id, ws.ws FROM wins$nv ws
+           |  JOIN c$nv ON c$nv.doc_id = ws.doc_id AND c$nv.g = ws.g),
+           |cov$nv AS (SELECT doc_id, CAST(sum(chars) AS BIGINT) AS dup FROM (
+           |  SELECT DISTINCT pos.doc_id, pos.p, pos.chars FROM pos
+           |  JOIN d$nv ON d$nv.doc_id = pos.doc_id
+           |    AND d$nv.ws <= pos.p AND pos.p < d$nv.ws + $nv)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |base AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total FROM w),
+         |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+         |    length(toks[CAST(u.i AS INT)]) AS chars
+         |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |${winsCte(2)}, ${topCte(2)},
+         |${winsCte(3)}, ${topCte(3)},
+         |${winsCte(4)}, ${topCte(4)},
+         |${winsCte(5)}, ${covCte(5)},
+         |${winsCte(10)}, ${covCte(10)}
+         |SELECT b.doc_id, b.total AS total_chars,
+         |  round(CAST(coalesce(top2.top, 0) AS DOUBLE) / b.total, 6) AS top2_frac,
+         |  round(CAST(coalesce(top3.top, 0) AS DOUBLE) / b.total, 6) AS top3_frac,
+         |  round(CAST(coalesce(top4.top, 0) AS DOUBLE) / b.total, 6) AS top4_frac,
+         |  round(CAST(coalesce(cov5.dup, 0) AS DOUBLE) / b.total, 6) AS dup5_frac,
+         |  round(CAST(coalesce(cov10.dup, 0) AS DOUBLE) / b.total, 6) AS dup10_frac
+         |FROM base b
+         |LEFT JOIN top2 ON top2.doc_id = b.doc_id
+         |LEFT JOIN top3 ON top3.doc_id = b.doc_id
+         |LEFT JOIN top4 ON top4.doc_id = b.doc_id
+         |LEFT JOIN cov5 ON cov5.doc_id = b.doc_id
+         |LEFT JOIN cov10 ON cov10.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
     },
     "q133_gopher_rules" ->
       // every ratio is one division of exact integer counts; '...' count

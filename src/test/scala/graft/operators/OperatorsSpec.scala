@@ -473,6 +473,55 @@ class GopherRulesSpec extends graft.SparkSpec {
   }
 }
 
+class NgramRepCharsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, element_at}
+
+  private def repRef(toks: Seq[String], n: Int): (Long, Long, Long) = {
+    val total = toks.map(_.length.toLong).sum
+    if (toks.length < n) return (0L, 0L, total)
+    val wins = toks.sliding(n).map(_.mkString(" ")).toVector
+    val counts = wins.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = counts.map { case (g, c) => c * (g.length - (n - 1)) }.max
+    val covered = Array.fill(toks.length)(false)
+    wins.zipWithIndex.foreach { case (g, i) =>
+      if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true)
+    }
+    val dup = toks.indices.collect { case i if covered(i) => toks(i).length.toLong }.sum
+    (top, dup, total)
+  }
+
+  test("one-pass repetition signals agree with a brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "b", "ccc", "dd")
+    for (n <- Seq(2, 3, 5); trial <- 1 to 3) {
+      val docs = (1L to 6L).map(id =>
+        id -> Seq.fill(n + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val out = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.ngramRepCharsNative(
+            graft.functions.TextFunctions.tokens(col("text")), n).as("r"))
+        .select(col("doc_id"), element_at(col("r"), 1), element_at(col("r"), 2),
+          element_at(col("r"), 3))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      docs.foreach { case (id, text) =>
+        val expect = repRef(text.split(" ").toSeq, n)
+        assert(out(id) === expect, s"n=$n trial=$trial doc=$text")
+      }
+    }
+  }
+
+  test("short docs carry zero signals but full char totals") {
+    val out = Seq((1L, "x yz")).toDF("doc_id", "text")
+      .select(graft.functions.NativeExpressions.ngramRepCharsNative(
+        graft.functions.TextFunctions.tokens(col("text")), 5).as("r"))
+      .select(element_at(col("r"), 1), element_at(col("r"), 2), element_at(col("r"), 3))
+      .as[(Long, Long, Long)].head()
+    assert(out === ((0L, 0L, 3L)))
+  }
+}
+
 class DomainWeightsSpec extends graft.SparkSpec {
   import spark.implicits._
 
