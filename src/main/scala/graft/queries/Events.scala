@@ -98,6 +98,37 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // Spark's NATIVE session-window aggregation (session_window merges
+    // events while the gap to the latest stays within 30 min — INCLUSIVE:
+    // diff == gap still merges, probed in EventStreamsSpec; same rule as
+    // q71's lag formulation).
+    // start/end are min/max event times aggregated directly, so the gate
+    // does not depend on the window struct's internal [start, last+gap)
+    // bounds.
+    "q135_session_window" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start"), max("ts").as("end"))
+        .select(col("user_id"), col("n_events"), col("start"), col("end"))
+        .orderBy("user_id", "start")
+    }),
+
+    // correlated LATERAL subquery in FROM (top-2 customers per nation by
+    // balance): Catalyst decorrelates to a ranked window join; DuckDB runs
+    // the same text natively.
+    "q136_lateral" -> ((s, d) => {
+      Tables(s, d).nation.createOrReplaceTempView("nation")
+      Tables(s, d).customer.createOrReplaceTempView("customer")
+      graft.api.EngineSession(s).sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin).df
+    }),
+
     // QUALIFY clause in SQL text (SqlRewriter → windowed-subquery rewrite):
     // top-3 events per type by value. DuckDB runs the identical text natively.
     "q92_qualify" -> ((s, d) => {
@@ -152,6 +183,29 @@ object Events {
         |FROM g JOIN m ON m.user_id = g.user_id
         |WHERE g.session_idx <> m.last_idx
         |ORDER BY g.user_id, g.session_idx""".stripMargin,
+    "q135_session_window" ->
+      // inclusive gap rule (probed: Spark merges at diff == gap): a new
+      // session opens only at diff > gap
+      """WITH x AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev) > CAST(1800 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS start, max(ts) AS "end"
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start""".stripMargin,
+    "q136_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
     "q70_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

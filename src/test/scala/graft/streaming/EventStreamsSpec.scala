@@ -36,6 +36,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions((100L, 1L)).start === ts(0) && sessions((100L, 1L)).end === ts(10))
   }
 
+  test("session_window boundary: diff == gap still MERGES (inclusive rule)") {
+    // probed empirically: Spark merges sessions at an exactly-gap-sized
+    // diff (windows touch as [t, t+gap) next-start == end and the merge
+    // predicate is inclusive), matching q71's lag rule — the q135 oracle
+    // encodes new-session-at > gap. Real event data almost never lands a
+    // microsecond-exact 30-min gap, so the gate alone cannot test this
+    // boundary; this spec pins it.
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // diff == gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.000001"))) // just over
+      .toDF("user_id", "ts")
+    val n = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+    assert(n(1L).length === 1, "diff == gap must merge")
+    assert(n(2L).length === 2, "diff > gap must split")
+  }
+
   test("stateful sessionization preserves sub-millisecond event times") {
     import EventStreams.Evt
     // µs-resolution timestamps (the real events table has sub-ms on ~every
