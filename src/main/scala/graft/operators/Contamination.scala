@@ -39,6 +39,33 @@ object Contamination {
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("shared_frac"))
   }
 
+  /** Cross-source shingle-overlap matrix: for every pair of sources, how
+    * many distinct `k`-token shingles they share — the corpus-level
+    * contamination/provenance report (which crawls mirror each other?
+    * which source leaked into which?) that doc-pair comparison cannot
+    * produce at scale.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, shingle) pairs
+    * (one shuffle on the shingle-hash key); the pair counts come from a
+    * self-join keyed on the shingle, so the work per shingle is
+    * C(sources(s), 2) ≤ C(#sources, 2) — bounded by the source count
+    * squared, never by documents. A shingle present in every source costs
+    * 190 pairs for 20 sources, not |docs|².
+    *
+    * Returns (src1, src2, n_shared) with src1 < src2.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+      k: Int = 3): DataFrame = {
+    val ss = df.select(col(sourceCol).as("source"),
+        explode(Dedup.shingleArray(col(textCol), k)).as("shingle"))
+      .distinct()
+    val a = ss.select(col("source").as("src1"), col("shingle"))
+    val b = ss.select(col("source").as("src2"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("src1") < col("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Span-level DECONTAMINATION — the rewrite counterpart of
     * [[shingleOverlap]] (which only reports): cut every `k`-token window of
     * a corpus document that also appears in the benchmark split, keeping

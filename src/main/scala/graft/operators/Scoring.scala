@@ -265,6 +265,34 @@ object Scoring {
     (scored, w)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`k`
+    * token vocabulary — the tokenizer-coverage diagnostic run before
+    * committing to a vocab size (what fraction of each document would
+    * fall to UNK/byte-fallback?). Vocabulary rank is deterministic:
+    * count DESC, then token ASC on ties.
+    *
+    * Scale shape: one explode feeds the vocab count aggregate (map-side
+    * combined); the top-k cut is a TakeOrdered-sized result that rides a
+    * broadcast into the per-doc anti-membership count — the corpus is
+    * scanned twice, shuffled only on the token type table, never on
+    * documents.
+    *
+    * Returns (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"vocab size k must be >= 1, got $k")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k).select("tok")
+    toks.join(broadcast(vocab.withColumn("__in", lit(true))), Seq("tok"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Gopher quality-rule bundle (Rae et al. 2021, Appendix A1.1) — the
     * published heuristic filter most large-corpus pipelines start from:
     * word count in [50, 100000], mean word length in [3, 10],

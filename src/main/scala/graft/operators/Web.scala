@@ -49,4 +49,23 @@ object Web {
       .select(col("domain"), col("n_docs"),
         round(col("n_docs").cast("double") / col("__total"), 6).as("share"))
   }
+
+  /** HTML → text extraction (the crawl-to-corpus boilerplate stage, regex
+    * tier): drop `<script>`/`<style>` elements INCLUDING their contents,
+    * strip every remaining tag, collapse whitespace runs, trim. The regex
+    * tier handles the crawl formats a training pipeline bulk-processes; a
+    * DOM-fidelity extractor (trafilatura-class) plugs in at the same
+    * column seam when structure-aware extraction matters.
+    *
+    * Pure per-row codegen'd `regexp_replace` chain — zero shuffle. The
+    * patterns stay inside the Java-regex ∩ RE2 common subset (non-greedy
+    * block match, char-class tag match) so an external engine replays them
+    * byte-for-byte.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    trim(regexp_replace(noTags, "\\s+", " "))
+  }
 }

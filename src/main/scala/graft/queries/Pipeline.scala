@@ -589,6 +589,44 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // HTML -> text extraction (the crawl-to-corpus stage, regex tier):
+    // both sides wrap text in the same deterministic page chrome (title/
+    // script/style/nav/ad/footer — the q67 injection pattern), the
+    // operator must drop script+style WITH contents, strip tags, collapse
+    // whitespace. Zero shuffle; patterns in the Java-regex ∩ RE2 subset.
+    "q137_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title><script>var x = 1;</script><style>p{color:red}</style>" +
+          "</head><body><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav><p>"),
+        col("text"),
+        lit("</p><div class=\"ad\">buy now</div><footer>(c) example</footer></body></html>"))
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          graft.operators.Web.htmlToText(html).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // per-doc OOV rate against the corpus's own top-100 vocabulary
+    // (count DESC, token ASC rank) — the tokenizer-coverage diagnostic.
+    // Vocab rides a broadcast; corpus shuffles only the token type table.
+    "q138_oov_rate" -> ((s, d) => {
+      graft.operators.Scoring.oovRate(
+          Tables(s, d).documents, "text", "doc_id", k = 100)
+        .orderBy("doc_id")
+    }),
+
+    // cross-source 3-shingle overlap matrix: distinct (source, shingle)
+    // pairs self-joined on the shingle — per-shingle work bounded by
+    // C(#sources, 2), never by documents. The provenance/mirror report.
+    "q139_source_overlap" -> ((s, d) => {
+      graft.operators.Contamination.sourceOverlap(
+          Tables(s, d).documents, "text", "source", k = 3)
+        .orderBy("src1", "src2")
+    }),
+
     // Gopher REPETITION signals (Rae et al. A1.1 Table A1): fraction of
     // characters in the most frequent {2,3,4}-gram (tie-robust
     // count·chars product form) and fraction of characters covered by
@@ -1638,6 +1676,40 @@ object Pipeline {
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "q137_html_extract" ->
+      // same page chrome, same 3-step regex chain; DuckDB needs the 'g'
+      // option where Spark's regexp_replace is global by default
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><script>var x = 1;</script><style>p{color:red}</style>' ||
+        |  '</head><body><nav><a href="/">home</a> | <a href="/about">about</a></nav><p>' ||
+        |  text ||
+        |  '</p><div class="ad">buy now</div><footer>(c) example</footer></body></html>' AS html
+        | FROM documents),
+        |c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(html,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |  '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean FROM h)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q138_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+         |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+         |      ORDER BY c DESC, tok LIMIT 100)),
+         |j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok t LEFT JOIN v ON v.tok = t.tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q139_source_overlap" ->
+      s"""WITH w0 AS (SELECT source, $duckTokens AS w FROM documents),
+         |sh AS (SELECT DISTINCT source, u.s AS shingle FROM w0,
+         |  unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]))) AS u(s)
+         |  WHERE len(w) >= 3)
+         |SELECT a.source AS src1, b.source AS src2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_gopher_repetition" -> {
       // per n: window grams, count·chars max (top) or >= 2-count coverage
       // char sum (dup); chars of a gram = length(g) − (n−1) separators

@@ -446,6 +446,58 @@ class DecontamSpansSpec extends graft.SparkSpec {
   }
 }
 
+class HtmlToTextSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("script/style dropped with contents, tags stripped, whitespace collapsed") {
+    val html = """<html><head><script src="x.js">var a = "<p>";</script>
+      |<style>body { color: blue; }</style></head>
+      |<body><h1>Title</h1><p>hello   <b>bold</b> world</p></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(graft.operators.Web.htmlToText(col("h"))).as[String].head()
+    assert(out === "Title hello bold world")
+  }
+
+  test("case-insensitive block match; empty page yields empty string") {
+    val out = Seq("<SCRIPT>x</SCRIPT><p>a</p>", "<div></div>").toDF("h")
+      .select(graft.operators.Web.htmlToText(col("h"))).as[String].collect()
+    assert(out === Array("a", ""))
+  }
+}
+
+class OovRateSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("top-k vocab rank is (count desc, token asc); rate counts occurrences") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // counts: a=3, b=2, c=1(+1 below)=2
+      (2L, "c d")).toDF("doc_id", "text")
+    // k=2 vocab: a(3), then b and c tie at 2 -> b wins (token asc)
+    val out = Scoring.oovRate(docs, "text", "doc_id", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) === ((6L, 1L, 0.166667))) // only 'c' OOV; round(1/6, 6)
+    assert(out(2L) === ((2L, 2L, 1.0)))      // c and d both OOV
+  }
+}
+
+class SourceOverlapSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("pairwise distinct-shingle intersections, lexicographic pair order") {
+    val docs = Seq(
+      ("s1", "a b c d"),     // shingles: abc, bcd
+      ("s2", "a b c x"),     // abc, bcx
+      ("s2", "b c d y"),     // bcd, cdy
+      ("s3", "z z z")).toDF("source", "text") // zzz only
+    val out = Contamination.sourceOverlap(docs, "text", "source", k = 3)
+      .as[(String, String, Long)].collect().toSet
+    // s1 ∩ s2 = {abc, bcd}; s3 shares nothing
+    assert(out === Set(("s1", "s2", 2L)))
+  }
+}
+
 class GopherRulesSpec extends graft.SparkSpec {
   import spark.implicits._
 
