@@ -127,8 +127,12 @@ object FixtureGen {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    try Multimodal.decodeDirTable(spark, new File(fixDir).getAbsolutePath)
-      .coalesce(1).write.mode("overwrite").parquet(outParquet)
-    finally spark.stop()
+    try {
+      Multimodal.decodeDirTable(spark, new File(fixDir).getAbsolutePath)
+        .coalesce(1).write.mode("overwrite").parquet(outParquet)
+      Multimodal.resizeDirTable(spark, new File(fixDir).getAbsolutePath, 4, 4)
+        .coalesce(1).write.mode("overwrite")
+        .parquet("fixtures/multimodal_resize_expected.parquet")
+    } finally spark.stop()
   }
 }

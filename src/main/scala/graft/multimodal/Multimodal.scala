@@ -565,6 +565,47 @@ object Multimodal {
         posexplode(col("feats")).as(Seq("feat_idx", "feat")))
   }
 
+  /** REAL image resize over the fixture directory: decode every image file
+    * and nearest-neighbor sample it to a `w`×`h` mean-RGB intensity grid in
+    * [0, 1] (source pixel (⌊x·W/w⌋, ⌊y·H/h⌋) — the top-left convention, so
+    * every emitted value is analytic for the synthetic fixtures: white → 1,
+    * black → 0, the horizontal ramp → its source column's level). The
+    * "resize" stage of the decode / feature-extract / resize / frame-sample
+    * quartet; same mapPartitions batch seam and 4-dp float rounding as
+    * [[decodeDirTable]] so a committed expected table compares exactly.
+    *
+    * Returns (name, x, y, v) — one row per target pixel, image files only.
+    */
+  def resizeDirTable(spark: SparkSession, dir: String, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
+    val raw = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .filter(!col("name").endsWith(".wav") && !col("name").endsWith(".avi"))
+      .select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+    raw.mapPartitions { it =>
+      it.flatMap { case (name, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Iterator.empty
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          for {
+            y <- (0 until h).iterator
+            x <- (0 until w).iterator
+          } yield {
+            val rgb = img.getRGB(x * sw / w, y * sh / h)
+            val inten = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 765.0
+            (name, x, y, BigDecimal(inten)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+    }.toDF("name", "x", "y", "v")
+  }
+
   /** REAL video frame extraction: explodes each AVI binary into
     * (id, frame_idx, frame) rows at the container's true frame boundaries
     * ([[VideoHeaders.frameChunks]]), taking every `everyNth` frame. For

@@ -589,6 +589,19 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // REAL image resize under the driver gate (the q121 fixture pattern):
+    // nearest-neighbor 4x4 intensity grid of each committed image fixture
+    // — white ⇒ all 1.0, black ⇒ 0.0, the ramp ⇒ its source column's
+    // analytic level (spec hand-checks those); the oracle reads the
+    // committed expected table.
+    "q140_multimodal_resize" -> ((s, _) => {
+      val local = new java.io.File("fixtures/multimodal")
+      val dir = if (local.isDirectory) local.getAbsolutePath
+        else "/root/repo/fixtures/multimodal"
+      graft.multimodal.Multimodal.resizeDirTable(s, dir, 4, 4)
+        .orderBy("name", "y", "x")
+    }),
+
     // HTML -> text extraction (the crawl-to-corpus stage, regex tier):
     // both sides wrap text in the same deterministic page chrome (title/
     // script/style/nav/ad/footer — the q67 injection pattern), the
@@ -1676,6 +1689,9 @@ object Pipeline {
          |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "q140_multimodal_resize" ->
+      """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
+        |ORDER BY name, y, x""".stripMargin,
     "q137_html_extract" ->
       // same page chrome, same 3-step regex chain; DuckDB needs the 'g'
       // option where Spark's regexp_replace is global by default

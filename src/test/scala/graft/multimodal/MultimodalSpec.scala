@@ -409,6 +409,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeDirTable nearest-neighbor grid is analytic on the fixtures") {
+    val dir = new java.io.File("fixtures/multimodal").getAbsolutePath
+    val out = Multimodal.resizeDirTable(spark, dir, 4, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    // 16 pixels per image file, no audio/video rows
+    assert(out.size === out.keys.map(_._1).toSet.size * 16)
+    assert(out.keys.map(_._1).toSet === Set("white.png", "black.bmp", "ramp.png"))
+    assert(out.filter(_._1._1 == "white.png").values.forall(_ === 1.0))
+    assert(out.filter(_._1._1 == "black.bmp").values.forall(_ === 0.0))
+    // 64-wide ramp at w=4: source col x*16, level (x*16*255/63)/255, 4 dp
+    for (x <- 0 until 4) {
+      val lvl = BigDecimal((x * 16 * 255 / 63) / 255.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for (y <- 0 until 4) assert(out(("ramp.png", x, y)) === lvl, s"($x,$y)")
+    }
+  }
+
   test("resizeMeta caps dimensions, preserves struct shape") {
     val ds = spark.createDataset(Seq(media(9, "image", 64)))
     val decoded = decode(ds)
