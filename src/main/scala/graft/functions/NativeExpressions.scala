@@ -448,6 +448,74 @@ case class TokenRunScrub(child: Expression)
     copy(child = newChild)
 }
 
+/** Luhn-validated card-number masking — the PII scrub stage regex alone
+  * cannot do: a 16-digit run is only a card number if its Luhn checksum
+  * holds, and masking checksum-failing runs (order ids, phone-ish runs)
+  * destroys legitimate text. One pass over the string: each MAXIMAL digit
+  * run of 13–19 digits whose Luhn mod-10 check passes is replaced by
+  * `[CC]`; all other text (including too-short, too-long, and
+  * checksum-failing runs) is byte-preserved. Maximal runs make the scan
+  * unambiguous — no overlap or greediness semantics to align across
+  * engines, so an external oracle can replay the rule with plain
+  * substring arithmetic.
+  */
+case class LuhnScrub(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"luhn_scrub expects string, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  private def luhnOk(s: String, from: Int, until: Int): Boolean = {
+    var sum = 0
+    var dbl = false // doubling starts at the SECOND digit from the right
+    var i = until - 1
+    while (i >= from) {
+      var d = s.charAt(i) - '0'
+      if (dbl) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      dbl = !dbl
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def scrub(in: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = in.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        val runLen = j - i
+        if (runLen >= 13 && runLen <= 19 && luhnOk(s, i, j)) sb.append("[CC]")
+        else sb.append(s, i, j)
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    scrub(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luhnScrubExpr", this, classOf[LuhnScrub].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.scrub($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Total occurrence count of ANY of a fixed pattern list in one string —
   * Aho-Corasick over UTF-8 bytes, one pass per row regardless of pattern
   * count. The banned-term / blocklist scan of a crawl pipeline: a regex
@@ -941,6 +1009,11 @@ object NativeExpressions {
   def ngramRepCharsNative(tokens: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.columnOf(NgramRepChars(
       org.apache.spark.sql.GraftSqlBridge.exprOf(tokens), n))
+
+  /** Luhn-validated card masking — see [[LuhnScrub]]. */
+  def luhnScrubNative(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(LuhnScrub(
+      org.apache.spark.sql.GraftSqlBridge.exprOf(text)))
 
   /** `books`: m subspaces × cb codewords × sub dims (m=1, cb=k, sub=dim for
     * plain k-means assignment).

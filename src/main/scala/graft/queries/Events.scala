@@ -45,6 +45,36 @@ object Events {
       s.catalog.dropTempView(name)
       out
     }),
+    // WATERMARKED streaming tumbling-window aggregation in APPEND mode
+    // under the driver gate: only windows the watermark has passed emit,
+    // so the oracle keeps windows with end <= max(ts) (zero-delay
+    // watermark; the data's max ts is never hour-aligned, checked at
+    // every SF, so the eviction boundary is never ambiguous). The value
+    // sum is integer-lifted per row (q101's round-then-lift) — a
+    // streaming aggregate accumulates in arrival order, which a raw
+    // double sum would expose.
+    "q141_stream_windowed" -> ((s, d) => {
+      val name = s"stream_windowed_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("sum_micros"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_micros"))
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("win_start", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
+
     // hourly tumbling-window aggregate (streaming twin: EventStreams.windowedAgg
     // with watermark over readStream).
     "q70_events_hourly" -> ((s, d) => {
@@ -206,6 +236,17 @@ object Events {
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+    "q141_stream_windowed" ->
+      // append-mode emission: a window [h, h+1h) finalizes once the
+      // zero-delay watermark (= max event time) passes its end
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |a AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(round(value, 6) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_micros
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.win_start, a.event_type, a.n, a.sum_micros
+        |FROM a CROSS JOIN m WHERE a.win_start + INTERVAL 1 HOUR <= m.mx
+        |ORDER BY a.win_start, a.event_type""".stripMargin,
     "q70_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -589,6 +589,26 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // Luhn-validated card masking (the PII stage regex alone cannot do):
+    // both sides inject a doc-varying 16-digit run (Luhn-valid for ~10%
+    // of docs), an always-valid card, and a 20-digit non-candidate; the
+    // engine runs the GENERIC maximal-run scanner, the oracle replays the
+    // checksum on the known constructions.
+    "q142_luhn_scrub" -> ((s, d) => {
+      val c1 = concat(lit("45320151128"),
+        lpad((col("doc_id") % 100000).cast("string"), 5, "0"))
+      val dirty = concat(col("text"), lit(" pay "), c1,
+        lit(" or 4532015112830366 ref 12345678901234567890 end"))
+      val scrubbed = graft.functions.NativeExpressions.luhnScrubNative(dirty)
+      Tables(s, d).documents
+        .select(col("doc_id"), scrubbed.as("scrubbed"))
+        .select(col("doc_id"), col("scrubbed"),
+          ((length(col("scrubbed"))
+            - length(replace(col("scrubbed"), lit("[CC]"), lit("")))) / 4)
+            .cast("long").as("n_cc"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image resize under the driver gate (the q121 fixture pattern):
     // nearest-neighbor 4x4 intensity grid of each committed image fixture
     // — white ⇒ all 1.0, black ⇒ 0.0, the ramp ⇒ its source column's
@@ -1692,6 +1712,25 @@ object Pipeline {
     "q140_multimodal_resize" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
         |ORDER BY name, y, x""".stripMargin,
+    "q142_luhn_scrub" -> {
+      // Luhn mod-10 over a known digit-string expression S, in pure SQL
+      def luhn(sExpr: String): String =
+        s"""(list_sum(list_transform(range(1, length($sExpr) + 1), i ->
+           |  CASE WHEN (length($sExpr) - i) % 2 = 1
+           |    THEN CASE WHEN CAST(substr($sExpr, CAST(i AS INT), 1) AS INT) * 2 > 9
+           |      THEN CAST(substr($sExpr, CAST(i AS INT), 1) AS INT) * 2 - 9
+           |      ELSE CAST(substr($sExpr, CAST(i AS INT), 1) AS INT) * 2 END
+           |    ELSE CAST(substr($sExpr, CAST(i AS INT), 1) AS INT) END)) % 10 = 0)""".stripMargin
+      s"""WITH c AS (SELECT doc_id, text,
+         |    '45320151128' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') AS c1
+         |  FROM documents),
+         |v AS (SELECT doc_id, text, c1, ${luhn("c1")} AS ok1 FROM c)
+         |SELECT doc_id,
+         |  text || ' pay ' || CASE WHEN ok1 THEN '[CC]' ELSE c1 END ||
+         |    ' or [CC] ref 12345678901234567890 end' AS scrubbed,
+         |  CAST(CASE WHEN ok1 THEN 2 ELSE 1 END AS BIGINT) AS n_cc
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "q137_html_extract" ->
       // same page chrome, same 3-step regex chain; DuckDB needs the 'g'
       // option where Spark's regexp_replace is global by default

@@ -498,6 +498,30 @@ class SourceOverlapSpec extends graft.SparkSpec {
   }
 }
 
+class LuhnScrubSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def scrub(s: String): String =
+    Seq(s).toDF("t")
+      .select(graft.functions.NativeExpressions.luhnScrubNative(col("t")))
+      .as[String].head()
+
+  test("valid 13-19 digit runs masked; short, long, invalid, and embedded runs handled") {
+    assert(scrub("pay 4532015112830366 now") === "pay [CC] now")
+    assert(scrub("ref 4532015112830367 now") === "ref 4532015112830367 now") // checksum fails
+    assert(scrub("code 379254 end") === "code 379254 end")                   // too short
+    assert(scrub("id 12345678901234567890 end") === "id 12345678901234567890 end") // 20 digits
+    assert(scrub("x4532015112830366y") === "x[CC]y")  // letters don't break the run
+    assert(scrub("4532-0151-1283-0366") === "4532-0151-1283-0366") // separators split runs (each too short)
+    assert(scrub("") === "")
+    // a Luhn-valid 13-digit run (Visa test shape): 4222222222222
+    assert(scrub("v 4222222222222 !") === "v [CC] !")
+    // two valid runs in one string both masked
+    assert(scrub("4532015112830366 4222222222222") === "[CC] [CC]")
+  }
+}
+
 class GopherRulesSpec extends graft.SparkSpec {
   import spark.implicits._
 
