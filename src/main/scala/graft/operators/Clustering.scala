@@ -55,6 +55,60 @@ object Clustering {
     }.toSeq.toDF("cluster", "pos", "val")
   }
 
+  /** First principal direction (dominant right singular vector of the
+    * uncentered data matrix) by DETERMINISTIC power iteration, plus the
+    * per-row projection — the embedding-analysis primitive behind
+    * variance probes, whitening, and 1-D semantic ordering.
+    *
+    * Each iteration is one distributed pass: s_i = round(xᵢ·v, 6) per row,
+    * then y_j = Σᵢ xᵢⱼ·sᵢ with every term rounded to 6 dp and lifted ×1e6
+    * to exact integers before the cross-row sum (order-free — the same
+    * portability contract as the scoring operators). The normalizer is
+    * computed from the integer vector too: ‖y‖ = √(Σ y_intⱼ²)/1e6 with the
+    * square-sum in arbitrary precision, so not a single cross-row or
+    * cross-dimension float accumulation depends on order anywhere.
+    * v₀ = (1/√dim, …) rounded to 6 dp; updates round to 6 dp (scala
+    * BigDecimal HALF_UP — bit-compatible with Spark's `round`).
+    *
+    * Scale: per iteration the data is scanned once (projection + one
+    * map-side-combined groupBy over dim keys); only the dim-length
+    * iterate (KBs) reaches the driver. Returns (vec_id, pc1) and the unit
+    * direction.
+    */
+  def powerIterationPc1(df: DataFrame, vecCol: String, idCol: String,
+      iters: Int): (DataFrame, Array[Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pinned = df.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val dim = pinned.select(size(col("v"))).head().getInt(0)
+    val vecs = pinned.filter(assert_true(size(col("v")) === dim,
+      lit(s"pc1: vector dimension must be $dim for every row")).isNull)
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotCol(v: Array[Double]): Column =
+      round(aggregate(zip_with(col("v"), array(v.map(lit): _*), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 6)
+
+    var vNow: Array[Double] = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val yInt = new Array[Long](dim)
+      vecs.withColumn("s", dotCol(vNow))
+        .select(col("s"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .groupBy("pos0")
+        // round-0 BEFORE the long cast: ×1e6 leaves the value an ulp off
+        // the integer and a bare cast truncates toward zero
+        .agg(sum(round(round(col("x") * col("s"), 6) * 1e6, 0).cast("long")).as("yi"))
+        .collect().foreach(r => yInt(r.getInt(0)) = r.getLong(1))
+      val sumSq = yInt.map(z => BigInt(z) * BigInt(z)).sum
+      val nm = math.sqrt(sumSq.toDouble) / 1e6
+      vNow = yInt.map(z => round6((z.toDouble / 1e6) / nm))
+    }
+    val proj = vecs.select(col("vec_id"), dotCol(vNow).as("pc1"))
+    (proj, vNow)
+  }
+
   /** @param releasePin free the pinned input's checkpoint blocks before
     *   returning — for the fit/centroids callers, whose result is
     *   driver-side model state only. `kmeans` keeps the pin: it backs the

@@ -589,6 +589,17 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // first principal direction by deterministic power iteration (6
+    // rounds, integer-lifted sums and an arbitrary-precision normalizer —
+    // no order-dependent float accumulation anywhere): per-vector pc1
+    // projection. The embedding-analysis primitive behind variance probes
+    // and 1-D semantic ordering.
+    "q143_pca_power" -> ((s, d) => {
+      graft.operators.Clustering.powerIterationPc1(
+          Tables(s, d).embeddings, "embedding", "vec_id", iters = 6)._1
+        .orderBy("vec_id")
+    }),
+
     // Luhn-validated card masking (the PII stage regex alone cannot do):
     // both sides inject a doc-varying 16-digit run (Luhn-valid for ~10%
     // of docs), an always-valid card, and a 20-digit non-candidate; the
@@ -1712,6 +1723,30 @@ object Pipeline {
     "q140_multimodal_resize" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
         |ORDER BY name, y, x""".stripMargin,
+    "q143_pca_power" -> {
+      // unrolled power iteration: p0 = 1/8 per coordinate (dim 64);
+      // per round, s = round(x·p, 6) per row, y_int = Σ round-6-lifted
+      // terms, norm from the exact HUGEINT square-sum, p = round(y/‖y‖, 6)
+      val dim = 64
+      def iterSql(n: Int): String =
+        s"""s$n AS (SELECT v.vec_id, round(list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> v.x[CAST(i AS INT)] * p.pv[CAST(i AS INT)])), 6) AS s
+           |  FROM v CROSS JOIN p${n - 1} p),
+           |y$n AS (SELECT CAST(u.i AS INT) AS pos,
+           |    sum(CAST(round(round(v.x[CAST(u.i AS INT)] * s.s, 6) * 1e6, 0) AS BIGINT)) AS yi
+           |  FROM v JOIN s$n s USING (vec_id), unnest(range(1, ${dim + 1})) AS u(i)
+           |  GROUP BY u.i),
+           |n$n AS (SELECT sqrt(CAST(sum(CAST(yi AS HUGEINT) * yi) AS DOUBLE)) / 1e6 AS nm FROM y$n),
+           |p$n AS (SELECT list(round((CAST(yi AS DOUBLE) / 1e6) / n.nm, 6) ORDER BY pos) AS pv
+           |  FROM y$n CROSS JOIN n$n n GROUP BY n.nm)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |p0 AS (SELECT list_transform(range(1, ${dim + 1}), i -> 0.125) AS pv),
+         |${(1 to 6).map(iterSql).mkString(",\n")}
+         |SELECT v.vec_id, round(list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> v.x[CAST(i AS INT)] * p.pv[CAST(i AS INT)])), 6) AS pc1
+         |FROM v CROSS JOIN p6 p ORDER BY v.vec_id""".stripMargin
+    },
     "q142_luhn_scrub" -> {
       // Luhn mod-10 over a known digit-string expression S, in pure SQL
       def luhn(sExpr: String): String =

@@ -498,6 +498,31 @@ class SourceOverlapSpec extends graft.SparkSpec {
   }
 }
 
+class PowerIterationSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("recovers the dominant direction, unit norm, deterministic") {
+    // data concentrated along (3, 4)/5 with small off-axis noise — power
+    // iteration must converge to ±(0.6, 0.8)
+    val rows = (1L to 40L).map { i =>
+      val t = (i % 7).toDouble - 3.0
+      val noise = ((i % 3).toDouble - 1.0) * 0.01
+      (i, Seq(3.0 * t + noise * 4.0, 4.0 * t - noise * 3.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (proj, v) = Clustering.powerIterationPc1(df, "embedding", "vec_id", iters = 8)
+    assert(math.abs(math.abs(v(0)) - 0.6) < 1e-3 && math.abs(math.abs(v(1)) - 0.8) < 1e-3)
+    assert(math.abs(v.map(z => z * z).sum - 1.0) < 1e-5) // unit norm
+    val (_, v2) = Clustering.powerIterationPc1(df.repartition(7), "embedding", "vec_id", iters = 8)
+    assert(v.toSeq === v2.toSeq) // order-free: repartitioning changes nothing
+    // projections are the dot with the returned direction
+    val p = proj.as[(Long, Double)].collect().toMap
+    val expect1 = BigDecimal(rows.head._2.zip(v).map { case (a, b) => a * b }.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(p(1L) - expect1) < 2e-6)
+  }
+}
+
 class LuhnScrubSpec extends graft.SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
