@@ -204,6 +204,38 @@ final case class PropertyGraph(
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient on the UNDIRECTED closure of the edge
+    * set: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the undirected
+    * triangles through v and deg(v) the distinct-neighbor count;
+    * vertices of degree < 2 report 0. The how-clustered-is-my-graph
+    * signal community pipelines threshold on.
+    *
+    * Scale shape: the undirected closure is one union+distinct; triangles
+    * enumerate once over canonical a<b<c edges (two shuffle joins on
+    * vertex keys — the standard distributed triangle plan, work bounded
+    * by Σ deg², never all-pairs); the coefficient is a ratio of exact
+    * integers so any engine agrees bit-for-bit after one round.
+    */
+  def clusteringCoefficient(): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val canon = und.filter(col("a") < col("b"))
+    val e2 = canon.select(col("a").as("b"), col("b").as("c"))
+    val e3 = canon.select(col("a").as("a"), col("b").as("c"))
+    val tri = canon.join(e2, "b" :: Nil).join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
   /** PageRank, fixed iterations (reference benchmark I1,
     * benchmark/testcases/graphAnalytic.scala:11-75): contributions along
     * out-edges, damping 0.85, dangling nodes keep the base term.

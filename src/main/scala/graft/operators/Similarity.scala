@@ -168,6 +168,38 @@ object Similarity {
     books
   }
 
+  /** Per-dimension z-standardization of an embedding column — the
+    * feature-prep stage before distance-based ops when dimensions carry
+    * different scales. Emits long form (vec_id, pos, z) with
+    * z = round((x₆ − μ)/σ, 6); constant dimensions (σ = 0) report 0.
+    *
+    * Engine portability: each value is rounded to 6 dp and lifted ×1e6 to
+    * an exact integer; μ and σ derive from the integer sum and integer
+    * square-sum (decimal accumulator — overflow-proof and order-free), so
+    * both moments are one exact-integer division and every engine's z
+    * agrees bit-for-bit. One explode, one map-side-combined aggregate
+    * over dim keys, one broadcast join back — the data shuffles only the
+    * (pos, x) pairs.
+    */
+  def standardize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x0")))
+      .withColumn("xi", round(round(col("x0"), 6) * 1e6, 0).cast("long"))
+    val stats = base.groupBy("pos").agg(
+      count(lit(1)).as("n"),
+      sum(col("xi").cast("decimal(38,0)")).as("s1"),
+      sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("s2"))
+    base.join(broadcast(stats), Seq("pos"))
+      .withColumn("mu", col("s1").cast("double") / (lit(1e6) * col("n")))
+      .withColumn("sigma", sqrt(greatest(lit(0.0),
+        col("s2").cast("double") / (lit(1e12) * col("n"))
+          - col("mu") * col("mu"))))
+      .select(col("vec_id"), col("pos"),
+        when(col("sigma") > 0.0,
+          round((col("xi").cast("double") / 1e6 - col("mu")) / col("sigma"), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Sign-LSH top-k: exact ranking *within* the query's bucket. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {

@@ -176,6 +176,14 @@ object Graph {
       g.trianglesPerVertex().orderBy("id")
     }),
 
+    // local clustering coefficient on the undirected closure: undirected
+    // triangles through each vertex over its possible neighbor pairs —
+    // exact-integer ratio, one round, vertices of degree < 2 report 0.
+    "q145_clustering_coeff" -> ((s, d) => {
+      PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+        .clusteringCoefficient().orderBy("id")
+    }),
+
     // deterministic synchronous label propagation (4 fixed rounds, most-
     // frequent neighbor label, min tie-break) over the medium graph; the
     // DuckDB oracle unrolls the identical rounds.
@@ -309,6 +317,25 @@ object Graph {
          | JOIN edges e3 ON e2.dst = e3.src
          | JOIN edges e4 ON e3.dst = e4.src AND e4.dst = e1.src
          |WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.src < e3.dst""".stripMargin,
+    "q145_clustering_coeff" ->
+      s"""WITH edges AS ($denseEdgesSql),
+         |und AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst, src FROM edges) WHERE a <> b),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY a),
+         |canon AS (SELECT a, b FROM und WHERE a < b),
+         |tri0 AS (SELECT e1.a AS a, e1.b AS b, e2.c AS c FROM canon e1
+         |  JOIN (SELECT a AS b, b AS c FROM canon) e2 USING (b)
+         |  JOIN (SELECT a, b AS c FROM canon) e3 ON e3.a = e1.a AND e3.c = e2.c),
+         |m AS (SELECT a AS id FROM tri0
+         |  UNION ALL SELECT b FROM tri0 UNION ALL SELECT c FROM tri0),
+         |t AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY id)
+         |SELECT d.id, d.degree,
+         |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN round(2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)), 6)
+         |    ELSE 0.0 END AS cc
+         |FROM deg d LEFT JOIN t ON t.id = d.id ORDER BY d.id""".stripMargin,
     "q80_triangles_per_vertex" ->
       s"""WITH edges AS ($denseEdgesSql),
          |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

@@ -589,6 +589,15 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // per-dimension z-standardization of the embeddings (feature prep):
+    // moments from exact integer sums (decimal accumulators — order-free
+    // and overflow-proof), one division each, constant dims report 0.
+    "q144_standardize" -> ((s, d) => {
+      graft.operators.Similarity.standardize(
+          Tables(s, d).embeddings, "embedding", "vec_id")
+        .orderBy("vec_id", "pos")
+    }),
+
     // first principal direction by deterministic power iteration (6
     // rounds, integer-lifted sums and an arbitrary-precision normalizer —
     // no order-dependent float accumulation anywhere): per-vector pc1
@@ -1723,6 +1732,24 @@ object Pipeline {
     "q140_multimodal_resize" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
         |ORDER BY name, y, x""".stripMargin,
+    "q144_standardize" ->
+      // + 0.0 canonicalizes the signed zero a round of a tiny negative
+      // yields in DuckDB but not Spark (the q102 artifact class)
+      """WITH b AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+        |    CAST(round(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE), 6) * 1e6, 0) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+        |st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xi) AS BIGINT) AS s1,
+        |    sum(CAST(xi AS HUGEINT) * xi) AS s2 FROM b GROUP BY pos),
+        |j AS (SELECT b.vec_id, b.pos, b.xi,
+        |    CAST(st.s1 AS DOUBLE) / (1e6 * st.n) AS mu,
+        |    sqrt(greatest(0.0, CAST(st.s2 AS DOUBLE) / (1e12 * st.n)
+        |      - (CAST(st.s1 AS DOUBLE) / (1e6 * st.n)) * (CAST(st.s1 AS DOUBLE) / (1e6 * st.n)))) AS sigma
+        |  FROM b JOIN st USING (pos))
+        |SELECT vec_id, pos,
+        |  CASE WHEN sigma > 0 THEN round((CAST(xi AS DOUBLE) / 1e6 - mu) / sigma, 6) + 0.0
+        |    ELSE 0.0 END AS z
+        |FROM j ORDER BY vec_id, pos""".stripMargin,
     "q143_pca_power" -> {
       // unrolled power iteration: p0 = 1/8 per coordinate (dim 64);
       // per round, s = round(x·p, 6) per row, y_int = Σ round-6-lifted

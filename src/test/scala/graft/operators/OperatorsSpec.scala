@@ -498,6 +498,45 @@ class SourceOverlapSpec extends graft.SparkSpec {
   }
 }
 
+class StandardizeSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("z-scores per dimension; constant dims report 0; order-free") {
+    val df = Seq(
+      (1L, Seq(1.0, 5.0, 7.0)),
+      (2L, Seq(3.0, 5.0, 9.0))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(df, "embedding", "vec_id")
+      .as[(Long, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // dim 0: mean 2, std 1 -> z = ∓1; dim 1 constant -> 0; dim 2: mean 8, std 1
+    assert(out((1L, 0)) === -1.0 && out((2L, 0)) === 1.0)
+    assert(out((1L, 1)) === 0.0 && out((2L, 1)) === 0.0)
+    assert(out((1L, 2)) === -1.0 && out((2L, 2)) === 1.0)
+    val again = Similarity.standardize(df.repartition(5), "embedding", "vec_id")
+      .as[(Long, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(again === out)
+  }
+}
+
+class ClusteringCoeffSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("triangle + pendant graph: exact coefficients, direction-insensitive") {
+    // triangle 1-2-3 plus pendant 4 attached to 1; mixed edge directions
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = graft.graph.PropertyGraph.fromEdges(edges)
+      .clusteringCoefficient()
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) === ((3L, 1L, round2(2.0 / 6))))  // deg 3, 1 triangle, cc = 1/3
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((2L, 1L, 1.0)))
+    assert(out(4L) === ((1L, 0L, 0.0)))              // degree 1 -> 0
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
+
 class PowerIterationSpec extends graft.SparkSpec {
   import spark.implicits._
 
