@@ -159,6 +159,15 @@ object Events {
           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin).df
     }),
 
+    // ordered funnel view -> click -> purchase within 24h: earliest
+    // strictly-increasing chain per user (greedy-optimal for
+    // reachability), steps reached, completion verdict.
+    "q146_funnel" -> ((s, d) => {
+      EventStreams.funnel(Tables(s, d).events,
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .orderBy("user_id")
+    }),
+
     // QUALIFY clause in SQL text (SqlRewriter → windowed-subquery rewrite):
     // top-3 events per type by value. DuckDB runs the identical text natively.
     "q92_qualify" -> ((s, d) => {
@@ -213,6 +222,25 @@ object Events {
         |FROM g JOIN m ON m.user_id = g.user_id
         |WHERE g.session_idx <> m.last_idx
         |ORDER BY g.user_id, g.session_idx""".stripMargin,
+    "q146_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |    min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |    min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed,
+        |  (t3 IS NOT NULL
+        |   AND epoch_us(t3) - epoch_us(t1) <= CAST(86400 AS BIGINT) * 1000000) AS completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
     "q135_session_window" ->
       // inclusive gap rule (probed: Spark merges at diff == gap): a new
       // session opens only at diff > gap

@@ -206,6 +206,46 @@ object EventStreams {
         col("ts_r") <= col("ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
   }
 
+  /** Ordered event funnel: for each user who performed `steps.head`, the
+    * earliest strictly-increasing chain of step timestamps (t₁ = min ts of
+    * step 1; tₖ = min ts of step k AFTER tₖ₋₁), how many steps were
+    * reached, and whether the whole funnel completed within
+    * `withinSeconds` of t₁. The earliest-chain greedy is optimal for
+    * reachability: any valid chain's step-k time is ≥ the greedy's, so
+    * taking each minimum never forfeits a later step. Strict `>` chaining
+    * makes ties engine-unambiguous.
+    *
+    * Scale shape: one aggregate per step, each over ONLY that step's
+    * events (the type filter reaches the scan), joined on user_id — k-1
+    * key-partitioned joins, no window over whole histories and no
+    * per-user event buffering. Users who never performed step 1 are
+    * absent by definition.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(withinSeconds > 0, s"withinSeconds must be positive")
+    var acc = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    for (k <- 2 to steps.size) {
+      val stepEvents = events.filter(col("event_type") === steps(k - 2 + 1))
+        .select(col("user_id"), col("ts").as("__ts"))
+      val keep = col("user_id") +: (1 until k).map(j => col(s"t$j"))
+      acc = acc.join(stepEvents, Seq("user_id"), "left")
+        .groupBy(keep: _*)
+        .agg(min(when(col("__ts") > col(s"t${k - 1}"), col("__ts"))).as(s"t$k"))
+    }
+    val n = steps.size
+    val reached = (2 to n).map(k => when(col(s"t$k").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    acc.select(
+      (col("user_id") +: (1 to n).map(k => col(s"t$k"))) :+
+        reached.as("steps_completed") :+
+        (col(s"t$n").isNotNull &&
+          unix_micros(col(s"t$n")) - unix_micros(col("t1")) <=
+            withinSeconds * 1000000L).as("completed"): _*)
+  }
+
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -87,6 +87,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_events") === 2)
   }
 
+  test("funnel: earliest strictly-increasing chain, partial reach, window cut") {
+    import EventStreams.funnel
+    val ev = Seq(
+      // user 1: completes in order within window
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE first view never chains; later click does
+      (2L, "click", ts(0)), (2L, "view", ts(5)), (2L, "click", ts(7)),
+      // user 3: completes but outside the 30-min window
+      (3L, "view", ts(0)), (3L, "click", ts(10)), (3L, "purchase", ts(100)),
+      // user 4: never viewed -> absent
+      (4L, "purchase", ts(1)),
+      // user 5: click at the SAME ts as view does not chain (strict >)
+      (5L, "view", ts(3)), (5L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val out = funnel(ev, Seq("view", "click", "purchase"), withinSeconds = 1800)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("steps_completed"), r.getAs[Boolean]("completed")))).toMap
+    assert(out(1L) === ((3L, true)))
+    assert(out(2L) === ((2L, false)))   // reached click via ts(7)
+    assert(out(3L) === ((3L, false)))   // completed but > 30 min
+    assert(!out.contains(4L))
+    assert(out(5L) === ((1L, false)))   // same-ts click ignored
+  }
+
   test("streaming as-of matches the batch AsofJoin operator on batch input") {
     import EventStreams.{AsofProbe, AsofRef}
     val probes = Seq(AsofProbe(7L, ts(10), 1L), AsofProbe(7L, ts(25), 2L),
