@@ -115,6 +115,74 @@ object Scoring {
           4).as("nll"))
   }
 
+  /** Interpolated trigram-LM perplexity — the next rung after
+    * [[bigramLogLoss]] toward the 5-gram KenLM filters: score each token
+    * transition by the λ-mixture of trigram, bigram, and unigram
+    * probabilities (add-one smoothing on the conditional models),
+    *   p = λ₃·(c(w₁w₂w₃)+1)/(c(w₁w₂)+V) + λ₂·(c(w₂w₃)+1)/(c(w₂)+V) + λ₁·c(w₃)/N,
+    * per-doc mean −ln p over transitions. Interpolation is what makes a
+    * higher-order model usable — an unseen trigram backs off smoothly
+    * instead of cratering to the uniform floor. Docs with < 3 tokens have
+    * no transitions and are excluded.
+    *
+    * Scale shape: one pass builds indexed transition triples natively;
+    * the three count models are term-partitioned aggregates (the bigram
+    * and unigram models derive from the trigram table where marginals
+    * allow); scoring joins hit the transition table once per model
+    * granularity. Mixture arithmetic is a fixed-order 3-term sum of
+    * single-division probabilities, and the per-transition logs are
+    * rounded + integer-lifted before the cross-row mean — the q101/q123
+    * portability contract.
+    *
+    * Returns (doc_id, n_transitions, nll), one row per doc with ≥ 3 tokens.
+    */
+  def trigramLogLoss(df: DataFrame, textCol: String, idCol: String,
+      l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.2): DataFrame = {
+    val withToks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val tri = withToks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(3), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 2).as("w1"),
+          element_at(col("toks"), i - 1).as("w2"),
+          element_at(col("toks"), i).as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("double").as("c3"))
+    val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("cc3"))
+    // bigram/unigram models over the FULL token stream (not just trigram
+    // transitions), so short docs still contribute mass
+    val toks = withToks.select(col("doc_id"), col("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 1).as("w2"),
+          element_at(col("toks"), i).as("w3")))).as("p"))
+      .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val c2 = pairs.groupBy("w2", "w3").agg(count(lit(1)).cast("double").as("c2"))
+    val ctx2 = c2.groupBy("w2").agg(sum("c2").as("cc2"))
+    val unis = toks.select(explode(col("toks")).as("w3"))
+    val c1 = unis.groupBy("w3").agg(count(lit(1)).cast("double").as("c1"))
+    val scal = c1.agg(sum("c1").as("n"),
+      countDistinct(col("w3")).cast("double").as("v"))
+    tri
+      .join(c3, Seq("w1", "w2", "w3"), "left").join(ctx3, Seq("w1", "w2"), "left")
+      .join(c2, Seq("w2", "w3"), "left").join(ctx2, Seq("w2"), "left")
+      .join(c1, Seq("w3"))
+      .crossJoin(broadcast(scal))
+      .withColumn("p",
+        lit(l3) * (coalesce(col("c3"), lit(0.0)) + 1.0)
+            / (coalesce(col("cc3"), lit(0.0)) + col("v"))
+          + lit(l2) * (coalesce(col("c2"), lit(0.0)) + 1.0)
+            / (coalesce(col("cc2"), lit(0.0)) + col("v"))
+          + lit(l1) * col("c1") / col("n"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_transitions"),
+        round(
+          sum(round(round(-log(col("p")), 6) * 1e6, 0).cast("long"))
+            .cast("double") / (lit(1e6) * count(lit(1)).cast("double")),
+          4).as("nll"))
+  }
+
   /** DSIR-style importance score per document: the mean per-token log
     * ratio ln p_target(t) − ln p_corpus(t) between a target-domain unigram
     * LM (rows matching `targetFilter`) and the whole-corpus unigram LM,

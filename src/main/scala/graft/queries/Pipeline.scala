@@ -589,6 +589,16 @@ object Pipeline {
         .orderBy("name", "feat_idx")
     }),
 
+    // interpolated trigram-LM perplexity (λ-mixture of add-one trigram/
+    // bigram/unigram — the smoothing that makes higher-order n-gram
+    // filters usable): per-doc mean -ln p over transitions, q101/q123
+    // integer-lifted portability.
+    "q147_trigram_ppl" -> ((s, d) => {
+      graft.operators.Scoring.trigramLogLoss(
+          Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // per-dimension z-standardization of the embeddings (feature prep):
     // moments from exact integer sums (decimal accumulators — order-free
     // and overflow-proof), one division each, constant dims report 0.
@@ -1732,6 +1742,34 @@ object Pipeline {
     "q140_multimodal_resize" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
         |ORDER BY name, y, x""".stripMargin,
+    "q147_trigram_ppl" ->
+      // the bigram/unigram models cover the FULL token stream; the
+      // λ-mixture is the same fixed-order 3-term sum as the engine side
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |tr AS (SELECT doc_id, toks[CAST(u.i - 2 AS INT)] AS w1,
+         |    toks[CAST(u.i - 1 AS INT)] AS w2, toks[CAST(u.i AS INT)] AS w3
+         |  FROM w, unnest(range(3, len(toks) + 1)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3 FROM tr GROUP BY 1, 2, 3),
+         |x3 AS (SELECT w1, w2, sum(c3) AS cc3 FROM c3 GROUP BY 1, 2),
+         |pr AS (SELECT toks[CAST(u.i - 1 AS INT)] AS w2, toks[CAST(u.i AS INT)] AS w3
+         |  FROM w, unnest(range(2, len(toks) + 1)) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS c2 FROM pr GROUP BY 1, 2),
+         |x2 AS (SELECT w2, sum(c2) AS cc2 FROM c2 GROUP BY 1),
+         |un AS (SELECT unnest(toks) AS w3 FROM w),
+         |c1 AS (SELECT w3, CAST(count(*) AS DOUBLE) AS c1 FROM un GROUP BY 1),
+         |sc AS (SELECT sum(c1) AS n, CAST(count(*) AS DOUBLE) AS v FROM c1)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  round(CAST(sum(CAST(round(round(-ln(
+         |      0.5 * (c3.c3 + 1) / (x3.cc3 + sc.v)
+         |    + 0.3 * (c2.c2 + 1) / (x2.cc2 + sc.v)
+         |    + 0.2 * c1.c1 / sc.n), 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / (1e6 * count(*)), 4) AS nll
+         |FROM tr t JOIN c3 USING (w1, w2, w3) JOIN x3 USING (w1, w2)
+         |  JOIN c2 USING (w2, w3) JOIN x2 USING (w2) JOIN c1 USING (w3)
+         |  CROSS JOIN sc
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q144_standardize" ->
       // + 0.0 canonicalizes the signed zero a round of a tiny negative
       // yields in DuckDB but not Spark (the q102 artifact class)

@@ -498,6 +498,27 @@ class SourceOverlapSpec extends graft.SparkSpec {
   }
 }
 
+class TrigramPplSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("context sensitivity: repeated phrasing scores lower than scrambled; short docs excluded") {
+    val canon = "the cat sat on the mat"
+    val docs = ((1L to 6L).map(i => (i, canon)) ++
+      Seq((7L, "mat the on sat cat the"), // same unigrams, broken order
+        (8L, "xy zq")))                   // < 3 tokens: no transitions
+      .toDF("doc_id", "text")
+    val out = Scoring.trigramLogLoss(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(!out.contains(8L))
+    assert(out(1L)._1 === 4L) // 6 tokens -> 4 transitions
+    assert(out(1L)._2 < out(7L)._2, s"in-order ${out(1L)} !< scrambled ${out(7L)}")
+    // determinism under repartitioning
+    val again = Scoring.trigramLogLoss(docs.toDF.repartition(5), "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(again === out)
+  }
+}
+
 class StandardizeSpec extends graft.SparkSpec {
   import spark.implicits._
 
