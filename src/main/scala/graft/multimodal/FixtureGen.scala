@@ -133,6 +133,9 @@ object FixtureGen {
       Multimodal.resizeDirTable(spark, new File(fixDir).getAbsolutePath, 4, 4)
         .coalesce(1).write.mode("overwrite")
         .parquet("fixtures/multimodal_resize_expected.parquet")
+      Multimodal.videoFrameLuminanceTable(spark, new File(fixDir).getAbsolutePath, 4)
+        .coalesce(1).write.mode("overwrite")
+        .parquet("fixtures/multimodal_frames_expected.parquet")
     } finally spark.stop()
   }
 }

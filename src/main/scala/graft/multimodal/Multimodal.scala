@@ -606,6 +606,55 @@ object Multimodal {
     }.toDF("name", "x", "y", "v")
   }
 
+  /** REAL frame SAMPLING + decode over the fixture directory: every
+    * `everyNth` frame of each AVI (true container boundaries via
+    * [[VideoHeaders.frameChunks]]), decoded through ImageIO, reduced to
+    * its mean luminance — the sampled-frame featurization step of a video
+    * ingestion pipeline, driver-gatable because the committed fixtures
+    * make every value analytic (ramp16.avi's frame i is constant gray
+    * ~i/15). Same batch seam and 4-dp rounding as [[decodeDirTable]].
+    *
+    * Returns (name, frame_idx, width, height, mean_lum), AVI files only.
+    */
+  def videoFrameLuminanceTable(spark: SparkSession, dir: String,
+      everyNth: Int): DataFrame = {
+    import spark.implicits._
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val raw = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .filter(col("name").endsWith(".avi"))
+      .select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+    raw.mapPartitions { it =>
+      it.flatMap { case (name, bytes) =>
+        VideoHeaders.frameChunks(bytes).zipWithIndex.iterator.collect {
+          case ((off, len), idx) if idx % everyNth == 0 =>
+            (name, idx, java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }.flatMap { case (nm, idx, jpeg) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+          if (img == null) Iterator.empty
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 765.0
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / (img.getWidth.toLong * img.getHeight)
+            Iterator.single((nm, idx, img.getWidth, img.getHeight,
+              BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+      }
+    }.toDF("name", "frame_idx", "width", "height", "mean_lum")
+  }
+
   /** REAL video frame extraction: explodes each AVI binary into
     * (id, frame_idx, frame) rows at the container's true frame boundaries
     * ([[VideoHeaders.frameChunks]]), taking every `everyNth` frame. For

@@ -159,6 +159,21 @@ object Events {
           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin).df
     }),
 
+    // weekly cohort retention: users grouped by first-event week, active
+    // user counts per (cohort week, activity week) — the engagement
+    // matrix. Two grouped passes joined on user_id; weeks via date_trunc.
+    "q148_cohort_retention" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week")
+    }),
+
     // ordered funnel view -> click -> purchase within 24h: earliest
     // strictly-increasing chain per user (greedy-optimal for
     // reachability), steps reached, completion verdict.
@@ -222,6 +237,14 @@ object Events {
         |FROM g JOIN m ON m.user_id = g.user_id
         |WHERE g.session_idx <> m.last_idx
         |ORDER BY g.user_id, g.session_idx""".stripMargin,
+    "q148_cohort_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT c.cohort_week, a.week, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN c ON c.user_id = a.user_id
+        |GROUP BY c.cohort_week, a.week
+        |ORDER BY c.cohort_week, a.week""".stripMargin,
     "q146_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

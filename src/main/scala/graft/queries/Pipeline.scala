@@ -639,6 +639,18 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // REAL video frame SAMPLING under the driver gate: every 4th frame
+    // of the committed MJPEG AVI (true container boundaries), decoded,
+    // reduced to mean luminance — ramp16.avi's frame i is constant gray
+    // ~i/15 (spec hand-checks); oracle reads the committed expected table.
+    "q149_video_frames" -> ((s, _) => {
+      val local = new java.io.File("fixtures/multimodal")
+      val dir = if (local.isDirectory) local.getAbsolutePath
+        else "/root/repo/fixtures/multimodal"
+      graft.multimodal.Multimodal.videoFrameLuminanceTable(s, dir, everyNth = 4)
+        .orderBy("name", "frame_idx")
+    }),
+
     // REAL image resize under the driver gate (the q121 fixture pattern):
     // nearest-neighbor 4x4 intensity grid of each committed image fixture
     // — white ⇒ all 1.0, black ⇒ 0.0, the ramp ⇒ its source column's
@@ -1742,6 +1754,9 @@ object Pipeline {
     "q140_multimodal_resize" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_resize_expected.parquet/*.parquet'
         |ORDER BY name, y, x""".stripMargin,
+    "q149_video_frames" ->
+      """SELECT * FROM '/root/repo/fixtures/multimodal_frames_expected.parquet/*.parquet'
+        |ORDER BY name, frame_idx""".stripMargin,
     "q147_trigram_ppl" ->
       // the bigram/unigram models cover the FULL token stream; the
       // λ-mixture is the same fixed-order 3-term sum as the engine side

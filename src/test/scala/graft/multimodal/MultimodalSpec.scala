@@ -426,6 +426,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoFrameLuminanceTable samples true frame boundaries with analytic levels") {
+    val dir = new java.io.File("fixtures/multimodal").getAbsolutePath
+    val out = Multimodal.videoFrameLuminanceTable(spark, dir, everyNth = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(out.keySet === Set(0, 4, 8, 12)) // 16 frames, every 4th
+    // constant-gray frame i decodes losslessly: mean luminance = (i*255/15)/255
+    for ((i, v) <- out)
+      assert(math.abs(v - (i * 255 / 15) / 255.0) < 5e-4, s"frame $i: $v")
+  }
+
   test("resizeMeta caps dimensions, preserves struct shape") {
     val ds = spark.createDataset(Seq(media(9, "image", 64)))
     val decoded = decode(ds)
