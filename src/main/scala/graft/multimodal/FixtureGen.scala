@@ -118,10 +118,35 @@ object FixtureGen {
     }))
   }
 
+  /** Minimal WARC fixture (fixtures/web/sample.warc): three records —
+    * two responses carrying HTML payloads whose extracted text is known
+    * literally (the q150 oracle states it as VALUES), one request record
+    * the gate must filter out.
+    */
+  def writeWarcFixture(dir: String): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    def record(typ: String, uri: String, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++ p ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warc =
+      record("response", "http://a.example/x",
+        "<html><head><script>var a=1;</script></head>" +
+          "<body><h1>Alpha</h1><p>hello warc one</p></body></html>") ++
+      record("request", "http://a.example/x", "GET /x HTTP/1.1") ++
+      record("response", "http://b.example/y?z=1",
+        "<html><body><p>beta and gamma</p><footer>f</footer></body></html>")
+    Files.write(new File(d, "sample.warc").toPath, warc)
+  }
+
   def main(args: Array[String]): Unit = {
     val fixDir = if (args.nonEmpty) args(0) else "fixtures/multimodal"
     val outParquet = if (args.length > 1) args(1) else "fixtures/multimodal_expected.parquet"
     writeFixtures(fixDir)
+    writeWarcFixture("fixtures/web")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("graft-fixture-gen")
       .config("spark.sql.shuffle.partitions", 4)

@@ -639,6 +639,23 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // WARC ingestion end-to-end under the driver gate: parse the
+    // committed crawl container (ISO 28500 record walk), keep response
+    // records, extract text from the HTML payloads — the crawl-to-corpus
+    // front door. The oracle states the expected rows literally (the
+    // fixture's payloads are known), so this gate is fully hand-checkable.
+    "q150_warc_extract" -> ((s, _) => {
+      val local = new java.io.File("fixtures/web")
+      val dir = if (local.isDirectory) local.getAbsolutePath
+        else "/root/repo/fixtures/web"
+      graft.operators.Warc.warcDirTable(s, dir)
+        .filter(col("warc_type") === "response")
+        .select(col("record_idx").cast("long").as("record_idx"), col("uri"),
+          graft.operators.Web.htmlToText(
+            col("payload").cast("string")).as("clean"))
+        .orderBy("record_idx")
+    }),
+
     // REAL video frame SAMPLING under the driver gate: every 4th frame
     // of the committed MJPEG AVI (true container boundaries), decoded,
     // reduced to mean luminance — ramp16.avi's frame i is constant gray
@@ -1757,6 +1774,11 @@ object Pipeline {
     "q149_video_frames" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_frames_expected.parquet/*.parquet'
         |ORDER BY name, frame_idx""".stripMargin,
+    "q150_warc_extract" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'http://a.example/x', 'Alpha hello warc one'),
+        |  (CAST(2 AS BIGINT), 'http://b.example/y?z=1', 'beta and gamma f')
+        |) AS t(record_idx, uri, clean) ORDER BY record_idx""".stripMargin,
     "q147_trigram_ppl" ->
       // the bigram/unigram models cover the FULL token stream; the
       // λ-mixture is the same fixed-order 3-term sum as the engine side

@@ -446,6 +446,33 @@ class DecontamSpansSpec extends graft.SparkSpec {
   }
 }
 
+class WarcSpec extends graft.SparkSpec {
+
+  private def rec(typ: String, uri: String, payload: String): Array[Byte] = {
+    val p = payload.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++ p ++
+      "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("parses records, preserves payload bytes, survives truncation and garbage") {
+    val bytes = rec("response", "http://x/", "hello") ++ rec("request", "http://x/", "GET /")
+    val rs = Warc.parse(bytes)
+    assert(rs.map(r => (r.recordIdx, r.warcType, r.targetUri,
+      new String(r.payload, "UTF-8"))) ===
+      Seq((0, "response", "http://x/", "hello"), (1, "request", "http://x/", "GET /")))
+    // truncated second record: first still parses, walk stops cleanly
+    val cut = bytes.dropRight(12)
+    assert(Warc.parse(cut).map(_.recordIdx) === Seq(0))
+    // garbage prefix is not a record start: empty, no throw
+    assert(Warc.parse("not a warc at all".getBytes("UTF-8")) === Seq())
+    assert(Warc.parse(Array.emptyByteArray) === Seq())
+    // declared length beyond the buffer: dropped, no throw
+    val lying = ("WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort").getBytes("UTF-8")
+    assert(Warc.parse(lying) === Seq())
+  }
+}
+
 class HtmlToTextSpec extends graft.SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
