@@ -1069,5 +1069,10 @@ object NativeExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_max_count",
       exprs => NgramMaxCount(exprs(0), intLit(exprs(1), "ngram_max_count")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_rep_chars",
+      exprs => NgramRepChars(exprs(0), intLit(exprs(1), "ngram_rep_chars")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "luhn_scrub", exprs => LuhnScrub(exprs(0)), "built-in")
   }
 }

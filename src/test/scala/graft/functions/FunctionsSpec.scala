@@ -90,6 +90,17 @@ class FunctionsSpec extends SparkSpec {
         |  ngram_max_count(split(text, ' '), 1) FROM native_txt""".stripMargin)
       .as[(String, Long)].head()
     assert(scrubbed === "a b c" && maxBg === 3L)
+
+    // round-8 registrations: repetition signals + Luhn masking from SQL
+    val (rep, masked) = spark.sql(
+      """SELECT ngram_rep_chars(split(text, ' '), 2),
+        |  luhn_scrub('pay 4532015112830366 now') FROM native_txt""".stripMargin)
+      .as[(Seq[Long], String)].head()
+    // "a a b b b c": top 2-gram is "b b" (2 occurrences × 2 chars = 4);
+    // its windows at positions 3 and 4 cover tokens 3–5 → dup chars = 3;
+    // six 1-char tokens → total 6
+    assert(rep === Seq(4L, 3L, 6L))
+    assert(masked === "pay [CC] now")
     // non-literal n fails loudly, not silently
     val badN = intercept[Exception](spark.sql(
       "SELECT ngram_max_count(split(text, ' '), id) FROM native_txt").collect())
