@@ -639,6 +639,25 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // corpus snapshot diff (crawl-over-crawl delta): both sides derive
+    // the same synthetic "previous version" — docs with id%10==3 absent
+    // (→ added), id%10==7 carrying a ' v1' suffix (→ changed), plus
+    // id+1000000 ghosts for id%10==5 (→ removed) — and the operator's
+    // full-outer hash compare must label every id. The delta is what
+    // incremental dedup/contamination runs consume instead of a rescan.
+    "q151_snapshot_diff" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val oldBase = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+      val ghosts = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.Snapshot.diff(
+          oldBase.unionByName(ghosts), docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // WARC ingestion end-to-end under the driver gate: parse the
     // committed crawl container (ISO 28500 record walk), keep response
     // records, extract text from the HTML payloads — the crawl-to-corpus
@@ -1774,6 +1793,23 @@ object Pipeline {
     "q149_video_frames" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_frames_expected.parquet/*.parquet'
         |ORDER BY name, frame_idx""".stripMargin,
+    "q151_snapshot_diff" ->
+      """WITH newv AS (SELECT doc_id, text FROM documents),
+        |oldv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 5),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    md5(o.text) AS oh, md5(n.text) AS nh
+        |  FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |    WHEN nh IS NULL THEN 'removed'
+        |    WHEN oh <> nh THEN 'changed'
+        |    ELSE 'same' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q150_warc_extract" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'http://a.example/x', 'Alpha hello warc one'),

@@ -446,6 +446,18 @@ class DecontamSpansSpec extends graft.SparkSpec {
   }
 }
 
+class SnapshotDiffSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("full-outer hash diff labels added/removed/changed/same") {
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (4L, "gone")).toDF("doc_id", "text")
+    val newV = Seq((1L, "alpha"), (2L, "beta2"), (3L, "fresh")).toDF("doc_id", "text")
+    val out = Snapshot.diff(oldV, newV, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "same", 2L -> "changed", 3L -> "added", 4L -> "removed"))
+  }
+}
+
 class WarcSpec extends graft.SparkSpec {
 
   private def rec(typ: String, uri: String, payload: String): Array[Byte] = {
