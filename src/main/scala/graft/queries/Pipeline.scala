@@ -639,6 +639,24 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // mixed-language detection: per-profile stopword ratios in one
+    // zero-shuffle projection; a doc hitting >= 2 profiles above the
+    // threshold is flagged — the code-switching/boilerplate-splice signal
+    // single-label language ID (q53) cannot express.
+    "q152_lang_mix" -> ((s, d) => {
+      import TextFunctions.LangProfiles
+      def r(p: Seq[String]) = TextFunctions.stopwordRatio(col("text"), p)
+      val profiles = Seq("en" -> LangProfiles.en, "de" -> LangProfiles.de,
+        "fr" -> LangProfiles.fr, "es" -> LangProfiles.es)
+      val nLangs = profiles.map { case (_, p) =>
+        when(r(p) >= 0.02, 1L).otherwise(0L) }.reduce(_ + _)
+      Tables(s, d).documents.select(
+          col("doc_id") +:
+            profiles.map { case (nm, p) => round(r(p), 6).as(s"r_$nm") } :+
+            nLangs.as("n_langs") :+ (nLangs >= 2).as("is_mixed"): _*)
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff (crawl-over-crawl delta): both sides derive
     // the same synthetic "previous version" — docs with id%10==3 absent
     // (→ added), id%10==7 carrying a ' v1' suffix (→ changed), plus
@@ -1793,6 +1811,21 @@ object Pipeline {
     "q149_video_frames" ->
       """SELECT * FROM '/root/repo/fixtures/multimodal_frames_expected.parquet/*.parquet'
         |ORDER BY name, frame_idx""".stripMargin,
+    "q152_lang_mix" -> {
+      val ps = Seq("en" -> TextFunctions.LangProfiles.en,
+        "de" -> TextFunctions.LangProfiles.de,
+        "fr" -> TextFunctions.LangProfiles.fr,
+        "es" -> TextFunctions.LangProfiles.es)
+      val cols = ps.map { case (nm, p) =>
+        s"round(${stopRatioSql(p)}, 6) AS r_$nm" }.mkString(",\n|  ")
+      val hits = ps.map { case (_, p) =>
+        s"(CASE WHEN ${stopRatioSql(p)} >= 0.02 THEN 1 ELSE 0 END)" }.mkString(" + ")
+      s"""SELECT doc_id,
+         |  $cols,
+         |  CAST($hits AS BIGINT) AS n_langs,
+         |  ($hits) >= 2 AS is_mixed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q151_snapshot_diff" ->
       """WITH newv AS (SELECT doc_id, text FROM documents),
         |oldv AS (
