@@ -741,4 +741,41 @@ object Dedup {
     assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("kept"))
   }
+
+  /** Edit-distance-verified near-duplicate pairs on a document-prefix key —
+    * the entity-resolution modality (typo'd titles, OCR slips, re-encodes)
+    * that set-based Jaccard misses: one transposed character barely moves a
+    * shingle set but costs exactly 1 edit.
+    *
+    * Blocking before verification keeps the work far from doc×doc: only
+    * pairs agreeing on (first whitespace token, ⌊prefix length / bandWidth⌋)
+    * are candidates — a same-hash-bucket equi-join, so each block's
+    * quadratic cost is bounded by its own size and blocks shuffle
+    * independently. Real deployments tighten recall by unioning several
+    * blocking passes (or seeding candidates from [[minHashLsh]]) — the
+    * verify stage is shared.
+    *
+    * Verification uses Spark's banded `levenshtein(l, r, threshold)`
+    * (O(maxDist·n) early-exit DP, codegen'd; returns −1 past the bound), so
+    * far-apart candidates cost O(maxDist) columns, not a full DP table.
+    * Returns (a_id, b_id, dist), a_id < b_id, dist ≤ maxDist.
+    */
+  def editDistanceNearDup(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int = 40, maxDist: Int = 10, bandWidth: Int = 8): DataFrame = {
+    val keyed = df.where(length(col(textCol)) > 0).select(
+      col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("key"),
+      split_part(col(textCol), lit(" "), lit(1)).as("w1"),
+      floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
+    val a = keyed.select(col("doc_id").as("a_id"), col("key").as("a_key"),
+      col("w1"), col("band"))
+    val b = keyed.select(col("doc_id").as("b_id"), col("key").as("b_key"),
+      col("w1"), col("band"))
+    a.join(b, Seq("w1", "band"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dist",
+        levenshtein(col("a_key"), col("b_key"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
 }

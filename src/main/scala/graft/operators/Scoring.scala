@@ -450,4 +450,53 @@ object Scoring {
         (round(col("excess"), 6) + lit(0.0)).as("excess"),
         round(col("ei").cast("double") / col("te"), 6).as("weight"))
   }
+
+  /** Per-document shingle novelty: the fraction of a document's distinct
+    * k-token shingles whose corpus-wide FIRST occurrence (minimum doc id) is
+    * this document — 1.0 means entirely novel text, 0.0 means every phrase
+    * already appeared in an earlier document. The incremental-crawl
+    * diagnostic behind "how much of this batch is genuinely new" reports and
+    * novelty-weighted sampling (later near-copies of templated text score
+    * near 0 long before full-duplicate detection fires).
+    *
+    * Scale shape: one shingle explode feeds a map-side-combined min
+    * aggregate on the shingle, joined back on the same key — both sides
+    * hash-partitioned by shingle, then one aggregate by doc. Exact integer
+    * count ratio rounded once: aggregation-order-free. Documents with fewer
+    * than k tokens have no shingles and are absent from the result.
+    */
+  def shingleNovelty(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val shingles = Dedup.shingleSet(df, textCol, idCol, k)
+    val first = shingles.groupBy("tok").agg(min("doc_id").as("first_doc"))
+    shingles.join(first, "tok" :: Nil)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("novelty"))
+  }
+
+  /** Winsorize a numeric column at exact per-group quantiles: values below
+    * the group's `lo` percentile clamp up to it, above `hi` clamp down —
+    * the robust-stats treatment quality/length scores get before feeding
+    * mixture weights or z-scores, where a handful of outlier documents
+    * would otherwise own the scale.
+    *
+    * Percentiles are Spark's exact interpolated `percentile` (≡ DuckDB
+    * `quantile_cont`), computed per group in one aggregate; the per-group
+    * bounds table (2 doubles per group) broadcasts to the clamp join, so
+    * the data never shuffles. Appends `<valueCol>_w`, rounded to 4 dp.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad winsorize bounds [$lo, $hi]")
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("p_lo"),
+      expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        round(least(greatest(col(valueCol).cast("double"), col("p_lo")),
+          col("p_hi")), 4))
+      .drop("p_lo", "p_hi")
+  }
 }

@@ -214,6 +214,29 @@ object Events {
         """SELECT event_id, user_id, coalesce(asof_o_orderkey, -1) AS last_order
           |FROM ev_asof e ASOF JOIN ord_asof o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
           |ORDER BY event_id""".stripMargin).df
+    }),
+
+    // trailing 1-hour RANGE-frame rolling aggregates per user (event-time
+    // interval frame, peers-by-timestamp included — SQL-standard on both
+    // engines). The value sum is integer-lifted per row so in-frame
+    // accumulation order cannot show.
+    "q153_rolling_1h" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .withColumn("v_micros", round(round(col("value"), 6) * 1e6, 0).cast("long"))
+      graft.operators.TimeSeries.rollingRange(ev, "user_id", "ts", "1 HOUR",
+          Seq("n_1h" -> "count(*)", "sum_micros_1h" -> "sum(v_micros)"))
+        .select("event_id", "user_id", "n_1h", "sum_micros_1h")
+        .orderBy("event_id")
+    }),
+
+    // hourly gap-filled LOCF grid per user: each user's hour buckets from
+    // first to last event, latest in-bucket value (ties broken by event_id)
+    // carried across empty buckets. Value rounded to 6 dp BEFORE the carry
+    // — no sums anywhere, so nothing is order-sensitive.
+    "q154_gap_fill_locf" -> ((s, d) => {
+      graft.operators.TimeSeries.gapFillLocf(Tables(s, d).events,
+          "user_id", "ts", round(col("value"), 6), "event_id", unit = "hour")
+        .orderBy("user_id", "bucket")
     })
   )
 
@@ -362,6 +385,33 @@ object Events {
          |r AS (SELECT event_id, ${rank("user_id", 0)} AS r0, ${rank("value", 1)} AS r1
          |  FROM events, bounds)
          |SELECT event_id, $interleave AS z FROM r ORDER BY event_id""".stripMargin
-    }
+    },
+    "q153_rolling_1h" ->
+      // outer CAST: DuckDB's windowed sum(BIGINT) widens to HUGEINT (the
+      // q112 driver-hash hazard)
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(round(round(value, 6) * 1e6, 0) AS BIGINT)) OVER w
+        |       AS BIGINT) AS sum_micros_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q154_gap_fill_locf" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS b0,
+        |    date_trunc('hour', max(ts)) AS b1 FROM events GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL '1 hour')) AS bucket FROM b),
+        |hv AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    round(value, 6) AS v,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+        |hl AS (SELECT user_id, bucket, v FROM hv WHERE rn = 1)
+        |SELECT g.user_id, g.bucket,
+        |  last_value(hl.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_locf
+        |FROM g LEFT JOIN hl ON hl.user_id = g.user_id AND hl.bucket = g.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin
   )
 }

@@ -1116,6 +1116,48 @@ object Pipeline {
       graft.operators.Packing.packShards(survivors, "doc_id",
           col("n_tokens"), budget = 1024)
         .orderBy("doc_id")
+    }),
+
+    // deterministic ordered string aggregation per group (the listagg /
+    // string_agg surface): distinct languages per source, sorted then
+    // comma-joined — collect_set order never reaches the result.
+    "q155_source_langs" -> ((s, d) => {
+      Tables(s, d).documents.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+        .orderBy("source")
+    }),
+
+    // robust-stats cleanup: n_chars winsorized at each source's exact
+    // [p05, p95] (broadcast bounds, corpus never shuffled) + equi-count
+    // decile within source (SQL-standard ntile over a total order).
+    "q156_winsorize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.Scoring.winsorize(
+          Tables(s, d).documents, "n_chars", "source", 0.05, 0.95)
+        .select(col("doc_id"), col("source"), col("n_chars_w"),
+          ntile(10).over(Window.partitionBy("source")
+            .orderBy(col("n_chars"), col("doc_id"))).cast("long").as("decile"))
+        .orderBy("doc_id")
+    }),
+
+    // edit-distance-verified near-dup pairs: blocked on (first token,
+    // 40-char-prefix length band), verified with the banded threshold
+    // levenshtein — the typo/OCR modality shingle Jaccard misses.
+    "q157_edit_near_dup" -> ((s, d) => {
+      graft.operators.Dedup.editDistanceNearDup(
+          Tables(s, d).documents, "text", "doc_id",
+          prefixLen = 40, maxDist = 10)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // per-doc 3-gram shingle novelty: fraction of the doc's distinct
+    // shingles first introduced (min doc_id) by this doc — the
+    // "how much of this batch is new" crawl diagnostic.
+    "q158_shingle_novelty" -> ((s, d) => {
+      graft.operators.Scoring.shingleNovelty(
+          Tables(s, d).documents, "text", "doc_id", k = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -2215,6 +2257,49 @@ object Pipeline {
         | FROM documents)
         |SELECT doc_id, nfc_normalize(dirty) AS norm,
         |  CAST(length(dirty) - length(nfc_normalize(dirty)) AS BIGINT) AS n_composed
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q155_source_langs" ->
+      // ordered-aggregation twin of array_sort(collect_set(...)):
+      // string_agg over a DISTINCT subquery with an explicit ORDER BY
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  (SELECT string_agg(l, ',' ORDER BY l) FROM
+        |    (SELECT DISTINCT lang AS l FROM documents i
+        |     WHERE i.source = d.source) t) AS langs
+        |FROM documents d GROUP BY source ORDER BY source""".stripMargin,
+    "q156_winsorize" ->
+      // quantile_cont ≡ Spark exact interpolated percentile (q83); ntile is
+      // SQL-standard (larger groups first) on both engines
+      """WITH p AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), lo), hi), 4) AS n_chars_w,
+        |  CAST(ntile(10) OVER (PARTITION BY d.source
+        |    ORDER BY d.n_chars, d.doc_id) AS BIGINT) AS decile
+        |FROM documents d JOIN p USING (source) ORDER BY d.doc_id""".stripMargin,
+    "q157_edit_near_dup" ->
+      // identical blocking (first token, 40-prefix len band) + plain
+      // levenshtein — DuckDB has no banded variant, same value ≤ the bound
+      """WITH k AS (SELECT doc_id, substr(text, 1, 40) AS key,
+        |    split_part(text, ' ', 1) AS w1,
+        |    CAST(floor(length(substr(text, 1, 40)) / 8) AS BIGINT) AS band
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.w1 = b.w1 AND a.band = b.band
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q158_shingle_novelty" ->
+      s"""WITH t0 AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS sh
+         |  FROM t0 WHERE len(w) >= 3),
+         |m AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  round(CAST(sum(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM s JOIN m USING (sh) GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
   )
 }

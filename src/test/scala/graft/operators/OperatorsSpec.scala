@@ -743,3 +743,84 @@ class DomainWeightsSpec extends graft.SparkSpec {
     assert(math.abs(wRare + wCommon - 1.0) < 1e-5)
   }
 }
+
+class EditDistanceNearDupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("typo'd copy found within its block; far text excluded by the bound") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamna delta"),  // 1 substitution — same block
+      (3L, "alpha qqqq rrrr sss ttt"), // same first token + band, far text
+      (4L, "blpha beta gamma delta"),  // dist 1 but different first token
+      (5L, "alpha zz"))                // different length band
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDup(docs, "text", "doc_id", maxDist = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L)))
+  }
+
+  test("pair order is canonical (a_id < b_id) and exact dups have dist 0") {
+    val docs = Seq((9L, "same text here"), (3L, "same text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDup(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 9L, 0L)))
+  }
+
+  test("empty text never joins; single docs emit nothing") {
+    val docs = Seq((1L, ""), (2L, "lonely doc text")).toDF("doc_id", "text")
+    assert(Dedup.editDistanceNearDup(docs, "text", "doc_id").count() === 0L)
+  }
+}
+
+class ShingleNoveltySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("first introduction scores 1.0, verbatim repeat 0.0, partial overlap in between") {
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d} — all first here
+      (2L, "a b c d"),  // same shingles, all owned by doc 1
+      (3L, "b c d e"),  // {b c d} seen, {c d e} new -> 0.5
+      (4L, "x y"))      // < 3 tokens: absent
+      .toDF("doc_id", "text")
+    val out = Scoring.shingleNovelty(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((2L, 1.0)))
+    assert(out(2L) === ((2L, 0.0)))
+    assert(out(3L) === ((2L, 0.5)))
+    assert(!out.contains(4L))
+  }
+
+  test("within-doc repeated shingles count once (distinct sets)") {
+    val docs = Seq((1L, "a b a b a b")) // shingles {a b a, b a b} repeated
+      .toDF("doc_id", "text")
+    val out = Scoring.shingleNovelty(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].head()
+    assert(out === ((1L, 2L, 1.0)))
+  }
+}
+
+class WinsorizeSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("clamps at the exact interpolated per-group percentiles") {
+    val df = (1 to 20).map(i => (i.toLong, "g", i.toLong)).toDF("id", "grp", "v")
+    val out = Scoring.winsorize(df, "v", "grp")
+      .select("id", "v_w").as[(Long, Double)].collect().toMap
+    // quantile_cont of 1..20: p05 = 1.95, p95 = 19.05
+    assert(out(1L) === 1.95)
+    assert(out(20L) === 19.05)
+    assert(out(10L) === 10.0) // interior values untouched
+  }
+
+  test("groups clamp independently") {
+    val df = ((1 to 10).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 10).map(i => (i.toLong + 100, "b", i.toLong * 100)))
+      .toDF("id", "grp", "v")
+    val out = Scoring.winsorize(df, "v", "grp", lo = 0.0, hi = 0.5)
+      .select("id", "v_w").as[(Long, Double)].collect().toMap
+    assert(out(10L) === 5.5)    // group a median clamp
+    assert(out(110L) === 550.0) // group b scales by 100
+  }
+}
