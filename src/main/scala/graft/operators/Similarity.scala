@@ -22,6 +22,38 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Mutual k-nearest-neighbor graph: undirected edges (a, b, cos), a < b,
+    * kept iff each endpoint ranks in the OTHER's top-k by cosine (self
+    * excluded before ranking). The mutuality filter is what makes the graph
+    * useful — one-directional top-k edges from a hub vector connect
+    * everything to it; mutual edges survive only between genuinely close
+    * pairs, which is what density-based curation (connected near-dup
+    * components, cluster seeds for SemDeDup-style pruning) wants.
+    *
+    * This is the exact/baseline formulation: score-all + per-query top-k
+    * window + a self-join of the (|V|·k)-row edge list on the reversed pair.
+    * At corpus scale, bound the scoring stage first — assign vectors to IVF
+    * cells ([[ivfTopK]]'s assignment join) and run this within each cell,
+    * exactly the [[Dedup.semDedup]] confinement pattern.
+    */
+  def mutualKnn(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("query_id", "vec_id", "cos")
+    top.as("t1").join(top.as("t2"),
+        col("t1.query_id") === col("t2.vec_id") &&
+          col("t1.vec_id") === col("t2.query_id"))
+      .where(col("t1.query_id") < col("t1.vec_id"))
+      .select(col("t1.query_id").as("a"), col("t1.vec_id").as("b"),
+        col("t1.cos").as("cos"))
+  }
+
   /** Exact top-k: (query_id, vec_id, cos, rank), rank 1..k per query. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {

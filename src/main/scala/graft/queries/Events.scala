@@ -237,6 +237,42 @@ object Events {
       graft.operators.TimeSeries.gapFillLocf(Tables(s, d).events,
           "user_id", "ts", round(col("value"), 6), "event_id", unit = "hour")
         .orderBy("user_id", "bucket")
+    }),
+
+    // last-touch attribution: each purchase attaches the user's latest
+    // preceding click, but only within a 1-hour window (as-of join with
+    // tolerance, pandas merge_asof semantics — no fallback past the
+    // window). Clicks deduped per (user, ts) for tie determinism.
+    "q159_attribution" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      AsofJoin.asofJoin(purchases, clicks, "user_id", "user_id", "ts", "ts",
+          valueCols = Seq("click_id"), toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // keyless interval-containment join via time bucketing (RangeJoin):
+    // every event falling inside any of user 1's session windows — a raw
+    // BETWEEN join would plan as a nested loop; bucketing makes it a hash
+    // equi-join on the hour bucket with an exact post-filter.
+    "q160_interval_join" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val windows = EventStreams
+        .sessionize(ev.filter(col("user_id") === 1), gapSeconds = 1800)
+        .groupBy("session_idx")
+        .agg(min("ts").as("win_start"), max("ts").as("win_end"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev.select("event_id", "ts"), "ts",
+          windows.select(col("session_idx").as("win_idx"),
+            col("win_start"), col("win_end")),
+          "win_start", "win_end", bucketWidthSeconds = 3600L)
+        .select(col("event_id"), col("win_idx"))
+        .orderBy("event_id", "win_idx")
     })
   )
 
@@ -412,6 +448,38 @@ object Events {
         |    ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS v_locf
         |FROM g LEFT JOIN hl ON hl.user_id = g.user_id AND hl.bucket = g.bucket
-        |ORDER BY g.user_id, g.bucket""".stripMargin
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+    "q159_attribution" ->
+      // DuckDB's native ASOF picks the latest preceding click; the CASE
+      // replays the tolerance gate in exact integer nanoseconds
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |    WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN c.click_id IS NULL
+        |      OR epoch_ns(p.ts) - epoch_ns(c.ts)
+        |         > CAST(3600 AS BIGINT) * 1000000000
+        |    THEN -1 ELSE c.click_id END AS click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q160_interval_join" ->
+      // q71's session rule for user 1 aggregated to [min ts, max ts]
+      // windows, then a plain inequality join (fine at oracle scale)
+      """WITH u AS (SELECT event_id, ts,
+        |    lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE user_id = 1),
+        |s AS (SELECT ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(prev_ts)
+        |           > CAST(1800 AS BIGINT) * 1000000000 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS win_idx
+        |  FROM u),
+        |w AS (SELECT win_idx, min(ts) AS ws, max(ts) AS we FROM s GROUP BY 1)
+        |SELECT e.event_id, w.win_idx
+        |FROM events e JOIN w ON e.ts >= w.ws AND e.ts <= w.we
+        |ORDER BY e.event_id, w.win_idx""".stripMargin
   )
 }

@@ -1158,6 +1158,17 @@ object Pipeline {
       graft.operators.Scoring.shingleNovelty(
           Tables(s, d).documents, "text", "doc_id", k = 3)
         .orderBy("doc_id")
+    }),
+
+    // mutual k-NN graph over an embedding subset: undirected edges kept
+    // iff each endpoint is in the other's top-5 by cosine — the
+    // density-based curation graph (hub edges die, genuinely-close pairs
+    // survive). Exact baseline; cell-confined at corpus scale.
+    "q161_mutual_knn" -> ((s, d) => {
+      Similarity.mutualKnn(
+          Tables(s, d).embeddings.filter(col("vec_id") < 200),
+          "embedding", "vec_id", k = 5)
+        .orderBy("a", "b")
     })
   )
 
@@ -2300,6 +2311,20 @@ object Pipeline {
          |  round(CAST(sum(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS novelty
          |FROM s JOIN m USING (sh) GROUP BY s.doc_id
-         |ORDER BY s.doc_id""".stripMargin
+         |ORDER BY s.doc_id""".stripMargin,
+    "q161_mutual_knn" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |pr AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    a.embedding AS qv, b.embedding AS cv
+         |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+         |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM pr),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM scored),
+         |top AS (SELECT query_id, vec_id, cos FROM ranked WHERE rk <= 5)
+         |SELECT t1.query_id AS a, t1.vec_id AS b, t1.cos AS cos
+         |FROM top t1 JOIN top t2
+         |  ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
+         |WHERE t1.query_id < t1.vec_id
+         |ORDER BY a, b""".stripMargin
   )
 }

@@ -237,4 +237,13 @@ class PlanQualitySpec extends SparkSpec {
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     }
   }
+
+  test("q160 interval join is a hash equi-join on the bucket, never a nested loop") {
+    val p = executedPlan("q160_interval_join")
+    assert(!p.contains("CartesianProduct"),
+      s"interval join went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a nested loop:\n$p")
+    assert(p.contains("__bucket"), s"bucket key missing from the join:\n$p")
+  }
 }

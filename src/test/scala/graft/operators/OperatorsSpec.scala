@@ -824,3 +824,104 @@ class WinsorizeSpec extends graft.SparkSpec {
     assert(out(110L) === 550.0) // group b scales by 100
   }
 }
+
+class AsofToleranceSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tolerance nulls a stale match but keeps the boundary (diff == tol)") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),  // click 30 min earlier: kept
+      (2L, 7L, ts("2024-01-01 13:00:00")),  // latest click 3h old: stale
+      (3L, 8L, ts("2024-01-01 11:30:00")))  // exactly 1h after: inclusive
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 101L),
+      (8L, ts("2024-01-01 10:30:00"), 102L))
+      .toDF("user_id", "ts", "click_id")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "user_id", "ts", "ts",
+        Seq("click_id"), toleranceSeconds = Some(3600L))
+      .select("event_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(101L))
+    assert(out(2L) === None) // match exists but is outside the window
+    assert(out(3L) === Some(102L)) // diff == tolerance is inside (<=)
+  }
+
+  test("no tolerance keeps the old unbounded semantics") {
+    val left = Seq((1L, 7L, ts("2024-01-01 23:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 00:00:00"), 9L)).toDF("user_id", "ts", "click_id")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "user_id", "ts", "ts", Seq("click_id"))
+      .select("asof_click_id").as[Long].head()
+    assert(out === 9L)
+  }
+}
+
+class RangeJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  lazy val points = Seq(
+    (1L, ts("2024-01-01 10:30:00")),
+    (2L, ts("2024-01-01 12:00:00")), // exactly at an interval end
+    (3L, ts("2024-01-01 09:00:00")), // exactly at an interval start
+    (4L, ts("2024-01-02 00:00:00"))) // in no interval
+    .toDF("pid", "t")
+
+  lazy val intervals = Seq(
+    (100L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")), // spans 4 hour-buckets
+    (200L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+    .toDF("iid", "s", "e")
+
+  test("containment is inclusive both ends; multi-bucket intervals match once") {
+    val out = RangeJoin.intervalJoin(points, "t", intervals, "s", "e",
+        bucketWidthSeconds = 3600L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 100L), (1L, 200L), // 10:30 inside both
+      (2L, 100L),             // end boundary inclusive
+      (3L, 100L)))            // start boundary inclusive; pid 4 absent
+  }
+
+  test("bucket width does not change the result, only the plan") {
+    val wide = RangeJoin.intervalJoin(points, "t", intervals, "s", "e", 86400L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val narrow = RangeJoin.intervalJoin(points, "t", intervals, "s", "e", 60L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(wide === narrow)
+  }
+
+  test("keyCols restrict matches to the same key") {
+    val p = Seq((1L, "a", ts("2024-01-01 10:30:00")),
+      (2L, "b", ts("2024-01-01 10:30:00"))).toDF("pid", "k", "t")
+    val iv = Seq((100L, "a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "k", "s", "e")
+    val out = RangeJoin.intervalJoin(p, "t", iv, "s", "e", 3600L, keyCols = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 100L)))
+  }
+}
+
+class MutualKnnSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("hub edges are one-directional and die; close pairs survive") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),  // mutual nearest with 1
+      (3L, Seq(0.0f, 1.0f)))  // its top-1 is 2, but 2's top-1 is 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualKnn(vecs, "embedding", "vec_id", k = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("k covering everything yields the full undirected graph, self excluded") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualKnn(vecs, "embedding", "vec_id", k = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
