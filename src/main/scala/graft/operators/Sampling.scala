@@ -164,4 +164,30 @@ object Sampling {
         rows, Nil, Seq("__h", keyCol), partitions)
       .select(col(keyCol), (col("rank") - 1).cast("long").as("pos"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group —
+    * Efraimidis–Spirakis in the exponential-race form: each row draws
+    * `key = −ln(u)/w` with u a pure md5 function of its id (never a RNG),
+    * and the k smallest keys per group win. Inclusion probability is
+    * proportional to weight in the without-replacement sense, and the
+    * sample is reproducible: the same ids win on any engine, any partition
+    * count, any run.
+    *
+    * Portability: u = (md5₃₂ + 1)/2³² ∈ (0, 1] so ln is finite; the key is
+    * rounded to 9 dp (keys live in ~1e-5..1, so 1-ulp libm differences in
+    * ln/pow vanish at 9 dp) with the id as the total-order tie-break. One
+    * window shuffle on the group, nothing else.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 1.0) / 4294967296.0
+    val key = round(-log(u) / weightCol.cast("double"), 9)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(key.asc, col(keyCol).asc)
+    df.withColumn("__wrank", row_number().over(w))
+      .filter(col("__wrank") <= k)
+      .drop("__wrank")
+  }
 }

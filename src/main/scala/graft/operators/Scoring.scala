@@ -476,6 +476,64 @@ object Scoring {
           .cast("double") / count(lit(1)), 6).as("novelty"))
   }
 
+  /** Per-document Shannon entropy of the token distribution, in nats —
+    * the lexical-diversity signal: boilerplate and keyword-stuffed spam
+    * concentrate mass on few tokens (low entropy), natural prose spreads it.
+    * Complements the Gopher repetition fractions (q134) with a single
+    * scale-free number.
+    *
+    * H = −(1/n) Σ_t c_t·ln(c_t/n) over distinct tokens t. Engine-portable
+    * arithmetic (the q101 recipe): each distinct token's log-probability is
+    * rounded to 6 dp and lifted to an exact ×1e6 integer; the Σ c_t·term
+    * sum is pure integer (order-free); one division and one final 4-dp
+    * round. One explode, two map-side-combined aggregates, zero windows.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val term = counts
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("it",
+        round(round(log(col("c").cast("double") / col("n")), 6) * 1e6, 0)
+          .cast("long"))
+    term.groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        sum(col("c") * col("it")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("s").cast("double") / (lit(1e6) * col("n_tokens")), 4)
+          .as("entropy"))
+  }
+
+  /** Source-pair similarity matrix by token-count cosine: for every pair of
+    * groups (a < b), the cosine of their term-frequency vectors — the
+    * corpus-composition report ("which sources are near-mirrors / which add
+    * genuinely different text") that complements q139's shared-shingle
+    * counts with magnitude-aware similarity. All-integer dot products and
+    * squared norms (exact, order-free), one final rounded division.
+    *
+    * Scale shape: per-token join work is ≤ C(#groups, 2) per token — the
+    * (group, token) count table is the join input, never doc×doc.
+    */
+  def sourceTokenCosine(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy("src").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = counts.as("x").join(counts.as("y"), "tok" :: Nil)
+      .where(col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("src").as("src_a"), col("n2").as("n2a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("src").as("src_b"), col("n2").as("n2b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+          .as("cos"))
+  }
+
   /** Winsorize a numeric column at exact per-group quantiles: values below
     * the group's `lo` percentile clamp up to it, above `hi` clamp down —
     * the robust-stats treatment quality/length scores get before feeding

@@ -1169,6 +1169,35 @@ object Pipeline {
           Tables(s, d).embeddings.filter(col("vec_id") < 200),
           "embedding", "vec_id", k = 5)
         .orderBy("a", "b")
+    }),
+
+    // per-doc token-distribution Shannon entropy (nats) — the lexical-
+    // diversity quality signal; integer-lifted 6-dp log terms so the sum
+    // is order-free.
+    "q162_token_entropy" -> ((s, d) => {
+      graft.operators.Scoring.tokenEntropy(
+          Tables(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // source-pair token-count cosine matrix: magnitude-aware corpus
+    // composition report (near-mirror sources score ~1). All-integer dot
+    // and norms; per-token join work bounded by C(#sources, 2).
+    "q163_source_cosine" -> ((s, d) => {
+      graft.operators.Scoring.sourceTokenCosine(
+          Tables(s, d).documents, "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis exponential race, md5-derived draws): 10 docs per source,
+    // inclusion odds proportional to n_chars.
+    "q165_weighted_sample" -> ((s, d) => {
+      graft.operators.Sampling.weightedSample(
+          Tables(s, d).documents.select("doc_id", "source", "n_chars"),
+          "source", "doc_id", col("n_chars"), k = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -2325,6 +2354,46 @@ object Pipeline {
          |FROM top t1 JOIN top t2
          |  ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
          |WHERE t1.query_id < t1.vec_id
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+    "q162_token_entropy" ->
+      // q101's integer-lift recipe: 6-dp rounded ln terms ×1e6 as exact
+      // integers, summed order-free, one division + one final round
+      s"""WITH tk AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |t AS (SELECT c.doc_id, c.c, n.n,
+         |    CAST(round(round(ln(CAST(c.c AS DOUBLE) / n.n), 6) * 1e6, 0)
+         |      AS BIGINT) AS it
+         |  FROM c JOIN n USING (doc_id))
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         |  round(-CAST(sum(c * it) AS DOUBLE) / (1e6 * max(n)), 4) AS entropy
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q163_source_cosine" ->
+      s"""WITH c AS (SELECT source AS src, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($duckTokens) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT src, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+         |d AS (SELECT x.src AS src_a, y.src AS src_b,
+         |    CAST(sum(x.c * y.c) AS BIGINT) AS dot
+         |  FROM c x JOIN c y ON x.tok = y.tok AND x.src < y.src
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))), 6) AS cos
+         |FROM d JOIN nrm a ON a.src = d.src_a JOIN nrm b ON b.src = d.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    "q165_weighted_sample" ->
+      // Efraimidis-Spirakis key replayed exactly: u = (md5_32 + 1)/2^32,
+      // key = round(-ln(u)/weight, 9), k smallest per group, id tie-break
+      """WITH k AS (SELECT doc_id, source,
+        |    round(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1.0) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
   )
 }

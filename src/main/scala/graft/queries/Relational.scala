@@ -426,6 +426,23 @@ object Relational {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // the offset/distribution window-function surface in one gate:
+    // lag/lead, percent_rank, cume_dist, nth_value — all SQL-standard, over
+    // a TOTAL order (o_orderdate, o_orderkey) so default RANGE frames and
+    // peer groups are single-row and deterministic on every engine.
+    "q164_window_offsets" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -629,6 +646,16 @@ object Relational {
         | round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
         | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q164_window_offsets" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

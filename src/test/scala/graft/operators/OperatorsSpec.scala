@@ -925,3 +925,91 @@ class MutualKnnSpec extends graft.SparkSpec {
     assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 }
+
+class TokenEntropySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("uniform distribution hits ln(V); single-token docs score 0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4: H = ln 4
+      (2L, "x x x x"),      // degenerate: H = 0
+      (3L, "a a b b"))      // uniform over 2: H = ln 2
+      .toDF("doc_id", "text")
+    val out = Scoring.tokenEntropy(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L)._1 === 4L)
+    assert(math.abs(out(1L)._2 - math.log(4)) < 1e-3)
+    assert(out(2L) === ((4L, 0.0)))
+    assert(math.abs(out(3L)._2 - math.log(2)) < 1e-3)
+  }
+
+  test("skewed mass scores below uniform at equal vocabulary") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),          // 50/50
+      (2L, "a a a a a a a b"))          // 7/1
+      .toDF("doc_id", "text")
+    val out = Scoring.tokenEntropy(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(out(2L) < out(1L))
+  }
+}
+
+class SourceTokenCosineSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("mirror sources score 1.0; disjoint-vocabulary pairs are absent") {
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y"),
+      (3L, "b", "x y z"), (4L, "b", "x y"),   // b mirrors a exactly
+      (5L, "c", "p q r"))                     // c shares nothing
+      .toDF("doc_id", "src", "text")
+    val out = Scoring.sourceTokenCosine(docs, "text", "src")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out(("a", "b")) === 1.0)
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+  }
+
+  test("scaling all counts leaves cosine at 1.0; partial overlap lands strictly between") {
+    val docs = Seq(
+      (1L, "a", "x y"), (2L, "b", "x y x y x y"), // b = 3x a's counts
+      (3L, "c", "x q"))
+      .toDF("doc_id", "src", "text")
+    val out = Scoring.sourceTokenCosine(docs, "text", "src")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out(("a", "b")) === 1.0)
+    assert(out(("a", "c")) > 0.0 && out(("a", "c")) < 1.0)
+  }
+}
+
+class WeightedSampleSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = ((1L to 50L).map(i => (i, "g", 1L)) :+ ((99L, "g", 1000000000000L)))
+    .toDF("doc_id", "src", "w")
+
+  test("an overwhelming weight is always selected; k caps the group") {
+    val out = Sampling.weightedSample(docs, "src", "doc_id",
+        org.apache.spark.sql.functions.col("w"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.size === 5)
+    assert(out.contains(99L))
+  }
+
+  test("deterministic under repartitioning and input order") {
+    val a = Sampling.weightedSample(docs, "src", "doc_id",
+        org.apache.spark.sql.functions.col("w"), k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs.repartition(13).sort(org.apache.spark.sql.functions.col("doc_id").desc),
+        "src", "doc_id", org.apache.spark.sql.functions.col("w"), k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("k >= group size keeps everything") {
+    val out = Sampling.weightedSample(docs, "src", "doc_id",
+        org.apache.spark.sql.functions.col("w"), k = 1000)
+    assert(out.count() === 51L)
+  }
+}
