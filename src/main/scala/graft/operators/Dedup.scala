@@ -742,6 +742,43 @@ object Dedup {
       .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("kept"))
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup relation Jaccard
+    * resemblance misses: a short document wholly quoted inside a long one
+    * has high containment |A∩B|/|A| but low Jaccard (the union is dominated
+    * by the long doc). The quote/subset-detection stage: drop or down-weight
+    * documents mostly contained in another.
+    *
+    * Emits (doc_a, doc_b, containment) with containment = |kept-shingles(A)
+    * ∩ kept-shingles(B)| / |kept-shingles(A)| ≥ threshold, both directions
+    * (the relation is asymmetric), doc_a ≠ doc_b.
+    *
+    * Scale shape: an inverted-index self-join on the k-token shingle — per-
+    * shingle pair work is df², so shingles with document frequency >
+    * `maxDf` are DROPPED first (they are boilerplate, carry no containment
+    * signal, and are exactly the rows that would blow the join up); the
+    * bound makes per-shingle work ≤ maxDf² regardless of corpus size.
+    * Containment is computed over the kept (discriminative) shingles on
+    * both sides of the ratio, so the filter is consistent, and documents
+    * with zero kept shingles are absent.
+    */
+  def shingleContainment(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, threshold: Double = 0.6, maxDf: Int = 50): DataFrame = {
+    val sh = shingleSet(df, textCol, idCol, k)
+    val docFreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+    val kept = sh.join(docFreq.where(col("df") <= maxDf), "tok" :: Nil)
+      .select("doc_id", "tok")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a").join(kept.as("b"), "tok" :: Nil)
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("sz"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Edit-distance-verified near-duplicate pairs on a document-prefix key —
     * the entity-resolution modality (typo'd titles, OCR slips, re-encodes)
     * that set-based Jaccard misses: one transposed character barely moves a

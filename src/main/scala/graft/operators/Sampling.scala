@@ -178,6 +178,36 @@ object Sampling {
     * ln/pow vanish at 9 dp) with the id as the total-order tie-break. One
     * window shuffle on the group, nothing else.
     */
+  /** Proportional source interleave: a single global training order in
+    * which every source is consumed at a uniform RELATIVE rate — all
+    * sources hit their halfway point together and finish together, so a
+    * trainer never sees a long head of one domain followed by a tail of
+    * another (which [[trainOrder]]'s uniform shuffle only gives in
+    * expectation). The schedule is the standard mixture-stream construction:
+    * within-source position r (md5-ranked, so a salt-free epoch shuffle),
+    * fractional progress r/n_s, global order by (progress, source, r).
+    *
+    * Both ranks come from the grouped two-phase distributed prefix
+    * ([[Packing.groupedRowNumbers]]): no single task ever sorts the corpus,
+    * and r/n_s is one exact IEEE division — identical on every engine.
+    * Returns (keyCol, groupCol, pos) with pos 0..N−1.
+    */
+  def interleaveBySource(df: DataFrame, groupCol: String, keyCol: String,
+      partitions: Int = 0): DataFrame = {
+    val rows = df.select(col(groupCol), col(keyCol),
+      md5(col(keyCol).cast("string")).as("__h"))
+    val ranked = graft.operators.Packing.groupedRowNumbers(
+        rows, Seq(groupCol), Seq("__h", keyCol), partitions)
+      .withColumnRenamed("rank", "__r")
+    val counts = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val keyed = ranked.join(broadcast(counts), Seq(groupCol))
+      .withColumn("__frac", col("__r").cast("double") / col("__n"))
+      .select(col(groupCol), col(keyCol), col("__frac"), col("__r"))
+    graft.operators.Packing.groupedRowNumbers(
+        keyed, Nil, Seq("__frac", groupCol, "__r"), partitions)
+      .select(col(keyCol), col(groupCol), (col("rank") - 1).cast("long").as("pos"))
+  }
+
   def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
       weightCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")

@@ -78,6 +78,16 @@ object Graph {
         .orderBy("id")
     }),
 
+    // personalized PageRank from seeds {0, 1}: proximity to the seed set,
+    // the seed-expansion primitive. Same per-round shape as q42; only the
+    // teleport vector differs.
+    "q166_ppr" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(denseEdges(Tables(s, d)))
+      g.personalizedPageRank(3, sources = Seq(0L, 1L))
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
     // weakly-connected components to convergence (reference I2).
     "q43_wcc" -> ((s, d) => {
       val g = PropertyGraph.fromEdges(sparseEdges(Tables(s, d)))
@@ -269,6 +279,31 @@ object Graph {
          |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
          |        LEFT JOIN r2 ON r2.id = e.src LEFT JOIN deg ON deg.id = e.src
          |       GROUP BY n.id)
+         |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+    "q166_ppr" ->
+      // q42's unrolled rounds with the teleport vector concentrated on the
+      // seed set {0, 1}: walk starts there, restart mass re-enters there
+      s"""WITH edges AS ($denseEdgesSql),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |tele AS (SELECT id, CASE WHEN id IN (0, 1) THEN 0.5 ELSE 0.0 END AS t
+         |         FROM nodes),
+         |r0 AS (SELECT id, t AS rank FROM tele),
+         |r1 AS (SELECT n.id, 0.15 * t.t + 0.85 * coalesce(sum(r0.rank / deg.deg), 0) AS rank
+         |       FROM tele t JOIN nodes n ON n.id = t.id
+         |        LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r0 ON r0.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id, t.t),
+         |r2 AS (SELECT n.id, 0.15 * t.t + 0.85 * coalesce(sum(r1.rank / deg.deg), 0) AS rank
+         |       FROM tele t JOIN nodes n ON n.id = t.id
+         |        LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r1 ON r1.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id, t.t),
+         |r3 AS (SELECT n.id, 0.15 * t.t + 0.85 * coalesce(sum(r2.rank / deg.deg), 0) AS rank
+         |       FROM tele t JOIN nodes n ON n.id = t.id
+         |        LEFT JOIN edges e ON e.dst = n.id
+         |        LEFT JOIN r2 ON r2.id = e.src LEFT JOIN deg ON deg.id = e.src
+         |       GROUP BY n.id, t.t)
          |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
     "q43_wcc" ->
       s"""WITH RECURSIVE edges AS ($sparseEdgesSql),

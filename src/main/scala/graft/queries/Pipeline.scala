@@ -1198,6 +1198,27 @@ object Pipeline {
           "source", "doc_id", col("n_chars"), k = 10)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    // asymmetric shingle containment |A∩B|/|A| ≥ 0.6 over discriminative
+    // (df ≤ 50) 5-token shingles — the quote/subset relation Jaccard
+    // resemblance misses; inverted-index join, per-shingle work ≤ df².
+    "q167_containment" -> ((s, d) => {
+      graft.operators.Dedup.shingleContainment(
+          Tables(s, d).documents, "text", "doc_id",
+          k = 5, threshold = 0.6, maxDf = 50)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // proportional source interleave: global training order where every
+    // source advances at a uniform relative rate (all sources finish
+    // together) — both ranks via the grouped two-phase distributed prefix,
+    // never a single-task sort.
+    "q168_interleave" -> ((s, d) => {
+      graft.operators.Sampling.interleaveBySource(
+          Tables(s, d).documents.select("doc_id", "source"),
+          "source", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2394,6 +2415,38 @@ object Pipeline {
         |r AS (SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
         |  FROM k)
-        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q167_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])))) AS tok
+        |  FROM w WHERE len(w) >= 5),
+        |f AS (SELECT tok, count(*) AS n FROM sh GROUP BY tok),
+        |kept AS (SELECT sh.doc_id, sh.tok FROM sh JOIN f USING (tok)
+        |  WHERE f.n <= 50),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
+        |FROM pr JOIN sz s ON s.doc_id = pr.doc_a
+        |WHERE round(CAST(inter AS DOUBLE) / s.sz, 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q168_interleave" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, CAST(r.r AS DOUBLE) / n.n_s AS frac, r.r
+        |  FROM r JOIN n USING (source))
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY frac, source, r) - 1 AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }

@@ -217,3 +217,32 @@ class PropertyGraphSpec extends SparkSpec {
     assert(a.toMap.apply(99L) === 99L)
   }
 }
+
+class PersonalizedPageRankSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.graph.PropertyGraph
+
+  test("mass concentrates at and near the seed; disconnected nodes stay at 0") {
+    // chain 1 -> 2 -> 3, isolated pair 8 -> 9; seed {1}
+    val g = PropertyGraph.fromEdges(
+      Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst"))
+    val r = g.personalizedPageRank(3, sources = Seq(1L))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-12) // teleport only: nothing points at the seed
+    assert(r(2L) > r(3L))        // proximity decays along the chain
+    assert(r(8L) === 0.0 && r(9L) === 0.0) // unreachable from the seed
+  }
+
+  test("multiple seeds split the teleport mass; uniform pageRank differs") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val g = PropertyGraph.fromEdges(edges)
+    val ppr = g.personalizedPageRank(3, sources = Seq(1L, 3L))
+      .as[(Long, Double)].collect().toMap
+    val pr = g.pageRank(3).as[(Long, Double)].collect().toMap
+    assert(ppr(1L) > ppr(2L)) // seed beats its non-seed neighbor
+    assert(ppr(3L) > 0.0)
+    // uniform PR gives node 2 baseline teleport mass; PPR does not
+    assert(pr(2L) > 0.15 && ppr(2L) < pr(2L))
+  }
+}

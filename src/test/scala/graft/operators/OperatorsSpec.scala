@@ -1013,3 +1013,69 @@ class WeightedSampleSpec extends graft.SparkSpec {
     assert(out.count() === 51L)
   }
 }
+
+class ShingleContainmentSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("a quoted short doc is contained in the long one, not vice versa") {
+    val quote = "alpha bravo charlie delta echo foxtrot"       // 6 tokens: 2 5-shingles
+    val long = s"intro words here also now $quote closing words trail end"
+    val docs = Seq((1L, quote), (2L, long)).toDF("doc_id", "text")
+    val out = Dedup.shingleContainment(docs, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDf = 50)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) === 1.0)   // every shingle of the quote is in long
+    assert(!out.contains((2L, 1L))) // long doc is NOT mostly the quote
+  }
+
+  test("shingles above maxDf are dropped from both sides of the ratio") {
+    // the common shingle appears in all 3 docs; with maxDf = 2 it vanishes,
+    // leaving docs 1 and 2 sharing nothing
+    val common = "one two three four five"
+    val docs = Seq(
+      (1L, s"$common aaa bbb ccc ddd eee"),
+      (2L, s"$common vvv www xxx yyy zzz"),
+      (3L, common))
+      .toDF("doc_id", "text")
+    val strict = Dedup.shingleContainment(docs, "text", "doc_id",
+        k = 5, threshold = 0.1, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(!strict.contains((1L, 2L)) && !strict.contains((2L, 1L)))
+    val loose = Dedup.shingleContainment(docs, "text", "doc_id",
+        k = 5, threshold = 0.1, maxDf = 50)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(loose.contains((3L, 1L))) // doc 3 wholly contained once df allows
+  }
+}
+
+class InterleaveSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = ((1L to 8L).map(i => (i, "big")) ++ (101L to 104L).map(i => (i, "small")))
+    .toDF("doc_id", "source")
+
+  test("positions are a bijection and every prefix stays proportional within 1") {
+    val out = Sampling.interleaveBySource(docs, "source", "doc_id")
+      .select("doc_id", "source", "pos")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(out.map(_._3).toSeq === (0L until 12L).toSeq)
+    val n = Map("big" -> 8.0, "small" -> 4.0)
+    for (m <- 1 to 12) {
+      val prefix = out.take(m)
+      for ((src, ns) <- n) {
+        val got = prefix.count(_._2 == src)
+        val expect = m * ns / 12.0
+        assert(math.abs(got - expect) <= 1.0,
+          s"prefix $m: $src has $got, expected ~$expect")
+      }
+    }
+  }
+
+  test("deterministic under repartitioning") {
+    val a = Sampling.interleaveBySource(docs, "source", "doc_id")
+      .as[(Long, String, Long)].collect().toSet
+    val b = Sampling.interleaveBySource(docs.repartition(7), "source", "doc_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+  }
+}
