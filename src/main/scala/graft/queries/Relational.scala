@@ -443,6 +443,81 @@ object Relational {
           round(cume_dist().over(w), 6).as("cd"),
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // approx_percentile sketch CERTIFIED against the exact percentiles
+    // (the q99 boolean-gate pattern — a sketch is not bit-replayable, its
+    // error envelope is): exact values are compared for real, the sketch
+    // must land within 1.0 of each.
+    "q169_quantile_sketch" -> ((s, d) => {
+      Tables(s, d).lineitem.agg(
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.9), 10000)").as("ap"),
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.9))").as("ex"))
+        .select(
+          round(element_at(col("ex"), 1), 4).as("exact_p25"),
+          round(element_at(col("ex"), 2), 4).as("exact_p50"),
+          round(element_at(col("ex"), 3), 4).as("exact_p90"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <= 1.0).as("ok_p25"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <= 1.0).as("ok_p50"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) <= 1.0).as("ok_p90"))
+    }),
+
+    // sample-statistics aggregate surface: corr / stddev_samp / var_samp /
+    // covar_samp (identical sample definitions on both engines; skewness/
+    // kurtosis are excluded — DuckDB applies sample bias correction, Spark
+    // population formulas, a real semantic difference not a rounding one).
+    "q170_stats_aggs" -> ((s, d) => {
+      Tables(s, d).lineitem.groupBy("l_returnflag").agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("c"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd"),
+          round(var_samp(col("l_quantity")), 4).as("vr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"))
+        .orderBy("l_returnflag")
+    }),
+
+    // union-by-NAME with missing-column fill (schema-evolution append):
+    // column order differs and one side lacks a column — positional UNION
+    // would garble or reject it.
+    "q171_union_by_name" -> ((s, d) => {
+      val n = Tables(s, d).nation
+      val a = n.filter(col("n_nationkey") < 10)
+        .select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+      val b = n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name")) // no regionkey, other order
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("n_nationkey")
+    }),
+
+    // string-function surface: case, pad, reverse, translate, position —
+    // all 1-based/codepoint semantics shared with DuckDB.
+    "q172_string_funcs" -> ((s, d) => {
+      Tables(s, d).part.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lpad(col("p_name"), 25, ".").as("padded"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"))
+        .orderBy("p_partkey")
+    }),
+
+    // datetime arithmetic surface: day/month offsets (month addition
+    // clamps to month end on both engines), last_day, quarter, dayofyear,
+    // day difference from an anchor.
+    "q173_datetime_arith" -> ((s, d) => {
+      // o_orderdate ships as parquet timestamp — normalize to DATE first
+      // on both engines
+      val od = col("o_orderdate").cast("date")
+      Tables(s, d).orders.select(
+          col("o_orderkey"),
+          date_add(od, 30).as("plus30"),
+          add_months(od, 2).as("plus2m"),
+          last_day(od).as("eom"),
+          quarter(od).cast("long").as("q"),
+          dayofyear(od).cast("long").as("doy"),
+          datediff(od, lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -656,6 +731,46 @@ object Relational {
         |  nth_value(o_totalprice, 2) OVER w AS second_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q169_quantile_sketch" ->
+      // exact percentiles compared for real; the sketch's error envelope
+      // certified as booleans the oracle expects TRUE
+      """SELECT
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS exact_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS exact_p90,
+        |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p90
+        |FROM lineitem""".stripMargin,
+    "q170_stats_aggs" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS c,
+        |  round(stddev_samp(l_quantity), 4) AS sd,
+        |  round(var_samp(l_quantity), 4) AS vr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cv
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q171_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT n_name, n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10
+        |  UNION ALL BY NAME
+        |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q172_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lpad(p_name, 25, '.') AS padded,
+        |  reverse(p_name) AS rev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q173_datetime_arith" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT o_orderkey,
+        |  od + 30 AS plus30,
+        |  CAST(od + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(od) AS eom,
+        |  CAST(quarter(od) AS BIGINT) AS q,
+        |  CAST(dayofyear(od) AS BIGINT) AS doy,
+        |  CAST(od - DATE '1995-01-01' AS BIGINT) AS days_since
+        |FROM o ORDER BY o_orderkey""".stripMargin
   )
 }

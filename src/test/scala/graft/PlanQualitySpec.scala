@@ -246,4 +246,16 @@ class PlanQualitySpec extends SparkSpec {
       s"interval join fell back to a nested loop:\n$p")
     assert(p.contains("__bucket"), s"bucket key missing from the join:\n$p")
   }
+
+  test("q167 containment joins on the shingle inverted index, never doc×doc") {
+    val p = executedPlan("q167_containment")
+    assert(!p.contains("CartesianProduct"), s"containment went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"containment nested-loop:\n$p")
+  }
+
+  test("q163 source cosine joins on the token, with broadcast norm attach") {
+    val p = executedPlan("q163_source_cosine")
+    assert(!p.contains("CartesianProduct"), s"source cosine went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"norms not broadcast:\n$p")
+  }
 }

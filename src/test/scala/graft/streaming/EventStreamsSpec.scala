@@ -231,4 +231,47 @@ class EventStreamsSpec extends SparkSpec {
     val batch = DocStreams.curateStream(spark.read.parquet(dir), minQuality = 0.2)
     assert(batch.count() === 2)
   }
+
+  test("foreachBatch incremental ingest: crawl cycles dedup against the accumulating store") {
+    // the production rolling-crawl pattern: each micro-batch (one crawl
+    // cycle) runs incrementalDedup against the store built by all prior
+    // cycles, appends only its survivors, and the final store equals a
+    // batch dedup of the full concatenation (keep-min-id)
+    import org.apache.spark.sql.{Column, DataFrame}
+    val src = java.nio.file.Files.createTempDirectory("crawlsrc").toFile
+    val storeDir = java.nio.file.Files.createTempDirectory("crawlstore").toString + "/kept"
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma"), (2L, "uniq one")),
+      Seq((3L, "alpha beta gamma"), (4L, "uniq two")),          // 3 dups 1
+      Seq((5L, "uniq two"), (6L, "uniq three"),                 // 5 dups 4
+        (7L, "uniq one"), (8L, "uniq three")))                  // 7 dups 2; 8 dups 6 in-batch
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"cycle$i").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, f"cycle$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L + i * 60000L) // arrival order = cycle order
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val fp: DataFrame => Column = df => md5(trim(df("text")))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store =
+          if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val keep = graft.operators.Dedup.incrementalDedup(batch, store, fp, "doc_id")
+        batch.join(keep, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(storeDir)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(storeDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L, 6L))
+  }
 }
