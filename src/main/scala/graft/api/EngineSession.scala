@@ -217,6 +217,14 @@ final class EngineSession(val spark: SparkSession) {
       partitions: Int, bits: Int = 16): Unit =
     graft.operators.Layout.zOrderWrite(df, path, zCols, partitions, bits)
 
+  /** Hive-style partitioned parquet write (facade over
+    * [[graft.operators.Layout.writePartitioned]]): directory-level
+    * partition pruning for filters on `partCols` — the date/source/language
+    * layout large corpora live in.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    graft.operators.Layout.writePartitioned(df, path, partCols)
+
   def enableCbo(): Unit = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

@@ -107,4 +107,23 @@ object Layout {
       .partitionBy("shard").save(path)
     packed
   }
+
+  /** Hive-style partitioned parquet layout (`col=value/` directories) — the
+    * bread-and-butter 100 TB organization: a corpus partitioned by
+    * ingestion date / source / language lets every downstream query that
+    * filters on those columns skip whole directories at PLANNING time
+    * (`PartitionFilters` in the scan — no file is opened, no footer read),
+    * where Z-ordering ([[zOrderWrite]]) only narrows row groups WITHIN
+    * files after listing them.
+    *
+    * Rows are clustered by the partition columns before the write so each
+    * directory is produced by the tasks owning it — otherwise every task
+    * appends a sliver to every partition and a 1000-task write creates
+    * |tasks|×|partitions| tiny files. LayoutSpec asserts read-side pruning.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  }
 }

@@ -115,4 +115,33 @@ class TrainingShardsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("partitioned write prunes directories at planning time on a partition filter") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hivepart").toString + "/t"
+    try {
+      val df = Seq(
+        (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 11.0),
+        (3L, "2024-01-02", 12.0), (4L, "2024-01-03", 13.0))
+        .toDF("id", "day", "v")
+      Layout.writePartitioned(df, dir, Seq("day"))
+      // one directory per day value
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(dirs === Set("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+      val back = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+      assert(back.select("id").as[Long].collect().toSeq === Seq(3L))
+      back.collect()
+      val plan = back.queryExecution.executedPlan.toString
+      // the day filter is a PartitionFilter (directory skip), never a data
+      // filter that would open every file
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("day"), s"day filter not pushed to partition pruning:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
 }
