@@ -764,14 +764,28 @@ object Dedup {
   def shingleContainment(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, threshold: Double = 0.6, maxDf: Int = 50): DataFrame = {
     val sh = shingleSet(df, textCol, idCol, k)
-    val docFreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-    val kept = sh.join(docFreq.where(col("df") <= maxDf), "tok" :: Nil)
-      .select("doc_id", "tok")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = kept.as("a").join(kept.as("b"), "tok" :: Nil)
-      .where(col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting lists, df-bounded in the same aggregate — one shuffle on the
+    // shingle; pairs expand IN-ROW from each ≤maxDf list (a sorted a<b
+    // nested transform), so there is no posting-list self-join and the
+    // shingle lineage is computed once, not once per join side
+    val byTok = sh.groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+    val unordered = byTok
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), b -> struct(a, b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // |A∩B| is symmetric; the ratio is not — emit both directions
+    val inter = unordered.unionByName(unordered.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("inter")))
+    // |kept-shingles(doc)|: docs in any ≤maxDf posting list, counted once per
+    // list membership (equivalent to filtering (doc, tok) rows by tok df)
+    val sizes = byTok.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz")), Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"),
