@@ -534,6 +534,84 @@ object Scoring {
           .as("cos"))
   }
 
+  /** Per-group Zipf slope: the least-squares slope of ln(frequency) against
+    * ln(rank) over the group's token frequency table — natural text sits
+    * near −1; machine-generated/templated text (flat head) and
+    * keyword-stuffed spam (cliff) deviate, making the slope a cheap
+    * corpus-level quality/anomaly signal per source or per crawl snapshot.
+    *
+    * Portability: ranks are exact integers (frequency desc, token asc
+    * tie-break); each ln() term and each product is rounded to 6 dp and
+    * lifted to an exact ×1e6 integer, so all five OLS sums are order-free
+    * integer sums; the closed-form slope is then a handful of IEEE doubles
+    * from identical integers. Rounded to 4 dp.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("c").desc, col("tok").asc)
+    def lift(e: Column): Column = round(round(e, 6) * 1e6, 0).cast("long")
+    val terms = counts.withColumn("r", row_number().over(w))
+      .select(col("grp"),
+        lift(log(col("r").cast("double"))).as("x"),
+        lift(log(col("c").cast("double"))).as("y"),
+        lift(round(log(col("r").cast("double")), 6) *
+          round(log(col("c").cast("double")), 6)).as("xy"),
+        lift(round(log(col("r").cast("double")), 6) *
+          round(log(col("r").cast("double")), 6)).as("xx"))
+    terms.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum("xy").as("sxy"), sum("xx").as("sxx"))
+      .select(col("grp"),
+        round((col("n") * col("sxy").cast("double") * 1e-6 -
+          (col("sx").cast("double") * 1e-6) * (col("sy").cast("double") * 1e-6)) /
+          (col("n") * col("sxx").cast("double") * 1e-6 -
+            (col("sx").cast("double") * 1e-6) * (col("sx").cast("double") * 1e-6)),
+          4).as("slope"))
+  }
+
+  /** Corpus-level PMI collocations: pointwise mutual information
+    * ln(p(xy) / (p(x)·p(y))) over consecutive token bigrams — the
+    * phrase/collocation miner behind tokenizer vocabulary extension and
+    * multi-word-expression detection. Only bigrams with count ≥ `minCount`
+    * are scored (PMI of rare pairs is noise).
+    *
+    * Scale shape: transitions are built in-row (indexed transform — no
+    * self-join), one map-side-combined count per bigram and per unigram,
+    * scalars broadcast. PMI rounded to 4 dp with (w1, w2) tie-break, so
+    * the top-k cut is engine-deterministic.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    // ordered bigrams WITH multiplicity: tokenNgrams keeps every occurrence
+    // (shingleArray is the distinct variant) — tokens are whitespace-split,
+    // so the single space inside each bigram splits back unambiguously
+    val pairs = df.select(explode(TextFunctions.tokenNgrams(col(textCol), 2)).as("bg"))
+      .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minCount)
+    val uni = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val scal = uni.agg(sum("c").cast("double").as("nTok"))
+      .crossJoin(pairs.groupBy().agg(count(lit(1)).cast("double").as("nBig")))
+    val scored = big
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(scal))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log((col("cxy").cast("double") / col("nBig")) /
+          ((col("c1").cast("double") / col("nTok")) *
+            (col("c2").cast("double") / col("nTok")))), 4).as("pmi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+      .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
+        col("cxy"), col("pmi"))
+  }
+
   /** Winsorize a numeric column at exact per-group quantiles: values below
     * the group's `lo` percentile clamp up to it, above `hi` clamp down —
     * the robust-stats treatment quality/length scores get before feeding

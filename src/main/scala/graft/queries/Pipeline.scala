@@ -1219,6 +1219,25 @@ object Pipeline {
           Tables(s, d).documents.select("doc_id", "source"),
           "source", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // per-source Zipf slope of ln(freq) vs ln(rank) — natural text sits
+    // near -1; templated/spammy corpora deviate. All five OLS sums are
+    // lifted-integer (order-free); the slope is closed-form doubles.
+    "q174_zipf_slope" -> ((s, d) => {
+      graft.operators.Scoring.zipfSlope(
+          Tables(s, d).documents, "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
+    // top-20 PMI collocations (count >= 5): the phrase-mining signal for
+    // tokenizer vocab extension; transitions built in-row, rank cut on the
+    // 4-dp-rounded PMI with (w1, w2) tie-break.
+    "q175_pmi_bigrams" -> ((s, d) => {
+      graft.operators.Scoring.pmiBigrams(
+          Tables(s, d).documents, "text", minCount = 5, topK = 20)
+        .orderBy("rk")
     })
   )
 
@@ -2447,6 +2466,49 @@ object Pipeline {
         |  FROM r JOIN n USING (source))
         |SELECT doc_id, source,
         |  CAST(row_number() OVER (ORDER BY frac, source, r) - 1 AS BIGINT) AS pos
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q174_zipf_slope" ->
+      s"""WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($duckTokens) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT source,
+         |    CAST(round(round(ln(CAST(row_number() OVER w AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS x,
+         |    CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS y,
+         |    CAST(round(round(ln(CAST(row_number() OVER w AS DOUBLE)), 6)
+         |      * round(ln(CAST(c AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS xy,
+         |    CAST(round(round(ln(CAST(row_number() OVER w AS DOUBLE)), 6)
+         |      * round(ln(CAST(row_number() OVER w AS DOUBLE)), 6) * 1e6, 0) AS BIGINT) AS xx
+         |  FROM c WINDOW w AS (PARTITION BY source ORDER BY c DESC, tok ASC)),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+         |  FROM t GROUP BY source)
+         |SELECT source,
+         |  round((n * CAST(sxy AS DOUBLE) * 1e-6
+         |      - (CAST(sx AS DOUBLE) * 1e-6) * (CAST(sy AS DOUBLE) * 1e-6))
+         |    / (n * CAST(sxx AS DOUBLE) * 1e-6
+         |      - (CAST(sx AS DOUBLE) * 1e-6) * (CAST(sx AS DOUBLE) * 1e-6)),
+         |    4) AS slope
+         |FROM s ORDER BY source""".stripMargin,
+    "q175_pmi_bigrams" ->
+      s"""WITH w0 AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+         |  FROM w0 WHERE len(w) >= 2),
+         |big AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cxy
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(w) AS tok FROM w0) GROUP BY 1),
+         |scal AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS ntok,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS nbig),
+         |scored AS (SELECT b.w1, b.w2, b.cxy,
+         |    round(ln((CAST(b.cxy AS DOUBLE) / nbig)
+         |      / ((CAST(u1.c AS DOUBLE) / ntok) * (CAST(u2.c AS DOUBLE) / ntok))), 4) AS pmi
+         |  FROM big b JOIN uni u1 ON u1.tok = b.w1
+         |    JOIN uni u2 ON u2.tok = b.w2 CROSS JOIN scal),
+         |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT rk, w1, w2, cxy, pmi FROM ranked WHERE rk <= 20
+         |ORDER BY rk""".stripMargin
   )
 }

@@ -1079,3 +1079,50 @@ class InterleaveSpec extends graft.SparkSpec {
     assert(a === b)
   }
 }
+
+class ZipfSlopeSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("an exact power law recovers its exponent") {
+    // ranks are consecutive row numbers, so build counts c_r = 24/r at
+    // r = 1..4 (24, 12, 8, 6): ln c = ln 24 − ln r → slope exactly −1
+    val toks = Seq(("a", 24), ("b", 12), ("c", 8), ("d", 6))
+      .flatMap { case (t, c) => Seq.fill(c)(t) }
+    val docs = Seq((1L, "g", toks.mkString(" "))).toDF("id", "grp", "text")
+    val out = Scoring.zipfSlope(docs, "text", "grp")
+      .select("slope").as[Double].head()
+    assert(math.abs(out - (-1.0)) < 1e-3, s"slope $out")
+  }
+
+  test("a flat distribution has slope 0; groups are independent") {
+    val flat = (1 to 5).flatMap(i => Seq.fill(10)(s"t$i")).mkString(" ")
+    val docs = Seq((1L, "flat", flat),
+      (2L, "steep", "a a a a a a a a b")).toDF("id", "grp", "text")
+    val out = Scoring.zipfSlope(docs, "text", "grp")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("flat")) < 1e-6)
+    assert(out("steep") < -1.0)
+  }
+}
+
+class PmiBigramsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("an exclusive collocation outranks bigrams of independent fillers") {
+    // "hong kong" always co-occur; "the x" pairs spread across many x
+    val text = (Seq.fill(6)("hong kong") ++
+      (1 to 6).flatMap(i => Seq("the", s"w$i"))).mkString(" ")
+    val out = Scoring.pmiBigrams(Seq((1L, text)).toDF("id", "text"),
+        "text", minCount = 5, topK = 5)
+      .select("rk", "w1", "w2").as[(Long, String, String)].collect()
+    assert(out.head._2 === "hong" && out.head._3 === "kong")
+  }
+
+  test("bigrams under minCount never appear") {
+    val text = "a b " * 10 + "rare pair"
+    val out = Scoring.pmiBigrams(Seq((1L, text)).toDF("id", "text"),
+        "text", minCount = 5, topK = 10)
+      .select("w1").as[String].collect()
+    assert(!out.contains("rare"))
+  }
+}
