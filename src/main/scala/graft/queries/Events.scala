@@ -256,6 +256,17 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // nested-data surface: JSON → typed struct (schema'd from_json, not
+    // per-path string extraction) and struct → JSON re-serialization
+    // (compact, field order = struct order on both engines).
+    "q176_nested_json" -> ((s, d) => {
+      Tables(s, d).events
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k"),
+          to_json(struct(col("event_id"), col("event_type"))).as("as_json"))
+        .orderBy("event_id")
+    }),
+
     // keyless interval-containment join via time bucketing (RangeJoin):
     // every event falling inside any of user 1's session windows — a raw
     // BETWEEN join would plan as a nested loop; bucketing makes it a hash
@@ -449,6 +460,12 @@ object Events {
         |    AS v_locf
         |FROM g LEFT JOIN hl ON hl.user_id = g.user_id AND hl.bucket = g.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
+    "q176_nested_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  to_json(struct_pack(event_id := event_id,
+        |    event_type := event_type)) AS as_json
+        |FROM events ORDER BY event_id""".stripMargin,
     "q159_attribution" ->
       // DuckDB's native ASOF picks the latest preceding click; the CASE
       // replays the tolerance gate in exact integer nanoseconds

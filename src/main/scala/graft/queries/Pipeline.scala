@@ -1238,6 +1238,39 @@ object Pipeline {
       graft.operators.Scoring.pmiBigrams(
           Tables(s, d).documents, "text", minCount = 5, topK = 20)
         .orderBy("rk")
+    }),
+
+    // typed-array surface over the embedding column: in-row fold (L1 norm
+    // via aggregate HOF — a sequential left fold, same order both engines)
+    // + the top-3 |value| dimensions via posexplode + ranked window.
+    "q177_array_hofs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d).embeddings.filter(col("vec_id") < 100)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("a").desc, col("pos").asc)
+      e.select(col("vec_id"),
+          round(expr("aggregate(embedding, 0D, (acc, x) -> acc + abs(x))"), 4)
+            .as("l1"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("l1"), col("pos").cast("long").as("pos"),
+          // widen BEFORE round: round(float) stays float and 6-dp values
+          // differ from the double-rounded oracle
+          round(abs(col("x").cast("double")), 6).as("a"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("vec_id"), col("rk").cast("long").as("rk"),
+          col("pos"), col("a"), col("l1"))
+        .orderBy("vec_id", "rk")
+    }),
+
+    // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
+    // rule): count, first-match extract, replace-all.
+    "q179_regexp" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+          expr("regexp_count(text, '[aeiou]{2,}')").cast("long").as("n_vv"),
+          regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2509,6 +2542,24 @@ object Pipeline {
          |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rk
          |  FROM scored)
          |SELECT rk, w1, w2, cxy, pmi FROM ranked WHERE rk <= 20
-         |ORDER BY rk""".stripMargin
+         |ORDER BY rk""".stripMargin,
+    "q177_array_hofs" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    round(list_sum(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 4) AS l1
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT vec_id, l1, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    round(abs(CAST(embedding[u.i] AS DOUBLE)), 6) AS a
+        |  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY a DESC, pos ASC) AS BIGINT) AS rk FROM p)
+        |SELECT vec_id, rk, pos, a, l1 FROM r WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
+    "q179_regexp" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,
+        |  regexp_extract(text, '[a-z]{6,}') AS first_long,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -501,6 +501,22 @@ object Relational {
         .orderBy("p_partkey")
     }),
 
+    // GROUPING()/grouping_id over a rollup — disambiguates "NULL because
+    // aggregated away" from "NULL in the data", which the q28 rollup gate
+    // alone cannot show.
+    "q178_grouping_id" -> ((s, d) => {
+      Tables(s, d).customer
+        .rollup("c_mktsegment", "c_nationkey")
+        // grouping()/grouping_id() only resolve INSIDE the grouping agg
+        .agg(grouping_id().cast("long").as("gid"),
+          grouping("c_mktsegment").cast("long").as("g_seg"),
+          grouping("c_nationkey").cast("long").as("g_nat"),
+          count(lit(1)).as("n"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("gid"),
+          col("g_seg"), col("g_nat"), col("n"))
+        .orderBy("gid", "c_mktsegment", "c_nationkey")
+    }),
+
     // datetime arithmetic surface: day/month offsets (month addition
     // clamps to month end on both engines), last_day, quarter, dayofyear,
     // day difference from an anchor.
@@ -762,6 +778,14 @@ object Relational {
         |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q178_grouping_id" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY gid, c_mktsegment, c_nationkey""".stripMargin,
     "q173_datetime_arith" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
         |SELECT o_orderkey,
