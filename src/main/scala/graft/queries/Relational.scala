@@ -501,6 +501,51 @@ object Relational {
         .orderBy("p_partkey")
     }),
 
+    // explicit null-ordering + null-mapping functions: NULLS FIRST/LAST on
+    // a sort with real nulls (made via nullif), nvl2/ifnull mapping.
+    "q180_null_order" -> ((s, d) => {
+      Tables(s, d).customer
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey"), lit(0)).as("nk"),
+          nvl2(nullif(col("c_nationkey"), lit(0)), lit("set"), lit("zero")).as("tag"),
+          ifnull(nullif(col("c_nationkey"), lit(0)), lit(-1)).as("nk_filled"))
+        .orderBy(col("nk").asc_nulls_first, col("c_custkey").asc)
+        .limit(50)
+    }),
+
+    // max_by / min_by (argmax aggregates). DuckDB's arg_max cannot order
+    // by a struct, so the (balance, custkey) order is packed into one
+    // BIGINT — cents × 10^7 + custkey is lexicographic for both and makes
+    // balance ties engine-deterministic.
+    "q181_arg_minmax" -> ((s, d) => {
+      val key = "CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey"
+      Tables(s, d).customer.groupBy("c_mktsegment").agg(
+          expr(s"max_by(c_custkey, $key)").as("richest"),
+          expr(s"min_by(c_custkey, $key)").as("poorest"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // bitwise aggregate surface over a deterministic derived column.
+    "q182_bit_aggs" -> ((s, d) => {
+      Tables(s, d).orders
+        .select(col("o_custkey"), (col("o_orderkey") % 256).as("b"))
+        .groupBy(col("o_custkey") % 10)
+        .agg(expr("bit_and(b)").as("band"), expr("bit_or(b)").as("bor"),
+          expr("bit_xor(b)").as("bxor"))
+        .withColumnRenamed("(o_custkey % 10)", "g")
+        .orderBy("g")
+    }),
+
+    // conditional/boolean aggregate surface: count_if, bool_and, bool_or.
+    "q183_bool_aggs" -> ((s, d) => {
+      Tables(s, d).lineitem.groupBy("l_returnflag").agg(
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     // GROUPING()/grouping_id over a rollup — disambiguates "NULL because
     // aggregated away" from "NULL in the data", which the q28 rollup gate
     // alone cannot show.
@@ -778,6 +823,33 @@ object Relational {
         |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q180_null_order" ->
+      """SELECT c_custkey, nullif(c_nationkey, 0) AS nk,
+        |  CASE WHEN nullif(c_nationkey, 0) IS NOT NULL
+        |    THEN 'set' ELSE 'zero' END AS tag,
+        |  coalesce(nullif(c_nationkey, 0), -1) AS nk_filled
+        |FROM customer
+        |ORDER BY nk ASC NULLS FIRST, c_custkey ASC LIMIT 50""".stripMargin,
+    "q181_arg_minmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_custkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey) AS richest,
+        |  arg_min(c_custkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q182_bit_aggs" ->
+      """SELECT o_custkey % 10 AS g,
+        |  CAST(bit_and(o_orderkey % 256) AS BIGINT) AS band,
+        |  CAST(bit_or(o_orderkey % 256) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS bxor
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
+    "q183_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q178_grouping_id" ->
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid,
