@@ -258,4 +258,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"source cosine went all-pairs:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"norms not broadcast:\n$p")
   }
+
+  test("q154 gap-fill grid join is a hash join, never a nested loop") {
+    val p = executedPlan("q154_gap_fill_locf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gap-fill grid join degenerated:\n$p")
+  }
+
+  test("q168 interleave ranks rows inside range buckets, not one global window") {
+    val p = executedPlan("q168_interleave")
+    // the two-phase prefix: corpus rows rank within range-partitioned
+    // buckets (__bkt) and only the per-bucket COUNT table (rows = bucket
+    // count, not corpus size) passes through a single partition
+    assert(p.contains("Exchange rangepartitioning"),
+      s"no range bucketing in the interleave plan:\n$p")
+    assert(p.contains("windowspecdefinition(__bkt"),
+      s"corpus rows not ranked per bucket:\n$p")
+  }
 }
