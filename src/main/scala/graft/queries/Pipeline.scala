@@ -1263,6 +1263,26 @@ object Pipeline {
         .orderBy("vec_id", "rk")
     }),
 
+    // IVF recall CERTIFIED under the driver gate (the q99 boolean
+    // pattern): brute-force top-10 is the exact, replayable side; the
+    // IVF probe's overlap with it must clear the recall floor. Sketch-like
+    // structures aren't bit-replayable — their quality envelopes are.
+    "q184_ivf_recall" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(q, e, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(q, e, "embedding", "vec_id",
+          k = 10, centroidMod = 100, probes = 3)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("overlap"))
+        // floor measured ≥ 6/10 at every shipped SF with probes = 3; the
+        // certified bar keeps one result of slack against data regeneration
+        .select(col("query_id"), (col("overlap") >= 5).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -2555,6 +2575,11 @@ object Pipeline {
         |    ORDER BY a DESC, pos ASC) AS BIGINT) AS rk FROM p)
         |SELECT vec_id, rk, pos, a, l1 FROM r WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
+    "q184_ivf_recall" ->
+      // the exact side is replayable; the IVF overlap only via its
+      // certified floor (the q99 sketch-envelope pattern)
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q179_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,
