@@ -800,11 +800,25 @@ object Dedup {
     *
     * Blocking before verification keeps the work far from doc×doc: only
     * pairs agreeing on (first whitespace token, ⌊prefix length / bandWidth⌋)
-    * are candidates — a same-hash-bucket equi-join, so each block's
-    * quadratic cost is bounded by its own size and blocks shuffle
-    * independently. Real deployments tighten recall by unioning several
-    * blocking passes (or seeding candidates from [[minHashLsh]]) — the
-    * verify stage is shared.
+    * are candidates — a same-hash-bucket equi-join. Real deployments
+    * tighten recall by unioning several blocking passes (or seeding
+    * candidates from [[minHashLsh]]) — the verify stage is shared.
+    *
+    * Skew: first tokens are Zipf-distributed, so one hot block ("The …")
+    * would otherwise do its whole O(block²) verification in a single task.
+    * Two guards:
+    *   - `maxBlock` (semantic, [[shingleContainment]]'s maxDf pattern): a
+    *     block larger than the cap is boilerplate-keyed — a prefix shared
+    *     by that many documents carries no near-dup signal — and is DROPPED
+    *     before pairing, bounding total work at maxBlock² per block at any
+    *     corpus size. Oracle-visible; replicate the cap in comparisons.
+    *   - `saltFactor` (pure execution): the self-join is salted — the left
+    *     side carries a deterministic per-row salt `hash(doc_id) mod S`,
+    *     the right side is replicated S times, the join key grows to
+    *     (w1, band, salt) — so each surviving block's quadratic work splits
+    *     across S tasks of block²/S. Every a<b pair still meets exactly
+    *     once (on the left row's own salt); the pair set is identical
+    *     (spec-asserted), only the task boundaries move.
     *
     * Verification uses Spark's banded `levenshtein(l, r, threshold)`
     * (O(maxDist·n) early-exit DP, codegen'd; returns −1 past the bound), so
@@ -812,17 +826,26 @@ object Dedup {
     * Returns (a_id, b_id, dist), a_id < b_id, dist ≤ maxDist.
     */
   def editDistanceNearDup(df: DataFrame, textCol: String, idCol: String,
-      prefixLen: Int = 40, maxDist: Int = 10, bandWidth: Int = 8): DataFrame = {
-    val keyed = df.where(length(col(textCol)) > 0).select(
+      prefixLen: Int = 40, maxDist: Int = 10, bandWidth: Int = 8,
+      maxBlock: Int = 10000, saltFactor: Int = 8): DataFrame = {
+    val keyed0 = df.where(length(col(textCol)) > 0).select(
       col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("key"),
       split_part(col(textCol), lit(" "), lit(1)).as("w1"),
       floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
+    // block-size cap: one map-side-combined count per block, semi-joined
+    // back — blocks past the cap never reach the pair join
+    val smallBlocks = keyed0.groupBy("w1", "band")
+      .agg(count(lit(1)).as("n")).where(col("n") <= maxBlock)
+      .select("w1", "band")
+    val keyed = keyed0.join(smallBlocks, Seq("w1", "band"), "left_semi")
     val a = keyed.select(col("doc_id").as("a_id"), col("key").as("a_key"),
-      col("w1"), col("band"))
+      col("w1"), col("band"),
+      pmod(hash(col("doc_id")), lit(saltFactor)).as("salt"))
     val b = keyed.select(col("doc_id").as("b_id"), col("key").as("b_key"),
-      col("w1"), col("band"))
-    a.join(b, Seq("w1", "band"))
+        col("w1"), col("band"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    a.join(b, Seq("w1", "band", "salt"))
       .where(col("a_id") < col("b_id"))
       .withColumn("dist",
         levenshtein(col("a_key"), col("b_key"), maxDist).cast("long"))

@@ -22,6 +22,47 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Byte budget for the query-side broadcast in [[cosineTopK]] /
+    * [[mutualKnn]]. The query side is small by contract, but the contract
+    * is not enforced by the API — so the size is MEASURED before the
+    * broadcast (the WcojJoin.leapfrog complement-budget pattern) and an
+    * over-budget side takes a shuffle-replicated nested-loop join instead:
+    * same result, no single-executor materialization of the whole side.
+    * The route taken is recorded in `graft.sim.lastRoute`
+    * ("broadcast" | "shuffle") for observability/specs.
+    */
+  private val BudgetKey = "graft.sim.broadcastBudgetBytes"
+  private val RouteKey = "graft.sim.lastRoute"
+
+  /** Cross-join `small` onto `big`, broadcasting only when `small`'s
+    * measured bytes fit the budget. The measuring pass reads actual array
+    * lengths (not a schema guess), costing one extra scan of the small
+    * side only — the big side is never touched.
+    */
+  private def budgetedCross(big: DataFrame, small: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val spark = small.sparkSession
+    val budget = spark.conf.get(BudgetKey, (64L << 20).toString).toLong
+    val rowBytes = small.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(FloatType, _) =>
+          coalesce(size(col(f.name)), lit(0)).cast("long") * 4L + 16L
+        case ArrayType(DoubleType, _) =>
+          coalesce(size(col(f.name)), lit(0)).cast("long") * 8L + 16L
+        case _ => lit(16L)
+      }
+    }.reduce(_ + _)
+    val bytes = small.agg(coalesce(sum(rowBytes), lit(0L)).as("b"))
+      .head().getLong(0)
+    if (bytes <= budget) {
+      spark.conf.set(RouteKey, "broadcast")
+      big.crossJoin(broadcast(small))
+    } else {
+      spark.conf.set(RouteKey, "shuffle")
+      big.crossJoin(small.hint("shuffle_replicate_nl"))
+    }
+  }
+
   /** Mutual k-nearest-neighbor graph: undirected edges (a, b, cos), a < b,
     * kept iff each endpoint ranks in the OTHER's top-k by cosine (self
     * excluded before ranking). The mutuality filter is what makes the graph
@@ -31,35 +72,87 @@ object Similarity {
     * components, cluster seeds for SemDeDup-style pruning) wants.
     *
     * This is the exact/baseline formulation: score-all + per-query top-k
-    * window + a self-join of the (|V|·k)-row edge list on the reversed pair.
-    * At corpus scale, bound the scoring stage first — assign vectors to IVF
-    * cells ([[ivfTopK]]'s assignment join) and run this within each cell,
-    * exactly the [[Dedup.semDedup]] confinement pattern.
+    * window + a self-join of the (|V|·k)-row edge list on the reversed
+    * pair — O(N²) scoring, for bounded inputs only (the broadcast side is
+    * byte-budget-guarded, not assumed small). At corpus scale use
+    * [[mutualKnnIvf]], which confines scoring to shared IVF cells.
     */
   def mutualKnn(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = budgetedCross(c, q)
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    mutualEdges(topKPerQuery(scored, k))
+  }
+
+  /** IVF-cell-confined mutual k-NN — the corpus-scale path. Every vector is
+    * assigned to its `probes` nearest cells of a deterministic centroid
+    * subset (ids ≡ 0 mod `centroidMod` — [[ivfTopK]]'s assignment, widened
+    * from 1 cell to `probes` so near-boundary pairs still meet); scoring
+    * happens only between vectors sharing a probed cell. Per-query top-k
+    * and the reciprocity join then run exactly as in [[mutualKnn]].
+    *
+    * Scale shape: the centroid set is the only broadcast; candidate
+    * generation is ONE equi-join shuffle on cell id, and per-cell work is
+    * O((probes·N/C)²) instead of O(N²) globally — the [[Dedup.semDedup]]
+    * confinement pattern. A pair sharing several probed cells scores
+    * identically in each; `distinct` collapses the duplicates before
+    * ranking.
+    *
+    * Equivalence envelope: with `probes` ≥ |centroids| every vector sits in
+    * every cell and the result is bit-identical to [[mutualKnn]]
+    * (spec-asserted); with fewer probes it under-approximates — edges whose
+    * endpoints never share a probed cell are lost, and a vector's top-k is
+    * ranked among cell-mates only. The recall against the exact graph is
+    * certified under the driver gate (q185, the q184 envelope pattern).
+    */
+  def mutualKnnIvf(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      centroidMod: Int = 100, probes: Int = 2): DataFrame = {
+    val cents = df.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
+    val wAssign = Window.partitionBy("vid").orderBy(col("sim").desc, col("cent_id").asc)
+    val assigned = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cv0")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= probes)
+      .select("vid", "v", "cent_id")
+    val scored = assigned.as("l").join(assigned.as("r"), "cent_id" :: Nil)
+      .where(col("l.vid") =!= col("r.vid"))
+      .select(col("l.vid").as("query_id"), col("r.vid").as("vec_id"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+      .distinct()
+    mutualEdges(topKPerQuery(scored, k))
+  }
+
+  /** rank ≤ k per query over (query_id, vec_id, cos), cos-desc, id-asc. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    val top = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).select("query_id", "vec_id", "cos")
+  }
+
+  /** Reciprocity join: keep (a, b, cos), a < b, iff both directions are in
+    * `top` — the (|V|·k)-row edge list joined on its reversed pair.
+    */
+  private def mutualEdges(top: DataFrame): DataFrame =
     top.as("t1").join(top.as("t2"),
         col("t1.query_id") === col("t2.vec_id") &&
           col("t1.vec_id") === col("t2.query_id"))
       .where(col("t1.query_id") < col("t1.vec_id"))
       .select(col("t1.query_id").as("a"), col("t1.vec_id").as("b"),
         col("t1.cos").as("cos"))
-  }
 
-  /** Exact top-k: (query_id, vec_id, cos, rank), rank 1..k per query. */
+  /** Exact top-k: (query_id, vec_id, cos, rank), rank 1..k per query. The
+    * query-side broadcast is byte-budget-guarded (see [[budgetedCross]]).
+    */
   def cosineTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = budgetedCross(c, q)
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

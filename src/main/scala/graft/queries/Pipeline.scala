@@ -1283,6 +1283,25 @@ object Pipeline {
         .orderBy("query_id")
     }),
 
+    // IVF-cell-confined mutual k-NN CERTIFIED against the exact graph
+    // (the q184 envelope pattern): the exact edge count is the replayable
+    // side; the confined graph must recover the floor fraction of exact
+    // edges. Observed recall ≥ 0.89 at every shipped SF with 4 cells /
+    // 2 probes; 0.75 keeps slack against data regeneration.
+    "q185_mutual_knn_ivf" -> ((s, d) => {
+      val e = Tables(s, d).embeddings.filter(col("vec_id") < 200)
+      val exact = Similarity.mutualKnn(e, "embedding", "vec_id", k = 5)
+        .select("a", "b")
+      val conf = Similarity.mutualKnnIvf(e, "embedding", "vec_id", k = 5,
+          centroidMod = 50, probes = 2)
+        .select("a", "b")
+      val hit = exact.join(conf, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(hit)
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.75).as("recall_ok"))
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -2410,12 +2429,16 @@ object Pipeline {
         |    ORDER BY d.n_chars, d.doc_id) AS BIGINT) AS decile
         |FROM documents d JOIN p USING (source) ORDER BY d.doc_id""".stripMargin,
     "q157_edit_near_dup" ->
-      // identical blocking (first token, 40-prefix len band) + plain
-      // levenshtein — DuckDB has no banded variant, same value ≤ the bound
-      """WITH k AS (SELECT doc_id, substr(text, 1, 40) AS key,
+      // identical blocking (first token, 40-prefix len band, boilerplate
+      // blocks past the 10000 cap dropped) + plain levenshtein — DuckDB
+      // has no banded variant, same value ≤ the bound
+      """WITH k0 AS (SELECT doc_id, substr(text, 1, 40) AS key,
         |    split_part(text, ' ', 1) AS w1,
         |    CAST(floor(length(substr(text, 1, 40)) / 8) AS BIGINT) AS band
-        |  FROM documents WHERE length(text) > 0)
+        |  FROM documents WHERE length(text) > 0),
+        |bc AS (SELECT w1, band FROM k0 GROUP BY w1, band
+        |  HAVING count(*) <= 10000),
+        |k AS (SELECT k0.* FROM k0 JOIN bc USING (w1, band))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         |FROM k a JOIN k b ON a.w1 = b.w1 AND a.band = b.band
@@ -2580,6 +2603,21 @@ object Pipeline {
       // certified floor (the q99 sketch-envelope pattern)
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q185_mutual_knn_ivf" ->
+      // q161's exact mutual-kNN machinery reduced to its edge count (the
+      // replayable side); the confined path only via its certified floor
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |pr AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    a.embedding AS qv, b.embedding AS cv
+         |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+         |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM pr),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM scored),
+         |top AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 5)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         |FROM top t1 JOIN top t2
+         |  ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
+         |WHERE t1.query_id < t1.vec_id""".stripMargin,
     "q179_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,

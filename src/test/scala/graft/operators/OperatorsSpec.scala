@@ -772,6 +772,47 @@ class EditDistanceNearDupSpec extends graft.SparkSpec {
     val docs = Seq((1L, ""), (2L, "lonely doc text")).toDF("doc_id", "text")
     assert(Dedup.editDistanceNearDup(docs, "text", "doc_id").count() === 0L)
   }
+
+  // a Zipf-headed corpus: 120 docs share first token "the" (one hot block),
+  // 6 docs spread over distinct first tokens
+  lazy val zipfDocs = {
+    val hot = (0L until 120L).map(i => (i, s"the quick brown fox num$i"))
+    val tail = (200L until 206L).map(i => (i, s"tok$i something else entirely"))
+    (hot ++ tail).toDF("doc_id", "text")
+  }
+
+  test("salted self-join emits the identical pair set as the unsalted one") {
+    val unsalted = Dedup.editDistanceNearDup(zipfDocs, "text", "doc_id",
+        saltFactor = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = Dedup.editDistanceNearDup(zipfDocs, "text", "doc_id",
+        saltFactor = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unsalted.nonEmpty) // the hot block produces near-dup pairs
+    assert(salted === unsalted)
+  }
+
+  test("salting bounds the per-task side of the hot block to ~n/S") {
+    // replicate the operator's left-side keying: the candidate join key is
+    // (w1, band, salt), so the largest probe-side group drops from the full
+    // block (120) to its salt slice
+    val keyed = zipfDocs.where(length($"text") > 0).select(
+      $"doc_id",
+      split_part($"text", lit(" "), lit(1)).as("w1"),
+      floor(length(substring($"text", 1, 40)) / 8).as("band"),
+      pmod(hash($"doc_id"), lit(8)).as("salt"))
+    val maxGroup = keyed.groupBy("w1", "band", "salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxGroup < 40L) // 120/8 = 15 expected; < 40 even under hash skew
+  }
+
+  test("blocks past maxBlock are boilerplate and dropped entirely") {
+    val out = Dedup.editDistanceNearDup(zipfDocs, "text", "doc_id",
+        maxBlock = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    // the 120-doc "the" block exceeds the cap; the tail blocks are singletons
+    assert(out.isEmpty)
+  }
 }
 
 class ShingleNoveltySpec extends graft.SparkSpec {
@@ -923,6 +964,55 @@ class MutualKnnSpec extends graft.SparkSpec {
     val out = Similarity.mutualKnn(vecs, "embedding", "vec_id", k = 2)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // a cluster around +x (ids 0..3) and one around +y (ids 4..7): centroids
+  // 0 and 4 (mod 4 picks 0 and 4; ids 8+ absent), so probes = 2 covers both
+  // cells and the confined graph must equal the exact one bit-for-bit
+  lazy val twoClusters = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)),
+    (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.85f, 0.15f)),
+    (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.05f, 0.95f)),
+    (6L, Seq(0.1f, 0.9f)), (7L, Seq(0.15f, 0.85f)))
+    .toDF("vec_id", "embedding")
+
+  test("mutualKnnIvf with probes covering all cells equals the exact graph") {
+    val exact = Similarity.mutualKnn(twoClusters, "embedding", "vec_id", k = 3)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+    val conf = Similarity.mutualKnnIvf(twoClusters, "embedding", "vec_id",
+        k = 3, centroidMod = 4, probes = 2)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(conf === exact)
+  }
+
+  test("mutualKnnIvf with probes = 1 confines edges within cells") {
+    val conf = Similarity.mutualKnnIvf(twoClusters, "embedding", "vec_id",
+        k = 3, centroidMod = 4, probes = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // no cross-cluster edges: the x-cluster assigns to cell 0, the
+    // y-cluster to cell 4, and scoring never crosses a cell boundary
+    assert(conf.nonEmpty)
+    assert(conf.forall { case (a, b) => (a < 4) == (b < 4) })
+  }
+
+  test("over-budget query side takes the shuffle route, same result") {
+    val prev = spark.conf.getOption("graft.sim.broadcastBudgetBytes")
+    try {
+      spark.conf.set("graft.sim.broadcastBudgetBytes", "1")
+      val shuffled = Similarity.mutualKnn(twoClusters, "embedding", "vec_id", k = 3)
+        .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+      assert(spark.conf.get("graft.sim.lastRoute") === "shuffle")
+      spark.conf.set("graft.sim.broadcastBudgetBytes", (64L << 20).toString)
+      val bcast = Similarity.mutualKnn(twoClusters, "embedding", "vec_id", k = 3)
+        .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+      assert(spark.conf.get("graft.sim.lastRoute") === "broadcast")
+      assert(shuffled === bcast)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.sim.broadcastBudgetBytes", v)
+        case None => spark.conf.unset("graft.sim.broadcastBudgetBytes")
+      }
+    }
   }
 }
 
