@@ -52,10 +52,16 @@ object Bench {
     // distinguishable from machine noise without tripling the whole bench
     // refreshed r7: r6 measured flat-plan drift on q96_kcore (1.9x),
     // q44_sssp and q76_contamination (+24-33%) — added per the verdict;
-    // the rest are the iterative/streaming floors
+    // the rest are the iterative/streaming floors. r9 adds the round-8
+    // slowest/iterative-adjacent gates (q141 streaming micro-batch floor —
+    // now the slowest gate — q157/q167 blocked self-joins, q168 double
+    // distributed prefix) so a one-pass blip there reads as spread, not
+    // as a regression.
     val volatile = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA",
       "q43_wcc,q44_sssp,q76_contamination,q95_label_prop,q96_kcore," +
-        "q86_recursive_sql,q100_stream_curation")
+        "q86_recursive_sql,q100_stream_curation," +
+        "q141_stream_windowed,q157_edit_near_dup,q167_containment," +
+        "q168_interleave")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -165,19 +165,6 @@ object Sampling {
       .select(col(keyCol), (col("rank") - 1).cast("long").as("pos"))
   }
 
-  /** Deterministic weighted sampling WITHOUT replacement, k per group —
-    * Efraimidis–Spirakis in the exponential-race form: each row draws
-    * `key = −ln(u)/w` with u a pure md5 function of its id (never a RNG),
-    * and the k smallest keys per group win. Inclusion probability is
-    * proportional to weight in the without-replacement sense, and the
-    * sample is reproducible: the same ids win on any engine, any partition
-    * count, any run.
-    *
-    * Portability: u = (md5₃₂ + 1)/2³² ∈ (0, 1] so ln is finite; the key is
-    * rounded to 9 dp (keys live in ~1e-5..1, so 1-ulp libm differences in
-    * ln/pow vanish at 9 dp) with the id as the total-order tie-break. One
-    * window shuffle on the group, nothing else.
-    */
   /** Proportional source interleave: a single global training order in
     * which every source is consumed at a uniform RELATIVE rate — all
     * sources hit their halfway point together and finish together, so a
@@ -208,6 +195,19 @@ object Sampling {
       .select(col(keyCol), col(groupCol), (col("rank") - 1).cast("long").as("pos"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per group —
+    * Efraimidis–Spirakis in the exponential-race form: each row draws
+    * `key = −ln(u)/w` with u a pure md5 function of its id (never a RNG),
+    * and the k smallest keys per group win. Inclusion probability is
+    * proportional to weight in the without-replacement sense, and the
+    * sample is reproducible: the same ids win on any engine, any partition
+    * count, any run.
+    *
+    * Portability: u = (md5₃₂ + 1)/2³² ∈ (0, 1] so ln is finite; the key is
+    * rounded to 9 dp (keys live in ~1e-5..1, so 1-ulp libm differences in
+    * ln/pow vanish at 9 dp) with the id as the total-order tie-break. One
+    * window shuffle on the group, nothing else.
+    */
   def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
       weightCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")

@@ -564,6 +564,10 @@ object Scoring {
     terms.groupBy("grp")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum("xy").as("sxy"), sum("xx").as("sxx"))
+      // a single-distinct-token group has zero rank variance (n·sxx = sx²):
+      // the slope is 0/0 — NULL in Spark, NaN under DuckDB float division.
+      // No line fits one point; exclude the group on both engines.
+      .where(col("n") >= 2)
       .select(col("grp"),
         round((col("n") * col("sxy").cast("double") * 1e-6 -
           (col("sx").cast("double") * 1e-6) * (col("sy").cast("double") * 1e-6)) /

@@ -155,6 +155,36 @@ object Graph {
         .orderBy("a", "b", "c")
     }),
 
+    // the HyperCube-routed WCOJ under the hard gate: same dense triangle as
+    // q47, but with the broadcast budget forced to 0 so the complement
+    // relation CANNOT be collected — leapfrog's byte-budget check reroutes
+    // the whole join to the full Shares shuffle (leapfrogHyperCube). The
+    // route actually taken is emitted as a column, so a silent fall-back to
+    // the broadcast path hash-mismatches the oracle's 'hypercube' literal.
+    "q186_wcoj_hypercube" -> ((s, d) => {
+      val prev = s.conf.getOption("graft.wcoj.broadcastBudgetBytes")
+      try {
+        s.conf.set("graft.wcoj.broadcastBudgetBytes", "0")
+        val e = denseEdges(Tables(s, d))
+        // routing happens eagerly inside leapfrog (the complement is
+        // measured before any collect), so lastRoute is set on return
+        val tri = graft.wcoj.WcojJoin.leapfrog(s, Seq(
+            (e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+            (e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+            (e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))),
+          Seq("a", "b", "c"))
+        val route = s.conf.get("graft.wcoj.lastRoute", "unset")
+        tri.filter(col("a") < col("b") && col("a") < col("c"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .withColumn("route", lit(route))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("graft.wcoj.broadcastBudgetBytes", v)
+          case None => s.conf.unset("graft.wcoj.broadcastBudgetBytes")
+        }
+      }
+    }),
+
     // directed 4-cycle count on the sparse graph — a cyclic query whose join
     // order comes from the GHD planner (pattern() → MultiwayJoin).
     "q46_ghd_4cycle" -> ((s, d) => {
@@ -333,6 +363,14 @@ object Graph {
     "q47_wcoj_triangle" ->
       s"""WITH edges AS ($denseEdgesSql)
          |SELECT count(*) AS n_triangles
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,
+    "q186_wcoj_hypercube" ->
+      // count identical to q47; the 'hypercube' literal pins the route the
+      // engine must have taken under the zeroed broadcast budget
+      s"""WITH edges AS ($denseEdgesSql)
+         |SELECT count(*) AS n_triangles, 'hypercube' AS route
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
          |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin,

@@ -2558,7 +2558,7 @@ object Pipeline {
          |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          |    CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
-         |  FROM t GROUP BY source)
+         |  FROM t GROUP BY source HAVING count(*) >= 2)
          |SELECT source,
          |  round((n * CAST(sxy AS DOUBLE) * 1e-6
          |      - (CAST(sx AS DOUBLE) * 1e-6) * (CAST(sy AS DOUBLE) * 1e-6))

@@ -530,10 +530,9 @@ object Relational {
     "q182_bit_aggs" -> ((s, d) => {
       Tables(s, d).orders
         .select(col("o_custkey"), (col("o_orderkey") % 256).as("b"))
-        .groupBy(col("o_custkey") % 10)
+        .groupBy((col("o_custkey") % 10).as("g"))
         .agg(expr("bit_and(b)").as("band"), expr("bit_or(b)").as("bor"),
           expr("bit_xor(b)").as("bxor"))
-        .withColumnRenamed("(o_custkey % 10)", "g")
         .orderBy("g")
     }),
 
