@@ -767,7 +767,9 @@ object Dedup {
     // posting lists, df-bounded in the same aggregate — one shuffle on the
     // shingle; pairs expand IN-ROW from each ≤maxDf list (a sorted a<b
     // nested transform), so there is no posting-list self-join and the
-    // shingle lineage is computed once, not once per join side
+    // shingle lineage is computed once, not once per join side (the
+    // self-join twin re-measured 2.3 s vs 1.5 s for this form at sf0.1 —
+    // the StockCompare comparator keeps the honest pair)
     val byTok = sh.groupBy("tok")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= maxDf)

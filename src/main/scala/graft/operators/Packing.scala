@@ -98,6 +98,23 @@ object Packing {
     * boundary; a NULL boundary component matches only NULL keys). O(p)
     * comparisons per row, whole-stage-codegen friendly, zero shuffles.
     */
+  /** Size-gated routing for the two-phase prefix machinery: when Catalyst's
+    * own size estimate for the input (the statistic Spark's broadcast-join
+    * threshold trusts) fits `graft.prefix.singleTaskBytes` (default 32 MB),
+    * a single-task window is trivially safe and the distributed form's
+    * extra jobs (boundary sample, offsets aggregate, broadcast reattach)
+    * are pure overhead — so callers take their plain-window twin, which is
+    * bit-identical by the determinism contract (differential-spec-proven).
+    * Unknown statistics default to Long.MaxValue, i.e. the distributed
+    * path — the safe direction. Set the conf to 0 to force the distributed
+    * shape (the plan-quality and differential specs do).
+    */
+  private[graft] def singleTaskOk(df: DataFrame): Boolean = {
+    val cap = df.sparkSession.conf
+      .get("graft.prefix.singleTaskBytes", (32L << 20).toString).toLong
+    cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+  }
+
   private[graft] def rangeBucketExpr(keyCols: Seq[String],
       boundaries: Seq[Seq[Any]]): org.apache.spark.sql.Column = {
     def keyGt(b: Seq[Any]): org.apache.spark.sql.Column =
@@ -261,6 +278,13 @@ object Packing {
     val keyCols = grpCols ++ ordCols
     require(!rows.columns.contains("__bkt"),
       "groupedRowNumbers reserves column name __bkt")
+    // measured-small input (or an explicit partitions <= 1): the plain
+    // window IS the definition of the contract — same result, none of the
+    // sample/offsets machinery (see [[singleTaskOk]])
+    if (p <= 1 || singleTaskOk(rows)) {
+      return rows.withColumn("rank", row_number().over(
+        Window.partitionBy(grpCols.map(col): _*).orderBy(ordCols.map(col): _*)))
+    }
     val bounds = rangeBucketBoundaries(rows, keyCols, p)
     val local = rows
       .withColumn("__bkt", rangeBucketExpr(keyCols, bounds))
@@ -312,6 +336,12 @@ object Packing {
     val rows = df
       .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
         valueExpr.cast("long").as("value"))
+    // measured-small input: the windowed running sum is the contract
+    // itself — skip the bucket/offsets machinery (see [[singleTaskOk]])
+    if (p <= 1 || singleTaskOk(rows)) {
+      return rows.select(col("doc_id"), col("grp").as(groupCol), col("value"),
+        sum("value").over(Window.partitionBy("grp").orderBy("doc_id")).as("cum"))
+    }
     val bounds = rangeBucketBoundaries(rows, Seq("grp", "doc_id"), p)
     val local = rows
       .withColumn("bkt", rangeBucketExpr(Seq("grp", "doc_id"), bounds))

@@ -183,15 +183,21 @@ object Sampling {
       partitions: Int = 0): DataFrame = {
     val rows = df.select(col(groupCol), col(keyCol),
       md5(col(keyCol).cast("string")).as("__h"))
+    // ONE routing decision (Packing.singleTaskOk) covering both prefix
+    // passes, made on the input scan's statistics: the second pass's input
+    // carries a join whose multiplied size estimate would otherwise force
+    // the distributed shape even for a measured-small corpus
+    val parts =
+      if (graft.operators.Packing.singleTaskOk(rows)) 1 else partitions
     val ranked = graft.operators.Packing.groupedRowNumbers(
-        rows, Seq(groupCol), Seq("__h", keyCol), partitions)
+        rows, Seq(groupCol), Seq("__h", keyCol), parts)
       .withColumnRenamed("rank", "__r")
     val counts = ranked.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val keyed = ranked.join(broadcast(counts), Seq(groupCol))
       .withColumn("__frac", col("__r").cast("double") / col("__n"))
       .select(col(groupCol), col(keyCol), col("__frac"), col("__r"))
     graft.operators.Packing.groupedRowNumbers(
-        keyed, Nil, Seq("__frac", groupCol, "__r"), partitions)
+        keyed, Nil, Seq("__frac", groupCol, "__r"), parts)
       .select(col(keyCol), col(groupCol), (col("rank") - 1).cast("long").as("pos"))
   }
 

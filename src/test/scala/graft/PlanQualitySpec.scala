@@ -6,6 +6,11 @@ package graft
   */
 class PlanQualitySpec extends SparkSpec {
 
+  // the pinned prefix/rank shapes are the DISTRIBUTED ones: disable the
+  // measured-small-input routing (Packing.singleTaskOk) that would
+  // otherwise give sf0.001 inputs their plain-window twin
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
+
   private def executedPlan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, sf0001)
     df.collect() // materialize so AQE finalizes

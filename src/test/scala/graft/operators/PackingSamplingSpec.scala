@@ -6,6 +6,10 @@ import graft.functions.TextFunctions
 
 class PackingSpec extends SparkSpec {
   import spark.implicits._
+  // force the distributed two-phase shape: these suites differential-test
+  // it against the naive window twin, so the measured-small-input routing
+  // (Packing.singleTaskOk) must not collapse both sides to one plan
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
 
   test("packShards distributed prefix sum matches the naive global window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -121,6 +125,10 @@ class IncrementalDedupSpec extends SparkSpec {
 
 class PackingPropertySpec extends SparkSpec {
   import spark.implicits._
+  // force the distributed two-phase shape: these suites differential-test
+  // it against the naive window twin, so the measured-small-input routing
+  // (Packing.singleTaskOk) must not collapse both sides to one plan
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
 
   test("random docs: distributed == naive for random budgets/partitions; shards monotone") {
     val rnd = new scala.util.Random(42)
@@ -249,6 +257,10 @@ class GroupQuotaSpec extends SparkSpec {
 
 class LengthBucketSpec extends SparkSpec {
   import spark.implicits._
+  // force the distributed two-phase shape: these suites differential-test
+  // it against the naive window twin, so the measured-small-input routing
+  // (Packing.singleTaskOk) must not collapse both sides to one plan
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
   import org.apache.spark.sql.functions._
 
   private def naive(df: org.apache.spark.sql.DataFrame, bucketSize: Int,
@@ -289,6 +301,10 @@ class LengthBucketSpec extends SparkSpec {
 
 class TokenQuotaSpec extends SparkSpec {
   import spark.implicits._
+  // force the distributed two-phase shape: these suites differential-test
+  // it against the naive window twin, so the measured-small-input routing
+  // (Packing.singleTaskOk) must not collapse both sides to one plan
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
   import org.apache.spark.sql.functions._
 
   test("groupRunningTotals matches the naive group window on random data") {
@@ -380,6 +396,10 @@ class TokenQuotaSpec extends SparkSpec {
 
 class StratifiedSplitSpec extends SparkSpec {
   import spark.implicits._
+  // force the distributed two-phase shape: these suites differential-test
+  // it against the naive window twin, so the measured-small-input routing
+  // (Packing.singleTaskOk) must not collapse both sides to one plan
+  spark.conf.set("graft.prefix.singleTaskBytes", "0")
   import org.apache.spark.sql.functions._
 
   private lazy val rows = (1L to 237L).map(i => (i, s"lang${i % 4}"))
@@ -448,5 +468,49 @@ class TrainOrderSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.orderBy($"h", $"id")) - 1)
       .select($"id", $"pos".cast("long")).as[(Long, Long)].collect().toMap
     assert(base === naive)
+  }
+}
+
+class PrefixRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the test JVM shares ONE SparkSession across suites, and the
+  // differential suites pin graft.prefix.singleTaskBytes=0 (forced
+  // distributed) as the convention — so each phase here sets the conf it
+  // needs explicitly and restores the convention afterwards
+  private def withCap[T](v: String)(f: => T): T = {
+    spark.conf.set("graft.prefix.singleTaskBytes", v)
+    try f finally spark.conf.set("graft.prefix.singleTaskBytes", "0")
+  }
+
+  lazy val rows = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+
+  test("measured-small input takes the plain-window twin, same ranks") {
+    // default 32 MB cap: a 300-row local relation is measured small, so
+    // none of the bucket/offsets machinery appears in the plan
+    val smallOut = withCap((32L << 20).toString) {
+      val small = Packing.groupedRowNumbers(rows, Seq("grp"), Seq("id"), 8)
+      assert(!small.queryExecution.executedPlan.toString.contains("__bkt"))
+      small.select("id", "grp", "rank").as[(Long, String, Long)].collect().toSet
+    }
+    val distOut = withCap("0") {
+      val dist = Packing.groupedRowNumbers(rows, Seq("grp"), Seq("id"), 8)
+      assert(dist.queryExecution.executedPlan.toString.contains("__bkt"))
+      dist.select("id", "grp", "rank").as[(Long, String, Long)].collect().toSet
+    }
+    assert(distOut === smallOut)
+  }
+
+  test("running totals route the same way and agree") {
+    val vals = rows.withColumn("v", ($"id" % 7) + 1)
+    val small = withCap((32L << 20).toString) {
+      Packing.groupRunningTotals(vals, "grp", "id", col("v"), 8)
+        .select("doc_id", "grp", "cum").as[(Long, String, Long)].collect().toSet
+    }
+    val dist = withCap("0") {
+      Packing.groupRunningTotals(vals, "grp", "id", col("v"), 8)
+        .select("doc_id", "grp", "cum").as[(Long, String, Long)].collect().toSet
+    }
+    assert(dist === small)
   }
 }

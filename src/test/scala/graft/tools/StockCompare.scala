@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   * min-of-3 per side, engine first and stock second within each pair so
   * page cache warms identically for both.
   *
-  * Measured at sf0.1 / local[32] (2026-08-14): q1 1.15, q5 1.08, WCOJ
-  * triangle 1.26, as-of 1.06, interval 1.06 — every engine path within
-  * 1.3× of the equivalent stock plan, i.e. well inside BASELINE.md's 2×
-  * bar. (The WCOJ 1.26 is the dense-triangle case binary joins handle
-  * well; the LeapFrog node exists for the skewed/cyclic patterns where
-  * binary joins blow up the intermediate, per WcojSpec's differentials.)
+  * Measured at sf0.1 / local[32] (2026-08-14, round 9): q1 1.15,
+  * q5 1.04, WCOJ triangle 1.19, as-of 0.96, interval 1.08, gap-fill LOCF
+  * 0.94, interleave 0.89, containment 0.77 — every engine path within
+  * 1.2× of the equivalent stock plan, well inside BASELINE.md's 2× bar,
+  * and the three data-pipeline operators run FASTER than their stock
+  * formulations. (The WCOJ ratio is the dense-triangle case binary joins
+  * handle well; the LeapFrog node exists for the skewed/cyclic patterns
+  * where binary joins blow up the intermediate, per WcojSpec's
+  * differentials.)
+  *
+  * `report` asserts both sides return the same row count before timing —
+  * a silently-degenerate side (a mis-escaped regex splitting nothing, an
+  * accidentally-empty filter) must fail loudly, not fake a fast ratio.
   */
 object StockCompare {
   def main(args: Array[String]): Unit = {
@@ -51,7 +58,7 @@ object StockCompare {
     // who cached the file index
     def stockSql(sql: String): String =
       Seq("lineitem", "orders", "customer", "nation", "region",
-        "supplier", "events").foldLeft(sql) { (q, n) =>
+        "supplier", "events", "documents").foldLeft(sql) { (q, n) =>
         q.replaceAll(s"\\b$n\\b", s"parquet.`$sfDir/$n.parquet`")
       }
 
@@ -63,7 +70,11 @@ object StockCompare {
     }
 
     def report(name: String, engine: => Long, stock: => Long): Unit = {
-      engine; stock // one untimed warmup each (cache, codegen)
+      val en = engine; val sn = stock // one untimed warmup each (cache, codegen)
+      // a silently-empty side (e.g. a mis-escaped regex splitting nothing)
+      // would otherwise fake a fast "stock" time — the comparison is only
+      // honest when both sides computed the same relation
+      require(en == sn, s"$name: engine returned $en rows but stock $sn — not comparable")
       val e = timeIt(engine)
       val s = timeIt(stock)
       println(f"[compare] $name%-28s engine=$e%6.2fs stock=$s%6.2fs ratio=${e / s}%5.2f")
@@ -121,6 +132,80 @@ object StockCompare {
             |SELECT e.event_id, w.win_idx FROM events e
             |JOIN w ON e.ts >= w.ws AND e.ts <= w.we
             |ORDER BY e.event_id, w.win_idx""".stripMargin)).count()
+      })
+
+    // 6. gap-fill LOCF: the operator is itself the declarative
+    //    grid + last-in-bucket + carry window chain, so the stock side is
+    //    the same SQL text — the ratio measures pure facade overhead
+    report("gap-fill LOCF chain",
+      graft.queries.Events.queries("q154_gap_fill_locf")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS b0,
+            |    date_trunc('hour', max(ts)) AS b1 FROM events GROUP BY 1),
+            |g AS (SELECT user_id,
+            |    explode(sequence(b0, b1, interval 1 hour)) AS bucket FROM b),
+            |hv AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+            |    round(value, 6) AS v,
+            |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+            |      ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+            |hl AS (SELECT user_id, bucket, v FROM hv WHERE rn = 1)
+            |SELECT g.user_id, g.bucket,
+            |  last(hl.v, true) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+            |FROM g LEFT JOIN hl
+            |  ON hl.user_id = g.user_id AND hl.bucket = g.bucket
+            |ORDER BY g.user_id, g.bucket""".stripMargin)).count()
+      })
+
+    // 7. proportional interleave: the engine's grouped two-phase
+    //    distributed prefix (no single-task global sort) vs the naive
+    //    stock formulation — per-source window then ONE GLOBAL window,
+    //    whose final rank funnels the corpus through a single partition
+    report("interleave double-prefix",
+      graft.queries.Pipeline.queries("q168_interleave")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH r AS (SELECT source, doc_id,
+            |    row_number() OVER (PARTITION BY source
+            |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS r
+            |  FROM documents),
+            |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+            |SELECT r.doc_id, r.source,
+            |  CAST(row_number() OVER
+            |    (ORDER BY CAST(r.r AS DOUBLE) / c.n, r.source, r.r) - 1
+            |    AS BIGINT) AS pos
+            |FROM r JOIN c ON r.source = c.source
+            |ORDER BY doc_id""".stripMargin)).count()
+      })
+
+    // 8. shingle containment: the engine's df-bounded posting lists with
+    //    IN-ROW a<b pair expansion vs the classic posting-list SELF-JOIN
+    //    formulation (same shingles, same df cap, same threshold) — the
+    //    join form re-shuffles the exploded (doc, shingle) table twice
+    report("containment inverted idx",
+      graft.queries.Pipeline.queries("q167_containment")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          // plain (non-interpolated) triple quotes do NOT process Scala
+          // escapes: \\s+ below reaches Spark's SQL parser verbatim, which
+          // unescapes the string literal to the \s+ regex
+          """WITH t0 AS (SELECT doc_id, split(trim(text), '\\s+') AS w
+            |  FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, sh FROM (
+            |  SELECT doc_id, explode(transform(sequence(1, size(w) - 4),
+            |    i -> concat_ws(' ', slice(w, i, 5)))) AS sh
+            |  FROM t0 WHERE size(w) >= 5)),
+            |keep AS (SELECT sh FROM sh GROUP BY sh
+            |  HAVING count(*) <= 50 AND count(*) >= 1),
+            |k AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    count(*) AS inter
+            |  FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id != b.doc_id
+            |  GROUP BY 1, 2),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY 1)
+            |SELECT doc_a, doc_b,
+            |  round(CAST(inter AS DOUBLE) / sz, 6) AS containment
+            |FROM inter JOIN sz ON sz.doc_id = inter.doc_a
+            |WHERE round(CAST(inter AS DOUBLE) / sz, 6) >= 0.6
+            |ORDER BY doc_a, doc_b""".stripMargin)).count()
       })
 
     spark.stop()
