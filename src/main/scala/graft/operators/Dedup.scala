@@ -820,7 +820,11 @@ object Dedup {
     *     (w1, band, salt) — so each surviving block's quadratic work splits
     *     across S tasks of block²/S. Every a<b pair still meets exactly
     *     once (on the left row's own salt); the pair set is identical
-    *     (spec-asserted), only the task boundaries move.
+    *     (spec-asserted), only the task boundaries move. The default
+    *     (saltFactor = 0) routes on Catalyst's size estimate, the
+    *     [[Packing.singleTaskOk]] pattern: a measured-small input skips
+    *     the S× replication (no block can be hot enough to matter), a
+    *     large or unknown one salts at 8.
     *
     * Verification uses Spark's banded `levenshtein(l, r, threshold)`
     * (O(maxDist·n) early-exit DP, codegen'd; returns −1 past the bound), so
@@ -829,12 +833,14 @@ object Dedup {
     */
   def editDistanceNearDup(df: DataFrame, textCol: String, idCol: String,
       prefixLen: Int = 40, maxDist: Int = 10, bandWidth: Int = 8,
-      maxBlock: Int = 10000, saltFactor: Int = 8): DataFrame = {
+      maxBlock: Int = 10000, saltFactor: Int = 0): DataFrame = {
     val keyed0 = df.where(length(col(textCol)) > 0).select(
       col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("key"),
       split_part(col(textCol), lit(" "), lit(1)).as("w1"),
       floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
+    val salt = if (saltFactor > 0) saltFactor
+      else if (Packing.singleTaskOk(keyed0)) 1 else 8
     // block-size cap: one map-side-combined count per block, semi-joined
     // back — blocks past the cap never reach the pair join
     val smallBlocks = keyed0.groupBy("w1", "band")
@@ -843,10 +849,10 @@ object Dedup {
     val keyed = keyed0.join(smallBlocks, Seq("w1", "band"), "left_semi")
     val a = keyed.select(col("doc_id").as("a_id"), col("key").as("a_key"),
       col("w1"), col("band"),
-      pmod(hash(col("doc_id")), lit(saltFactor)).as("salt"))
+      pmod(hash(col("doc_id")), lit(salt)).as("salt"))
     val b = keyed.select(col("doc_id").as("b_id"), col("key").as("b_key"),
         col("w1"), col("band"))
-      .withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     a.join(b, Seq("w1", "band", "salt"))
       .where(col("a_id") < col("b_id"))
       .withColumn("dist",
