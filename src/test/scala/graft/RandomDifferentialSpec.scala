@@ -113,4 +113,80 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
   }
+
+  test("random embeddings: mutualKnnIvf with full probes == exact mutualKnn") {
+    // the IVF confinement must be a PURE candidate-pruning change: with
+    // probes covering every cell, nothing is pruned and the graphs agree
+    // bit-for-bit on arbitrary vectors (dims, norms, duplicates included)
+    val rnd = new scala.util.Random(185)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val dim = 4 + rnd.nextInt(5)
+      val vecs = (0L until n.toLong).map { i =>
+        (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val centroidMod = 10 + rnd.nextInt(10)
+      val nCents = (0 until n).count(_ % centroidMod == 0)
+      withClue(s"trial $trial n=$n dim=$dim mod=$centroidMod: ") {
+        val exact = graft.operators.Similarity
+          .mutualKnn(vecs, "embedding", "vec_id", k = 4)
+          .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+        val conf = graft.operators.Similarity
+          .mutualKnnIvf(vecs, "embedding", "vec_id", k = 4,
+            centroidMod = centroidMod, probes = nCents)
+          .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+        assert(conf === exact)
+      }
+    }
+  }
+
+  test("random Zipf corpora: salted edit-distance pair set == unsalted") {
+    // salting is a pure execution change at any salt factor: every a<b
+    // pair must meet exactly once whatever the salt distribution
+    val rnd = new scala.util.Random(157)
+    val heads = Vector("the", "a", "of", "zz")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 150L).map { i =>
+        val head = heads(math.min(rnd.nextInt(heads.length * 2), heads.length - 1))
+        val tail = Seq.fill(3 + rnd.nextInt(4))("w" + rnd.nextInt(12)).mkString(" ")
+        (i, s"$head $tail")
+      }.toDF("doc_id", "text")
+      withClue(s"trial $trial: ") {
+        val base = graft.operators.Dedup
+          .editDistanceNearDup(docs, "text", "doc_id", saltFactor = 1)
+          .as[(Long, Long, Long)].collect().toSet
+        for (s <- Seq(2, 5, 8)) {
+          val salted = graft.operators.Dedup
+            .editDistanceNearDup(docs, "text", "doc_id", saltFactor = s)
+            .as[(Long, Long, Long)].collect().toSet
+          assert(salted === base, s"saltFactor=$s")
+        }
+      }
+    }
+  }
+
+  test("random groups: routed prefix ranks agree across the conf boundary") {
+    // the measured-small routing must be invisible in results for any
+    // group skew / tie-free order, both groupedRowNumbers and totals
+    val rnd = new scala.util.Random(32)
+    for (trial <- 1 to 3) {
+      val rows = (1L to 400L).map { i =>
+        (i, "g" + rnd.nextInt(1 + rnd.nextInt(6)), rnd.nextInt(50).toLong)
+      }.toDF("id", "grp", "v")
+      def ranks(cap: String): Set[(Long, String, Long)] = {
+        val prev = spark.conf.getOption("graft.prefix.singleTaskBytes")
+        spark.conf.set("graft.prefix.singleTaskBytes", cap)
+        try graft.operators.Packing
+          .groupRunningTotals(rows, "grp", "id", col("v"), 8)
+          .select("doc_id", "grp", "cum").as[(Long, String, Long)].collect().toSet
+        finally prev match {
+          case Some(v) => spark.conf.set("graft.prefix.singleTaskBytes", v)
+          case None => spark.conf.unset("graft.prefix.singleTaskBytes")
+        }
+      }
+      withClue(s"trial $trial: ") {
+        assert(ranks("0") === ranks((32L << 20).toString))
+      }
+    }
+  }
 }
