@@ -468,12 +468,19 @@ object Scoring {
   def shingleNovelty(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
     val shingles = Dedup.shingleSet(df, textCol, idCol, k)
-    val first = shingles.groupBy("tok").agg(min("doc_id").as("first_doc"))
-    shingles.join(first, "tok" :: Nil)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        round(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)), 6).as("novelty"))
+    // two independent aggregates over the shingle table, then a DOC-level
+    // join: per-doc shingle counts, and per-doc counts of shingles it
+    // introduced (min-doc per shingle, re-grouped by that doc). The
+    // big string-keyed table shuffles twice and is never joined back on
+    // the shingle — the join keys are doc ids (was: a 3rd full shuffle of
+    // the shingle strings through a tok-keyed join; 1.8 s → 0.8 s sf0.1).
+    val perDoc = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val introduced = shingles.groupBy("tok").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_first"))
+    perDoc.join(introduced, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        round(coalesce(col("n_first"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty"))
   }
 
   /** Per-document Shannon entropy of the token distribution, in nats —
