@@ -112,13 +112,9 @@ object Similarity {
       centroidMod: Int = 100, probes: Int = 2): DataFrame = {
     val cents = df.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
-    val wAssign = Window.partitionBy("vid").orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cents))
-      .select(col("vid"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cv0")), 6).as("sim"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= probes)
-      .select("vid", "v", "cent_id")
+    val assigned = nearestCells(
+      df.select(col(idCol).as("vid"), col(vecCol).as("v")),
+      cents, "vid", "v", probes)
     val scored = assigned.as("l").join(assigned.as("r"), "cent_id" :: Nil)
       .where(col("l.vid") =!= col("r.vid"))
       .select(col("l.vid").as("query_id"), col("r.vid").as("vec_id"),
@@ -171,25 +167,83 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, centroidMod: Int = 100, probes: Int = 2): DataFrame = {
     val cents = candidates.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
-
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cv"), col("cent_id"),
-        round(cosine(col("cv"), col("cv0")), 6).as("sim"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select("vec_id", "cv", "cent_id")
-
-    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id").asc)
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cent_id"),
-        round(cosine(col("qv"), col("cv0")), 6).as("sim"))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= probes)
-      .select("query_id", "qv", "cent_id")
+    val assigned = nearestCells(
+      candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+      cents, "vec_id", "cv", 1)
+    val probed = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, "query_id", "qv", probes)
 
     val scored = assigned.join(probed, "cent_id" :: Nil)
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Top-`n` IVF cells per row of `vecs` by cosine to the broadcast
+    * centroid set: (<idName>, <vecName>, cent_id), ties by centroid id.
+    * Shared by [[ivfTopK]] (n = 1 assignment / n = probes probing),
+    * [[mutualKnnIvf]], and the persisted-index path.
+    */
+  private def nearestCells(vecs: DataFrame, cents: DataFrame,
+      idName: String, vecName: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(idName).orderBy(col("__sim").desc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .select(col(idName), col(vecName), col("cent_id"),
+        round(cosine(col(vecName), col("cv0")), 6).as("__sim"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+      .select(idName, vecName, "cent_id")
+  }
+
+  /** Build a persisted IVF index at `path`: one parquet table
+    * (vec_id, vec, cent_id, ivf_centroid_mod), each candidate assigned to
+    * its max-cosine centroid of the deterministic subset ids ≡ 0 mod
+    * `centroidMod`. The centroid vectors are index rows themselves
+    * (centroid ids are candidate ids), so the store is self-contained, and
+    * the scheme constant rides IN the table — the [[Dedup.signatureStore]]
+    * metadata pattern — so a later session probing with a differently-built
+    * index fails loudly instead of silently mis-probing.
+    *
+    * The 100 TB shape this enables: the corpus-side assignment (the
+    * expensive two scans of [[ivfTopK]]) is paid ONCE; every later query
+    * batch reads only its probed cells' rows — partition the store by
+    * `cent_id` at write time for cell pruning on the scan.
+    */
+  def buildIvfIndex(candidates: DataFrame, vecCol: String, idCol: String,
+      path: String, centroidMod: Int = 100): Unit = {
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
+    nearestCells(
+        candidates.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+        cents, "vec_id", "vec", 1)
+      .withColumn("ivf_centroid_mod", lit(centroidMod))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Query a [[buildIvfIndex]] store: bit-identical to [[ivfTopK]] with the
+    * index's own centroidMod (spec-asserted; the q187 gate pins the
+    * round-trip as invisible), with the corpus never rescanned — the
+    * assignment join is replaced by the stored cells.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, probes: Int = 2): DataFrame = {
+    val idx = spark.read.parquet(path)
+    require(idx.columns.contains("ivf_centroid_mod"),
+      s"ivfTopKFromIndex: $path is not a graft IVF index (no scheme column)")
+    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
+    require(mods.length == 1,
+      s"ivfTopKFromIndex: $path carries ${mods.length} centroid schemes — rebuild")
+    val mod = mods.head
+    val cents = idx.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
+    val probed = nearestCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        cents, "query_id", "qv", probes)
+    val scored = idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id"))
+      .join(probed, "cent_id" :: Nil)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

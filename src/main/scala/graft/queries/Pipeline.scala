@@ -1302,6 +1302,35 @@ object Pipeline {
           (col("n_hit") >= col("n_exact") * 0.75).as("recall_ok"))
     }),
 
+    // the persisted-IVF-index path of q184: the corpus-side assignment is
+    // written to a cent_id-partitioned parquet store once, queries probe
+    // the stored cells with the corpus never rescanned — and the round
+    // trip must be INVISIBLE (bit-identical to the direct ivfTopK), the
+    // q119 store-dedup contract. Joining direct and stored results on all
+    // four columns: any cos/rank divergence drops a row and store_ok or
+    // n_rows breaks against the oracle.
+    "q187_ivf_index_roundtrip" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 5)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      Similarity.buildIvfIndex(e, "embedding", "vec_id", dir.toString,
+        centroidMod = 100)
+      try {
+        val direct = Similarity.ivfTopK(q, e, "embedding", "vec_id",
+          k = 10, centroidMod = 100, probes = 3)
+        val stored = Similarity.ivfTopKFromIndex(s, dir.toString, q,
+          "embedding", "vec_id", k = 10, probes = 3)
+        // pinned eagerly so the finally-delete below cannot outrun the
+        // lazy store read (the q119 pattern)
+        direct.join(stored, Seq("query_id", "vec_id", "cos", "rank"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_rows"))
+          .select(col("query_id"), col("n_rows"),
+            (col("n_rows") === 10).as("store_ok"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -2602,6 +2631,12 @@ object Pipeline {
       // the exact side is replayable; the IVF overlap only via its
       // certified floor (the q99 sketch-envelope pattern)
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q187_ivf_index_roundtrip" ->
+      // the replayable side: every query recovers exactly k rows and the
+      // store round-trip is invisible (the q119 envelope pattern)
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_rows,
+        |  TRUE AS store_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q185_mutual_knn_ivf" ->
       // q161's exact mutual-kNN machinery reduced to its edge count (the

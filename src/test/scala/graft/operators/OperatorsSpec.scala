@@ -995,6 +995,38 @@ class MutualKnnSpec extends graft.SparkSpec {
     assert(conf.forall { case (a, b) => (a < 4) == (b < 4) })
   }
 
+  test("persisted IVF index round-trips bit-identically to the direct path") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_spec")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      val direct = Similarity.ivfTopK(q, vecs, "embedding", "vec_id",
+          k = 5, centroidMod = 20, probes = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val stored = Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+          "embedding", "vec_id", k = 5, probes = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(stored === direct)
+      assert(direct.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("a parquet dir without the scheme column is rejected as an index") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_bad")
+    try {
+      twoClusters.write.mode("overwrite").parquet(dir.toString)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKFromIndex(spark, dir.toString, twoClusters,
+          "embedding", "vec_id", k = 2)
+      }
+      assert(e.getMessage.contains("not a graft IVF index"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("over-budget query side takes the shuffle route, same result") {
     val prev = spark.conf.getOption("graft.sim.broadcastBudgetBytes")
     try {
