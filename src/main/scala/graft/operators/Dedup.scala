@@ -76,9 +76,26 @@ object Dedup {
   def shingleArray(text: Column, k: Int): Column =
     array_distinct(TextFunctions.tokenNgrams(text, k))
 
-  /** (doc_id, tok) distinct k-token shingles, exploded form. */
+  /** Distribute a compute-heavy per-row stage when the input arrives in
+    * fewer partitions than the session's parallelism (a small parquet file
+    * is ONE split, so tokenize/shingle/hash work would serialize into one
+    * task — and AQE's size-based coalescing can't see per-row compute).
+    * The explicit count disables AQE coalescing on this exchange; at real
+    * corpus scale the input already has ≥ parallelism splits and this is
+    * a no-op. Streaming frames are left untouched.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
+  }
+
+  /** (doc_id, tok) distinct k-token shingles, exploded form. The shingle
+    * build is the compute-heavy stage of every lineage over it
+    * (containment, novelty, contamination, MinHash) — [[spread]] first.
+    */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), k)).as("tok"))
+    spread(df).select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), k)).as("tok"))
 
   /** Engine-independent 32-bit token id: the first 8 hex digits of md5,
     * read as an integer. Pure map-side (no dictionary build, no shuffle) AND
@@ -140,7 +157,9 @@ object Dedup {
           else shingleArray(col(textCol), shingle)
         array_distinct(transform(sh, t => pmod(xxhash64(t), lit(1L << 32))))
       }
-    df.select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
+    // the shingle+hash expression is the compute-heavy per-row stage —
+    // spread it across the session parallelism (no-op at corpus scale)
+    spread(df).select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
       .filter(size(col("tids")) > 0)
   }
 
@@ -841,23 +860,37 @@ object Dedup {
       floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
     val salt = if (saltFactor > 0) saltFactor
       else if (Packing.singleTaskOk(keyed0)) 1 else 8
-    // block-size cap: one map-side-combined count per block, semi-joined
-    // back — blocks past the cap never reach the pair join
-    val smallBlocks = keyed0.groupBy("w1", "band")
-      .agg(count(lit(1)).as("n")).where(col("n") <= maxBlock)
-      .select("w1", "band")
-    val keyed = keyed0.join(smallBlocks, Seq("w1", "band"), "left_semi")
+    // block-size cap: one windowed count per block (a single shuffle on
+    // the block key — the aggregate+semi-join twin pays that shuffle twice)
+    // — blocks past the cap never reach the pair join
+    val wBlock = org.apache.spark.sql.expressions.Window.partitionBy("w1", "band")
+    val keyed = keyed0.withColumn("__bn", count(lit(1)).over(wBlock))
+      .where(col("__bn") <= maxBlock).drop("__bn")
+    // the pair join is COMPUTE-bound (a banded DP per candidate), which
+    // AQE's size-based coalescing cannot see — a few hundred KB of keys
+    // coalesce to ONE partition and the whole verify serializes into one
+    // task (measured 2.6 s → 0.5 s at sf0.1). Explicit-count repartition
+    // disables coalescing on these exchanges, declaring the parallelism
+    // the DP work needs; both sides get it so whichever side Spark
+    // streams is distributed.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = keyed.select(col("doc_id").as("a_id"), col("key").as("a_key"),
-      col("w1"), col("band"),
-      pmod(hash(col("doc_id")), lit(salt)).as("salt"))
+        col("w1"), col("band"),
+        pmod(hash(col("doc_id")), lit(salt)).as("salt"))
+      .repartition(parts, col("w1"), col("band"), col("salt"))
     val b = keyed.select(col("doc_id").as("b_id"), col("key").as("b_key"),
         col("w1"), col("band"))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      .repartition(parts, col("w1"), col("band"), col("salt"))
+    // the banded form returns −1 past the bound, so `>= 0` alone IS the
+    // "within maxDist" predicate — and it lives directly in the filter so
+    // the DP runs ONCE per candidate (an aliased dist column re-evaluates
+    // per reference after projection collapse: 2.7 s → 0.9 s at sf0.1);
+    // the output projection recomputes it only for the few survivors
     a.join(b, Seq("w1", "band", "salt"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("dist",
-        levenshtein(col("a_key"), col("b_key"), maxDist).cast("long"))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("a_id"), col("b_id"), col("dist"))
+      .where(col("a_id") < col("b_id") &&
+        levenshtein(col("a_key"), col("b_key"), maxDist) >= 0)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_key"), col("b_key"), maxDist).cast("long").as("dist"))
   }
 }

@@ -21,18 +21,18 @@ import org.apache.spark.sql.functions._
   *     broadcast, which is when the bucketed equi-join form is the only
   *     viable plan.
   *
-  * min-of-3 per side, engine first and stock second within each pair so
-  * page cache warms identically for both.
+  * INTERLEAVED min-of-3 per side (e,s pairs alternate, so neither side
+  * systematically inherits warmer JIT/caches from running later).
   *
-  * Measured at sf0.1 / local[32] (2026-08-14, round 9): q1 1.15,
-  * q5 1.04, WCOJ triangle 1.19, as-of 0.96, interval 1.08, gap-fill LOCF
-  * 0.94, interleave 0.89, containment 0.77 — every engine path within
-  * 1.2× of the equivalent stock plan, well inside BASELINE.md's 2× bar,
-  * and the three data-pipeline operators run FASTER than their stock
-  * formulations. (The WCOJ ratio is the dense-triangle case binary joins
-  * handle well; the LeapFrog node exists for the skewed/cyclic patterns
-  * where binary joins blow up the intermediate, per WcojSpec's
-  * differentials.)
+  * Measured at sf0.1 / local[32] (2026-08-14, round 9, post spread/
+  * routing work): q1 1.02, q5 1.03, WCOJ triangle 1.03, as-of 0.94,
+  * interval 1.13, gap-fill LOCF 0.89, interleave 0.82, containment
+  * 0.43 — every engine path within ~1.15× of the equivalent stock plan,
+  * well inside BASELINE.md's 2× bar, and the three data-pipeline
+  * operators run FASTER than their stock formulations. (The WCOJ ratio
+  * is the dense-triangle case binary joins handle well; the LeapFrog
+  * node exists for the skewed/cyclic patterns where binary joins blow up
+  * the intermediate, per WcojSpec's differentials.)
   *
   * `report` asserts both sides return the same row count before timing —
   * a silently-degenerate side (a mis-escaped regex splitting nothing, an
@@ -62,11 +62,8 @@ object StockCompare {
         q.replaceAll(s"\\b$n\\b", s"parquet.`$sfDir/$n.parquet`")
       }
 
-    def timeIt(f: => Long): Double = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      runs.min
+    def timeOnce(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
     def report(name: String, engine: => Long, stock: => Long): Unit = {
@@ -75,8 +72,12 @@ object StockCompare {
       // would otherwise fake a fast "stock" time — the comparison is only
       // honest when both sides computed the same relation
       require(en == sn, s"$name: engine returned $en rows but stock $sn — not comparable")
-      val e = timeIt(engine)
-      val s = timeIt(stock)
+      // INTERLEAVED min-of-3: timing all engine passes then all stock
+      // passes hands the later side warmer JIT/caches — alternating pairs
+      // expose both sides to the same machine state
+      val pairs = (1 to 3).map(_ => (timeOnce(engine), timeOnce(stock)))
+      val e = pairs.map(_._1).min
+      val s = pairs.map(_._2).min
       println(f"[compare] $name%-28s engine=$e%6.2fs stock=$s%6.2fs ratio=${e / s}%5.2f")
     }
 
