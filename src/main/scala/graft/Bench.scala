@@ -61,7 +61,7 @@ object Bench {
       "q43_wcc,q44_sssp,q76_contamination,q95_label_prop,q96_kcore," +
         "q86_recursive_sql,q100_stream_curation," +
         "q141_stream_windowed,q157_edit_near_dup,q167_containment," +
-        "q168_interleave")
+        "q168_interleave,q188_ivfpq_envelope")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -311,6 +311,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ top-k — the production composite ANN shape (FAISS's IVFPQ,
+    * minus residual encoding, which would couple every codebook to its
+    * cell): the IVF coarse quantizer confines each query's candidates to
+    * its `probes` nearest cells, and candidates inside those cells are
+    * scored by PQ asymmetric distance — m byte-code lookups against the
+    * query's ADC table. The two scale bounds COMPOSE: per-query candidate
+    * work is O(probes · N / |cells|) (IVF) and per-pair scoring cost is
+    * independent of dimensionality (PQ) — at 100 TB the ranking join
+    * carries cent_id + m bytes per vector, never the embeddings.
+    *
+    * Shares [[pqTopK]]'s fused deterministic codebook fit (corpus-level
+    * codebooks) and [[ivfTopK]]'s deterministic centroid subset. With
+    * `probes` ≥ |cells| nothing is pruned and the result is bit-identical
+    * to [[pqTopK]] (spec-asserted); the approximation envelope vs exact
+    * L2 is certified under the driver gate (q188, the q184 pattern).
+    *
+    * Returns (query_id, vec_id, dist, rank), dist = PQ-approximate
+    * squared L2, rank 1..k ascending (vec_id tie-break).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      centroidMod: Int = 100, probes: Int = 2,
+      m: Int = 8, codebook: Int = 16, iters: Int = 3): DataFrame = {
+    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    def dimChecked(df0: DataFrame): DataFrame =
+      df0.filter(assert_true(size(col(vecCol)) === dim,
+        lit(s"ivfPqTopK: vector dimension must be $dim for every row")).isNull)
+    val cands = dimChecked(candidates)
+    val qs = dimChecked(queries)
+    val books = fitBooksFused(cands, vecCol, idCol, m, sub, codebook, iters)
+
+    val cents = cands.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
+    val encoded = nearestCells(
+        cands.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+        cents, "vec_id", "cv", 1)
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.NativeExpressions.pqCodesNative(
+          col("cv"), (0 until m).map(books(_)), 9).as("codes"))
+    val probed = nearestCells(
+        qs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        cents, "query_id", "qv", probes)
+      .withColumn("qtab", graft.functions.NativeExpressions.pqAdcTableNative(
+        col("qv"), (0 until m).map(books(_))))
+      .select("query_id", "cent_id", "qtab")
+
+    val dist = (0 until m).map { j =>
+      element_at(element_at(col("qtab"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.join(probed, "cent_id" :: Nil)
+      .select(col("query_id"), col("vec_id"), round(dist, 6).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All m PQ codebooks fit in lockstep with [[Clustering]]'s deterministic
     * recipe (smallest-id init, 9-dp-rounded index-ordered L2², lowest-index
     * ties, 6-dp means, empty clusters keep previous) but ONE distributed

@@ -1331,6 +1331,27 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
+    // IVF-PQ composite ANN under the envelope gate: the coarse-quantizer
+    // pruning loss is measured against the UNPRUNED PQ ranking (the PQ-vs-
+    // exact envelope is q97's gate; this one certifies what the cell
+    // confinement costs on top). Observed overlap ≥ 26/50 at every
+    // shipped SF with 3 probes; the 12/50 floor keeps 2× slack against
+    // data regeneration.
+    "q188_ivfpq_envelope" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 5)
+      val pq = Similarity.pqTopK(q, e, "embedding", "vec_id", k = 10)
+        .select("query_id", "vec_id")
+      val comp = Similarity.ivfPqTopK(q, e, "embedding", "vec_id", k = 10,
+          centroidMod = 100, probes = 3)
+        .select("query_id", "vec_id")
+      val hit = pq.join(comp, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      q.agg(count(lit(1)).as("n_queries")).crossJoin(hit)
+        .select(col("n_queries"),
+          (col("n_hit") >= 12).as("ivfpq_envelope_ok"))
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -2632,6 +2653,12 @@ object Pipeline {
       // certified floor (the q99 sketch-envelope pattern)
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q188_ivfpq_envelope" ->
+      // the replayable side: the query count; the composition's pruning
+      // loss only via its certified floor (the q184 envelope pattern)
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS ivfpq_envelope_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q187_ivf_index_roundtrip" ->
       // the replayable side: every query recovers exactly k rows and the
       // store round-trip is invisible (the q119 envelope pattern)

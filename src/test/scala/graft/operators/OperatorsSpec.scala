@@ -1027,6 +1027,23 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("ivfPqTopK with probes covering all cells equals plain pqTopK") {
+    val rnd = new scala.util.Random(188)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    // centroidMod = 20 makes 3 cells (ids 0, 20, 40); probes = 3 prunes
+    // nothing, so the composite must be bit-identical to plain PQ
+    val pq = Similarity.pqTopK(q, vecs, "embedding", "vec_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val comp = Similarity.ivfPqTopK(q, vecs, "embedding", "vec_id", k = 5,
+        centroidMod = 20, probes = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(comp === pq)
+    assert(pq.nonEmpty)
+  }
+
   test("over-budget query side takes the shuffle route, same result") {
     val prev = spark.conf.getOption("graft.sim.broadcastBudgetBytes")
     try {
