@@ -27,6 +27,52 @@ object Web {
       .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
   }
 
+  /** Canonical crawl URL — the normalization that makes URL-level dedup
+    * meaningful (the same page arrives as http/HTTPS, with/without www,
+    * default ports, trailing slashes, fragments, and tracking params):
+    *   1. fragment dropped; 2. scheme+host lowercased; 3. `www.` and
+    *   default ports (:80/:443) stripped; 4. single trailing path slash
+    *   stripped; 5. query params split, tracking params (utm_*, ref,
+    *   fbclid, gclid) removed, the rest SORTED and rejoined (param order
+    *   never distinguishes pages).
+    *
+    * Pure codegen'd string expressions, zero shuffle — and every step is
+    * replayable in the DuckDB oracle verbatim (literal `starts_with`, not
+    * LIKE, because LIKE's `_` is a wildcard and `utm_%` would also match
+    * `utmx=`). Canonicalization is deliberately lossy ONLY in the
+    * directions above; real params and their values survive.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = regexp_replace(regexp_replace(
+        lower(regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1)),
+        "://www\\.", "://"), ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "(?i)^https?://[^/?#]*(.*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val query = when(rest.contains("?"), regexp_extract(rest, "\\?(.*)$", 1))
+      .otherwise(lit(""))
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("ref=") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(prefix, path,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup over [[canonicalUrl]]: one keeper (smallest id) per
+    * canonical URL. Emits (idCol, canon, kept) for every input row — the
+    * curation stage that collapses crawl re-fetches of the same page
+    * before any text-level dedup runs. One map-side-combined aggregate on
+    * the canonical key plus a key-partitioned join back; document
+    * payloads never shuffle.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.select(col(idCol), canonicalUrl(col(urlCol)).as("canon"))
+    val keepers = canon.groupBy("canon").agg(min(col(idCol)).as("__keep"))
+    canon.join(keepers, Seq("canon"))
+      .select(col(idCol), col("canon"), (col(idCol) === col("__keep")).as("kept"))
+  }
+
   /** TRUE when `host` equals a blocked suffix or ends with ".suffix" —
     * the standard blocklist semantics (blocking "example.com" blocks
     * "www.example.com" but NOT "notexample.com"). The list is inlined

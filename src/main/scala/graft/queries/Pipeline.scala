@@ -1352,6 +1352,32 @@ object Pipeline {
           (col("n_hit") >= 12).as("ivfpq_envelope_ok"))
     }),
 
+    // canonical-URL dedup: crawl re-fetch variants of one page (scheme/
+    // host case, www, default port, trailing slash, fragment, tracking
+    // params, param order) collapse to one keeper; genuinely different
+    // params do NOT collapse. Groups of 4 doc_ids share one page, each
+    // arriving with different mess; doc_id % 4 == 0 carries a REAL param
+    // so exactly it survives separately.
+    "q189_url_dedup" -> ((s, d) => {
+      val base = (col("doc_id") / 4).cast("long")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"),
+            lit(".example.com:443/p/"), base, lit("/?utm_source=x&page=2#f")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://"), upper(col("source")),
+            lit(".EXAMPLE.COM/p/"), base, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), base, lit("?ref=crawl")))
+        .otherwise(
+          concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), base))
+      graft.operators.Web.urlDedup(
+          Tables(s, d).documents.select(col("doc_id"), url.as("url")),
+          "url", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -2653,6 +2679,46 @@ object Pipeline {
       // certified floor (the q99 sketch-envelope pattern)
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q189_url_dedup" ->
+      // identical URL synthesis + canonicalization chain (fragment, case,
+      // www, default port, trailing slash, tracking-param strip with
+      // literal starts_with, sorted rejoin), then min-id keeper per canon
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'https://www.' || source ||
+        |      '.example.com:443/p/' || CAST(doc_id // 4 AS BIGINT) ||
+        |      '/?utm_source=x&page=2#f'
+        |    WHEN 1 THEN 'HTTPS://' || upper(source) ||
+        |      '.EXAMPLE.COM/p/' || CAST(doc_id // 4 AS BIGINT) || '/'
+        |    WHEN 2 THEN 'https://' || source ||
+        |      '.example.com/p/' || CAST(doc_id // 4 AS BIGINT) || '?ref=crawl'
+        |    ELSE 'https://' || source ||
+        |      '.example.com/p/' || CAST(doc_id // 4 AS BIGINT) END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+        |s2 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf, '(?i)^(https?://[^/?#]*)', 1)),
+        |      '://www\.', '://'), ':(80|443)$', '') AS pre,
+        |    regexp_extract(nf, '(?i)^https?://[^/?#]*(.*)', 1) AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, pre,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        |    CASE WHEN rest LIKE '%?%'
+        |      THEN regexp_extract(rest, '\?(.*)$', 1) ELSE '' END AS q
+        |  FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    pre || path || (CASE WHEN qs != '' THEN '?' || qs ELSE '' END) AS canon
+        |  FROM (SELECT doc_id, pre, path,
+        |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        p -> p != '' AND NOT starts_with(p, 'utm_')
+        |          AND NOT starts_with(p, 'ref=')
+        |          AND NOT starts_with(p, 'fbclid=')
+        |          AND NOT starts_with(p, 'gclid='))), '&') AS qs
+        |    FROM s3)),
+        |k AS (SELECT canon, min(doc_id) AS keep FROM s4 GROUP BY canon)
+        |SELECT s4.doc_id, s4.canon, s4.doc_id = k.keep AS kept
+        |FROM s4 JOIN k USING (canon) ORDER BY s4.doc_id""".stripMargin,
     "q188_ivfpq_envelope" ->
       // the replayable side: the query count; the composition's pruning
       // loss only via its certified floor (the q184 envelope pattern)

@@ -505,6 +505,32 @@ class HtmlToTextSpec extends graft.SparkSpec {
   }
 }
 
+class UrlDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("canonicalization collapses re-fetch variants, keeps real params") {
+    val urls = Seq(
+      (0L, "https://www.a.example.com:443/p/1/?utm_source=x&b=2&a=1#frag"),
+      (1L, "HTTPS://A.EXAMPLE.COM/p/1/"),
+      (2L, "https://a.example.com/p/1?ref=crawl&fbclid=zz"),
+      (3L, "https://a.example.com/p/1"),
+      (4L, "https://a.example.com/p/1?a=1&b=2"), // real params, sorted = doc 0
+      (5L, "http://h.example.org:80/"),
+      (6L, "http://h.example.org/")).toDF("doc_id", "url")
+    val out = graft.operators.Web.urlDedup(urls, "url", "doc_id")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L)._1 === "https://a.example.com/p/1")
+    assert(out(1L)._2 && !out(2L)._2 && !out(3L)._2) // 1 keeps, 2/3 collapse
+    // tracking stripped but real params survive and order-normalize:
+    // docs 0 and 4 share a canon; 0 keeps (smaller id)
+    assert(out(0L)._1 === "https://a.example.com/p/1?a=1&b=2")
+    assert(out(0L)._1 === out(4L)._1 && out(0L)._2 && !out(4L)._2)
+    assert(out(5L)._1 === "http://h.example.org")
+    assert(out(5L)._2 && !out(6L)._2) // default port == bare host
+  }
+}
+
 class OovRateSpec extends graft.SparkSpec {
   import spark.implicits._
 
