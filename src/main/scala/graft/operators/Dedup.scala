@@ -860,6 +860,8 @@ object Dedup {
       floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
     val salt = if (saltFactor > 0) saltFactor
       else if (Packing.singleTaskOk(keyed0)) 1 else 8
+    // observability, the wcoj.lastRoute pattern
+    df.sparkSession.conf.set("graft.dedup.lastSaltFactor", salt.toString)
     // block-size cap: one windowed count per block (a single shuffle on
     // the block key — the aggregate+semi-join twin pays that shuffle twice)
     // — blocks past the cap never reach the pair join

@@ -112,7 +112,11 @@ object Packing {
   private[graft] def singleTaskOk(df: DataFrame): Boolean = {
     val cap = df.sparkSession.conf
       .get("graft.prefix.singleTaskBytes", (32L << 20).toString).toLong
-    cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    val small = cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    // observability, the wcoj.lastRoute pattern: which twin ran last
+    df.sparkSession.conf.set("graft.prefix.lastRoute",
+      if (small) "window" else "distributed")
+    small
   }
 
   private[graft] def rangeBucketExpr(keyCols: Seq[String],
