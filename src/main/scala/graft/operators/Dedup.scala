@@ -76,18 +76,28 @@ object Dedup {
   def shingleArray(text: Column, k: Int): Column =
     array_distinct(TextFunctions.tokenNgrams(text, k))
 
-  /** Distribute a compute-heavy per-row stage when the input arrives in
-    * fewer partitions than the session's parallelism (a small parquet file
-    * is ONE split, so tokenize/shingle/hash work would serialize into one
-    * task — and AQE's size-based coalescing can't see per-row compute).
-    * The explicit count disables AQE coalescing on this exchange; at real
-    * corpus scale the input already has ≥ parallelism splits and this is
-    * a no-op. Streaming frames are left untouched.
+  /** Distribute a compute-heavy per-row stage when the input is measured
+    * small (a small parquet file is ONE split, so tokenize/shingle/hash
+    * work would serialize into one task — and AQE's size-based coalescing
+    * can't see per-row compute). The decision comes from Catalyst's size
+    * estimate — NOT from `df.rdd.getNumPartitions`, which under AQE
+    * materializes the final physical plan and would eagerly execute any
+    * upstream shuffle once just to read a partition count. Repartitioning
+    * a ≤cap input is near-free and the explicit count disables AQE
+    * coalescing on the exchange; large or unknown estimates no-op (a big
+    * input has many splits; adding a corpus-wide shuffle to "help" it
+    * would cost more than it buys). Streaming frames are left untouched.
+    * Cap via `graft.spread.smallInputBytes` (default 32 MB, 0 disables).
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts)
+    val cap = df.sparkSession.conf
+      .get("graft.spread.smallInputBytes", (32L << 20).toString).toLong
+    val small =
+      cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    if (small)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df
   }
 
   /** (doc_id, tok) distinct k-token shingles, exploded form. The shingle
@@ -858,8 +868,16 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("key"),
       split_part(col(textCol), lit(" "), lit(1)).as("w1"),
       floor(length(substring(col(textCol), 1, prefixLen)) / bandWidth).as("band"))
+    // salt routing owns its OWN knob (graft.dedup.saltBytes) rather than
+    // borrowing the prefix machinery's: a spec or user pinning the prefix
+    // plan shape with graft.prefix.singleTaskBytes=0 must not silently
+    // force 8× replication on every edit-distance call
+    val saltCap = df.sparkSession.conf
+      .get("graft.dedup.saltBytes", (32L << 20).toString).toLong
+    val measuredSmall = saltCap > 0 &&
+      keyed0.queryExecution.optimizedPlan.stats.sizeInBytes <= saltCap
     val salt = if (saltFactor > 0) saltFactor
-      else if (Packing.singleTaskOk(keyed0)) 1 else 8
+      else if (measuredSmall) 1 else 8
     // observability, the wcoj.lastRoute pattern
     df.sparkSession.conf.set("graft.dedup.lastSaltFactor", salt.toString)
     // block-size cap: one windowed count per block (a single shuffle on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -34,15 +34,23 @@ object Similarity {
   private val BudgetKey = "graft.sim.broadcastBudgetBytes"
   private val RouteKey = "graft.sim.lastRoute"
 
-  /** Cross-join `small` onto `big`, broadcasting only when `small`'s
-    * measured bytes fit the budget. The measuring pass reads actual array
-    * lengths (not a schema guess), costing one extra scan of the small
-    * side only — the big side is never touched.
+  /** Cross-join `small` onto `big`, broadcasting only when `small` fits
+    * the budget. Two tiers so plan CONSTRUCTION stays cheap in the common
+    * case: when Catalyst's own size estimate is already within budget the
+    * broadcast is taken with no job at all (the estimate is what Spark's
+    * autoBroadcastJoinThreshold itself trusts); only a suspicious estimate
+    * (over budget or unknown → Long.Max) pays one exact measuring scan of
+    * the small side — actual array lengths, not a schema guess — before
+    * deciding. The big side is never touched.
     */
   private def budgetedCross(big: DataFrame, small: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val spark = small.sparkSession
     val budget = spark.conf.get(BudgetKey, (64L << 20).toString).toLong
+    if (small.queryExecution.optimizedPlan.stats.sizeInBytes <= budget) {
+      spark.conf.set(RouteKey, "broadcast")
+      return big.crossJoin(broadcast(small))
+    }
     val rowBytes = small.schema.fields.map { f =>
       f.dataType match {
         case ArrayType(FloatType, _) =>
@@ -264,49 +272,62 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int,
       m: Int = 8, codebook: Int = 16, iters: Int = 3): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
-    val sub = dim / m
-
-    // the sliced distances silently truncate to the shorter array, so a
-    // ragged vector would score as a spurious near-perfect match on its
-    // missing subspaces — force every row to the fitted dimension instead.
-    // assert_true returns null on success; the isNull filter keeps all
-    // rows while making the check un-prunable.
-    def dimChecked(df0: DataFrame): DataFrame =
-      df0.filter(assert_true(size(col(vecCol)) === dim,
-        lit(s"pqTopK: vector dimension must be $dim for every row")).isNull)
-
-    // fit: m independent codebooks over candidate sub-vectors (model state),
-    // trained FUSED — one scan per Lloyd iteration computes all m
-    // assignments and all m×codebook×sub means (math identical to m
-    // separate Clustering.kmeansFit calls, which would scan the corpus m
-    // times per iteration — at 100 TB the scans are the whole cost)
-    val cands = dimChecked(candidates)
-    val qs = dimChecked(queries)
-    val books = fitBooksFused(cands, vecCol, idCol, m, sub, codebook, iters)
+    val fit = PqFit(queries, candidates, vecCol, idCol, m, codebook, iters, "pqTopK")
 
     // encode: all m nearest-codeword indexes in ONE fused pass (same
     // rounding/tie rules as Clustering's assign — PqCodes replicates the
     // round-9 + first-min chain bit-for-bit) — the candidate relation
     // shrinks to m codes. The unfused chain was m×cb generated loops whose
     // janino compile time dominated the whole query at every data scale.
-    val encoded = cands.select(col(idCol).as("vec_id"),
+    val encoded = fit.cands.select(col(idCol).as("vec_id"),
       graft.functions.NativeExpressions.pqCodesNative(
-        col(vecCol), (0 until m).map(books(_)), 9).as("codes"))
+        col(vecCol), fit.books, 9).as("codes"))
 
     // per-query ADC tables: dists from the query's j-th sub-vector to every
     // codeword — computed once per query row, broadcast with it
-    val q = qs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = fit.qs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qtab", graft.functions.NativeExpressions.pqAdcTableNative(
-        col("qv"), (0 until m).map(books(_)))).drop("qv")
+        col("qv"), fit.books)).drop("qv")
 
     // score: m lookups per (query, candidate) pair
-    val dist = (0 until m).map { j =>
-      element_at(element_at(col("qtab"), j + 1), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
     val scored = encoded.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id"), round(dist, 6).as("dist"))
+      .select(col("query_id"), col("vec_id"), round(adcDist(m), 6).as("dist"))
+    topKByDist(scored, k)
+  }
+
+  /** Shared PQ model prep: the dim probe, the per-row dimension guard on
+    * BOTH sides (the sliced distances silently truncate to the shorter
+    * array, so a ragged vector would score as a spurious near-perfect
+    * match on its missing subspaces; assert_true returns null on success,
+    * the isNull filter keeps all rows while making the check un-prunable),
+    * and the fused codebook fit — one scan per Lloyd iteration computes
+    * all m assignments and all m×codebook×sub means (math identical to m
+    * separate Clustering.kmeansFit calls, which would scan the corpus m
+    * times per iteration — at 100 TB the scans are the whole cost).
+    */
+  private case class PqFit(qs: DataFrame, cands: DataFrame,
+      books: IndexedSeq[Array[Array[Double]]])
+  private object PqFit {
+    def apply(queries: DataFrame, candidates: DataFrame, vecCol: String,
+        idCol: String, m: Int, codebook: Int, iters: Int, who: String): PqFit = {
+      val dim = candidates.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+      def dimChecked(df0: DataFrame): DataFrame =
+        df0.filter(assert_true(size(col(vecCol)) === dim,
+          lit(s"$who: vector dimension must be $dim for every row")).isNull)
+      val cands = dimChecked(candidates)
+      PqFit(dimChecked(queries), cands,
+        fitBooksFused(cands, vecCol, idCol, m, dim / m, codebook, iters))
+    }
+  }
+
+  /** PQ asymmetric distance: m table lookups of `codes` against `qtab`. */
+  private def adcDist(m: Int): Column = (0 until m).map { j =>
+    element_at(element_at(col("qtab"), j + 1), element_at(col("codes"), j + 1) + 1)
+  }.reduce(_ + _)
+
+  /** rank ≤ k per query over (query_id, vec_id, dist), dist-asc, id-asc. */
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -334,38 +355,26 @@ object Similarity {
       vecCol: String, idCol: String, k: Int,
       centroidMod: Int = 100, probes: Int = 2,
       m: Int = 8, codebook: Int = 16, iters: Int = 3): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
-    val sub = dim / m
-    def dimChecked(df0: DataFrame): DataFrame =
-      df0.filter(assert_true(size(col(vecCol)) === dim,
-        lit(s"ivfPqTopK: vector dimension must be $dim for every row")).isNull)
-    val cands = dimChecked(candidates)
-    val qs = dimChecked(queries)
-    val books = fitBooksFused(cands, vecCol, idCol, m, sub, codebook, iters)
+    val fit = PqFit(queries, candidates, vecCol, idCol, m, codebook, iters, "ivfPqTopK")
 
-    val cents = cands.filter(col(idCol) % centroidMod === 0)
+    val cents = fit.cands.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
     val encoded = nearestCells(
-        cands.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+        fit.cands.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
         cents, "vec_id", "cv", 1)
       .select(col("vec_id"), col("cent_id"),
         graft.functions.NativeExpressions.pqCodesNative(
-          col("cv"), (0 until m).map(books(_)), 9).as("codes"))
+          col("cv"), fit.books, 9).as("codes"))
     val probed = nearestCells(
-        qs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        fit.qs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         cents, "query_id", "qv", probes)
       .withColumn("qtab", graft.functions.NativeExpressions.pqAdcTableNative(
-        col("qv"), (0 until m).map(books(_))))
+        col("qv"), fit.books))
       .select("query_id", "cent_id", "qtab")
 
-    val dist = (0 until m).map { j =>
-      element_at(element_at(col("qtab"), j + 1), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
     val scored = encoded.join(probed, "cent_id" :: Nil)
-      .select(col("query_id"), col("vec_id"), round(dist, 6).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(adcDist(m), 6).as("dist"))
+    topKByDist(scored, k)
   }
 
   /** All m PQ codebooks fit in lockstep with [[Clustering]]'s deterministic

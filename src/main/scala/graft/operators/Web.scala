@@ -44,9 +44,16 @@ object Web {
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    val prefix = regexp_replace(regexp_replace(
-        lower(regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1)),
-        "://www\\.", "://"), ":(80|443)$", "")
+    val lowered = lower(regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1))
+    val noWww = regexp_replace(lowered, "://www\\.", "://")
+    // default ports are SCHEME-specific: :80 is only redundant under
+    // http, :443 only under https — a blanket strip would conflate
+    // https://h:80 (a real non-default binding) with https://h
+    val prefix = when(noWww.startsWith("http://"),
+        regexp_replace(noWww, ":80$", ""))
+      .when(noWww.startsWith("https://"),
+        regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
     val rest = regexp_extract(noFrag, "(?i)^https?://[^/?#]*(.*)", 1)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
     val query = when(rest.contains("?"), regexp_extract(rest, "\\?(.*)$", 1))
@@ -55,8 +62,13 @@ object Web {
       p =!= "" && !p.startsWith("utm_") && !p.startsWith("ref=") &&
         !p.startsWith("fbclid=") && !p.startsWith("gclid="))
     val sortedQ = array_join(array_sort(kept), "&")
-    concat(prefix, path,
+    val built = concat(prefix, path,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+    // non-http(s) and scheme-less inputs don't match the prefix regex;
+    // normalizing them to '' would collapse every ftp/relative/malformed
+    // URL into ONE dedup group — pass them through verbatim instead
+    // (unknown scheme ⇒ no safe normalization). NULL stays NULL.
+    when(prefix === "", url).otherwise(built)
   }
 
   /** URL-level dedup over [[canonicalUrl]]: one keeper (smallest id) per
@@ -69,7 +81,11 @@ object Web {
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val canon = df.select(col(idCol), canonicalUrl(col(urlCol)).as("canon"))
     val keepers = canon.groupBy("canon").agg(min(col(idCol)).as("__keep"))
-    canon.join(keepers, Seq("canon"))
+      .withColumnRenamed("canon", "__kc")
+    // null-SAFE reattach (the groupedRowNumbers pattern): NULL-url rows
+    // form a real group — an equi-join would silently drop them from the
+    // output entirely, neither kept nor counted
+    canon.join(keepers, col("canon") <=> col("__kc"))
       .select(col(idCol), col("canon"), (col(idCol) === col("__keep")).as("kept"))
   }
 

@@ -2695,21 +2695,29 @@ object Pipeline {
         |    ELSE 'https://' || source ||
         |      '.example.com/p/' || CAST(doc_id // 4 AS BIGINT) END AS url
         |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
-        |s2 AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(nf, '(?i)^(https?://[^/?#]*)', 1)),
-        |      '://www\.', '://'), ':(80|443)$', '') AS pre,
-        |    regexp_extract(nf, '(?i)^https?://[^/?#]*(.*)', 1) AS rest
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
+        |s1b AS (SELECT doc_id, url, nf,
+        |    regexp_replace(lower(regexp_extract(nf,
+        |      '(?i)^(https?://[^/?#]*)', 1)), '://www\.', '://') AS nww
         |  FROM s1),
-        |s3 AS (SELECT doc_id, pre,
+        |s2 AS (SELECT doc_id, url,
+        |    CASE WHEN starts_with(nww, 'http://')
+        |        THEN regexp_replace(nww, ':80$', '')
+        |      WHEN starts_with(nww, 'https://')
+        |        THEN regexp_replace(nww, ':443$', '')
+        |      ELSE nww END AS pre,
+        |    regexp_extract(nf, '(?i)^https?://[^/?#]*(.*)', 1) AS rest
+        |  FROM s1b),
+        |s3 AS (SELECT doc_id, url, pre,
         |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
         |    CASE WHEN rest LIKE '%?%'
         |      THEN regexp_extract(rest, '\?(.*)$', 1) ELSE '' END AS q
         |  FROM s2),
         |s4 AS (SELECT doc_id,
-        |    pre || path || (CASE WHEN qs != '' THEN '?' || qs ELSE '' END) AS canon
-        |  FROM (SELECT doc_id, pre, path,
+        |    CASE WHEN pre = '' THEN url ELSE
+        |      pre || path || (CASE WHEN qs != '' THEN '?' || qs ELSE '' END)
+        |    END AS canon
+        |  FROM (SELECT doc_id, url, pre, path,
         |      array_to_string(list_sort(list_filter(string_split(q, '&'),
         |        p -> p != '' AND NOT starts_with(p, 'utm_')
         |          AND NOT starts_with(p, 'ref=')

@@ -529,6 +529,39 @@ class UrlDedupSpec extends graft.SparkSpec {
     assert(out(5L)._1 === "http://h.example.org")
     assert(out(5L)._2 && !out(6L)._2) // default port == bare host
   }
+
+  test("default-port strip is scheme-specific") {
+    val urls = Seq(
+      (1L, "https://h.example.com:80/x"), // NON-default binding: port kept
+      (2L, "https://h.example.com/x"),
+      (3L, "http://h.example.com:443/x"), // NON-default binding: port kept
+      (4L, "http://h.example.com/x")).toDF("doc_id", "url")
+    val canon = graft.operators.Web.urlDedup(urls, "url", "doc_id")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> t._2).toMap
+    assert(canon(1L) === "https://h.example.com:80/x")
+    assert(canon(3L) === "http://h.example.com:443/x")
+    assert(canon.values.toSet.size === 4) // nothing conflates across schemes
+  }
+
+  test("non-http(s) and null URLs neither collapse together nor vanish") {
+    val urls = Seq(
+      (1L, "ftp://a.example.com/f"),
+      (2L, "mailto:x@y.example"),
+      (3L, "//cdn.example.com/lib.js"),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String]),
+      (6L, "https://ok.example.com/p")).toDF("doc_id", "url")
+    val out = graft.operators.Web.urlDedup(urls, "url", "doc_id")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.size === 6) // every row present — null canon not dropped
+    // unknown schemes pass through verbatim: three DISTINCT canons, all kept
+    assert(out(1L)._1 === "ftp://a.example.com/f" && out(1L)._2)
+    assert(out(2L)._1 === "mailto:x@y.example" && out(2L)._2)
+    assert(out(3L)._1 === "//cdn.example.com/lib.js" && out(3L)._2)
+    // null urls form one real group with a min-id keeper
+    assert(out(4L)._1 == null && out(4L)._2)
+    assert(out(5L)._1 == null && !out(5L)._2)
+  }
 }
 
 class OovRateSpec extends graft.SparkSpec {
