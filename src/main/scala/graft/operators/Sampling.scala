@@ -201,6 +201,99 @@ object Sampling {
       .select(col(keyCol), col(groupCol), (col("rank") - 1).cast("long").as("pos"))
   }
 
+  /** UNIMAX epoch-budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total training budget over languages as
+    * uniformly as possible subject to a per-language epoch cap `epochCap` —
+    * no language repeats more than `epochCap` times, and budget a capped
+    * (low-resource) language cannot absorb flows to the remaining ones.
+    * The head language ends up with FEWER epochs than the tail, which is
+    * the paper's point versus temperature sampling ([[mixtureSample]]).
+    *
+    * Sequential statement: visit languages by corpus weight ascending; give
+    * each `min(epochCap·n_l, remaining / remainingLangs)`. Closed form used
+    * here (and replayed verbatim by the oracle): once one language takes
+    * the uniform share, every later (larger) one does too — the share is
+    * unchanged by an uncapped take — so cappedness is a monotone prefix in
+    * size order. With languages ranked i = 1..L ascending by (n_l, lang)
+    * and prefix sums S_i = Σ_{j≤i} epochCap·n_j:
+    *
+    *   capped(i)  ⇔  epochCap·n_i·(L−i+1) ≤ B − S_{i−1}
+    *
+    * (the over-count of S vs the true allocated budget cannot flip the
+    * test: for any row after the first uncapped one, B − S_{j−1} <
+    * epochCap·n_j·(L−j+1) follows from n ascending). With t = last capped
+    * rank: b_l = epochCap·n_l for capped l, (B − S_t)/(L − t) otherwise.
+    *
+    * B = `budgetFactor` × Σ n_l, so the call scales with the corpus rather
+    * than hard-coding token counts.
+    *
+    * Scale: the corpus contributes ONE map-side-combined count aggregate;
+    * the allocation runs on the per-language table — thousands of rows at
+    * the very most — where the single-partition ordered window is exactly
+    * the right plan. Epochs are rounded to 6 dp (budgets to 4) so any
+    * engine replaying the closed form keeps identical rows.
+    *
+    * @return (langCol, n_w, capped, epochs, budget_w)
+    */
+  def unimaxAllocation(df: DataFrame, langCol: String, weightCol: Column,
+      budgetFactor: Double, epochCap: Double): DataFrame = {
+    require(budgetFactor > 0, s"budgetFactor must be > 0, got $budgetFactor")
+    require(epochCap > 0, s"epochCap must be > 0, got $epochCap")
+    val counts = df.groupBy(col(langCol))
+      .agg(sum(weightCol).cast("long").as("n_w"))
+    val tot = counts.agg(count(lit(1)).cast("int").as("l_n"),
+      sum("n_w").cast("double").as("tot_w"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_w").asc, col(langCol).asc)
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("b_total", lit(budgetFactor) * col("tot_w"))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s_prev", coalesce(
+        sum(col("n_w").cast("double") * epochCap).over(
+          ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("capped",
+        lit(epochCap) * col("n_w") * (col("l_n") - col("i") + 1) <=
+          col("b_total") - col("s_prev"))
+    val capAgg = ranked.agg(
+      coalesce(max(when(col("capped"), col("i"))), lit(0)).as("t"),
+      coalesce(sum(when(col("capped"), col("n_w").cast("double") * epochCap)),
+        lit(0.0)).as("s_t"))
+    ranked.crossJoin(broadcast(capAgg))
+      .withColumn("b_w", when(col("capped"), lit(epochCap) * col("n_w"))
+        .otherwise((col("b_total") - col("s_t")) / (col("l_n") - col("t"))))
+      .select(col(langCol), col("n_w"), col("capped"),
+        round(col("b_w") / col("n_w"), 6).as("epochs"),
+        round(col("b_w"), 4).as("budget_w"))
+  }
+
+  /** Materialize a [[unimaxAllocation]] as per-document epoch counts: every
+    * doc of language l repeats ⌊e_l⌋ times, and a deterministic
+    * frac(e_l)-share of docs — those with [[unitHash]] below the fraction —
+    * takes one more, so the language's realized token budget matches the
+    * allocation in expectation doc-by-doc and exactly as docs → ∞. The
+    * per-doc count is a pure function of (doc key, allocation), so the
+    * training mix is reproducible and resumable.
+    *
+    * Scale: the allocation table is a tiny broadcast; the corpus is scanned
+    * once with a codegen'd hash-compare — no shuffle. Downstream, feed
+    * `n_epochs` into `explode(sequence(...))` + [[trainOrder]] to lay out
+    * actual training positions.
+    *
+    * @return (keyCol, langCol, n_epochs)
+    */
+  def unimaxEpochs(df: DataFrame, langCol: String, keyCol: String,
+      weightCol: Column, budgetFactor: Double, epochCap: Double): DataFrame = {
+    val alloc = unimaxAllocation(df, langCol, weightCol, budgetFactor, epochCap)
+      .select(col(langCol), col("epochs"))
+    df.join(broadcast(alloc), langCol :: Nil)
+      .select(col(keyCol), col(langCol),
+        (floor(col("epochs")) +
+          when(unitHash(keyCol) < col("epochs") - floor(col("epochs")), 1L)
+            .otherwise(0L)).cast("long").as("n_epochs"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per group —
     * Efraimidis–Spirakis in the exponential-race form: each row draws
     * `key = −ln(u)/w` with u a pure md5 function of its id (never a RNG),

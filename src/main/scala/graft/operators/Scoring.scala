@@ -646,4 +646,60 @@ object Scoring {
           col("p_hi")), 4))
       .drop("p_lo", "p_hi")
   }
+
+  /** Token-distribution drift between two corpus snapshots (the
+    * crawl-over-crawl monitoring stage: which vocabulary moved, and by how
+    * much, between last month's crawl and this one). Unigram distributions
+    * are add-one smoothed over the UNION vocabulary (so a token present in
+    * only one snapshot contributes finitely), and each token is scored by
+    * its Jensen–Shannon divergence contribution
+    * `½·p·ln(p/m) + ½·q·ln(q/m)`, m = (p+q)/2 — the symmetric,
+    * outlier-bounded drift measure (KL would be infinite without the
+    * smoothing and asymmetric with it). The top `topN` tokens by |p − q|
+    * are returned; Σ js over ALL tokens is the corpus-level JSD if the
+    * caller wants one number.
+    *
+    * Portability: probabilities are exact-integer-derived doubles; the two
+    * `ln` calls — the only libm surface — are rounded to 6 dp before the
+    * downstream arithmetic (the q101 fixed-point rule), so any engine
+    * replays identical rows.
+    *
+    * Scale: one map-side-combined token count per side, a full-outer join
+    * on token (vocabulary-sized, not corpus-sized), scalar totals
+    * broadcast; nothing corpus-sized ever shuffles.
+    *
+    * @return (rk, tok, n_a, n_b, p_a, p_b, js) — rk 1..topN by |p−q| desc
+    */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      topN: Int = 20): DataFrame = {
+    def cnt(df: DataFrame, out: String) = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(out))
+    val joined = cnt(dfA, "n_a").join(cnt(dfB, "n_b"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum("n_a").cast("double").as("t_a"),
+      sum("n_b").cast("double").as("t_b"),
+      count(lit(1)).cast("double").as("v"))
+    val probs = joined.crossJoin(broadcast(tot))
+      .withColumn("p_a", (col("n_a") + 1.0) / (col("t_a") + col("v")))
+      .withColumn("p_b", (col("n_b") + 1.0) / (col("t_b") + col("v")))
+      .withColumn("m", (col("p_a") + col("p_b")) / 2.0)
+      .withColumn("js", round(
+        lit(0.5) * col("p_a") * round(log(col("p_a") / col("m")), 6) +
+          lit(0.5) * col("p_b") * round(log(col("p_b") / col("m")), 6), 9))
+    // top-N via sort+limit (TakeOrderedAndProject: per-partition heaps, no
+    // single-task window over the whole vocabulary); the rank window then
+    // runs over only the topN survivors.
+    val top = probs
+      .orderBy(abs(col("p_a") - col("p_b")).desc, col("tok").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("p_a") - col("p_b")).desc, col("tok").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("rk").cast("long").as("rk"), col("tok"),
+        col("n_a"), col("n_b"),
+        round(col("p_a"), 9).as("p_a"), round(col("p_b"), 9).as("p_b"),
+        col("js"))
+  }
 }

@@ -445,6 +445,101 @@ object Similarity {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Per-dimension corpus [min, max] of `vecCol`, assembled as two
+    * broadcast-sized arrays `(mns, mxs)` — the calibration table for
+    * [[sq8TopK]]'s scalar quantizer.
+    *
+    * Scale: `posexplode` multiplies rows by the dimension count, but the
+    * groupBy(pos) is map-side combined down to d groups per task before the
+    * one tiny shuffle — the corpus-stat pattern every SQ/PQ calibrator
+    * needs. The result is ONE row.
+    */
+  def sq8Stats(candidates: DataFrame, vecCol: String): DataFrame = {
+    val st = candidates
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    st.agg(collect_list(struct(col("pos"), col("mn"), col("mx"))).as("s"))
+      .select(
+        transform(array_sort(col("s")), s => s.getField("mn")).as("mns"),
+        transform(array_sort(col("s")), s => s.getField("mx")).as("mxs"))
+  }
+
+  /** Asymmetric scalar-quantized (SQ8) top-k: candidates are compressed to
+    * one byte per dimension against per-dimension corpus [min, max]
+    * ([[sq8Stats]]) — 4× smaller than float32, the memory move that lets an
+    * in-memory ANN corpus grow 4× — while queries stay full precision (the
+    * asymmetric-distance convention: quantizing only the stored side costs
+    * far less recall than quantizing both). Scoring runs against the
+    * DEQUANTIZED reconstruction `mn + code·span/255`, so the whole chain —
+    * codes included — is replayable by any engine: code = ⌊(x−mn)·255/span
+    * + 0.5⌋ (explicit half-up floor; engines disagree on round()'s half
+    * rule), degenerate dimensions guarded by an ε span.
+    *
+    * Scale: one corpus-stats pass, then exactly [[cosineTopK]]'s shape —
+    * the 1-row stats and the query set broadcast, candidates scanned once,
+    * per-query top-k window. Recall loss vs exact is certifiable with the
+    * q184 envelope pattern; at 64 dims of synthetic data the quantizer is
+    * near-lossless (spec-asserted top-1 agreement).
+    */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          val code = floor((x.cast("double") - mn) * 255.0 /
+            greatest(span, lit(1e-12)) + 0.5)
+          mn + code * span / 255.0
+        }).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = budgetedCross(deq, q)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Matryoshka-style two-stage retrieval: rank every candidate by cosine
+    * over only the first `prefixDims` dimensions (MRL-trained embeddings
+    * front-load information, so the prefix is a usable coarse score), keep
+    * a per-query shortlist, then re-rank ONLY the shortlist with the exact
+    * full-dimension cosine. The standard funnel: full-corpus work touches
+    * `prefixDims/d` of the bytes, exact work touches `shortlist/N` of the
+    * corpus.
+    *
+    * Both stages are deterministic (6-dp rounding + id tie-break), so the
+    * funnel — shortlist boundary included — replays exactly on any engine.
+    * Recall vs single-stage exact is the shortlist's to lose; with
+    * `shortlist` ≥ N it is bit-identical to [[cosineTopK]] (spec-asserted).
+    *
+    * @return (query_id, vec_id, rk, cos) — rk 1..k by exact cosine
+    */
+  def truncatedRerank(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, prefixDims: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val coarse = budgetedCross(c, q)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
+        round(cosine(slice(col("qv"), 1, prefixDims),
+          slice(col("cv"), 1, prefixDims)), 6).as("cos_p"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cos_p").desc, col("vec_id").asc)
+    val short = coarse.withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= shortlist)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "rk", "cos")
+  }
+
   /** Sign-LSH top-k: exact ranking *within* the query's bucket. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int, bits: Int = 8): DataFrame = {

@@ -1378,6 +1378,58 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // UNIMAX (Chung et al. 2023) epoch-budget allocation over languages:
+    // budget 1.5× the corpus at a 2-epoch cap — every tail language caps
+    // at 2 epochs and the freed budget leaves the head (en) UNDER one
+    // epoch, the fairness inversion temperature sampling can't produce.
+    "q190_unimax_alloc" -> ((s, d) => {
+      graft.operators.Sampling.unimaxAllocation(Tables(s, d).documents,
+          "lang", col("n_chars"), budgetFactor = 1.5, epochCap = 2.0)
+        .orderBy("lang")
+    }),
+
+    // the allocation materialized per document: ⌊e⌋ repeats plus a
+    // deterministic md5-selected frac(e) share taking one more — the
+    // reproducible training-mix table the packing stages consume.
+    "q191_unimax_epochs" -> ((s, d) => {
+      graft.operators.Sampling.unimaxEpochs(Tables(s, d).documents,
+          "lang", "doc_id", col("n_chars"), budgetFactor = 1.5, epochCap = 2.0)
+        .orderBy("doc_id")
+    }),
+
+    // asymmetric SQ8 ANN: candidates scalar-quantized to 1 byte/dim
+    // against per-dimension corpus [min,max], queries full precision;
+    // scoring on the dequantized reconstruction makes the entire chain —
+    // codes included — replayable by the oracle (full hash match, not an
+    // envelope).
+    "q192_sq8_topk" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      graft.operators.Similarity.sq8TopK(e.filter(col("vec_id") < 5), e,
+          "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka-style funnel: coarse cosine over the first 8 of 64 dims
+    // shortlists 50 per query, exact full-dim rerank returns the top 10 —
+    // both stages deterministic, so the funnel replays exactly in DuckDB.
+    "q193_trunc_rerank" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      graft.operators.Similarity.truncatedRerank(e.filter(col("vec_id") < 5),
+          e, "embedding", "vec_id", prefixDims = 8, shortlist = 50, k = 10)
+        .orderBy("query_id", "rk")
+    }),
+
+    // crawl-over-crawl token drift: even/odd doc_ids as two snapshots,
+    // add-one-smoothed unigram dists over the union vocabulary, top-20
+    // movers by |p_a − p_b| with per-token JSD contributions.
+    "q194_token_drift" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      graft.operators.Scoring.tokenDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", topN = 20)
+        .orderBy("rk")
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -1405,6 +1457,26 @@ object Pipeline {
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
     s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** UNIMAX closed-form allocation replay (budgetFactor 1.5, epochCap 2.0,
+    * weight n_chars) — the Sampling.unimaxAllocation window chain verbatim,
+    * ending at `aa(lang, n_w, capped, b_w)`. Shared by q190 and q191.
+    */
+  private lazy val unimaxAllocCtes: String =
+    """c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_w FROM documents GROUP BY lang),
+      |tt AS (SELECT CAST(count(*) AS INT) AS l_n, CAST(sum(n_w) AS DOUBLE) AS tot_w FROM c),
+      |rr AS (SELECT c.lang, c.n_w, tt.l_n, 1.5 * tt.tot_w AS b_total,
+      |    CAST(row_number() OVER (ORDER BY c.n_w ASC, c.lang ASC) AS INT) AS i,
+      |    coalesce(sum(CAST(c.n_w AS DOUBLE) * 2.0) OVER (ORDER BY c.n_w ASC, c.lang ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS s_prev
+      |  FROM c CROSS JOIN tt),
+      |ff AS (SELECT *, (2.0 * n_w * (l_n - i + 1) <= b_total - s_prev) AS capped FROM rr),
+      |gg AS (SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS t_rk,
+      |    coalesce(sum(CASE WHEN capped THEN CAST(n_w AS DOUBLE) * 2.0 END), 0.0) AS s_t FROM ff),
+      |aa AS (SELECT ff.lang, ff.n_w, ff.capped,
+      |    CASE WHEN ff.capped THEN 2.0 * ff.n_w
+      |      ELSE (ff.b_total - gg.s_t) / (ff.l_n - gg.t_rk) END AS b_w
+      |  FROM ff CROSS JOIN gg)""".stripMargin
 
   /** Oracle shared by q115 (recompute path) and q119 (signature-store
     * path) — the store round-trip must be invisible to the result. */
@@ -2754,6 +2826,81 @@ object Pipeline {
          |FROM top t1 JOIN top t2
          |  ON t1.query_id = t2.vec_id AND t1.vec_id = t2.query_id
          |WHERE t1.query_id < t1.vec_id""".stripMargin,
+    "q190_unimax_alloc" ->
+      s"""WITH $unimaxAllocCtes
+         |SELECT lang, n_w, capped, round(b_w / n_w, 6) AS epochs,
+         |  round(b_w, 4) AS budget_w
+         |FROM aa ORDER BY lang""".stripMargin,
+    "q191_unimax_epochs" ->
+      s"""WITH $unimaxAllocCtes,
+         |ee AS (SELECT lang, round(b_w / n_w, 6) AS epochs FROM aa)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(floor(ee.epochs) + (CASE WHEN
+         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < ee.epochs - floor(ee.epochs)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
+         |FROM documents d JOIN ee USING (lang)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q192_sq8_topk" ->
+      // per-dim [min,max] calibration, half-up-floor codes, dequantized
+      // reconstruction, then exactly the q58 ranking — the entire SQ8
+      // chain replayed, not an envelope
+      s"""WITH st AS (SELECT CAST(u.i AS INT) AS pos,
+         |    min(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mn,
+         |    max(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mx
+         |  FROM embeddings e CROSS JOIN unnest(range(1, 65)) AS u(i)
+         |  GROUP BY u.i),
+         |ar AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st),
+         |dq AS (SELECT e.vec_id, list_transform(range(1, 65), i ->
+         |      mns[CAST(i AS INT)] + floor((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)]) * 255.0
+         |        / greatest(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)], 1e-12) + 0.5)
+         |        * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255.0) AS cv
+         |  FROM embeddings e CROSS JOIN ar),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |pr AS (SELECT q.query_id, dq.vec_id, q.qv, dq.cv FROM dq CROSS JOIN q),
+         |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM pr),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q193_trunc_rerank" ->
+      // coarse cosine on dims 1..8 → 50-deep shortlist → exact rerank;
+      // both stages 6-dp-rounded and id-tie-broken so the funnel
+      // boundary replays exactly
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |pr AS (SELECT q.query_id, e.vec_id, q.qe[1:8] AS qv, e.embedding[1:8] AS cv,
+         |    q.qe, e.embedding AS ce
+         |  FROM embeddings e CROSS JOIN q),
+         |coarse AS (SELECT query_id, vec_id, qe, ce, $cosSql AS cos_p FROM pr),
+         |short AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_p DESC, vec_id) AS prk FROM coarse) WHERE prk <= 50),
+         |ex AS (SELECT query_id, vec_id, qe AS qv, ce AS cv FROM short),
+         |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM ex),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
+         |SELECT query_id, vec_id, rk, cos FROM ranked WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
+    "q194_token_drift" ->
+      // add-one smoothing over the union vocab; the two ln calls are
+      // 6-dp-rounded before downstream arithmetic (the q101 fixed-point
+      // rule); ranking on the exact |p_a - p_b| doubles
+      s"""WITH wa AS (SELECT unnest($duckTokens) AS tok FROM documents WHERE doc_id % 2 = 0),
+         |wb AS (SELECT unnest($duckTokens) AS tok FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_a FROM wa GROUP BY tok),
+         |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_b FROM wb GROUP BY tok),
+         |j AS (SELECT tok, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+         |  FROM ca FULL JOIN cb USING (tok)),
+         |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t_a, CAST(sum(n_b) AS DOUBLE) AS t_b,
+         |    CAST(count(*) AS DOUBLE) AS v FROM j),
+         |p AS (SELECT tok, n_a, n_b, (n_a + 1.0) / (t_a + v) AS p_a,
+         |    (n_b + 1.0) / (t_b + v) AS p_b FROM j CROSS JOIN t),
+         |s AS (SELECT *, (p_a + p_b) / 2.0 AS m FROM p),
+         |js AS (SELECT tok, n_a, n_b, p_a, p_b,
+         |    round(0.5 * p_a * round(ln(p_a / m), 6)
+         |      + 0.5 * p_b * round(ln(p_b / m), 6), 9) AS js FROM s),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(p_a - p_b) DESC, tok) AS BIGINT) AS rk FROM js)
+         |SELECT rk, tok, n_a, n_b, round(p_a, 9) AS p_a, round(p_b, 9) AS p_b, js
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q179_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,

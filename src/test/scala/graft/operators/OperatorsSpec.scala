@@ -323,6 +323,62 @@ class SimilaritySpec extends SparkSpec {
     assert(r.contains(0L) && r.contains(1L)) // bucket 1 (dim0 > 0)
     assert(!r.contains(3L))                  // bucket 0
   }
+
+  test("sq8TopK is lossless on grid-point values: equals cosineTopK exactly") {
+    // every component sits on the 256-point [min,max] grid (0 or 1), so
+    // dequantization reconstructs the input bit-for-bit — including a
+    // constant dimension exercising the degenerate-span guard
+    val grid = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f)), (1L, Seq(0.0f, 1.0f, 0.5f)),
+      (2L, Seq(1.0f, 1.0f, 0.5f)), (3L, Seq(0.0f, 0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = rows(Similarity.cosineTopK(grid.filter($"vec_id" < 2), grid,
+      "embedding", "vec_id", 4))
+    val sq = rows(Similarity.sq8TopK(grid.filter($"vec_id" < 2), grid,
+      "embedding", "vec_id", 4))
+    assert(sq === exact)
+  }
+
+  test("sq8TopK top-10 overlaps exact top-10 heavily on real embeddings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = top(Similarity.cosineTopK(q, e, "embedding", "vec_id", 10))
+    val sq = top(Similarity.sq8TopK(q, e, "embedding", "vec_id", 10))
+    // 1-byte/dim quantization at 64 dims is near-lossless; require >= 80%
+    assert((exact intersect sq).size >= 40, s"overlap ${(exact intersect sq).size}/50")
+  }
+
+  test("truncatedRerank with a full-corpus shortlist equals cosineTopK") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(q, e, "embedding", "vec_id", 10)
+      .select("query_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val fun = Similarity.truncatedRerank(q, e, "embedding", "vec_id",
+        prefixDims = 8, shortlist = 500, k = 10)
+      .select("query_id", "vec_id", "rk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(fun === exact)
+  }
+
+  test("truncatedRerank never surfaces a candidate outside its coarse shortlist") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+    val cosP = Similarity.cosineTopK(
+        q.withColumn("embedding", slice($"embedding", 1, 8)),
+        e.withColumn("embedding", slice($"embedding", 1, 8)),
+        "embedding", "vec_id", 20)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val fun = Similarity.truncatedRerank(q, e, "embedding", "vec_id",
+        prefixDims = 8, shortlist = 20, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(fun.subsetOf(cosP))
+  }
 }
 
 class SamplingSpec extends graft.SparkSpec {

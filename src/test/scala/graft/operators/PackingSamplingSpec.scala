@@ -514,3 +514,82 @@ class PrefixRoutingSpec extends SparkSpec {
     assert(dist === small)
   }
 }
+
+class UnimaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The paper's sequential statement — the reference the closed-form
+    * window implementation is differentially tested against.
+    */
+  private def seqUnimax(counts: Seq[(String, Long)], factor: Double,
+      cap: Double): Map[String, Double] = {
+    val total = counts.map(_._2).sum.toDouble
+    var rem = factor * total
+    var k = counts.length
+    val out = scala.collection.mutable.Map[String, Double]()
+    for ((l, n) <- counts.sortBy { case (l, n) => (n, l) }) {
+      val b = math.min(cap * n, rem / k)
+      out(l) = b; rem -= b; k -= 1
+    }
+    out.toMap
+  }
+
+  private def corpusOf(counts: Seq[(String, Long)]) =
+    counts.flatMap { case (l, n) =>
+      // weight arrives as per-doc char counts summing to n
+      Seq((l, n / 2), (l, n - n / 2))
+    }.zipWithIndex.map { case ((l, w), i) => (i.toLong, l, w) }
+      .toDF("doc_id", "lang", "n_chars")
+
+  test("closed form equals the sequential algorithm on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val counts = (0 until 3 + rnd.nextInt(8))
+        .map(i => (f"l$i%02d", 10L + rnd.nextInt(10000).toLong))
+      val factor = 0.5 + rnd.nextDouble() * 2
+      val cap = 1.0 + rnd.nextInt(4)
+      val want = seqUnimax(counts, factor, cap)
+      val got = Sampling.unimaxAllocation(corpusOf(counts), "lang",
+          col("n_chars"), factor, cap)
+        .select("lang", "budget_w").as[(String, Double)].collect().toMap
+      for ((l, b) <- want)
+        assert(math.abs(got(l) - b) < 1e-3,
+          s"trial $trial lang $l: got ${got(l)}, want $b")
+    }
+  }
+
+  test("caps bind on the tail and the freed budget flows to the head") {
+    val counts = Seq(("tail1", 100L), ("tail2", 200L), ("head", 10000L))
+    val r = Sampling.unimaxAllocation(corpusOf(counts), "lang",
+        col("n_chars"), budgetFactor = 1.0, epochCap = 2.0)
+      .select("lang", "capped", "epochs").as[(String, Boolean, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("tail1") === ((true, 2.0)))
+    assert(r("tail2") === ((true, 2.0)))
+    val (hc, he) = r("head")
+    assert(!hc)
+    // head absorbs the remainder: (10300 - 600) / 10000
+    assert(math.abs(he - 0.97) < 1e-9)
+  }
+
+  test("a budget above cap×corpus caps every language without dividing by zero") {
+    val r = Sampling.unimaxAllocation(
+        corpusOf(Seq(("a", 10L), ("b", 1000L))), "lang", col("n_chars"),
+        budgetFactor = 10.0, epochCap = 3.0)
+      .select("capped", "epochs").as[(Boolean, Double)].collect()
+    assert(r.forall { case (c, e) => c && e === 3.0 })
+  }
+
+  test("epoch materialization stays within ⌊e⌋..⌈e⌉ and matches the allocation join") {
+    val counts = Seq(("x", 500L), ("y", 2000L))
+    val alloc = Sampling.unimaxAllocation(corpusOf(counts), "lang",
+        col("n_chars"), 1.2, 2.0)
+      .select("lang", "epochs").as[(String, Double)].collect().toMap
+    val per = Sampling.unimaxEpochs(corpusOf(counts), "lang", "doc_id",
+        col("n_chars"), 1.2, 2.0)
+      .select("lang", "n_epochs").as[(String, Long)].collect()
+    assert(per.forall { case (l, n) =>
+      n == math.floor(alloc(l)).toLong || n == math.ceil(alloc(l)).toLong
+    })
+  }
+}

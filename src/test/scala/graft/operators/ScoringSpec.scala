@@ -176,3 +176,49 @@ class LogisticFitSpec extends SparkSpec {
     assert(w.toSeq === Seq(0.0))
   }
 }
+
+class TokenDriftSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots show zero drift everywhere") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("id", "text")
+    val r = Scoring.tokenDrift(docs, docs, "text", topN = 10)
+      .select("p_a", "p_b", "js").as[(Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (pa, pb, js) => pa == pb && js == 0.0 })
+  }
+
+  test("hand-checked smoothing over the union vocabulary") {
+    // A = x x x y, B = z z z y → union vocab {x, y, z}, totals 4 + 3 each
+    val a = Seq((1L, "x x x y")).toDF("id", "text")
+    val b = Seq((2L, "z z z y")).toDF("id", "text")
+    val r = Scoring.tokenDrift(a, b, "text", topN = 10)
+      .select("tok", "n_a", "n_b", "p_a", "p_b")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("x") === (("x", 3L, 0L, math.rint(4.0 / 7 * 1e9) / 1e9, math.rint(1.0 / 7 * 1e9) / 1e9)))
+    assert(r("z") === (("z", 0L, 3L, math.rint(1.0 / 7 * 1e9) / 1e9, math.rint(4.0 / 7 * 1e9) / 1e9)))
+    assert(r("y")._4 === r("y")._5) // same count both sides → no drift
+    // the two movers outrank the stable token
+    val ranks = Scoring.tokenDrift(a, b, "text", topN = 10)
+      .select("tok", "rk").as[(String, Long)].collect().toMap
+    assert(ranks("y") === 3L && Set(ranks("x"), ranks("z")) === Set(1L, 2L))
+  }
+
+  test("per-token JSD contributions are nonnegative and symmetric under swap") {
+    val a = Seq((1L, "p q r r"), (2L, "p p s")).toDF("id", "text")
+    val b = Seq((3L, "q q t"), (4L, "r t t")).toDF("id", "text")
+    val ab = Scoring.tokenDrift(a, b, "text", topN = 100)
+      .select("tok", "p_a", "p_b", "js")
+      .as[(String, Double, Double, Double)].collect()
+    // pointwise JSD is >= 0; the 6-dp ln rounding can dip it microscopically
+    assert(ab.forall(_._4 >= -1e-6))
+    val ba = Scoring.tokenDrift(b, a, "text", topN = 100)
+      .select("tok", "p_a", "p_b", "js")
+      .as[(String, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(ab.forall { case (tok, pa, pb, js) =>
+      ba(tok) == ((tok, pb, pa, js))
+    })
+  }
+}
