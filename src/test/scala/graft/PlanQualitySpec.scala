@@ -280,4 +280,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(__bkt"),
       s"corpus rows not ranked per bucket:\n$p")
   }
+
+  test("q190 unimax: corpus feeds ONE partial aggregate; no corpus-sized shuffle") {
+    val p = executedPlan("q190_unimax_alloc")
+    // the per-language count is map-side combined before its (tiny) shuffle
+    assert(p.contains("partial_sum"), s"language counts not partial-agg'd:\n$p")
+    // allocation tables ride broadcasts, never a real join exchange
+    assert(!p.contains("SortMergeJoin"), s"allocation join shuffled the corpus:\n$p")
+  }
+
+  test("q192 sq8: calibration is a map-side-combined per-dim aggregate, stats broadcast") {
+    val p = executedPlan("q192_sq8_topk")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"per-dim [min,max] not map-side combined before the d-group shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"stats/query side not broadcast:\n$p")
+  }
+
+  test("q194 token drift: top movers via TakeOrderedAndProject, not a vocab-wide window") {
+    val p = executedPlan("q194_token_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-N lost the per-partition-heap shape:\n$p")
+    assert(p.contains("partial_count"), s"token counts not map-side combined:\n$p")
+  }
 }
