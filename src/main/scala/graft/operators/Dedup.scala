@@ -913,4 +913,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_key"), col("b_key"), maxDist).cast("long").as("dist"))
   }
+
+  /** Cross-source near-duplicate attribution: which source PAIRS share
+    * near-dup content, and how much — the licensing/contamination
+    * diagnostic run before deciding what [[minHashLsh]]+[[dedupClusters]]
+    * should drop (a source pair with thousands of verified near-dups is a
+    * mirror or a laundered copy; a diagonal entry is within-source
+    * templating). Pairs come from the full MinHash+LSH+exact-verify chain;
+    * each is attributed to its unordered source pair (least, greatest so
+    * the matrix is one triangle incl. the diagonal) and aggregated to a
+    * count and mean verified Jaccard.
+    *
+    * The mean is fixed-point: per-pair 6-dp jaccards scaled to integer
+    * micro-units and summed as longs (order-independent — a double sum's
+    * value depends on partition order), divided once at the end (the q101
+    * rule).
+    *
+    * Scale: the verified pair list is tiny relative to the corpus; the two
+    * source lookups are equi-joins on doc id against an (id, source)
+    * projection, and the matrix aggregate is map-side combined down to
+    * |sources|² rows at most.
+    *
+    * @return (src_a, src_b, n_pairs, mean_jac), src_a <= src_b
+    */
+  def nearDupSourceAttribution(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, threshold: Double,
+      portableIds: Boolean = false): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, threshold,
+      portableIds = portableIds)
+    val srcs = df.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+    pairs
+      .join(srcs.select(col("__id").as("doc1"), col("__src").as("s1")), "doc1" :: Nil)
+      .join(srcs.select(col("__id").as("doc2"), col("__src").as("s2")), "doc2" :: Nil)
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("__mj"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("__mj").cast("double") / (lit(1e6) * count(lit(1))), 6)
+          .as("mean_jac"))
+  }
 }

@@ -702,4 +702,43 @@ object Scoring {
         round(col("p_a"), 9).as("p_a"), round(col("p_b"), 9).as("p_b"),
         col("js"))
   }
+
+  /** Rank-normalized blending of heterogeneous quality signals — the
+    * curation move when raw scores live on incomparable scales (a
+    * classifier logit, a perplexity, a length): each signal is converted
+    * to its corpus percentile `(rank − 1)/(n − 1)` (rank by (value, id) —
+    * fully deterministic under ties) and the blend is the plain mean of
+    * percentiles, a scale-free, outlier-immune composite to threshold on.
+    *
+    * Scale: each signal ranks via [[Packing.groupedRowNumbers]]'s grouped
+    * two-phase distributed prefix (group = the whole corpus here — no
+    * single-task global window; the measured-small route takes the plain
+    * window twin); one equi-join on the id per additional signal; the
+    * corpus row count is a broadcast scalar.
+    *
+    * @param signals (name, expression) per signal; percentiles come back
+    *   as `<name>_pct` (6 dp) plus the equal-weight `blend`
+    */
+  def rankBlend(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column)], partitions: Int = 0): DataFrame = {
+    require(signals.nonEmpty, "rankBlend needs at least one signal")
+    val nTab = df.agg(count(lit(1)).cast("double").as("__n"))
+    val pcts = signals.map { case (name, sig) =>
+      val ranked = Packing.groupedRowNumbers(
+        df.select(col(idCol), sig.cast("double").as("__v")),
+        Nil, Seq("__v", idCol), partitions)
+      val pct = when(col("__n") > 1.0,
+        (col("rank") - 1).cast("double") / (col("__n") - 1.0)).otherwise(0.0)
+      ranked.crossJoin(broadcast(nTab))
+        .select(col(idCol), round(pct, 6).as(s"${name}_pct"))
+    }
+    val joined = pcts.reduce((a, b) => a.join(b, idCol :: Nil))
+    val blend = signals.map { case (name, _) => col(s"${name}_pct") }
+      .reduce(_ + _) / signals.length.toDouble
+    // one decimal finer than the percentiles: a mean of 6-dp values has
+    // exact resolution 1e-6/S, so rounding AT 6 dp can land exactly on a
+    // .5 tie — where engines' half rules disagree (HALF_UP vs half-even;
+    // observed at sf0.01) — while 7 dp is tie-free for S = 2
+    joined.withColumn("blend", round(blend, 7))
+  }
 }

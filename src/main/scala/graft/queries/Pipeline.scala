@@ -1430,6 +1430,25 @@ object Pipeline {
         .orderBy("rk")
     }),
 
+    // cross-source near-dup attribution: the q55 verified pairs rolled up
+    // to an unordered source-pair matrix (count + fixed-point mean
+    // jaccard) — the licensing/mirror diagnostic before dropping content.
+    "q195_source_attribution" -> ((s, d) => {
+      Dedup.nearDupSourceAttribution(Tables(s, d).documents, "text",
+          "doc_id", "source", threshold = 0.3, portableIds = true)
+        .orderBy("src_a", "src_b")
+    }),
+
+    // rank-normalized quality blend: char-length and token-count
+    // percentiles (distributed two-phase ranks, ties broken by id)
+    // averaged into one scale-free composite.
+    "q196_rank_blend" -> ((s, d) => {
+      graft.operators.Scoring.rankBlend(Tables(s, d).documents, "doc_id",
+          Seq("chars" -> col("n_chars"),
+            "toks" -> TextFunctions.tokenCount(col("text"))))
+        .orderBy("doc_id")
+    }),
+
     // regexp surface (patterns inside the Java-regex ∩ RE2 subset, q137's
     // rule): count, first-match extract, replace-all.
     "q179_regexp" -> ((s, d) => {
@@ -1457,6 +1476,26 @@ object Pipeline {
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
     s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The q55 MinHash+LSH+exact-verify pair chain (threshold 0.3, portable
+    * ids), ending at `mhp(doc1, doc2, jaccard)` — shared with the q195
+    * cross-source attribution oracle.
+    */
+  private lazy val minhashPairsSql: String = {
+    val bandConds = (0 until 2).map { b =>
+      (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""$shingleTidsSql,
+       |sigs AS (SELECT doc_id, tids, $sigExprsSql FROM t),
+       |cand AS (SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+       |   s1.tids AS tids1, s2.tids AS tids2
+       |  FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id AND ($bandConds)),
+       |j AS (SELECT doc1, doc2,
+       |  round(len(list_intersect(tids1, tids2))::DOUBLE /
+       |        (len(tids1) + len(tids2) - len(list_intersect(tids1, tids2))), 6) AS jaccard
+       |  FROM cand),
+       |mhp AS (SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.3)""".stripMargin
+  }
 
   /** UNIMAX closed-form allocation replay (budgetFactor 1.5, epochCap 2.0,
     * weight n_chars) — the Sampling.unimaxAllocation window chain verbatim,
@@ -1555,22 +1594,10 @@ object Pipeline {
     "q54_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "q55_minhash_lsh" -> {
-      val bandConds = (0 until 2).map { b =>
-        (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      s"""WITH $shingleTidsSql,
-         |sigs AS (SELECT doc_id, tids, $sigExprsSql FROM t),
-         |cand AS (SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
-         |   s1.tids AS tids1, s2.tids AS tids2
-         |  FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id AND ($bandConds)),
-         |j AS (SELECT doc1, doc2,
-         |  round(len(list_intersect(tids1, tids2))::DOUBLE /
-         |        (len(tids1) + len(tids2) - len(list_intersect(tids1, tids2))), 6) AS jaccard
-         |  FROM cand)
-         |SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.3
-         |ORDER BY doc1, doc2""".stripMargin
-    },
+    "q55_minhash_lsh" ->
+      s"""WITH $minhashPairsSql
+         |SELECT doc1, doc2, jaccard FROM mhp
+         |ORDER BY doc1, doc2""".stripMargin,
     "q56_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
@@ -2901,6 +2928,37 @@ object Pipeline {
          |r AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(p_a - p_b) DESC, tok) AS BIGINT) AS rk FROM js)
          |SELECT rk, tok, n_a, n_b, round(p_a, 9) AS p_a, round(p_b, 9) AS p_b, js
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q195_source_attribution" ->
+      // the q55 pair chain, each pair attributed to its (least, greatest)
+      // source pair; mean jaccard in integer micro-units (order-free sum)
+      s"""WITH $minhashPairsSql,
+         |sp AS (SELECT least(d1.source, d2.source) AS src_a,
+         |    greatest(d1.source, d2.source) AS src_b,
+         |    CAST(round(p.jaccard * 1e6, 0) AS BIGINT) AS mj
+         |  FROM mhp p
+         |  JOIN documents d1 ON d1.doc_id = p.doc1
+         |  JOIN documents d2 ON d2.doc_id = p.doc2)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(mj) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_jac
+         |FROM sp GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    "q196_rank_blend" ->
+      // percentile = (rank − 1)/(n − 1), rank by (value, doc_id); the
+      // 6-dp-rounded percentiles are the blend's inputs on both engines
+      s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |r1 AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS r
+         |  FROM documents),
+         |r2 AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY CAST(len($duckTokens) AS DOUBLE), doc_id) AS BIGINT) AS r
+         |  FROM documents),
+         |p AS (SELECT r1.doc_id,
+         |    round((r1.r - 1) / (nn.n - 1.0), 6) AS chars_pct,
+         |    round((r2.r - 1) / (nn.n - 1.0), 6) AS toks_pct
+         |  FROM r1 JOIN r2 USING (doc_id) CROSS JOIN nn)
+         |SELECT doc_id, chars_pct, toks_pct,
+         |  round((chars_pct + toks_pct) / 2.0, 7) AS blend
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q179_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,

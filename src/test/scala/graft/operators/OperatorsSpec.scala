@@ -174,6 +174,26 @@ class DedupSpec extends SparkSpec {
     hashed.keySet.intersect(dict.keySet).foreach { k => assert(hashed(k) === dict(k)) }
   }
 
+  test("nearDupSourceAttribution rolls pairs into a normalized source matrix") {
+    // mirrorB republishes srcA's doc verbatim (cross-source entry);
+    // srcA also templates internally (diagonal entry); doc 6 is unrelated
+    val attributed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "mirrorB"),
+      (4L, "completely different content with its own words here", "srcA"),
+      (5L, "completely different content with its own words here", "srcA"),
+      (6L, "nothing shared with any of the documents above at all", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.nearDupSourceAttribution(attributed, "text", "doc_id",
+        "source", threshold = 0.5)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // source pair is (least, greatest) regardless of doc order
+    assert(m(("mirrorB", "srcA")) === ((1L, 1.0)))
+    assert(m(("srcA", "srcA")) === ((1L, 1.0)))
+    assert(m.size === 2) // srcC shares nothing
+  }
+
   test("incrementalMinHashDedup drops corpus near-dups and higher-id batch dups") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -177,6 +177,42 @@ class LogisticFitSpec extends SparkSpec {
   }
 }
 
+class RankBlendSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("percentiles are (rank-1)/(n-1) with id tie-breaks; blend is their mean") {
+    val df = Seq((1L, 10.0, 5.0), (2L, 20.0, 1.0), (3L, 30.0, 3.0))
+      .toDF("id", "a", "b")
+    val r = Scoring.rankBlend(df, "id",
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select("id", "a_pct", "b_pct", "blend")
+      .as[(Long, Double, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 0.0, 1.0, 0.5)))
+    assert(r(2L) === ((2L, 0.5, 0.0, 0.25)))
+    assert(r(3L) === ((3L, 1.0, 0.5, 0.75)))
+  }
+
+  test("ties rank deterministically by id and survive repartitioning") {
+    val df = (1L to 40L).map(i => (i, (i % 4).toDouble)).toDF("id", "v")
+    val one = Scoring.rankBlend(df.repartition(7), "id", Seq("v" -> col("v")))
+      .select("id", "blend").as[(Long, Double)].collect().toSet
+    val two = Scoring.rankBlend(df.repartition(2), "id", Seq("v" -> col("v")))
+      .select("id", "blend").as[(Long, Double)].collect().toSet
+    assert(one === two)
+    // equal values order by id: id 4 (v=0) ranks after ids 8,12,... no —
+    // among v=0 rows {4,8,...,40}, id 4 is first
+    val byId = one.toMap
+    assert(byId(4L) < byId(8L))
+  }
+
+  test("a single-row corpus lands every percentile at 0") {
+    val r = Scoring.rankBlend(Seq((1L, 9.0)).toDF("id", "v"), "id",
+        Seq("v" -> col("v")))
+      .select("v_pct", "blend").as[(Double, Double)].collect()
+    assert(r.toSeq === Seq((0.0, 0.0)))
+  }
+}
+
 class TokenDriftSpec extends graft.SparkSpec {
   import spark.implicits._
 
