@@ -524,15 +524,24 @@ object Similarity {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    val coarse = budgetedCross(c, q)
-      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
-        round(cosine(slice(col("qv"), 1, prefixDims),
-          slice(col("cv"), 1, prefixDims)), 6).as("cos_p"))
+    // coarse pass: the corpus-sized surfaces carry ONLY the prefix slice
+    // (that is the funnel's byte saving) and the shortlist window shuffles
+    // three narrow columns — never a full vector
+    val coarse = budgetedCross(
+        c.select(col("vec_id"), slice(col("cv"), 1, prefixDims).as("cp")),
+        q.select(col("query_id"), slice(col("qv"), 1, prefixDims).as("qp")))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qp"), col("cp")), 6).as("cos_p"))
     val wp = Window.partitionBy("query_id").orderBy(col("cos_p").desc, col("vec_id").asc)
     val short = coarse.withColumn("prk", row_number().over(wp))
-      .filter(col("prk") <= shortlist)
+      .filter(col("prk") <= shortlist).select("query_id", "vec_id")
+    // rerank fetch: full vectors touch only |Q|·shortlist rows; both
+    // fetch joins are plain equi-joins — Catalyst broadcasts them when
+    // they fit (the common case) and an over-budget query set degrades to
+    // a shuffle instead of a forced driver materialization
     val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    short
+    c.join(short, "vec_id" :: Nil)
+      .join(q, "query_id" :: Nil)
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
       .withColumn("rk", row_number().over(wf))

@@ -89,6 +89,44 @@ object ScaleCheck {
         graft.operators.Dedup.minHashLsh(
           docs, "text", "doc_id", threshold = 0.7).count()
       }
+      // vocab grows linearly with the factor (every token suffixed _rep):
+      // the drift join/aggregate must track it, never the corpus square
+      t("token_drift", factor, "heap-topN") {
+        graft.operators.Scoring.tokenDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", topN = 20).count()
+      }
+      // two global distributed ranks + an id join; the prefix twins flip
+      // with the same statistic the other prefix consumers use
+      t("rank_blend", factor,
+        spark.conf.get("graft.prefix.lastRoute", "?")) {
+        graft.operators.Scoring.rankBlend(
+          docs.withColumn("n_chars", length(col("text"))), "doc_id",
+          Seq("chars" -> col("n_chars"),
+            "toks" -> graft.functions.TextFunctions.tokenCount(col("text")))).count()
+      }
+    }
+
+    // SQ8 over a replicated embedding corpus: the calibration pass and the
+    // candidate scan are the linear-growth surfaces (the query side is
+    // fixed at 5); identical replicas leave per-dim [min,max] unchanged,
+    // which is exactly the point — cost scales with rows, not content
+    val emb0 = graft.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val e0 = emb0.count()
+    for (factor <- Seq(1, 10, 50)) {
+      val emb = if (factor == 1) emb0
+        else emb0.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+          .select((col("vec_id") + col("__rep") * lit(10_000_000L)).as("vec_id"),
+            col("embedding"))
+          .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Similarity.sq8TopK(
+        emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 10).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] sq8_topk               x$factor%-3d rows_in=${e0 * factor}%8d " +
+        f"out=$n%9d time=$secs%7.2fs route=" +
+        spark.conf.get("graft.sim.lastRoute", "?"))
     }
     spark.stop()
   }
