@@ -502,6 +502,96 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Persist an SQ8 index at `path`: `path/stats` holds the ONE-row
+    * per-dimension [min,max] calibration (plus `sq8_dims`, the
+    * [[Dedup.signatureStore]] scheme-metadata pattern — a query batch with
+    * the wrong dimensionality fails loudly) and `path/codes` the
+    * 1-byte/dim candidate codes. The calibration pass and the quantizing
+    * corpus scan are paid ONCE; every later query batch reads codes —
+    * dim bytes per vector, the 4×-smaller footprint that is SQ8's point —
+    * and never the float corpus.
+    */
+  def buildSq8Index(candidates: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val stats = sq8Stats(candidates, vecCol)
+    stats.withColumn("sq8_dims", size(col("mns")))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    candidates.crossJoin(broadcast(stats))
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          floor((x.cast("double") - mn) * 255.0 /
+            greatest(span, lit(1e-12)) + 0.5).cast("int")
+        }).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a [[buildSq8Index]] store — bit-identical to the direct
+    * [[sq8TopK]] (spec-asserted; the q197 gate hash-matches the stored
+    * path against the SAME fully-replayed DuckDB oracle as q192, so the
+    * round-trip is provably invisible), with the float corpus never
+    * rescanned: codes dequantize against the broadcast one-row stats.
+    */
+  def sq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    require(stats.columns.contains("sq8_dims"),
+      s"sq8TopKFromIndex: $path is not a graft SQ8 index (no scheme column)")
+    val deq = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("codes"), (c, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          mn + c.cast("double") * span / 255.0
+        }).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = budgetedCross(deq, q)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF + SQ8 composite — the FAISS `IVF…,SQ8` shape: the coarse
+    * quantizer ([[ivfTopK]]'s deterministic centroid subset) prunes the
+    * candidate set to the query's probed cells, and the fine scan runs on
+    * SQ8-dequantized reconstructions instead of float vectors. Cell
+    * assignment happens on the dequantized candidates, so the scan
+    * pipeline touches only stats + codes — at corpus scale the float
+    * embeddings are read exactly once (calibration + encode).
+    *
+    * Approximation envelope: with `probes` ≥ |centroids| the pruning is
+    * void and the result is bit-identical to [[sq8TopK]] (spec-asserted);
+    * the pruning loss at real probe counts is certified under the q198
+    * envelope gate (the q188 pattern, against the UNPRUNED sq8 ranking).
+    */
+  def ivfSq8TopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int, centroidMod: Int = 100,
+      probes: Int = 2): DataFrame = {
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
+    val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          val code = floor((x.cast("double") - mn) * 255.0 /
+            greatest(span, lit(1e-12)) + 0.5)
+          mn + code * span / 255.0
+        }).as("cv"))
+    val assigned = nearestCells(deq, cents, "vec_id", "cv", 1)
+    val probed = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, "query_id", "qv", probes)
+    val scored = assigned.join(probed, "cent_id" :: Nil)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Matryoshka-style two-stage retrieval: rank every candidate by cosine
     * over only the first `prefixDims` dimensions (MRL-trained embeddings
     * front-load information, so the prefix is a usable coarse score), keep

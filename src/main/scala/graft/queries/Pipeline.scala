@@ -1430,6 +1430,46 @@ object Pipeline {
         .orderBy("rk")
     }),
 
+    // persisted SQ8 index round-trip: build stats+codes store, query from
+    // it, and hash-match the result against the SAME fully-replayed
+    // oracle as q192 — the store round-trip is provably invisible.
+    "q197_sq8_index_roundtrip" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val dir = java.nio.file.Files.createTempDirectory("graft_sq8idx")
+      graft.operators.Similarity.buildSq8Index(e, "embedding", "vec_id",
+        dir.toString)
+      try {
+        // pinned eagerly so the finally-delete cannot outrun the lazy
+        // store read (the q119/q187 pattern)
+        graft.operators.Similarity.sq8TopKFromIndex(s, dir.toString,
+            e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }),
+
+    // IVF+SQ8 composite (the FAISS IVFx,SQ8 shape) under the envelope
+    // gate: the coarse-quantizer pruning loss is measured against the
+    // UNPRUNED SQ8 ranking (q192 is the replayed SQ8-vs-exact side; this
+    // certifies what cell confinement costs on top). Observed overlap
+    // 42/40/23 of 50 at sf0.001/0.01/0.1 with 3 probes; the 12/50 floor
+    // keeps ~2× slack under the weakest shipped SF.
+    "q198_ivfsq8_envelope" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 5)
+      val sq = graft.operators.Similarity.sq8TopK(q, e, "embedding",
+          "vec_id", k = 10)
+        .select("query_id", "vec_id")
+      val comp = graft.operators.Similarity.ivfSq8TopK(q, e, "embedding",
+          "vec_id", k = 10, centroidMod = 100, probes = 3)
+        .select("query_id", "vec_id")
+      val hit = sq.join(comp, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      q.agg(count(lit(1)).as("n_queries")).crossJoin(hit)
+        .select(col("n_queries"),
+          (col("n_hit") >= 12).as("ivfsq8_envelope_ok"))
+    }),
+
     // cross-source near-dup attribution: the q55 verified pairs rolled up
     // to an unordered source-pair matrix (count + fixed-point mean
     // jaccard) — the licensing/mirror diagnostic before dropping content.
@@ -1476,6 +1516,31 @@ object Pipeline {
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
     s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The full SQ8 chain replayed — per-dim [min,max] calibration, half-up-
+    * floor codes, dequantized reconstruction, then exactly the q58
+    * ranking. NOT an envelope; shared by q192 (direct) and q197 (the
+    * persisted-index round-trip, which must be bit-identical).
+    */
+  private lazy val sq8TopKSql: String =
+    s"""WITH st AS (SELECT CAST(u.i AS INT) AS pos,
+       |    min(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mn,
+       |    max(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN unnest(range(1, 65)) AS u(i)
+       |  GROUP BY u.i),
+       |ar AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st),
+       |dq AS (SELECT e.vec_id, list_transform(range(1, 65), i ->
+       |      mns[CAST(i AS INT)] + floor((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)]) * 255.0
+       |        / greatest(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)], 1e-12) + 0.5)
+       |        * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255.0) AS cv
+       |  FROM embeddings e CROSS JOIN ar),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |pr AS (SELECT q.query_id, dq.vec_id, q.qv, dq.cv FROM dq CROSS JOIN q),
+       |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM pr),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The q55 MinHash+LSH+exact-verify pair chain (threshold 0.3, portable
     * ids), ending at `mhp(doc1, doc2, jaccard)` — shared with the q195
@@ -2868,28 +2933,18 @@ object Pipeline {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
          |FROM documents d JOIN ee USING (lang)
          |ORDER BY d.doc_id""".stripMargin,
-    "q192_sq8_topk" ->
-      // per-dim [min,max] calibration, half-up-floor codes, dequantized
-      // reconstruction, then exactly the q58 ranking — the entire SQ8
-      // chain replayed, not an envelope
-      s"""WITH st AS (SELECT CAST(u.i AS INT) AS pos,
-         |    min(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mn,
-         |    max(CAST(e.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS mx
-         |  FROM embeddings e CROSS JOIN unnest(range(1, 65)) AS u(i)
-         |  GROUP BY u.i),
-         |ar AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM st),
-         |dq AS (SELECT e.vec_id, list_transform(range(1, 65), i ->
-         |      mns[CAST(i AS INT)] + floor((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)]) * 255.0
-         |        / greatest(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)], 1e-12) + 0.5)
-         |        * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255.0) AS cv
-         |  FROM embeddings e CROSS JOIN ar),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |pr AS (SELECT q.query_id, dq.vec_id, q.qv, dq.cv FROM dq CROSS JOIN q),
-         |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM pr),
-         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "q192_sq8_topk" -> sq8TopKSql,
+    "q197_sq8_index_roundtrip" ->
+      // the stored path is bit-identical to the direct one, so the SAME
+      // fully-replayed chain is its oracle — a hash-level store-roundtrip
+      // proof, stronger than the q187 row-count envelope
+      sq8TopKSql,
+    "q198_ivfsq8_envelope" ->
+      // the replayable side: the query count; the composition's pruning
+      // loss only via its certified floor (the q188 envelope pattern)
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS ivfsq8_envelope_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q193_trunc_rerank" ->
       // coarse cosine on dims 1..8 → 50-deep shortlist → exact rerank;
       // both stages 6-dp-rounded and id-tie-broken so the funnel

@@ -373,6 +373,36 @@ class SimilaritySpec extends SparkSpec {
     assert((exact intersect sq).size >= 40, s"overlap ${(exact intersect sq).size}/50")
   }
 
+  test("persisted SQ8 index round-trips bit-identically to the direct path") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx_spec")
+    try {
+      Similarity.buildSq8Index(e, "embedding", "vec_id", dir.toString)
+      val direct = Similarity.sq8TopK(q, e, "embedding", "vec_id", 10)
+        .select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val stored = Similarity.sq8TopKFromIndex(spark, dir.toString, q,
+          "embedding", "vec_id", 10)
+        .select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(stored === direct)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("ivfSq8TopK with probes covering all cells equals plain sq8TopK") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // centroidMod 100 over 500 vectors → 5 cells; probes = 5 voids pruning
+    val sq = rows(Similarity.sq8TopK(q, e, "embedding", "vec_id", 10))
+    val comp = rows(Similarity.ivfSq8TopK(q, e, "embedding", "vec_id", 10,
+      centroidMod = 100, probes = 5))
+    assert(comp === sq)
+  }
+
   test("truncatedRerank with a full-corpus shortlist equals cosineTopK") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter($"vec_id" < 3)
