@@ -264,7 +264,12 @@ object Sampling {
       .withColumn("b_w", when(col("capped"), lit(epochCap) * col("n_w"))
         .otherwise((col("b_total") - col("s_t")) / (col("l_n") - col("t"))))
       .select(col(langCol), col("n_w"), col("capped"),
-        round(col("b_w") / col("n_w"), 6).as("epochs"),
+        // a zero-weight language (all docs weigh 0) is capped with b_w = 0
+        // and gets epochs 0 explicitly — 0/0 would be NaN, which
+        // unimaxEpochs downstream would silently materialize as 0 repeats
+        // anyway but with a poisoned allocation row
+        when(col("n_w") > 0, round(col("b_w") / col("n_w"), 6))
+          .otherwise(0.0).as("epochs"),
         round(col("b_w"), 4).as("budget_w"))
   }
 

@@ -733,12 +733,16 @@ object Scoring {
         .select(col(idCol), round(pct, 6).as(s"${name}_pct"))
     }
     val joined = pcts.reduce((a, b) => a.join(b, idCol :: Nil))
-    val blend = signals.map { case (name, _) => col(s"${name}_pct") }
-      .reduce(_ + _) / signals.length.toDouble
-    // one decimal finer than the percentiles: a mean of 6-dp values has
-    // exact resolution 1e-6/S, so rounding AT 6 dp can land exactly on a
-    // .5 tie — where engines' half rules disagree (HALF_UP vs half-even;
-    // observed at sf0.01) — while 7 dp is tie-free for S = 2
-    joined.withColumn("blend", round(blend, 7))
+    // fixed-point blend: a floating mean of 6-dp percentiles rounded back
+    // to decimals can land EXACTLY on a .5 tie, where engines' half rules
+    // disagree (HALF_UP vs half-even; observed at sf0.01 with S = 2).
+    // Summing integer micro-units and taking ⌊sum/S + 0.5⌋ keeps every
+    // step an exact IEEE op — deterministic for ANY signal count
+    val microSum = signals.map { case (name, _) =>
+      round(col(s"${name}_pct") * 1e6, 0).cast("long")
+    }.reduce(_ + _)
+    joined.withColumn("blend",
+      floor(microSum.cast("double") / signals.length + 0.5)
+        .cast("double") / 1e6)
   }
 }

@@ -466,16 +466,36 @@ object Similarity {
         transform(array_sort(col("s")), s => s.getField("mx")).as("mxs"))
   }
 
+  /** code_i = ⌊(x_i − mn_i)·255/span_i + 0.5⌋ over broadcast `mns`/`mxs`
+    * columns — THE quantizer: the single definition every SQ8 surface
+    * (direct top-k, index build, index read, IVF composite) shares, so
+    * the bit-identity the round-trip gates assert cannot drift between
+    * sites. Explicit half-up floor (engines disagree on round()'s half
+    * rule); degenerate dimensions guarded by an ε span.
+    */
+  private def sq8Codes(vec: Column): Column =
+    transform(vec, (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val span = element_at(col("mxs"), i + 1) - mn
+      floor((x.cast("double") - mn) * 255.0 / greatest(span, lit(1e-12)) + 0.5)
+    })
+
+  /** mn_i + code_i·span_i/255 — the matching dequantizer. */
+  private def sq8Dequantize(codes: Column): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val span = element_at(col("mxs"), i + 1) - mn
+      mn + c.cast("double") * span / 255.0
+    })
+
   /** Asymmetric scalar-quantized (SQ8) top-k: candidates are compressed to
     * one byte per dimension against per-dimension corpus [min, max]
     * ([[sq8Stats]]) — 4× smaller than float32, the memory move that lets an
     * in-memory ANN corpus grow 4× — while queries stay full precision (the
     * asymmetric-distance convention: quantizing only the stored side costs
     * far less recall than quantizing both). Scoring runs against the
-    * DEQUANTIZED reconstruction `mn + code·span/255`, so the whole chain —
-    * codes included — is replayable by any engine: code = ⌊(x−mn)·255/span
-    * + 0.5⌋ (explicit half-up floor; engines disagree on round()'s half
-    * rule), degenerate dimensions guarded by an ε span.
+    * DEQUANTIZED reconstruction ([[sq8Codes]] → [[sq8Dequantize]]), so the
+    * whole chain — codes included — is replayable by any engine.
     *
     * Scale: one corpus-stats pass, then exactly [[cosineTopK]]'s shape —
     * the 1-row stats and the query set broadcast, candidates scanned once,
@@ -487,13 +507,7 @@ object Similarity {
       vecCol: String, idCol: String, k: Int): DataFrame = {
     val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
       .select(col(idCol).as("vec_id"),
-        transform(col(vecCol), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val span = element_at(col("mxs"), i + 1) - mn
-          val code = floor((x.cast("double") - mn) * 255.0 /
-            greatest(span, lit(1e-12)) + 0.5)
-          mn + code * span / 255.0
-        }).as("cv"))
+        sq8Dequantize(sq8Codes(col(vecCol))).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = budgetedCross(deq, q)
       .select(col("query_id"), col("vec_id"),
@@ -513,17 +527,17 @@ object Similarity {
     */
   def buildSq8Index(candidates: DataFrame, vecCol: String, idCol: String,
       path: String): Unit = {
-    val stats = sq8Stats(candidates, vecCol)
+    // materialized ONCE (eager, lineage-truncated): the stats write and
+    // the codes encode must see the SAME calibration — a lazy plan would
+    // re-run the corpus aggregation inside the codes job, and a source
+    // that changed between the two jobs would encode codes against
+    // different [min,max] than the stats the store serves to queries
+    val stats = sq8Stats(candidates, vecCol).localCheckpoint(true)
     stats.withColumn("sq8_dims", size(col("mns")))
       .write.mode("overwrite").parquet(s"$path/stats")
     candidates.crossJoin(broadcast(stats))
       .select(col(idCol).as("vec_id"),
-        transform(col(vecCol), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val span = element_at(col("mxs"), i + 1) - mn
-          floor((x.cast("double") - mn) * 255.0 /
-            greatest(span, lit(1e-12)) + 0.5).cast("int")
-        }).as("codes"))
+        sq8Codes(col(vecCol)).cast("array<int>").as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -538,14 +552,20 @@ object Similarity {
     val stats = spark.read.parquet(s"$path/stats")
     require(stats.columns.contains("sq8_dims"),
       s"sq8TopKFromIndex: $path is not a graft SQ8 index (no scheme column)")
+    // enforce the scheme: a query batch from a different model would
+    // otherwise score over min(query, index) dims and return plausible
+    // but wrong rankings. One bounded collect each — the stats table is
+    // one row, and the distinct-dims scan touches only the (small by
+    // contract) query side.
+    val dims = stats.select("sq8_dims").head().getInt(0)
+    val qdims = queries.select(size(col(vecCol)).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(qdims.forall(_ == dims),
+      s"sq8TopKFromIndex: query dims ${qdims.mkString(",")} != index dims " +
+        s"$dims — wrong embedding model for this index")
     val deq = spark.read.parquet(s"$path/codes")
       .crossJoin(broadcast(stats))
-      .select(col("vec_id"),
-        transform(col("codes"), (c, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val span = element_at(col("mxs"), i + 1) - mn
-          mn + c.cast("double") * span / 255.0
-        }).as("cv"))
+      .select(col("vec_id"), sq8Dequantize(col("codes")).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = budgetedCross(deq, q)
       .select(col("query_id"), col("vec_id"),
@@ -574,13 +594,7 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
     val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
       .select(col(idCol).as("vec_id"),
-        transform(col(vecCol), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val span = element_at(col("mxs"), i + 1) - mn
-          val code = floor((x.cast("double") - mn) * 255.0 /
-            greatest(span, lit(1e-12)) + 0.5)
-          mn + code * span / 255.0
-        }).as("cv"))
+        sq8Dequantize(sq8Codes(col(vecCol))).as("cv"))
     val assigned = nearestCells(deq, cents, "vec_id", "cv", 1)
     val probed = nearestCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

@@ -2920,12 +2920,14 @@ object Pipeline {
          |WHERE t1.query_id < t1.vec_id""".stripMargin,
     "q190_unimax_alloc" ->
       s"""WITH $unimaxAllocCtes
-         |SELECT lang, n_w, capped, round(b_w / n_w, 6) AS epochs,
+         |SELECT lang, n_w, capped,
+         |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs,
          |  round(b_w, 4) AS budget_w
          |FROM aa ORDER BY lang""".stripMargin,
     "q191_unimax_epochs" ->
       s"""WITH $unimaxAllocCtes,
-         |ee AS (SELECT lang, round(b_w / n_w, 6) AS epochs FROM aa)
+         |ee AS (SELECT lang,
+         |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs FROM aa)
          |SELECT d.doc_id, d.lang,
          |  CAST(floor(ee.epochs) + (CASE WHEN
          |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -3012,7 +3014,8 @@ object Pipeline {
          |    round((r2.r - 1) / (nn.n - 1.0), 6) AS toks_pct
          |  FROM r1 JOIN r2 USING (doc_id) CROSS JOIN nn)
          |SELECT doc_id, chars_pct, toks_pct,
-         |  round((chars_pct + toks_pct) / 2.0, 7) AS blend
+         |  floor((CAST(round(chars_pct * 1e6, 0) AS BIGINT)
+         |    + CAST(round(toks_pct * 1e6, 0) AS BIGINT)) / 2.0 + 0.5) / 1e6 AS blend
          |FROM p ORDER BY doc_id""".stripMargin,
     "q179_regexp" ->
       """SELECT doc_id,

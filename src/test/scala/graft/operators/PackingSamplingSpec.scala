@@ -572,6 +572,18 @@ class UnimaxSpec extends SparkSpec {
     assert(math.abs(he - 0.97) < 1e-9)
   }
 
+  test("a zero-weight language gets epochs 0, never NaN") {
+    val df = Seq((0L, "empty", 0L), (1L, "empty", 0L), (2L, "full", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = Sampling.unimaxAllocation(df, "lang", col("n_chars"), 1.0, 2.0)
+      .select("lang", "epochs").as[(String, Double)].collect().toMap
+    assert(r("empty") === 0.0)
+    assert(!r.values.exists(_.isNaN))
+    val per = Sampling.unimaxEpochs(df, "lang", "doc_id", col("n_chars"), 1.0, 2.0)
+      .select("lang", "n_epochs").as[(String, Long)].collect()
+    assert(per.filter(_._1 == "empty").forall(_._2 == 0L))
+  }
+
   test("a budget above cap×corpus caps every language without dividing by zero") {
     val r = Sampling.unimaxAllocation(
         corpusOf(Seq(("a", 10L), ("b", 1000L))), "lang", col("n_chars"),

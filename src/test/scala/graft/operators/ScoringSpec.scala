@@ -205,6 +205,20 @@ class RankBlendSpec extends graft.SparkSpec {
     assert(byId(4L) < byId(8L))
   }
 
+  test("fixed-point blend is exact half-up at micro-unit ties for any signal count") {
+    // 4 equal signals with percentiles (0, 1/3, 2/3, 1) per row: the
+    // micro-sum is divisible by 4 only sometimes — the floor(x + 0.5)
+    // integer form must stay deterministic and match hand arithmetic
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    val r = Scoring.rankBlend(df, "id",
+        Seq("a" -> col("v"), "b" -> col("v"), "c" -> col("v"), "d" -> col("v")))
+      .select("id", "a_pct", "blend").as[(Long, Double, Double)].collect()
+    // all four signals identical → the micro-unit round trip must return
+    // exactly the shared 6-dp percentile (incl. the repeating 1/3, 2/3)
+    assert(r.nonEmpty)
+    assert(r.forall { case (_, p, b) => b == p })
+  }
+
   test("a single-row corpus lands every percentile at 0") {
     val r = Scoring.rankBlend(Seq((1L, 9.0)).toDF("id", "v"), "id",
         Seq("v" -> col("v")))
