@@ -299,6 +299,35 @@ object Sampling {
             .otherwise(0L)).cast("long").as("n_epochs"))
   }
 
+  /** The UNIMAX pipeline end-to-end: allocation → per-doc epochs →
+    * epoch-expanded instances → one global deterministic training order.
+    * Every document materializes its [[unimaxEpochs]] repeat count as
+    * (doc, rep) instances and the whole multiset is shuffled by the
+    * [[trainOrder]] construction (md5 of salt:key:rep), so two epochs of
+    * one doc land at unrelated positions — the actual input-order table a
+    * trainer consumes, reproducible and resumable from any position.
+    *
+    * Scale: the explode multiplies rows by at most `epochCap`; the global
+    * rank is the grouped two-phase distributed prefix (no single-task
+    * sort); everything upstream is broadcast-sized.
+    *
+    * @return (keyCol, rep, pos) — pos 0..N_instances−1, a bijection
+    */
+  def unimaxTrainOrder(df: DataFrame, langCol: String, keyCol: String,
+      weightCol: Column, budgetFactor: Double, epochCap: Double,
+      salt: String, partitions: Int = 0): DataFrame = {
+    val per = unimaxEpochs(df, langCol, keyCol, weightCol, budgetFactor, epochCap)
+    val inst = per.filter(col("n_epochs") > 0)
+      .select(col(keyCol),
+        explode(sequence(lit(0L), col("n_epochs") - 1)).as("rep"))
+    val rows = inst.select(col(keyCol), col("rep"),
+      md5(concat_ws(":", lit(salt), col(keyCol).cast("string"),
+        col("rep").cast("string"))).as("__h"))
+    graft.operators.Packing.groupedRowNumbers(
+        rows, Nil, Seq("__h", keyCol, "rep"), partitions)
+      .select(col(keyCol), col("rep"), (col("rank") - 1).cast("long").as("pos"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per group —
     * Efraimidis–Spirakis in the exponential-race form: each row draws
     * `key = −ln(u)/w` with u a pure md5 function of its id (never a RNG),

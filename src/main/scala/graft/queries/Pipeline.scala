@@ -1430,6 +1430,16 @@ object Pipeline {
         .orderBy("rk")
     }),
 
+    // the UNIMAX pipeline end-to-end: allocation → per-doc epochs →
+    // epoch-expanded (doc, rep) instances → one global md5-shuffled
+    // training order — the input table a trainer actually consumes.
+    "q199_unimax_train_order" -> ((s, d) => {
+      graft.operators.Sampling.unimaxTrainOrder(Tables(s, d).documents,
+          "lang", "doc_id", col("n_chars"), budgetFactor = 1.5,
+          epochCap = 2.0, salt = "epoch0")
+        .orderBy("pos")
+    }),
+
     // persisted SQ8 index round-trip: build stats+codes store, query from
     // it, and hash-match the result against the SAME fully-replayed
     // oracle as q192 — the store round-trip is provably invisible.
@@ -2935,6 +2945,23 @@ object Pipeline {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
          |FROM documents d JOIN ee USING (lang)
          |ORDER BY d.doc_id""".stripMargin,
+    "q199_unimax_train_order" ->
+      s"""WITH $unimaxAllocCtes,
+         |ee AS (SELECT lang,
+         |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs FROM aa),
+         |ne AS (SELECT d.doc_id,
+         |  CAST(floor(ee.epochs) + (CASE WHEN
+         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < ee.epochs - floor(ee.epochs)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
+         |  FROM documents d JOIN ee USING (lang)),
+         |inst AS (SELECT doc_id, CAST(u.r AS BIGINT) AS rep
+         |  FROM ne, unnest(range(0, n_epochs)) AS u(r) WHERE n_epochs > 0)
+         |SELECT doc_id, rep,
+         |  CAST(row_number() OVER (ORDER BY
+         |    md5('epoch0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+         |    doc_id, rep) - 1 AS BIGINT) AS pos
+         |FROM inst ORDER BY pos""".stripMargin,
     "q192_sq8_topk" -> sq8TopKSql,
     "q197_sq8_index_roundtrip" ->
       // the stored path is bit-identical to the direct one, so the SAME

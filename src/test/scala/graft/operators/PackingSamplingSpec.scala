@@ -592,6 +592,29 @@ class UnimaxSpec extends SparkSpec {
     assert(r.forall { case (c, e) => c && e === 3.0 })
   }
 
+  test("unimaxTrainOrder: positions are a bijection and instances match n_epochs") {
+    val counts = Seq(("x", 500L), ("y", 2000L))
+    val per = Sampling.unimaxEpochs(corpusOf(counts), "lang", "doc_id",
+        col("n_chars"), 1.2, 2.0)
+      .select("doc_id", "n_epochs").as[(Long, Long)].collect().toMap
+    val order = Sampling.unimaxTrainOrder(corpusOf(counts), "lang", "doc_id",
+        col("n_chars"), 1.2, 2.0, salt = "s1")
+      .select("doc_id", "rep", "pos").as[(Long, Long, Long)].collect()
+    // bijection 0..N-1
+    assert(order.map(_._3).sorted.toSeq === (0L until order.length).toSeq)
+    // every doc contributes exactly its epoch count, reps 0..n-1
+    val byDoc = order.groupBy(_._1)
+    assert(per.filter(_._2 > 0).keySet === byDoc.keySet)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0L until per(id)).toSeq)
+    }
+    // order is a pure function of (key, rep, salt)
+    val again = Sampling.unimaxTrainOrder(corpusOf(counts).repartition(13),
+        "lang", "doc_id", col("n_chars"), 1.2, 2.0, salt = "s1")
+      .select("doc_id", "rep", "pos").as[(Long, Long, Long)].collect()
+    assert(again.toSet === order.toSet)
+  }
+
   test("epoch materialization stays within ⌊e⌋..⌈e⌉ and matches the allocation join") {
     val counts = Seq(("x", 500L), ("y", 2000L))
     val alloc = Sampling.unimaxAllocation(corpusOf(counts), "lang",
