@@ -189,4 +189,66 @@ class RandomDifferentialSpec extends SparkSpec {
       }
     }
   }
+
+  test("random grid-point corpora: sq8TopK == cosineTopK bit-for-bit") {
+    // values are integers 0..255 (exact floats) with per-dim anchors
+    // pinning [min,max] to [0,255], so the 256-point quantizer grid IS the
+    // value set and dequantization must reconstruct losslessly on
+    // arbitrary such corpora
+    val rnd = new scala.util.Random(192)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val dim = 3 + rnd.nextInt(5)
+      val body = (2L until n.toLong).map { i =>
+        (i, Seq.fill(dim)(rnd.nextInt(256).toFloat))
+      }
+      val vecs = ((0L, Seq.fill(dim)(0.0f)) +: (1L, Seq.fill(dim)(255.0f)) +: body)
+        .toDF("vec_id", "embedding")
+      withClue(s"trial $trial n=$n dim=$dim: ") {
+        def rows(df: DataFrame) =
+          df.select("query_id", "vec_id", "cos", "rank")
+            .as[(Long, Long, Double, Int)].collect().toSet
+        val exact = rows(graft.operators.Similarity.cosineTopK(
+          vecs.filter($"vec_id" < 4), vecs, "embedding", "vec_id", 5))
+        val sq = rows(graft.operators.Similarity.sq8TopK(
+          vecs.filter($"vec_id" < 4), vecs, "embedding", "vec_id", 5))
+        assert(sq === exact)
+      }
+    }
+  }
+
+  test("random embeddings: ivfSq8TopK with full probes == sq8TopK; full shortlist rerank == exact") {
+    // cell confinement and the coarse-prefix funnel are PURE candidate-
+    // pruning changes: with probes covering every cell / a corpus-sized
+    // shortlist, nothing is pruned and results agree bit-for-bit on
+    // arbitrary vectors
+    val rnd = new scala.util.Random(193)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val dim = 4 + rnd.nextInt(5)
+      val vecs = (0L until n.toLong).map { i =>
+        (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val q = vecs.filter($"vec_id" < 3)
+      val centroidMod = 8 + rnd.nextInt(8)
+      val nCents = (0 until n).count(_ % centroidMod == 0)
+      withClue(s"trial $trial n=$n dim=$dim mod=$centroidMod: ") {
+        def rows(df: DataFrame) =
+          df.select("query_id", "vec_id", "cos")
+            .as[(Long, Long, Double)].collect().toSet
+        val sq = rows(graft.operators.Similarity.sq8TopK(
+          q, vecs, "embedding", "vec_id", 4))
+        val comp = rows(graft.operators.Similarity.ivfSq8TopK(
+          q, vecs, "embedding", "vec_id", 4, centroidMod, probes = nCents))
+        assert(comp === sq)
+        val exact = rows(graft.operators.Similarity.cosineTopK(
+          q, vecs, "embedding", "vec_id", 4))
+        val fun = rows(graft.operators.Similarity.truncatedRerank(
+            q, vecs, "embedding", "vec_id",
+            prefixDims = 1 + rnd.nextInt(dim), shortlist = n, k = 4)
+          .withColumnRenamed("rk", "rank"))
+        assert(fun === exact)
+      }
+    }
+  }
 }
