@@ -691,11 +691,9 @@ object Scoring {
     // top-N via sort+limit (TakeOrderedAndProject: per-partition heaps, no
     // single-task window over the whole vocabulary); the rank window then
     // runs over only the topN survivors.
-    val top = probs
-      .orderBy(abs(col("p_a") - col("p_b")).desc, col("tok").asc)
-      .limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(abs(col("p_a") - col("p_b")).desc, col("tok").asc)
+    val byDrift = Seq(abs(col("p_a") - col("p_b")).desc, col("tok").asc)
+    val top = probs.orderBy(byDrift: _*).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(byDrift: _*)
     top.withColumn("rk", row_number().over(w))
       .select(col("rk").cast("long").as("rk"), col("tok"),
         col("n_a"), col("n_b"),

@@ -132,11 +132,8 @@ object Similarity {
   }
 
   /** rank ≤ k per query over (query_id, vec_id, cos), cos-desc, id-asc. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).select("query_id", "vec_id", "cos")
-  }
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    rankedTopK(scored, k).select("query_id", "vec_id", "cos")
 
   /** Reciprocity join: keep (a, b, cos), a < b, iff both directions are in
     * `top` — the (|V|·k)-row edge list joined on its reversed pair.
@@ -488,6 +485,24 @@ object Similarity {
       mn + c.cast("double") * span / 255.0
     })
 
+  /** (vec_id, cv): the candidate corpus carried through quantize →
+    * dequantize against its own one-row broadcast calibration — the
+    * shared front half of [[sq8TopK]] and [[ivfSq8TopK]].
+    */
+  private def sq8Reconstructed(candidates: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
+      .select(col(idCol).as("vec_id"),
+        sq8Dequantize(sq8Codes(col(vecCol))).as("cv"))
+
+  /** (query_id, vec_id, cos, rank ≤ k) from a scored pair frame — the
+    * rank tail every top-k surface shares (cos desc, id tie-break).
+    */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Asymmetric scalar-quantized (SQ8) top-k: candidates are compressed to
     * one byte per dimension against per-dimension corpus [min, max]
     * ([[sq8Stats]]) — 4× smaller than float32, the memory move that lets an
@@ -505,15 +520,10 @@ object Similarity {
     */
   def sq8TopK(queries: DataFrame, candidates: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
-      .select(col(idCol).as("vec_id"),
-        sq8Dequantize(sq8Codes(col(vecCol))).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = budgetedCross(deq, q)
+    rankedTopK(budgetedCross(sq8Reconstructed(candidates, vecCol, idCol), q)
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        round(cosine(col("qv"), col("cv")), 6).as("cos")), k)
   }
 
   /** Persist an SQ8 index at `path`: `path/stats` holds the ONE-row
@@ -567,11 +577,9 @@ object Similarity {
       .crossJoin(broadcast(stats))
       .select(col("vec_id"), sq8Dequantize(col("codes")).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = budgetedCross(deq, q)
+    rankedTopK(budgetedCross(deq, q)
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        round(cosine(col("qv"), col("cv")), 6).as("cos")), k)
   }
 
   /** IVF + SQ8 composite — the FAISS `IVF…,SQ8` shape: the coarse
@@ -592,18 +600,14 @@ object Similarity {
       probes: Int = 2): DataFrame = {
     val cents = candidates.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
-    val deq = candidates.crossJoin(broadcast(sq8Stats(candidates, vecCol)))
-      .select(col(idCol).as("vec_id"),
-        sq8Dequantize(sq8Codes(col(vecCol))).as("cv"))
-    val assigned = nearestCells(deq, cents, "vec_id", "cv", 1)
+    val assigned = nearestCells(
+      sq8Reconstructed(candidates, vecCol, idCol), cents, "vec_id", "cv", 1)
     val probed = nearestCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, "query_id", "qv", probes)
-    val scored = assigned.join(probed, "cent_id" :: Nil)
+    rankedTopK(assigned.join(probed, "cent_id" :: Nil)
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        round(cosine(col("qv"), col("cv")), 6).as("cos")), k)
   }
 
   /** Matryoshka-style two-stage retrieval: rank every candidate by cosine

@@ -1574,7 +1574,7 @@ object Pipeline {
 
   /** UNIMAX closed-form allocation replay (budgetFactor 1.5, epochCap 2.0,
     * weight n_chars) — the Sampling.unimaxAllocation window chain verbatim,
-    * ending at `aa(lang, n_w, capped, b_w)`. Shared by q190 and q191.
+    * ending at `aa(lang, n_w, capped, b_w)`. Shared by q190, q191, q199.
     */
   private lazy val unimaxAllocCtes: String =
     """c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_w FROM documents GROUP BY lang),
@@ -1591,6 +1591,21 @@ object Pipeline {
       |    CASE WHEN ff.capped THEN 2.0 * ff.n_w
       |      ELSE (ff.b_total - gg.s_t) / (ff.l_n - gg.t_rk) END AS b_w
       |  FROM ff CROSS JOIN gg)""".stripMargin
+
+  /** [[unimaxAllocCtes]] extended to per-doc epoch materialization:
+    * `ne(doc_id, lang, n_epochs)` — ⌊e⌋ + the md5-selected frac(e) extra.
+    * Shared by q191 and q199.
+    */
+  private lazy val unimaxEpochsCtes: String =
+    s"""$unimaxAllocCtes,
+       |ee AS (SELECT lang,
+       |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs FROM aa),
+       |ne AS (SELECT d.doc_id, d.lang,
+       |  CAST(floor(ee.epochs) + (CASE WHEN
+       |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      / 4294967296.0 < ee.epochs - floor(ee.epochs)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
+       |  FROM documents d JOIN ee USING (lang))""".stripMargin
 
   /** Oracle shared by q115 (recompute path) and q119 (signature-store
     * path) — the store round-trip must be invisible to the result. */
@@ -2935,26 +2950,11 @@ object Pipeline {
          |  round(b_w, 4) AS budget_w
          |FROM aa ORDER BY lang""".stripMargin,
     "q191_unimax_epochs" ->
-      s"""WITH $unimaxAllocCtes,
-         |ee AS (SELECT lang,
-         |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs FROM aa)
-         |SELECT d.doc_id, d.lang,
-         |  CAST(floor(ee.epochs) + (CASE WHEN
-         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |      / 4294967296.0 < ee.epochs - floor(ee.epochs)
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
-         |FROM documents d JOIN ee USING (lang)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $unimaxEpochsCtes
+         |SELECT doc_id, lang, n_epochs FROM ne
+         |ORDER BY doc_id""".stripMargin,
     "q199_unimax_train_order" ->
-      s"""WITH $unimaxAllocCtes,
-         |ee AS (SELECT lang,
-         |  CASE WHEN n_w > 0 THEN round(b_w / n_w, 6) ELSE 0.0 END AS epochs FROM aa),
-         |ne AS (SELECT d.doc_id,
-         |  CAST(floor(ee.epochs) + (CASE WHEN
-         |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |      / 4294967296.0 < ee.epochs - floor(ee.epochs)
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs
-         |  FROM documents d JOIN ee USING (lang)),
+      s"""WITH $unimaxEpochsCtes,
          |inst AS (SELECT doc_id, CAST(u.r AS BIGINT) AS rep
          |  FROM ne, unnest(range(0, n_epochs)) AS u(r) WHERE n_epochs > 0)
          |SELECT doc_id, rep,
