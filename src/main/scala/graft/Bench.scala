@@ -56,12 +56,15 @@ object Bench {
     // slowest/iterative-adjacent gates (q141 streaming micro-batch floor —
     // now the slowest gate — q157/q167 blocked self-joins, q168 double
     // distributed prefix) so a one-pass blip there reads as spread, not
-    // as a regression.
+    // as a regression. The round-9 continuation adds q195 (full MinHash
+    // chain) and q197 (tmp-dir parquet store write + read — file I/O
+    // jitter) for the same reason.
     val volatile = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA",
       "q43_wcc,q44_sssp,q76_contamination,q95_label_prop,q96_kcore," +
         "q86_recursive_sql,q100_stream_curation," +
         "q141_stream_windowed,q157_edit_near_dup,q167_containment," +
-        "q168_interleave,q188_ivfpq_envelope")
+        "q168_interleave,q188_ivfpq_envelope," +
+        "q195_source_attribution,q197_sq8_index_roundtrip")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

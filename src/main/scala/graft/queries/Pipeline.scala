@@ -1430,6 +1430,31 @@ object Pipeline {
         .orderBy("rk")
     }),
 
+    // the byte-budget broadcast guard under the hard gate: same ranking as
+    // q58, but with the sim broadcast budget forced to 0 so the query side
+    // CANNOT be broadcast — budgetedCross must take the shuffle-replicated
+    // nested-loop route, and the route actually taken is emitted as a
+    // column so a silent fall-back to broadcast hash-mismatches the
+    // oracle's 'shuffle' literal (the q186 pattern).
+    "q200_ann_shuffle_route" -> ((s, d) => {
+      val prev = s.conf.getOption("graft.sim.broadcastBudgetBytes")
+      try {
+        s.conf.set("graft.sim.broadcastBudgetBytes", "0")
+        val e = Tables(s, d).embeddings
+        // routing happens eagerly inside budgetedCross (the side is
+        // measured at plan build), so lastRoute is set on return
+        val top = Similarity.cosineTopK(e.filter(col("vec_id") < 5), e,
+          "embedding", "vec_id", k = 10)
+        val route = s.conf.get("graft.sim.lastRoute", "unset")
+        top.withColumn("route", lit(route)).orderBy("query_id", "rank")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("graft.sim.broadcastBudgetBytes", v)
+          case None => s.conf.unset("graft.sim.broadcastBudgetBytes")
+        }
+      }
+    }),
+
     // the UNIMAX pipeline end-to-end: allocation → per-doc epochs →
     // epoch-expanded (doc, rep) instances → one global md5-shuffled
     // training order — the input table a trainer actually consumes.
@@ -1526,6 +1551,17 @@ object Pipeline {
   private def bucketSqlFor(c: String): String = (0 until 8).map { j =>
     s"(CASE WHEN $c[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** q58's exact-cosine top-k chain ending at
+    * `ranked(query_id, vec_id, cos, rank)` — shared with q200 (the
+    * shuffle-route pin, whose ranking must be identical).
+    */
+  private lazy val annTopKCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, e.vec_id, $cosSql AS cos
+       |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) e CROSS JOIN q),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)""".stripMargin
 
   /** The full SQ8 chain replayed — per-dim [min,max] calibration, half-up-
     * floor codes, dequantized reconstruction, then exactly the q58
@@ -1737,12 +1773,16 @@ object Pipeline {
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keep_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q58_ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |scored AS (SELECT q.query_id, e.vec_id, $cosSql AS cos
-         |  FROM (SELECT vec_id, embedding AS cv FROM embeddings) e CROSS JOIN q),
-         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-         |  FROM scored)
+      s"""WITH $annTopKCtes
          |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q200_ann_shuffle_route" ->
+      // ranking identical to q58; the 'shuffle' literal pins the route the
+      // byte-budget guard must have taken under the zeroed broadcast
+      // budget (the q186 route-pin pattern)
+      s"""WITH $annTopKCtes
+         |SELECT query_id, vec_id, cos, rank, 'shuffle' AS route
+         |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     "q59_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSqlFor("embedding")} AS bucket FROM embeddings),
