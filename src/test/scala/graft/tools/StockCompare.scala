@@ -24,15 +24,16 @@ import org.apache.spark.sql.functions._
   * INTERLEAVED min-of-3 per side (e,s pairs alternate, so neither side
   * systematically inherits warmer JIT/caches from running later).
   *
-  * Measured at sf0.1 / local[32] (2026-08-14, round 9, post spread/
-  * routing work): q1 1.02, q5 1.03, WCOJ triangle 1.03, as-of 0.94,
-  * interval 1.13, gap-fill LOCF 0.89, interleave 0.82, containment
-  * 0.43 — every engine path within ~1.15× of the equivalent stock plan,
-  * well inside BASELINE.md's 2× bar, and the three data-pipeline
-  * operators run FASTER than their stock formulations. (The WCOJ ratio
-  * is the dense-triangle case binary joins handle well; the LeapFrog
-  * node exists for the skewed/cyclic patterns where binary joins blow up
-  * the intermediate, per WcojSpec's differentials.)
+  * Measured at sf0.1 / local[32] (2026-08-14, round 9, post machine
+  * recycle): q1 0.98, q5 1.05, WCOJ triangle 0.92, as-of 0.97, interval
+  * 1.15, gap-fill LOCF 0.92, interleave 0.84, containment 0.53, rank
+  * blend 0.82, token drift 0.86, SQ8-vs-exact 1.00 — every engine path
+  * within ~1.15× of the equivalent stock plan, well inside BASELINE.md's
+  * 2× bar, and five of the data-pipeline operators run FASTER than their
+  * stock formulations. (The WCOJ ratio is the dense-triangle case binary
+  * joins handle well; the LeapFrog node exists for the skewed/cyclic
+  * patterns where binary joins blow up the intermediate, per WcojSpec's
+  * differentials.)
   *
   * `report` asserts both sides return the same row count before timing —
   * a silently-degenerate side (a mis-escaped regex splitting nothing, an
@@ -208,6 +209,79 @@ object StockCompare {
             |WHERE round(CAST(inter AS DOUBLE) / sz, 6) >= 0.6
             |ORDER BY doc_a, doc_b""".stripMargin)).count()
       })
+
+    // 9. rank blend: the engine's per-signal distributed two-phase ranks
+    //    vs the naive stock formulation — one GLOBAL row_number window per
+    //    signal, each funneling the corpus through a single partition
+    report("rank blend percentiles",
+      graft.queries.Pipeline.queries("q196_rank_blend")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            |r1 AS (SELECT doc_id, row_number() OVER (
+            |    ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS r FROM documents),
+            |r2 AS (SELECT doc_id, row_number() OVER (
+            |    ORDER BY CAST(size(split(trim(text), '\\s+')) AS DOUBLE), doc_id) AS r
+            |  FROM documents),
+            |p AS (SELECT r1.doc_id,
+            |    round((r1.r - 1) / (nn.n - 1.0), 6) AS chars_pct,
+            |    round((r2.r - 1) / (nn.n - 1.0), 6) AS toks_pct
+            |  FROM r1 JOIN r2 USING (doc_id) CROSS JOIN nn)
+            |SELECT doc_id, chars_pct, toks_pct,
+            |  floor((CAST(round(chars_pct * 1e6, 0) AS BIGINT)
+            |    + CAST(round(toks_pct * 1e6, 0) AS BIGINT)) / 2.0 + 0.5) / 1e6 AS blend
+            |FROM p ORDER BY doc_id""".stripMargin)).count()
+      })
+
+    // 10. token drift: the engine's sort+limit top movers
+    //     (TakeOrderedAndProject per-partition heaps) vs the stock global
+    //     rank window over the whole vocabulary
+    report("token drift top movers",
+      graft.queries.Pipeline.queries("q194_token_drift")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH wa AS (SELECT explode(split(trim(text), '\\s+')) AS tok
+            |  FROM documents WHERE doc_id % 2 = 0),
+            |wb AS (SELECT explode(split(trim(text), '\\s+')) AS tok
+            |  FROM documents WHERE doc_id % 2 = 1),
+            |ca AS (SELECT tok, count(*) AS n_a FROM wa GROUP BY tok),
+            |cb AS (SELECT tok, count(*) AS n_b FROM wb GROUP BY tok),
+            |j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+            |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+            |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t_a,
+            |    CAST(sum(n_b) AS DOUBLE) AS t_b,
+            |    CAST(count(*) AS DOUBLE) AS v FROM j),
+            |p AS (SELECT tok, n_a, n_b, (n_a + 1.0) / (t_a + v) AS p_a,
+            |    (n_b + 1.0) / (t_b + v) AS p_b FROM j CROSS JOIN t),
+            |r AS (SELECT *, row_number() OVER
+            |    (ORDER BY abs(p_a - p_b) DESC, tok) AS rk FROM p)
+            |SELECT rk, tok, n_a, n_b FROM r WHERE rk <= 20
+            |ORDER BY rk""".stripMargin)).count()
+      })
+
+    // 11. SQ8 quantized scan vs the stock EXACT float scan — not a
+    //     same-plan facade comparison: this prices what the 4×-memory
+    //     compression costs in local compute (quantize+dequantize on the
+    //     fly each call; a real deployment reads the persisted codes). Row
+    //     counts match (both top-10 per query); rankings may differ by the
+    //     quantization error the q192/q198 gates bound.
+    report("sq8 ANN vs stock exact",
+      graft.queries.Pipeline.queries("q192_sq8_topk")(spark, sfDir).count(),
+      spark.sql(stockSql(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          |  FROM parquet.`SFDIR/embeddings.parquet` WHERE vec_id < 5),
+          |c AS (SELECT vec_id, embedding AS cv
+          |  FROM parquet.`SFDIR/embeddings.parquet`),
+          |scored AS (SELECT q.query_id, c.vec_id,
+          |    round(aggregate(zip_with(qv, cv, (x, y) ->
+          |        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, b) -> a + b)
+          |      / (sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b))
+          |        * sqrt(aggregate(transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b))), 6) AS cos
+          |  FROM c CROSS JOIN q),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin
+          .replace("SFDIR", sfDir))).count())
 
     spark.stop()
   }
