@@ -320,11 +320,20 @@ object Sampling {
     val inst = per.filter(col("n_epochs") > 0)
       .select(col(keyCol),
         explode(sequence(lit(0L), col("n_epochs") - 1)).as("rep"))
+    // the routing decision reads the INPUT scan's statistics (the
+    // interleaveBySource pattern): the broadcast-join + explode lineage
+    // above defeats Catalyst's size estimate, which would force the
+    // distributed shape even for a measured-small corpus — and the
+    // instance count is bounded by epochCap × |df|, so the input statistic
+    // is the honest proxy
+    val parts =
+      if (graft.operators.Packing.singleTaskOk(df.select(col(keyCol)))) 1
+      else partitions
     val rows = inst.select(col(keyCol), col("rep"),
       md5(concat_ws(":", lit(salt), col(keyCol).cast("string"),
         col("rep").cast("string"))).as("__h"))
     graft.operators.Packing.groupedRowNumbers(
-        rows, Nil, Seq("__h", keyCol, "rep"), partitions)
+        rows, Nil, Seq("__h", keyCol, "rep"), parts)
       .select(col(keyCol), col("rep"), (col("rank") - 1).cast("long").as("pos"))
   }
 
