@@ -134,4 +134,38 @@ object Bpe {
       aggregate(words, lit(0L), (acc, w) => acc + symCount(w).cast("long"))
         .as("n_bpe"))
   }
+
+  /** Tokenizer fertility per corpus slice — the eval every tokenizer
+    * recipe reports (how many symbols a word costs, how many characters a
+    * symbol carries) split by a grouping column, typically language: the
+    * table that exposes which languages a merge budget under-serves
+    * (higher fertility = more tokens per word = costlier training and
+    * shorter effective context for that slice).
+    *
+    * Composes [[encodeStats]] (zero-shuffle per-doc symbol counts under
+    * the learned merges) with one equi-join back to the grouping column
+    * and a map-side-combined aggregate — corpus touched once. Ratios are
+    * exact-integer divisions rounded once (the q101 rule needs no
+    * micro-unit lift here: numerator and denominator are exact longs).
+    *
+    * @return (group, n_docs, n_words, n_bpe, fertility, chars_per_sym) —
+    *         fertility = symbols/word, chars_per_sym = chars/symbol, 6 dp,
+    *         0.0 for empty slices.
+    */
+  def fertilityByGroup(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, merges: Seq[(String, String)]): DataFrame = {
+    encodeStats(df, textCol, idCol, merges)
+      .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("group")),
+        "doc_id" :: Nil)
+      .groupBy("group").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_bpe"),
+        when(sum("n_words") > 0,
+          round(sum("n_bpe").cast("double") / sum("n_words").cast("double"), 6))
+          .otherwise(0.0).as("fertility"),
+        when(sum("n_bpe") > 0,
+          round(sum("n_chars").cast("double") / sum("n_bpe").cast("double"), 6))
+          .otherwise(0.0).as("chars_per_sym"))
+  }
 }

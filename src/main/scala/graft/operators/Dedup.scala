@@ -616,15 +616,21 @@ object Dedup {
     * Σ 2ʲ·[sum > 0]. Entirely per-row (array aggregates inside whole-stage
     * codegen) — zero shuffle, so it scans a 100 TB corpus exactly once.
     */
-  def simHash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val hs = transform(array_distinct(TextFunctions.tokens(col(textCol))),
-      t => lcg(portableTokenId(t)))
-    // all `bits` bit-sums in ONE native-expression pass over the hash array
-    // (the HOF formulation — `bits` × aggregate() — walks it `bits` times);
-    // coalesce keeps the old null-text behavior (simhash 0, not null)
+  def simHash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      coalesce(graft.functions.NativeExpressions.simhash64Native(hs, bits), lit(0L))
-        .as("simhash"))
+      simHashCol(col(textCol), bits).as("simhash"))
+
+  /** The [[simHash]] signature as a bare COLUMN — the per-row stateless
+    * core, exposed so streaming pipelines ([[graft.streaming.DocStreams]])
+    * can key dedup state on it without a batch-only select shape. All
+    * `bits` bit-sums run in ONE native-expression pass over the hash array
+    * (the HOF formulation — `bits` × aggregate() — walks it `bits` times);
+    * coalesce keeps the null-text behavior (simhash 0, not null).
+    */
+  def simHashCol(text: Column, bits: Int = 16): Column = {
+    val hs = transform(array_distinct(TextFunctions.tokens(text)),
+      t => lcg(portableTokenId(t)))
+    coalesce(graft.functions.NativeExpressions.simhash64Native(hs, bits), lit(0L))
   }
 
   /** HOF formulation of [[simHash]] — kept as the differential-test twin. */
@@ -912,6 +918,79 @@ object Dedup {
         levenshtein(col("a_key"), col("b_key"), maxDist) >= 0)
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_key"), col("b_key"), maxDist).cast("long").as("dist"))
+  }
+
+  /** Maximal cross-document duplicated spans via strided suffix sort — the
+    * suffix-array flavor of substring dedup (Lee et al. 2022 §3 build a
+    * suffix array and read duplicated substrings off ADJACENT sorted
+    * suffixes; this is that idea expressed as one range shuffle + a
+    * partitioned sort, no pairwise doc joins and no per-length re-grouping).
+    * Unlike the fixed-k gram surfaces ([[dupSpanStats]],
+    * [[repeatedNgrams]]) the span length is DISCOVERED: one pass reports
+    * the longest observed cross-doc match in (minLen, maxLen] per seed.
+    *
+    *   - every document contributes token-level suffixes at positions
+    *     1, 1+stride, 1+2·stride, … (strided sampling bounds the suffix
+    *     table at |tokens|/stride rows — the standard trade: a duplicated
+    *     span of length L is still seeded unless L < minLen + stride − 1),
+    *     each truncated to `maxLen` tokens;
+    *   - suffixes shuffle ONCE on their `minLen`-token prefix (the
+    *     bucket); buckets over `maxBucket` suffixes are dropped before the
+    *     sort (boilerplate seeds, the [[shingleContainment]] maxDf rule —
+    *     the cap keeps per-bucket work O(maxBucket·log maxBucket) at any
+    *     corpus size, so one hot seed cannot serialize a task);
+    *   - within a bucket, suffixes sort lexicographically and each
+    *     ADJACENT pair from two different documents reports its common
+    *     token-prefix length — prefix equality is monotone in j, so the
+    *     match length is minLen + |{ j ∈ (minLen, maxLen] : prefixes of
+    *     length j equal }| with j capped to both suffix lengths.
+    *
+    * Returns the top-`topN` seeds: (rk, span, dup_len, n_docs, n_occ) —
+    * `span` the minLen-token seed, `dup_len` the maximal adjacent
+    * cross-doc match observed for it, ranked (dup_len DESC, span ASC).
+    * Only seeds appearing in ≥ 2 distinct documents survive; the ranked
+    * tail is boilerplate-inventory-sized (seeds with a cross-doc match),
+    * the q130/q175 report convention.
+    */
+  def maximalDupSpans(df: DataFrame, textCol: String, idCol: String,
+      stride: Int = 4, minLen: Int = 5, maxLen: Int = 8,
+      maxBucket: Int = 50, topN: Int = 20): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxLen > minLen, s"maxLen ($maxLen) must be > minLen ($minLen)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val sfx = df.filter(size(toks) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), size(toks) - (minLen - 1), lit(stride)))
+          .as("p"), toks.as("t"))
+      .select(col("doc_id"), col("p"),
+        slice(col("t"), col("p"), lit(maxLen)).as("sfx"))
+      .select(col("doc_id"), col("p"), col("sfx"),
+        array_join(slice(col("sfx"), 1, minLen), " ").as("span"),
+        array_join(col("sfx"), " ").as("key"))
+    // both windows partition on the seed — ONE exchange, reused; the cap
+    // filter runs before the sorted window so a dropped bucket never sorts
+    val byBucket = Window.partitionBy("span")
+    val ordered = Window.partitionBy("span").orderBy("key", "doc_id", "p")
+    val capped = sfx.withColumn("bn", count(lit(1)).over(byBucket))
+      .where(col("bn") <= maxBucket)
+    val matchLen = (lit(minLen) + size(filter(
+      sequence(lit(minLen + 1), lit(maxLen)),
+      j => j <= least(size(col("sfx")), size(col("prev_sfx"))) &&
+        slice(col("sfx"), lit(1), j) === slice(col("prev_sfx"), lit(1), j)))).cast("long")
+    val agg = capped
+      .withColumn("prev_sfx", lag("sfx", 1).over(ordered))
+      .withColumn("prev_doc", lag("doc_id", 1).over(ordered))
+      .groupBy("span").agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        max(when(col("prev_doc") =!= col("doc_id"), matchLen)).as("dup_len"))
+      .where(col("n_docs") >= 2 && col("dup_len").isNotNull)
+    val rk = Window.orderBy(col("dup_len").desc, col("span").asc)
+    agg.withColumn("rk", row_number().over(rk).cast("long"))
+      .where(col("rk") <= topN)
+      .select("rk", "span", "dup_len", "n_docs", "n_occ")
   }
 
   /** Cross-source near-duplicate attribution: which source PAIRS share

@@ -362,4 +362,57 @@ object Sampling {
       .filter(col("__wrank") <= k)
       .drop("__wrank")
   }
+
+  /** Hardness-tilted domain mixture — the DoReMi-flavored reweighting step
+    * (Xie et al. 2023 tilt domain weights by excess loss under a proxy
+    * model; here the proxy is the corpus-fit unigram LM the pipeline
+    * already computes, and the tilt is one exponential-weights step):
+    * domains whose documents the reference model finds HARDER than the
+    * corpus average get up-weighted, capped so no domain explodes or
+    * vanishes.
+    *
+    *   - per-doc nll from [[Scoring.unigramLogLoss]] (6-dp fixed-point);
+    *   - per-domain and corpus mean nll in integer micro-units (the q101
+    *     order-free sum), divided once, rounded to 6 dp;
+    *   - excess_d = mean_d − mean_corpus (exact: both 6-dp decimals);
+    *   - tilt_d = clip(round(exp(eta · excess), 6), clipLo, clipHi) — the
+    *     exp argument and result both 6-dp so every engine sees identical
+    *     doubles (the q194 ln rule);
+    *   - weight_d ∝ share_d · tilt_d, renormalized to sum 1 in micro-units.
+    *
+    * Scale: the corpus is touched only by the nll scoring pass (term
+    * aggregates with map-side combine); everything after is arithmetic on
+    * a |domains|-row table with one broadcast of two scalars. Returns
+    * (domain, n_docs, mean_nll, excess, tilt, weight), one row per domain.
+    */
+  def hardnessTiltedWeights(df: DataFrame, domainCol: String, textCol: String,
+      idCol: String, eta: Double = 1.0, clipLo: Double = 0.5,
+      clipHi: Double = 2.0): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    require(clipLo > 0 && clipHi > clipLo,
+      s"need 0 < clipLo < clipHi, got [$clipLo, $clipHi]")
+    val nll = Scoring.unigramLogLoss(df, textCol, idCol)
+      .join(df.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+        "doc_id" :: Nil)
+      .withColumn("__mnll", round(col("nll") * 1e6, 0).cast("long"))
+    val perDom = nll.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum("__mnll").cast("double") / (lit(1e6) * count(lit(1))), 6)
+        .as("mean_nll"))
+    val corpus = nll.agg(
+      round(sum("__mnll").cast("double") / (lit(1e6) * count(lit(1))), 6)
+        .as("__corpus_nll"),
+      count(lit(1)).cast("double").as("__n_total"))
+    val tilted = perDom.crossJoin(broadcast(corpus))
+      .withColumn("excess", round(col("mean_nll") - col("__corpus_nll"), 6))
+      .withColumn("tilt", least(greatest(
+        round(exp(lit(eta) * col("excess")), 6), lit(clipLo)), lit(clipHi)))
+      .withColumn("__raw", round(
+        col("n_docs").cast("double") / col("__n_total") * col("tilt"), 9))
+    val z = tilted.agg(sum(round(col("__raw") * 1e9, 0).cast("long")).as("__z"))
+    tilted.crossJoin(broadcast(z))
+      .withColumn("weight", round(
+        round(col("__raw") * 1e9, 0) / col("__z").cast("double"), 6))
+      .select("domain", "n_docs", "mean_nll", "excess", "tilt", "weight")
+  }
 }

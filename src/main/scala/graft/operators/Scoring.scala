@@ -743,4 +743,52 @@ object Scoring {
       floor(microSum.cast("double") / signals.length + 0.5)
         .cast("double") / 1e6)
   }
+
+  /** Writing-system profile + homoglyph-spoofing signal — the script-level
+    * step under language ID: which Unicode scripts a document mixes, and
+    * whether Latin and Cyrillic CONFUSABLES co-occur inside single words
+    * (the classic spam/evasion trick — "pаypal" with a Cyrillic а — and a
+    * crawl-noise marker language-ID models misroute on). Per document:
+    *
+    *   - `n_latin` / `n_cyr` / `n_greek` / `n_digit`: character counts per
+    *     class, each a `length` difference around one `regexp_replace`
+    *     (global in both engines) — no explode, no UDF;
+    *   - `dominant`: the majority letter script, ties Latin > Cyrillic >
+    *     Greek (deterministic), `"none"` for letterless docs;
+    *   - `mix_ratio`: 1 − dominant/letters rounded to 6 dp — 0 for pure
+    *     docs, the mixing fraction otherwise;
+    *   - `confusable_words`: tokens containing BOTH a Latin and a Cyrillic
+    *     letter — the in-word homoglyph count that separates spoofing from
+    *     benign code-switching (which mixes across words, not within).
+    *
+    * One codegen'd projection, zero shuffle — per-row cost is four regex
+    * scans over the document regardless of corpus size.
+    */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def classCount(re: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), re, ""))).cast("long")
+    val latinRe = "[A-Za-z]"
+    val cyrRe = "[Ѐ-ӿ]"
+    val greekRe = "[Ͱ-Ͽ]"
+    val nLatin = classCount(latinRe)
+    val nCyr = classCount(cyrRe)
+    val nGreek = classCount(greekRe)
+    val letters = nLatin + nCyr + nGreek
+    val domN = greatest(nLatin, nCyr, nGreek)
+    val confusable = size(filter(
+      graft.functions.TextFunctions.tokens(col(textCol)),
+      t => t.rlike(latinRe) && t.rlike(cyrRe))).cast("long")
+    df.select(col(idCol).as("doc_id"),
+      nLatin.as("n_latin"), nCyr.as("n_cyr"), nGreek.as("n_greek"),
+      classCount("[0-9]").as("n_digit"),
+      when(letters === 0, "none")
+        .when(nLatin === domN, "latin")
+        .when(nCyr === domN, "cyrillic")
+        .otherwise("greek").as("dominant"),
+      when(letters === 0, 0.0)
+        .otherwise(round(lit(1.0) -
+          domN.cast("double") / letters.cast("double"), 6)).as("mix_ratio"),
+      confusable.as("confusable_words"))
+  }
 }

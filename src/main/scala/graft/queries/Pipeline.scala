@@ -1532,6 +1532,76 @@ object Pipeline {
           regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long"),
           regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"))
         .orderBy("doc_id")
+    }),
+
+    // maximal cross-doc duplicated spans via strided suffix sort (the Lee
+    // et al. suffix-array flavor): span length DISCOVERED in (5, 8] off
+    // adjacent sorted suffixes, not re-grouped per length; hot seeds
+    // capped at 50 suffixes before the sort.
+    "q201_suffix_dup" -> ((s, d) => {
+      Dedup.maximalDupSpans(Tables(s, d).documents, "text", "doc_id",
+          stride = 4, minLen = 5, maxLen = 8, maxBucket = 50, topN = 20)
+        .orderBy("rk")
+    }),
+
+    // writing-system profile + homoglyph spoofing: doc_id%3==1 gets its
+    // a/e/o/p/c/x/y swapped for Cyrillic confusables (in-word mixing —
+    // the spoof shape), %3==2 gets appended Greek tokens (across-word
+    // code-switching — benign), %3==0 stays pure Latin.
+    "q202_script_mix" -> ((s, d) => {
+      val mutated = Tables(s, d).documents.withColumn("text",
+        when(col("doc_id") % 3 === 1,
+          translate(col("text"), "aeopcxy", "аеорсху"))
+          .when(col("doc_id") % 3 === 2,
+            concat(col("text"), lit(" αλφα βητα 42")))
+          .otherwise(col("text")))
+      graft.operators.Scoring.scriptProfile(mutated, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // DoReMi-flavored hardness-tilted domain mixture: sources whose docs
+    // the corpus-fit unigram LM finds harder than average get up-weighted
+    // by a clipped exponential-weights step; weights renormalized in
+    // micro-units.
+    "q203_domain_tilt" -> ((s, d) => {
+      graft.operators.Sampling.hardnessTiltedWeights(Tables(s, d).documents,
+          "source", "text", "doc_id", eta = 1.0, clipLo = 0.5, clipHi = 2.0)
+        .orderBy("domain")
+    }),
+
+    // tokenizer fertility per language under the corpus-learned 4-merge
+    // BPE: symbols/word and chars/symbol per lang — the merge-budget
+    // fairness table (q110's training + q111's encode, rolled up).
+    "q204_fertility" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", merges = 4)
+        .orderBy("merge_idx").select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Bpe.fertilityByGroup(docs, "text", "doc_id", "lang",
+          merges)
+        .orderBy("group")
+    }),
+
+    // streaming SimHash near-dup suppression (the fuzzy twin of q100's
+    // exact-fingerprint dedup): real readStream → stateless signature →
+    // signature-keyed watermarked dedup state. The gate consumes the
+    // DISTINCT signature set (arrival order within a micro-batch is not
+    // deterministic; the set is — the q100 rule).
+    "q205_stream_near_dedup" -> ((s, d) => {
+      val name = s"stream_near_dedup_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id % 300)"))
+      val deduped = graft.streaming.DocStreams.simhashDedupStream(stream)
+        .select("simhash")
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).select("simhash").distinct().orderBy("simhash")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
     })
   )
 
@@ -1632,6 +1702,44 @@ object Pipeline {
     * `ne(doc_id, lang, n_epochs)` — ⌊e⌋ + the md5-selected frac(e) extra.
     * Shared by q191 and q199.
     */
+  /** The unrolled 4-round BPE train chain (q110's winners t1..t4) plus the
+    * per-doc apply, ending at `agg(doc_id, n_words, n_chars, n_bpe)` — one
+    * definition shared by the q111 per-doc encode and the q204 fertility
+    * rollup, so the two oracles cannot drift.
+    */
+  private lazy val bpeEncodeAggCtes: String = {
+    val toksOf = s"string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2))"
+    def roundCtes(m: Int): String =
+      s"""p$m AS (SELECT t[CAST(u.i AS INT)] AS l, t[CAST(u.i AS INT) + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+         |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
+         |    unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$m AS (SELECT l, r, n FROM (
+         |    SELECT l, r, n, 0 AS pri FROM p$m
+         |    UNION ALL SELECT '', '', 0, 1) ORDER BY pri, n DESC, l, r LIMIT 1),
+         |s$m AS (SELECT wc,
+         |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
+         |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin
+    val applied = (1 to 4).foldLeft("e.s") { (acc, m) =>
+      s"replace($acc, chr(2)||t$m.l||chr(3)||chr(2)||t$m.r||chr(3), chr(2)||t$m.l||t$m.r||chr(3))"
+    }
+    s"""words AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0 GROUP BY tok),
+       |s0 AS (SELECT wc, array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM words),
+       |${(1 to 4).map(roundCtes).mkString(",\n")},
+       |wd AS (SELECT doc_id, tok AS w FROM (
+       |    SELECT doc_id, unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0),
+       |e AS (SELECT doc_id, length(w) AS nc, array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM wd),
+       |ap AS (SELECT e.doc_id, e.nc, $applied AS s
+       |  FROM e CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(nc) AS BIGINT) AS n_chars,
+       |    CAST(sum(length(s) - length(replace(s, chr(3), ''))) AS BIGINT) AS n_bpe
+       |  FROM ap GROUP BY doc_id)""".stripMargin
+  }
+
   private lazy val unimaxEpochsCtes: String =
     s"""$unimaxAllocCtes,
        |ee AS (SELECT lang,
@@ -2153,44 +2261,13 @@ object Pipeline {
          |  UNION ALL SELECT 3, * FROM t3 UNION ALL SELECT 4, * FROM t4)
          |WHERE n > 0 ORDER BY merge_idx""".stripMargin
     },
-    "q111_bpe_encode" -> {
-      // the q110 training CTEs (t1..t4 winners), then per-doc apply: encode
-      // each word, run the 4-replace fuse chain, count symbols as ETX
-      // occurrences. LEFT JOIN keeps docs with zero non-empty words.
-      val toksOf = s"string_split(substr(s, 2, length(s) - 2), chr(3)||chr(2))"
-      def roundCtes(m: Int): String =
-        s"""p$m AS (SELECT t[CAST(u.i AS INT)] AS l, t[CAST(u.i AS INT) + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
-           |  FROM (SELECT wc, $toksOf AS t FROM s${m - 1}),
-           |    unnest(range(1, len(t))) AS u(i)
-           |  GROUP BY 1, 2),
-           |t$m AS (SELECT l, r, n FROM (
-           |    SELECT l, r, n, 0 AS pri FROM p$m
-           |    UNION ALL SELECT '', '', 0, 1) ORDER BY pri, n DESC, l, r LIMIT 1),
-           |s$m AS (SELECT wc,
-           |    replace(s, chr(2)||t.l||chr(3)||chr(2)||t.r||chr(3), chr(2)||t.l||t.r||chr(3)) AS s
-           |  FROM s${m - 1} CROSS JOIN t$m t)""".stripMargin
-      val applied = (1 to 4).foldLeft("e.s") { (acc, m) =>
-        s"replace($acc, chr(2)||t$m.l||chr(3)||chr(2)||t$m.r||chr(3), chr(2)||t$m.l||t$m.r||chr(3))"
-      }
-      s"""WITH words AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS wc FROM (
-         |    SELECT unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0 GROUP BY tok),
-         |s0 AS (SELECT wc, array_to_string(list_transform(range(1, length(w) + 1),
-         |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM words),
-         |${(1 to 4).map(roundCtes).mkString(",\n")},
-         |wd AS (SELECT doc_id, tok AS w FROM (
-         |    SELECT doc_id, unnest($duckTokens) AS tok FROM documents) WHERE length(tok) > 0),
-         |e AS (SELECT doc_id, length(w) AS nc, array_to_string(list_transform(range(1, length(w) + 1),
-         |    i -> chr(2)||substr(w, CAST(i AS INT), 1)||chr(3)), '') AS s FROM wd),
-         |ap AS (SELECT e.doc_id, e.nc, $applied AS s
-         |  FROM e CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3 CROSS JOIN t4),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(sum(nc) AS BIGINT) AS n_chars,
-         |    CAST(sum(length(s) - length(replace(s, chr(3), ''))) AS BIGINT) AS n_bpe
-         |  FROM ap GROUP BY doc_id)
+    "q111_bpe_encode" ->
+      // the shared train+apply chain (q110's winners fused per word), then
+      // per-doc totals. LEFT JOIN keeps docs with zero non-empty words.
+      s"""WITH $bpeEncodeAggCtes
          |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
          |  coalesce(a.n_chars, 0) AS n_chars, coalesce(a.n_bpe, 0) AS n_bpe
-         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q108_length_batches" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
          |b AS (SELECT doc_id, n_tokens,
@@ -3089,6 +3166,113 @@ object Pipeline {
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vv,
         |  regexp_extract(text, '[a-z]{6,}') AS first_long,
         |  regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q201_suffix_dup" ->
+      // identical strided-suffix chain: positions 1, 5, 9, … (stride 4),
+      // suffixes truncated to 8 tokens, bucketed on the 5-token seed with
+      // the 50-suffix cap BEFORE the sort, adjacent-pair match length via
+      // monotone prefix equality (count of equal prefixes IS the max)
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+         |sfx AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         |    toks[CAST(u.p AS INT):CAST(u.p AS INT) + 7] AS sfx
+         |  FROM b, unnest(range(1, len(toks) - 3, 4)) AS u(p)),
+         |k AS (SELECT doc_id, p, sfx,
+         |    array_to_string(sfx[1:5], ' ') AS span,
+         |    array_to_string(sfx, ' ') AS key FROM sfx),
+         |c AS (SELECT *, count(*) OVER (PARTITION BY span) AS bn FROM k),
+         |f AS (SELECT * FROM c WHERE bn <= 50),
+         |l AS (SELECT *, lag(sfx) OVER w AS prev_sfx, lag(doc_id) OVER w AS prev_doc
+         |  FROM f WINDOW w AS (PARTITION BY span ORDER BY key, doc_id, p)),
+         |m AS (SELECT span, doc_id,
+         |    CASE WHEN prev_doc IS NOT NULL AND prev_doc != doc_id THEN
+         |      5 + len(list_filter(range(6, 9), j ->
+         |        j <= least(len(sfx), len(prev_sfx))
+         |        AND sfx[1:CAST(j AS INT)] = prev_sfx[1:CAST(j AS INT)]))
+         |    END AS match_len FROM l),
+         |a AS (SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(max(match_len) AS BIGINT) AS dup_len
+         |  FROM m GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2 AND max(match_len) IS NOT NULL),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY dup_len DESC, span) AS BIGINT) AS rk FROM a)
+         |SELECT rk, span, dup_len, n_docs, n_occ FROM r WHERE rk <= 20
+         |ORDER BY rk""".stripMargin,
+    "q202_script_mix" ->
+      // identical homoglyph/code-switch synthesis, then per-class counts
+      // as length deltas around global regexp_replace; dominant ties
+      // Latin > Cyrillic > Greek; confusables = tokens matching BOTH
+      // Latin and Cyrillic letter classes
+      """WITH mu AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 1 THEN translate(text, 'aeopcxy', 'аеорсху')
+        |      WHEN 2 THEN text || ' αλφα βητα 42'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyr,
+        |    CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM mu),
+        |p AS (SELECT doc_id, n_latin, n_cyr, n_greek, n_digit,
+        |    n_latin + n_cyr + n_greek AS letters,
+        |    greatest(n_latin, n_cyr, n_greek) AS dn,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      tk -> regexp_matches(tk, '[A-Za-z]') AND regexp_matches(tk, '[Ѐ-ӿ]'))) AS BIGINT) AS confusable_words
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyr, n_greek, n_digit,
+        |  CASE WHEN letters = 0 THEN 'none'
+        |    WHEN n_latin = dn THEN 'latin'
+        |    WHEN n_cyr = dn THEN 'cyrillic'
+        |    ELSE 'greek' END AS dominant,
+        |  CASE WHEN letters = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(dn AS DOUBLE) / letters, 6) END AS mix_ratio,
+        |  confusable_words
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q203_domain_tilt" ->
+      // per-domain and corpus mean nll in integer micro-units (q101 rule),
+      // 6-dp excess → 6-dp-rounded exp tilt clipped to [0.5, 2] → raw
+      // share·tilt renormalized in nano-units
+      s"""WITH $unigramNllCtes,
+         |dm AS (SELECT doc_id, source AS domain FROM documents),
+         |j AS (SELECT n.doc_id, d.domain,
+         |    CAST(round(n.nll * 1e6, 0) AS BIGINT) AS mnll
+         |  FROM nllt n JOIN dm d USING (doc_id)),
+         |pd AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    round(CAST(sum(mnll) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_nll
+         |  FROM j GROUP BY domain),
+         |cp AS (SELECT round(CAST(sum(mnll) AS DOUBLE) / (1e6 * count(*)), 6) AS corpus_nll,
+         |    CAST(count(*) AS DOUBLE) AS n_total FROM j),
+         |tl AS (SELECT domain, n_docs, mean_nll,
+         |    round(mean_nll - corpus_nll, 6) AS excess FROM pd CROSS JOIN cp),
+         |tt AS (SELECT *, least(greatest(round(exp(1.0 * excess), 6), 0.5), 2.0) AS tilt FROM tl),
+         |rw AS (SELECT tt.*, round(CAST(n_docs AS DOUBLE) / cp.n_total * tilt, 9) AS raw
+         |  FROM tt CROSS JOIN cp),
+         |z AS (SELECT sum(CAST(round(raw * 1e9, 0) AS BIGINT)) AS zz FROM rw)
+         |SELECT domain, n_docs, mean_nll, excess, tilt,
+         |  round(round(raw * 1e9, 0) / CAST(z.zz AS DOUBLE), 6) AS weight
+         |FROM rw CROSS JOIN z ORDER BY domain""".stripMargin,
+    "q204_fertility" ->
+      // the shared BPE train+apply chain rolled up per language; wordless
+      // docs contribute zero via the LEFT JOIN coalesce (the q111 rule)
+      s"""WITH $bpeEncodeAggCtes
+         |SELECT d.lang AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(a.n_bpe, 0)) AS BIGINT) AS n_bpe,
+         |  CASE WHEN sum(coalesce(a.n_words, 0)) > 0
+         |    THEN round(CAST(sum(coalesce(a.n_bpe, 0)) AS DOUBLE)
+         |      / sum(coalesce(a.n_words, 0)), 6) ELSE 0.0 END AS fertility,
+         |  CASE WHEN sum(coalesce(a.n_bpe, 0)) > 0
+         |    THEN round(CAST(sum(coalesce(a.n_chars, 0)) AS DOUBLE)
+         |      / sum(coalesce(a.n_bpe, 0)), 6) ELSE 0.0 END AS chars_per_sym
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |GROUP BY d.lang ORDER BY "group"""".stripMargin,
+    "q205_stream_near_dedup" ->
+      // the replayable side of streaming SimHash dedup: the DISTINCT
+      // signature set (which doc survives per signature is arrival order —
+      // stream-only; the set is deterministic, the q100 rule)
+      s"""WITH $simhashSql
+         |SELECT DISTINCT simhash FROM sh ORDER BY simhash""".stripMargin
   )
 }

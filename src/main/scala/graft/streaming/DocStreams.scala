@@ -39,4 +39,33 @@ object DocStreams {
       scored.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fp")
     else scored.dropDuplicates("fp")
   }
+
+  /** Streaming NEAR-duplicate suppression — the fuzzy step past
+    * [[curateStream]]'s exact-fingerprint dedup: documents whose `bits`-bit
+    * SimHash signatures COLLIDE within the watermark window are suppressed
+    * after the first arrival. SimHash puts token-overlapping documents in
+    * the same signature with high probability (the [[graft.operators.Dedup
+    * .simHashNearDup]] exact-collision group, here used as the state key),
+    * so boilerplate re-crawls and lightly-edited mirrors are caught that a
+    * content hash misses — at the price SimHash always charges (rare
+    * false merges at small `bits`; size `bits` to the corpus).
+    *
+    * The signature is a stateless codegen'd per-row column
+    * ([[graft.operators.Dedup.simHashCol]]), so the only stateful stage is
+    * the signature-keyed `dropDuplicatesWithinWatermark` — state holds one
+    * entry per DISTINCT signature inside the window (≤ 2^bits no matter
+    * the corpus), evicted as the watermark passes. On a batch frame the
+    * same pipeline degrades to `dropDuplicates(simhash)` — first-arrival
+    * order is a stream-only notion; batch callers wanting a deterministic
+    * keeper should group on the signature and pick min-id (the q91 rule).
+    */
+  def simhashDedupStream(docs: DataFrame, textCol: String = "text",
+      bits: Int = 16, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    val sig = docs.withColumn("simhash",
+      graft.operators.Dedup.simHashCol(col(textCol), bits))
+    if (docs.isStreaming)
+      sig.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("simhash")
+    else sig.dropDuplicates("simhash")
+  }
 }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.scalactic.Tolerance._
+
+import graft.SparkSpec
+
+/** Round-9 continuation operators: strided-suffix duplicated spans,
+  * script/homoglyph profiling, hardness-tilted domain weights, tokenizer
+  * fertility, and streaming SimHash dedup.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- maximalDupSpans ----------
+
+  test("maximalDupSpans finds the shared run with its maximal length") {
+    // docs 1 and 2 share the 7-token run "a b c d e f g" starting at
+    // position 1 (stride 1 so every start position seeds); doc 3 is noise
+    val docs = Seq(
+      (1L, "a b c d e f g x1 y1 z1"),
+      (2L, "a b c d e f g x2 y2 z2"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = Dedup.maximalDupSpans(docs, "text", "doc_id",
+      stride = 1, minLen = 5, maxLen = 8, maxBucket = 50, topN = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.minBy(_.getAs[Long]("rk"))
+    assert(top.getAs[String]("span") === "a b c d e")
+    assert(top.getAs[Long]("dup_len") === 7L)
+    assert(top.getAs[Long]("n_docs") === 2L)
+    // the shorter tail seeds ("b c d e f g …") report their shorter matches
+    assert(out.forall(r => r.getAs[Long]("dup_len") <= 8L &&
+      r.getAs[Long]("dup_len") >= 5L))
+  }
+
+  test("maximalDupSpans match length is capped by the shorter suffix") {
+    // shared 5-token tail at the very end of both docs: suffixes have
+    // exactly 5 tokens, so dup_len must be 5 even though slices of a
+    // shorter array would spuriously compare equal at larger j
+    val docs = Seq(
+      (1L, "x1 x2 m n o p q"),
+      (2L, "y1 y2 y3 m n o p q")).toDF("doc_id", "text")
+    val out = Dedup.maximalDupSpans(docs, "text", "doc_id",
+      stride = 1, minLen = 5, maxLen = 8, maxBucket = 50, topN = 10).collect()
+    val hit = out.find(_.getAs[String]("span") == "m n o p q")
+    assert(hit.isDefined)
+    assert(hit.get.getAs[Long]("dup_len") === 5L)
+  }
+
+  test("maximalDupSpans drops seeds over the bucket cap (skew guard)") {
+    // one boilerplate seed repeated across 30 docs; cap at 10 suffixes
+    val hot = (1L to 30L).map(i => (i, s"the same hot seed line tail$i"))
+    val pair = Seq((100L, "u v w x y z1 q"), (101L, "u v w x y z2 r"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val out = Dedup.maximalDupSpans(docs, "text", "doc_id",
+      stride = 1, minLen = 5, maxLen = 8, maxBucket = 10, topN = 50).collect()
+    assert(!out.exists(_.getAs[String]("span").startsWith("the same hot")))
+    assert(out.exists(_.getAs[String]("span") == "u v w x y"))
+  }
+
+  test("maximalDupSpans agrees with a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val stride = 1 + rnd.nextInt(3)
+      val docs = (1L to 12L).map { i =>
+        (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val (minLen, maxLen, maxBucket, topN) = (3, 6, 40, 15)
+      val got = Dedup.maximalDupSpans(docs.toDF("doc_id", "text"), "text",
+          "doc_id", stride, minLen, maxLen, maxBucket, topN)
+        .collect()
+        .map(r => (r.getAs[Long]("rk"), r.getAs[String]("span"),
+          r.getAs[Long]("dup_len"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_occ"))).toSeq.sortBy(_._1)
+
+      // reference: same semantics, single-machine
+      case class Sfx(doc: Long, p: Int, toks: Vector[String]) {
+        def span: String = toks.take(minLen).mkString(" ")
+        def key: String = toks.mkString(" ")
+      }
+      val sfx = docs.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").toVector
+        if (toks.size < minLen) Nil
+        else (1 to (toks.size - (minLen - 1)) by stride).map(p =>
+          Sfx(id, p, toks.slice(p - 1, p - 1 + maxLen)))
+      }
+      val agg = sfx.groupBy(_.span).filter(_._2.size <= maxBucket)
+        .flatMap { case (span, g) =>
+          val sorted = g.sortBy(s => (s.key, s.doc, s.p))
+          val matches = sorted.zip(sorted.drop(1)).collect {
+            case (a, b) if a.doc != b.doc =>
+              minLen + (minLen + 1 to maxLen).count(j =>
+                j <= math.min(a.toks.size, b.toks.size) &&
+                  a.toks.take(j) == b.toks.take(j)).toLong
+          }
+          val nd = g.map(_.doc).distinct.size
+          if (nd >= 2 && matches.nonEmpty)
+            Some((span, matches.max, nd.toLong, g.size.toLong))
+          else None
+        }.toSeq
+      val want = agg.sortBy { case (span, dl, _, _) => (-dl, span) }
+        .take(topN).zipWithIndex
+        .map { case ((span, dl, nd, no), i) => (i + 1L, span, dl, nd, no) }
+      assert(got === want, s"trial $trial (stride $stride)")
+    }
+  }
+
+  // ---------- scriptProfile ----------
+
+  test("scriptProfile counts scripts, flags in-word homoglyphs") {
+    val docs = Seq(
+      (1L, "pure latin words only"),
+      (2L, "pаypal login pаge"), // Cyrillic а inside Latin words
+      (3L, "latin plus αβγ tokens"), // Greek across words
+      (4L, "12345 67890"),
+      (5L, "буквы")).toDF("doc_id", "text") // pure Cyrillic
+    val out = Scoring.scriptProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("dominant") === "latin")
+    assert(out(1L).getAs[Double]("mix_ratio") === 0.0)
+    assert(out(1L).getAs[Long]("confusable_words") === 0L)
+    assert(out(2L).getAs[Long]("confusable_words") === 2L)
+    assert(out(2L).getAs[Long]("n_cyr") === 2L)
+    assert(out(3L).getAs[String]("dominant") === "latin")
+    assert(out(3L).getAs[Long]("n_greek") === 3L)
+    assert(out(3L).getAs[Long]("confusable_words") === 0L)
+    assert(out(3L).getAs[Double]("mix_ratio") > 0.0)
+    assert(out(4L).getAs[String]("dominant") === "none")
+    assert(out(4L).getAs[Long]("n_digit") === 10L)
+    assert(out(4L).getAs[Double]("mix_ratio") === 0.0)
+    assert(out(5L).getAs[String]("dominant") === "cyrillic")
+  }
+
+  test("scriptProfile dominant ties break latin > cyrillic > greek") {
+    val docs = Seq((1L, "ab аб"), (2L, "аб αβ"))
+      .toDF("doc_id", "text")
+    val out = Scoring.scriptProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("dominant") === "latin")
+    assert(out(2L).getAs[String]("dominant") === "cyrillic")
+  }
+
+  // ---------- hardnessTiltedWeights ----------
+
+  test("hardnessTiltedWeights up-weights the harder domain, weights sum to 1") {
+    // easy: repeats of one common token; hard: all-distinct rare tokens
+    val easy = (1L to 8L).map(i => (i, "common common common common", "easy"))
+    val hard = (9L to 12L).map(i =>
+      (i, s"rare${i}a rare${i}b rare${i}c rare${i}d", "hard"))
+    val docs = (easy ++ hard).toDF("doc_id", "text", "source")
+    val out = Sampling.hardnessTiltedWeights(docs, "source", "text", "doc_id",
+        eta = 1.0, clipLo = 0.5, clipHi = 2.0)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val (e, h) = (out("easy"), out("hard"))
+    assert(h.getAs[Double]("mean_nll") > e.getAs[Double]("mean_nll"))
+    assert(h.getAs[Double]("excess") > 0 && e.getAs[Double]("excess") < 0)
+    assert(h.getAs[Double]("tilt") > 1.0 && e.getAs[Double]("tilt") < 1.0)
+    Seq(e, h).foreach { r =>
+      val t = r.getAs[Double]("tilt")
+      assert(t >= 0.5 && t <= 2.0)
+    }
+    val total = out.values.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - 1.0) < 1e-5)
+    // the tilt must actually shift mass off the doc-count share
+    assert(h.getAs[Double]("weight") > 4.0 / 12.0)
+  }
+
+  test("hardnessTiltedWeights single domain degenerates to weight 1, tilt 1") {
+    val docs = Seq((1L, "a b c", "only"), (2L, "a b d", "only"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.hardnessTiltedWeights(docs, "source", "text", "doc_id")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("excess") === 0.0)
+    assert(out.head.getAs[Double]("tilt") === 1.0)
+    assert(math.abs(out.head.getAs[Double]("weight") - 1.0) < 1e-6)
+  }
+
+  // ---------- fertilityByGroup ----------
+
+  test("fertilityByGroup rolls encodeStats up per group") {
+    // merge (a,b) fuses "ab" to one symbol: "ab ab" = 2 words, 2 symbols
+    val docs = Seq(
+      (1L, "ab ab", "g1"), (2L, "cd", "g1"), (3L, "ab cd", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val out = Bpe.fertilityByGroup(docs, "text", "doc_id", "lang",
+        Seq(("a", "b")))
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    // g1: doc1 "ab ab" -> 2 syms; doc2 "cd" -> 2 syms (no merge) = 3 words,
+    // 4 syms, 6 chars
+    assert(out("g1").getAs[Long]("n_docs") === 2L)
+    assert(out("g1").getAs[Long]("n_words") === 3L)
+    assert(out("g1").getAs[Long]("n_bpe") === 4L)
+    assert(out("g1").getAs[Double]("fertility") === 4.0 / 3.0 +- 1e-6)
+    assert(out("g1").getAs[Double]("chars_per_sym") === 1.5)
+    // g2: "ab cd" -> 1 + 2 = 3 syms, 2 words, 4 chars
+    assert(out("g2").getAs[Long]("n_bpe") === 3L)
+    assert(out("g2").getAs[Double]("fertility") === 1.5)
+  }
+
+  test("fertilityByGroup keeps wordless docs as zero contributions") {
+    val docs = Seq((1L, "", "g"), (2L, "xy", "g")).toDF("doc_id", "text", "lang")
+    val out = Bpe.fertilityByGroup(docs, "text", "doc_id", "lang", Nil).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+    assert(out.head.getAs[Long]("n_words") === 1L)
+    assert(out.head.getAs[Long]("n_bpe") === 2L)
+  }
+
+}

@@ -232,6 +232,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.count() === 2)
   }
 
+  test("streaming SimHash dedup suppresses signature collisions, keeps distinct docs") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_simhash").toString
+    Seq(
+      (1L, ts(60), "alpha beta gamma delta epsilon"),
+      (2L, ts(61), "beta alpha gamma epsilon delta"), // same token SET -> same simhash
+      (3L, ts(62), "totally different words entirely here"))
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = DocStreams.simhashDedupStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("simdedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("simdedup_out").select("doc_id", "simhash").collect()
+    // docs 1 and 2 collide (identical token set -> identical signature):
+    // exactly one survives; doc 3 has its own signature
+    assert(out.length === 2)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && (ids.contains(1L) ^ ids.contains(2L)))
+    // the streaming signature matches the batch operator's on the same rows
+    val batchSig = graft.operators.Dedup
+      .simHash(spark.read.parquet(dir), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) === batchSig(r.getLong(0))))
+    // batch fallback keeps one row per signature
+    assert(DocStreams.simhashDedupStream(spark.read.parquet(dir)).count() === 2)
+  }
+
   test("foreachBatch incremental ingest: crawl cycles dedup against the accumulating store") {
     // the production rolling-crawl pattern: each micro-batch (one crawl
     // cycle) runs incrementalDedup against the store built by all prior
