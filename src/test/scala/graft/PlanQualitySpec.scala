@@ -302,4 +302,36 @@ class PlanQualitySpec extends SparkSpec {
       s"drift top-N lost the per-partition-heap shape:\n$p")
     assert(p.contains("partial_count"), s"token counts not map-side combined:\n$p")
   }
+
+  test("q201 suffix dup: both seed windows share ONE exchange, no all-pairs join") {
+    val p = executedPlan("q201_suffix_dup")
+    // the cap filter and the sorted lag window both partition on the seed;
+    // Catalyst must reuse a single hashpartitioning(span) exchange — two
+    // would re-shuffle the suffix table between the cap and the sort
+    val spanExchanges = "hashpartitioning\\(span".r.findAllIn(p).size
+    assert(spanExchanges >= 1 && spanExchanges <= 2,
+      s"suffix table shuffled $spanExchanges times on the seed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"suffix dedup fell back to an all-pairs join:\n$p")
+  }
+
+  test("q202 script profile is one shuffle-free codegen'd projection") {
+    val df = SparkEntry.queries("q202_script_mix")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the orderBy is the gate's presentation sort; the profile itself must
+    // add no aggregation and no join — per-row regex work only
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"script profile grew a shuffle/join stage:\n$p")
+    assert(p.contains("*("), s"script profile fell out of codegen:\n$p")
+  }
+
+  test("q203 domain tilt: corpus scalars ride broadcasts, domain agg partial") {
+    val p = executedPlan("q203_domain_tilt")
+    assert(p.contains("partial_count"), s"domain counts not map-side combined:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"corpus mean / normalizer not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar attach became a real cartesian:\n$p")
+  }
 }
