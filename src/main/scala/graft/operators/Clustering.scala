@@ -55,6 +55,60 @@ object Clustering {
     }.toSeq.toDF("cluster", "pos", "val")
   }
 
+  /** Cluster-outlier pruning — the embedding-curation step after [[kmeans]]
+    * (the LAION/DataComp recipe prunes the points FARTHEST from their
+    * cluster centroid as noise/mislabels, the mirror image of
+    * [[Dedup.semDedup]]'s nearest-pair pruning): every vector is assigned
+    * to its nearest final centroid, its squared-L2 distance standardized
+    * against the WITHIN-cluster distance distribution, and points with
+    * z > `zCut` flagged.
+    *
+    * Determinism end to end: the fitted centroids come from the
+    * deterministic Lloyd recipe; assignment replays the 9-dp
+    * round/lowest-index chain; the per-cluster mean and variance are
+    * computed from exact nano-unit integer sums (decimal accumulators, the
+    * [[Similarity.standardize]] rule) so both moments are order-free and
+    * engine-identical; z is rounded once to 6 dp.
+    *
+    * Scale: one assign pass with centroid literals (no join), one
+    * map-side-combined k-group aggregate, one broadcast join back — the
+    * corpus shuffles nothing but the k-row stats table.
+    *
+    * @return (vec_id, cluster, dist, z, is_outlier) — dist the 9-dp
+    *         squared L2 to the assigned centroid; σ = 0 clusters report
+    *         z = 0 (never outliers).
+    */
+  def clusterOutliers(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, zCut: Double = 2.0): DataFrame = {
+    val cents = kmeansFit(df, vecCol, idCol, k, iters)
+    val dim = cents.head.length
+    val vecs = df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(assert_true(size(col("v")) === dim,
+        lit(s"clusterOutliers: vector dimension must be $dim for every row")).isNull)
+    val centsLit = array(cents.map(c => lit(c)): _*)
+    val assigned = vecs
+      .withColumn("cluster", element_at(
+        NativeExpressions.pqCodesNative(col("v"), Seq(cents), 9), 1))
+      .withColumn("dist", round(NativeExpressions.l2sqNative(col("v"),
+        element_at(centsLit, col("cluster") + 1)), 9))
+      .withColumn("__di", round(col("dist") * 1e9, 0).cast("long"))
+    val stats = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__di").cast("decimal(38,0)")).as("__s1"),
+      sum((col("__di").cast("decimal(38,0)") * col("__di").cast("decimal(38,0)")))
+        .as("__s2"))
+    assigned.join(broadcast(stats), "cluster" :: Nil)
+      .withColumn("__mu", col("__s1").cast("double") / (lit(1e9) * col("__n")))
+      .withColumn("__sigma", sqrt(greatest(lit(0.0),
+        col("__s2").cast("double") / (lit(1e18) * col("__n"))
+          - col("__mu") * col("__mu"))))
+      .withColumn("z", when(col("__sigma") > 0.0,
+        round((col("dist") - col("__mu")) / col("__sigma"), 6)).otherwise(0.0))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("z"),
+        (col("z") > zCut).as("is_outlier"))
+  }
+
   /** First principal direction (dominant right singular vector of the
     * uncentered data matrix) by DETERMINISTIC power iteration, plus the
     * per-row projection — the embedding-analysis primitive behind

@@ -121,6 +121,33 @@ object Layout {
     * appends a sliver to every partition and a 1000-task write creates
     * |tasks|×|partitions| tiny files. LayoutSpec asserts read-side pruning.
     */
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over s ∈ [0, nShards) of md5(key ":" s) — the consistent-
+    * hashing rule for INCREMENTAL output layouts. Unlike `hash(key) mod n`,
+    * growing n → n+1 reassigns only the keys whose new candidate wins
+    * (≈ 1/(n+1) of them, spec-asserted); under mod-hashing nearly every
+    * key moves, which at 100 TB means rewriting the whole store instead
+    * of one new shard's worth.
+    *
+    * Pure per-row compute (nShards md5 evaluations inside one codegen'd
+    * projection), zero shuffle, engine-replayable (md5 everywhere). Ties —
+    * cryptographically negligible — break toward the HIGHER shard id, the
+    * same (h DESC, s DESC) rule the oracle's row_number replays.
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val cand = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        md5(concat(key.cast("string"), lit(":"), s.cast("string"))).as("h"),
+        s.as("s")))
+    array_max(cand).getField("s").cast("long")
+  }
+
+  /** [[rendezvousShard]] applied as a column: (input columns…, <outCol>). */
+  def rendezvousShards(df: DataFrame, keyCol: String, nShards: Int,
+      outCol: String = "shard"): DataFrame =
+    df.withColumn(outCol, rendezvousShard(col(keyCol), nShards))
+
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "need at least one partition column")
     df.repartition(partCols.map(col): _*)

@@ -363,6 +363,47 @@ object Sampling {
       .drop("__wrank")
   }
 
+  /** Leakage-free train/holdout split: the [[hashSplit]] assignment with
+    * the train side DECONTAMINATED against the holdout side — any train
+    * document sharing even one `k`-token shingle with any holdout document
+    * is flagged `leaky` and excluded from `kept_train`. This is the eval-
+    * hygiene step run before pretraining: a held-out benchmark built from
+    * the same crawl is worthless if its text also sits in the training
+    * split ([[Contamination.shingleOverlap]] MEASURES that overlap per
+    * holdout doc; this operator ACTS on it from the train side).
+    *
+    * Scale shape: documents reduce to distinct (doc, shingle-hash) pairs —
+    * the join keys are [[Dedup.portableTokenId]] hashes, never shingle
+    * strings; the holdout side's distinct hash set is the small build side
+    * of one LEFT SEMI join (holdout ≪ train by construction, AQE
+    * broadcasts it when it fits); the flag joins back on doc id. No
+    * doc×doc work anywhere.
+    *
+    * @return (doc_id, split, leaky, kept_train) — one row per input doc;
+    *         `leaky` is always false for holdout docs.
+    */
+  def leakFreeSplit(df: DataFrame, textCol: String, idCol: String,
+      trainBuckets: Int, k: Int = 3): DataFrame = {
+    val split = hashSplit(df.select(col(idCol), col(textCol)), idCol,
+      trainBuckets)
+    val sh = split.select(col(idCol).as("doc_id"), col("split"),
+        explode(Dedup.shingleArray(col(textCol), k)).as("shingle"))
+      .select(col("doc_id"), col("split"),
+        Dedup.portableTokenId(col("shingle")).as("tid"))
+    val holdTids = sh.filter(col("split") === "holdout")
+      .select("tid").distinct()
+    val leaky = sh.filter(col("split") === "train")
+      .join(holdTids, Seq("tid"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__leak", lit(true))
+    split.select(col(idCol).as("doc_id"), col("split"))
+      .join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("__leak"), lit(false)).as("leaky"),
+        (col("split") === "train" && coalesce(col("__leak"), lit(false)) === false)
+          .as("kept_train"))
+  }
+
   /** Hardness-tilted domain mixture — the DoReMi-flavored reweighting step
     * (Xie et al. 2023 tilt domain weights by excess loss under a proxy
     * model; here the proxy is the corpus-fit unigram LM the pipeline

@@ -1602,6 +1602,37 @@ object Pipeline {
         .localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
+    }),
+
+    // cluster-outlier pruning (the LAION/DataComp far-from-centroid noise
+    // filter, the mirror of q104's nearest-pair SemDeDup): per-point 9-dp
+    // L2² to its final centroid, standardized against within-cluster
+    // moments from exact nano-unit integer sums, z > 2 flagged.
+    "q206_cluster_outliers" -> ((s, d) => {
+      graft.operators.Clustering.clusterOutliers(Tables(s, d).embeddings,
+          "embedding", "vec_id", k = 8, iters = 3, zCut = 2.0)
+        .orderBy("vec_id")
+    }),
+
+    // rendezvous (highest-random-weight) sharding: argmax md5(key:s) over
+    // shard candidates; growing 8 -> 9 shards must move ONLY keys won by
+    // the new shard (the consistent-hashing property mod-hashing lacks).
+    "q207_rendezvous_shards" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+          graft.operators.Layout.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          graft.operators.Layout.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("doc_id")
+    }),
+
+    // leakage-free split: the q69 hash split with the train side
+    // decontaminated against the holdout side — any train doc sharing a
+    // 3-token shingle (by portable hash, never strings) with any holdout
+    // doc is flagged leaky and excluded from kept_train.
+    "q208_leakfree_split" -> ((s, d) => {
+      graft.operators.Sampling.leakFreeSplit(Tables(s, d).documents,
+          "text", "doc_id", trainBuckets = 205, k = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -3273,6 +3304,71 @@ object Pipeline {
       // signature set (which doc survives per signature is arrival order —
       // stream-only; the set is deterministic, the q100 rule)
       s"""WITH $simhashSql
-         |SELECT DISTINCT simhash FROM sh ORDER BY simhash""".stripMargin
+         |SELECT DISTINCT simhash FROM sh ORDER BY simhash""".stripMargin,
+    "q206_cluster_outliers" ->
+      // the q94 Lloyd chain + one FINAL assign round against c3 (the
+      // operator assigns with the fitted centroids), nano-unit integer
+      // moments (the q144 HUGEINT rule), z's signed zero canonicalized
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+         |df4 AS (SELECT v.vec_id, c.cl,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (v.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 9) AS dist
+         |  FROM v CROSS JOIN c3 c),
+         |af AS (SELECT vec_id, cl, dist FROM (
+         |    SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cl) AS rn FROM df4) WHERE rn = 1),
+         |di AS (SELECT vec_id, cl, dist,
+         |    CAST(round(dist * 1e9, 0) AS BIGINT) AS d9 FROM af),
+         |st AS (SELECT cl, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d9) AS HUGEINT) AS s1,
+         |    sum(CAST(d9 AS HUGEINT) * d9) AS s2 FROM di GROUP BY cl),
+         |jz AS (SELECT di.vec_id, di.cl, di.dist,
+         |    CAST(st.s1 AS DOUBLE) / (1e9 * st.n) AS mu,
+         |    sqrt(greatest(0.0, CAST(st.s2 AS DOUBLE) / (1e18 * st.n)
+         |      - (CAST(st.s1 AS DOUBLE) / (1e9 * st.n)) * (CAST(st.s1 AS DOUBLE) / (1e9 * st.n)))) AS sigma
+         |  FROM di JOIN st USING (cl))
+         |SELECT vec_id, cl AS cluster, dist,
+         |  CASE WHEN sigma > 0 THEN round((dist - mu) / sigma, 6) + 0.0
+         |    ELSE 0.0 END AS z,
+         |  CASE WHEN sigma > 0 THEN round((dist - mu) / sigma, 6) > 2.0
+         |    ELSE FALSE END AS is_outlier
+         |FROM jz ORDER BY vec_id""".stripMargin,
+    "q207_rendezvous_shards" ->
+      // identical md5(key:s) candidates; winner via (h DESC, s DESC) —
+      // the operator's array_max over (h, s) structs replays as row_number
+      """WITH cand AS (SELECT doc_id, CAST(u.s AS BIGINT) AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)) AS h
+        |  FROM documents, unnest(range(0, 9)) AS u(s)),
+        |r8 AS (SELECT doc_id, s AS shard8 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS rn
+        |    FROM cand WHERE s < 8) WHERE rn = 1),
+        |r9 AS (SELECT doc_id, s AS shard9 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS rn
+        |    FROM cand) WHERE rn = 1)
+        |SELECT r8.doc_id, shard8, shard9, shard8 != shard9 AS moved
+        |FROM r8 JOIN r9 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q208_leakfree_split" ->
+      // the q69 bucket rule (205 buckets -> 'cc'), 3-token shingles by
+      // portable md5-prefix hash (the q55 tid rule), leak = train shingle
+      // hash present in the holdout distinct set
+      """WITH sp AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cc'
+        |      THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
+        |shq AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+        |  FROM w0 WHERE len(w) >= 3),
+        |tid AS (SELECT doc_id, split,
+        |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS tid FROM shq),
+        |ho AS (SELECT DISTINCT tid FROM tid WHERE split = 'holdout'),
+        |lk AS (SELECT DISTINCT doc_id FROM tid
+        |  WHERE split = 'train' AND tid IN (SELECT tid FROM ho))
+        |SELECT sp.doc_id, sp.split,
+        |  lk.doc_id IS NOT NULL AS leaky,
+        |  (sp.split = 'train' AND lk.doc_id IS NULL) AS kept_train
+        |FROM sp LEFT JOIN lk USING (doc_id) ORDER BY sp.doc_id""".stripMargin
   )
 }

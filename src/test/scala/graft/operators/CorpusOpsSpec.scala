@@ -208,4 +208,93 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_bpe") === 2L)
   }
 
+  // ---------- clusterOutliers ----------
+
+  test("clusterOutliers flags the injected far point, not the cluster body") {
+    // two tight 2-d clusters of 6 points each + one far outlier attached
+    // to the first cluster's side of space
+    val near = (1L to 6L).map(i => (i, Array(0.0f, 0.0f + i * 0.01f))) ++
+      (11L to 16L).map(i => (i, Array(10.0f, 10.0f + (i - 10) * 0.01f)))
+    val far = Seq((99L, Array(3.0f, 3.0f)))
+    val df = (near ++ far).toDF("vec_id", "embedding")
+    val out = Clustering.clusterOutliers(df, "embedding", "vec_id",
+      k = 2, iters = 3, zCut = 2.0)
+    val rows = out.collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows(99L).getAs[Boolean]("is_outlier"),
+      s"far point not flagged: ${rows(99L)}")
+    assert((1L to 6L).forall(i => !rows(i).getAs[Boolean]("is_outlier")))
+    assert((11L to 16L).forall(i => !rows(i).getAs[Boolean]("is_outlier")))
+  }
+
+  test("clusterOutliers: zero-variance cluster reports z = 0, never outliers") {
+    val df = ((1L to 5L).map(i => (i, Array(1.0f, 1.0f))) ++
+      (11L to 15L).map(i => (i, Array(5.0f, 5.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.clusterOutliers(df, "embedding", "vec_id",
+      k = 2, iters = 2).collect()
+    assert(out.forall(_.getAs[Double]("z") === 0.0))
+    assert(out.forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
+  // ---------- rendezvousShard ----------
+
+  test("rendezvous sharding: growing n moves keys ONLY onto the new shard") {
+    import org.apache.spark.sql.functions.col
+    val keys = (1L to 2000L).toDF("k")
+    val out = keys.select(col("k"),
+        Layout.rendezvousShard(col("k"), 8).as("s8"),
+        Layout.rendezvousShard(col("k"), 9).as("s9"))
+      .collect()
+    val moved = out.filter(r => r.getLong(1) != r.getLong(2))
+    // the consistent-hashing property: a key moves iff the NEW candidate
+    // wins, so every moved key lands on shard 8 (the added one)
+    assert(moved.forall(_.getLong(2) === 8L))
+    // and roughly 1/9 of keys move (binomial, loose bounds)
+    assert(moved.length > 2000 / 9 / 2 && moved.length < 2000 / 9 * 2,
+      s"moved ${moved.length} of 2000")
+    // shards are balanced-ish under n = 8
+    val byShard = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(byShard.size === 8)
+    assert(byShard.values.forall(c => c > 125 && c < 375), byShard.toMap)
+  }
+
+  // ---------- leakFreeSplit ----------
+
+  test("leakFreeSplit agrees with a brute-force reference on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 4) {
+      val docs = (1L to 40L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val trainBuckets = 128 + rnd.nextInt(100)
+      val got = Sampling.leakFreeSplit(docs.toDF("doc_id", "text"), "text",
+          "doc_id", trainBuckets, k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+          r.getAs[Boolean]("leaky"), r.getAs[Boolean]("kept_train")))
+        .sortBy(_._1)
+
+      val threshold = f"${trainBuckets - 1}%02x"
+      def splitOf(id: Long): String =
+        if (md5hex(id.toString).take(2) <= threshold) "train" else "holdout"
+      def shingles(text: String): Set[String] = {
+        val t = text.trim.split("\\s+").toVector
+        if (t.size < 3) Set.empty
+        else t.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val holdoutSh = docs.filter(d => splitOf(d._1) == "holdout")
+        .flatMap(d => shingles(d._2)).toSet
+      val want = docs.map { case (id, text) =>
+        val sp = splitOf(id)
+        val leak = sp == "train" && shingles(text).exists(holdoutSh.contains)
+        (id, sp, leak, sp == "train" && !leak)
+      }.sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"trial $trial (trainBuckets $trainBuckets)")
+    }
+  }
 }
