@@ -66,8 +66,9 @@ object Bench {
         "q168_interleave,q188_ivfpq_envelope," +
         "q195_source_attribution,q197_sq8_index_roundtrip," +
         // round-9 continuation: q205 pays the streaming micro-batch floor,
-        // q204 re-runs the per-round driver-paced BPE merge loop
-        "q204_fertility,q205_stream_near_dedup")
+        // q204 re-runs the per-round driver-paced BPE merge loop, q206 the
+        // driver-paced Lloyd fit
+        "q204_fertility,q205_stream_near_dedup,q206_cluster_outliers")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -744,6 +744,37 @@ object Scoring {
         .cast("double") / 1e6)
   }
 
+  /** Distinct-n-gram diversity per corpus slice — the distinct-n metric
+    * (Li et al. 2016; Zhu et al. 2018 report it as corpus diversity):
+    * |distinct n-grams| / |n-gram occurrences| per group. Low ratios mark
+    * templated/repetitive slices (synthetic-data mode collapse, mirror-
+    * heavy crawls) that per-doc repetition scores miss because the
+    * repetition lives ACROSS documents.
+    *
+    * Scale shape: n-grams explode once and immediately reduce to
+    * (group, md5-prefix hash) counts — the exchange carries 8-byte hashes
+    * with map-side combine, never n-gram strings; the per-group rollup is
+    * a second map-side-combined aggregate over |groups| keys. Ratio is one
+    * exact-long division rounded once.
+    *
+    * @return (group, n_ngrams, n_distinct, distinct_ratio) — docs shorter
+    *         than `n` tokens contribute nothing.
+    */
+  def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.select(col(groupCol).as("group"),
+        explode(graft.functions.TextFunctions.tokenNgrams(col(textCol), n))
+          .as("ng"))
+      .select(col("group"), Dedup.portableTokenId(col("ng")).as("tid"))
+      .groupBy("group", "tid").agg(count(lit(1)).as("c"))
+      .groupBy("group").agg(
+        sum("c").as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum("c").cast("double"), 6)
+          .as("distinct_ratio"))
+  }
+
   /** Writing-system profile + homoglyph-spoofing signal — the script-level
     * step under language ID: which Unicode scripts a document mixes, and
     * whether Latin and Cyrillic CONFUSABLES co-occur inside single words

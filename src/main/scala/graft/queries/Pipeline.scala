@@ -1633,6 +1633,15 @@ object Pipeline {
       graft.operators.Sampling.leakFreeSplit(Tables(s, d).documents,
           "text", "doc_id", trainBuckets = 205, k = 3)
         .orderBy("doc_id")
+    }),
+
+    // distinct-trigram diversity per source (the distinct-n metric):
+    // cross-document repetition that per-doc scores miss; n-grams reduce
+    // to 8-byte hashes before any exchange.
+    "q209_distinct_ngrams" -> ((s, d) => {
+      graft.operators.Scoring.distinctNgramRatio(Tables(s, d).documents,
+          "text", "source", n = 3)
+        .orderBy("group")
     })
   )
 
@@ -3369,6 +3378,22 @@ object Pipeline {
         |SELECT sp.doc_id, sp.split,
         |  lk.doc_id IS NOT NULL AS leaky,
         |  (sp.split = 'train' AND lk.doc_id IS NULL) AS kept_train
-        |FROM sp LEFT JOIN lk USING (doc_id) ORDER BY sp.doc_id""".stripMargin
+        |FROM sp LEFT JOIN lk USING (doc_id) ORDER BY sp.doc_id""".stripMargin,
+    "q209_distinct_ngrams" ->
+      // NON-distinct trigram occurrences hashed to md5-prefix ids (the q55
+      // tid rule), per-(group, tid) counts, then the two-level rollup
+      """WITH w AS (SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> array_to_string(w[i:i+2], ' '))) AS ng
+        |  FROM w WHERE len(w) >= 3),
+        |h AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT) AS tid FROM g),
+        |pg AS (SELECT source, tid, CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY 1, 2)
+        |SELECT source AS "group", CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+        |FROM pg GROUP BY source ORDER BY "group"""".stripMargin
   )
 }

@@ -297,4 +297,71 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got.toSeq === want.toSeq, s"trial $trial (trainBuckets $trainBuckets)")
     }
   }
+
+  // ---------- distinctNgramRatio ----------
+
+  test("distinctNgramRatio counts occurrences vs distinct per group") {
+    val docs = Seq(
+      (1L, "a b c a b c", "s1"), // trigrams: abc bca cab abc -> 4 occ, 3 distinct
+      (2L, "a b c", "s1"), // abc -> 1 occ (dup of doc 1's)
+      (3L, "x y", "s1"), // too short: nothing
+      (4L, "p q r s", "s2")) // pqr qrs -> 2 occ, 2 distinct
+      .toDF("doc_id", "text", "source")
+    val out = Scoring.distinctNgramRatio(docs, "text", "source", n = 3)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(out("s1").getAs[Long]("n_ngrams") === 5L)
+    assert(out("s1").getAs[Long]("n_distinct") === 3L)
+    assert(out("s1").getAs[Double]("distinct_ratio") === 0.6)
+    assert(out("s2").getAs[Long]("n_ngrams") === 2L)
+    assert(out("s2").getAs[Double]("distinct_ratio") === 1.0)
+  }
+
+  test("hardnessTiltedWeights agrees with a driver-side reference on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), s"dom${i % 4}")
+      }
+      val df = docs.toDF("doc_id", "text", "source")
+      val got = Sampling.hardnessTiltedWeights(df, "source", "text", "doc_id",
+          eta = 1.0, clipLo = 0.5, clipHi = 2.0)
+        .collect()
+        .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("mean_nll"), r.getAs[Double]("excess"),
+          r.getAs[Double]("tilt"), r.getAs[Double]("weight")))
+        .sortBy(_._1)
+
+      // reference: corpus-fit unigram nll per doc, then the exact
+      // micro/nano fixed-point chain
+      def r(x: Double, dp: Int): Double =
+        BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val toks = docs.flatMap(_._2.split("\\s+"))
+      val cnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val total = toks.size.toDouble
+      val nll: Map[Long, Double] = docs.map { case (id, text, _) =>
+        val ts = text.split("\\s+").toSeq
+        val micro = ts.map(t =>
+          math.round(r(-math.log(cnt(t) / total), 6) * 1e6)).sum
+        id -> r(micro.toDouble / (1e6 * ts.size), 4)
+      }.toMap
+      val byDom = docs.groupBy(_._3)
+      val corpusMean = r(docs.map(d =>
+        math.round(nll(d._1) * 1e6)).sum.toDouble / (1e6 * docs.size), 6)
+      val raw = byDom.map { case (dom, g) =>
+        val mean = r(g.map(d => math.round(nll(d._1) * 1e6)).sum.toDouble
+          / (1e6 * g.size), 6)
+        val excess = r(mean - corpusMean, 6)
+        val tilt = math.min(math.max(r(math.exp(excess), 6), 0.5), 2.0)
+        (dom, g.size.toLong, mean, excess, tilt,
+          r(g.size.toDouble / docs.size * tilt, 9))
+      }.toSeq
+      val z = raw.map(t => math.round(t._6 * 1e9)).sum.toDouble
+      val want = raw.map { case (dom, n, mean, ex, tilt, rw) =>
+        (dom, n, mean, ex, tilt, r(math.round(rw * 1e9) / z, 6))
+      }.sortBy(_._1)
+      assert(got.toSeq === want, s"trial $trial")
+    }
+  }
 }

@@ -25,15 +25,16 @@ import org.apache.spark.sql.functions._
   * systematically inherits warmer JIT/caches from running later).
   *
   * Measured at sf0.1 / local[32] (2026-08-14, round 9, post machine
-  * recycle): q1 0.98, q5 1.05, WCOJ triangle 0.92, as-of 0.97, interval
-  * 1.15, gap-fill LOCF 0.92, interleave 0.84, containment 0.53, rank
-  * blend 0.82, token drift 0.86, SQ8-vs-exact 1.00 — every engine path
-  * within ~1.15× of the equivalent stock plan, well inside BASELINE.md's
-  * 2× bar, and five of the data-pipeline operators run FASTER than their
-  * stock formulations. (The WCOJ ratio is the dense-triangle case binary
-  * joins handle well; the LeapFrog node exists for the skewed/cyclic
-  * patterns where binary joins blow up the intermediate, per WcojSpec's
-  * differentials.)
+  * recycle): q1 0.99, q5 1.03, WCOJ triangle 1.29, as-of 0.94, interval
+  * 1.11, gap-fill LOCF 0.90, interleave 0.93, containment 0.41, rank
+  * blend 0.86, token drift 0.90, SQ8-vs-exact 0.94, suffix-dup
+  * sort-adjacency 0.88, rendezvous in-row argmax 0.49, leak-free split
+  * 1.07 — every engine path within ~1.3× of the equivalent stock plan,
+  * well inside BASELINE.md's 2× bar, and eight of the data-pipeline
+  * operators run FASTER than their stock formulations. (The WCOJ ratio is
+  * the dense-triangle case binary joins handle well; the LeapFrog node
+  * exists for the skewed/cyclic patterns where binary joins blow up the
+  * intermediate, per WcojSpec's differentials.)
   *
   * `report` asserts both sides return the same row count before timing —
   * a silently-degenerate side (a mis-escaped regex splitting nothing, an
@@ -282,6 +283,87 @@ object StockCompare {
           |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin
           .replace("SFDIR", sfDir))).count())
+
+    // 12. suffix dup spans: the engine's ONE sort-adjacency pass (lag over
+    //     the bucket-sorted suffixes discovers the maximal match length)
+    //     vs the stock per-length formulation — re-group the suffix table
+    //     at EVERY candidate length and take the max L with a cross-doc
+    //     group. Equal by the suffix-array LCP argument (max cross-doc LCP
+    //     is attained at an adjacent pair); topN lifted so both sides
+    //     count every qualifying seed, not a fixed 20
+    report("suffix dup sort-adjacency",
+      graft.operators.Dedup.maximalDupSpans(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+        stride = 4, minLen = 5, maxLen = 8, maxBucket = 50,
+        topN = Int.MaxValue).count(), {
+        spark.sql(stockSql(
+          """WITH t0 AS (SELECT doc_id, split(trim(text), '\\s+') AS w
+            |  FROM documents),
+            |sfx AS (SELECT doc_id, slice(w, p, 8) AS sfx
+            |  FROM (SELECT doc_id, w, explode(sequence(1, size(w) - 4, 4)) AS p
+            |        FROM t0 WHERE size(w) >= 5)),
+            |k AS (SELECT doc_id, sfx, concat_ws(' ', slice(sfx, 1, 5)) AS span
+            |  FROM sfx),
+            |capn AS (SELECT span FROM k GROUP BY span HAVING count(*) <= 50),
+            |f AS (SELECT k.* FROM k JOIN capn USING (span)),
+            |lv AS (SELECT span, L, concat_ws(' ', slice(sfx, 1, L)) AS pre,
+            |    doc_id
+            |  FROM f LATERAL VIEW explode(sequence(5, 8)) x AS L
+            |  WHERE size(sfx) >= L),
+            |dup AS (SELECT span, L FROM lv GROUP BY span, L, pre
+            |  HAVING count(DISTINCT doc_id) >= 2),
+            |dl AS (SELECT span, max(L) AS dup_len FROM dup GROUP BY span),
+            |st AS (SELECT span, count(*) AS n_occ,
+            |    count(DISTINCT doc_id) AS n_docs FROM f GROUP BY span)
+            |SELECT dl.span, dl.dup_len, st.n_docs, st.n_occ
+            |FROM dl JOIN st USING (span) WHERE st.n_docs >= 2""".stripMargin)).count()
+      })
+
+    // 13. rendezvous sharding: the engine's IN-ROW argmax (transform +
+    //     array_max, zero shuffle) vs the stock explode + window
+    //     formulation — n candidate rows per key shuffled into a
+    //     per-key row_number
+    report("rendezvous in-row argmax",
+      graft.queries.Pipeline.queries("q207_rendezvous_shards")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH cand AS (SELECT doc_id, s,
+            |    md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))) AS h
+            |  FROM documents LATERAL VIEW explode(sequence(0, 8)) x AS s),
+            |r8 AS (SELECT doc_id, s AS shard8 FROM (
+            |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+            |      ORDER BY h DESC, s DESC) AS rn FROM cand WHERE s < 8)
+            |  WHERE rn = 1),
+            |r9 AS (SELECT doc_id, s AS shard9 FROM (
+            |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+            |      ORDER BY h DESC, s DESC) AS rn FROM cand) WHERE rn = 1)
+            |SELECT r8.doc_id, shard8, shard9, shard8 != shard9 AS moved
+            |FROM r8 JOIN r9 USING (doc_id) ORDER BY doc_id""".stripMargin)).count()
+      })
+
+    // 14. leak-free split: the engine's hash-keyed shingle semi join
+    //     (portable 64-bit ids) vs the stock STRING-keyed formulation —
+    //     the exchange carries whole shingle strings instead of 8-byte
+    //     hashes
+    report("leakfree split hash keys",
+      graft.queries.Pipeline.queries("q208_leakfree_split")(spark, sfDir).count(), {
+        spark.sql(stockSql(
+          """WITH sp AS (SELECT doc_id, text,
+            |    CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) <= 'cc'
+            |      THEN 'train' ELSE 'holdout' END AS split
+            |  FROM documents),
+            |w0 AS (SELECT doc_id, split, split(trim(text), '\\s+') AS w FROM sp),
+            |sh AS (SELECT DISTINCT doc_id, split, sh FROM (
+            |  SELECT doc_id, split, explode(transform(sequence(1, size(w) - 2),
+            |    i -> concat_ws(' ', slice(w, i, 3)))) AS sh
+            |  FROM w0 WHERE size(w) >= 3)),
+            |ho AS (SELECT DISTINCT sh FROM sh WHERE split = 'holdout'),
+            |lk AS (SELECT DISTINCT doc_id FROM sh
+            |  LEFT SEMI JOIN ho ON sh.sh = ho.sh WHERE split = 'train')
+            |SELECT sp.doc_id, sp.split,
+            |  lk.doc_id IS NOT NULL AS leaky,
+            |  (sp.split = 'train' AND lk.doc_id IS NULL) AS kept_train
+            |FROM sp LEFT JOIN lk USING (doc_id) ORDER BY sp.doc_id""".stripMargin)).count()
+      })
 
     spark.stop()
   }
