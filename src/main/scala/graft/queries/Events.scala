@@ -284,6 +284,26 @@ object Events {
           "win_start", "win_end", bucketWidthSeconds = 3600L)
         .select(col("event_id"), col("win_idx"))
         .orderBy("event_id", "win_idx")
+    }),
+
+    // streaming windowed distinct-count via the PORTABLE register HLL —
+    // ONE stateful aggregation (per-register maxes ARE the sketch union),
+    // append-mode under the q141 zero-delay watermark rule; the oracle
+    // replays the ESTIMATES bit-for-bit, not just an error bound.
+    "q210_stream_distinct_hll" -> ((s, d) => {
+      val name = s"stream_hll_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val agg = EventStreams.windowedDistinctHll(stream, "user_id",
+        "1 hour", watermark = Some("0 seconds"), p = 6)
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("win_start").localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
     })
   )
 
@@ -497,6 +517,42 @@ object Events {
         |w AS (SELECT win_idx, min(ts) AS ws, max(ts) AS we FROM s GROUP BY 1)
         |SELECT e.event_id, w.win_idx
         |FROM events e JOIN w ON e.ts >= w.ws AND e.ts <= w.we
-        |ORDER BY e.event_id, w.win_idx""".stripMargin
+        |ORDER BY e.event_id, w.win_idx""".stripMargin,
+    "q210_stream_distinct_hll" ->
+      // identical register HLL: reg = md5-high-32 mod 64, rank = trailing
+      // zeros of md5-low-32 + 1 (monotone divisibility count), per-window
+      // per-register maxes over an explicit 64-register grid, Σ2^-M as
+      // exact dyadic divisions, ln 6-dp rounded (the q194 rule), q141's
+      // zero-delay append emission (window end <= max ts)
+      """WITH mts AS (SELECT max(ts) AS mx FROM events),
+        |e AS (SELECT date_trunc('hour', ts) AS win_start,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |hh AS (SELECT win_start,
+        |    CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS INT) AS reg,
+        |    CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS h2
+        |  FROM e),
+        |r AS (SELECT win_start, reg,
+        |    CAST(len(list_filter(range(1, 33),
+        |      j -> h2 % (1::BIGINT << j) = 0)) + 1 AS INT) AS rnk
+        |  FROM hh),
+        |mreg AS (SELECT win_start, reg, max(rnk) AS mr FROM r GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT win_start FROM r),
+        |fl AS (SELECT g.win_start, CAST(u.j AS INT) AS reg,
+        |    coalesce(m.mr, 0) AS mr
+        |  FROM grid g CROSS JOIN unnest(range(0, 64)) AS u(j)
+        |  LEFT JOIN mreg m ON m.win_start = g.win_start AND m.reg = u.j),
+        |est AS (SELECT win_start,
+        |    sum(1.0 / (1::BIGINT << mr)) AS s,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM fl GROUP BY win_start),
+        |ne AS (SELECT win_start, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1)
+        |SELECT est.win_start, ne.n_events,
+        |  CASE WHEN (0.709 * 64 * 64) / s <= 2.5 * 64 AND zeros > 0
+        |    THEN round(64.0 * round(ln(64.0 / zeros), 6), 4)
+        |    ELSE round((0.709 * 64 * 64) / s, 4) END AS est_distinct
+        |FROM est JOIN ne USING (win_start) CROSS JOIN mts
+        |WHERE est.win_start + INTERVAL 1 HOUR <= mts.mx
+        |ORDER BY est.win_start""".stripMargin
   )
 }

@@ -35,6 +35,66 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Approximate distinct keys per tumbling window via a PORTABLE register
+    * HyperLogLog — the unbounded-stream cardinality question ("distinct
+    * users per hour, forever") that an exact streaming count-distinct
+    * cannot answer: its state grows with the true key set, while this holds
+    * exactly 2^p small integers per open window.
+    *
+    * The whole sketch is ONE streaming aggregation: each event maps
+    * statelessly to (register, rank) — register = md5-high bits mod m,
+    * rank = trailing zeros of the md5-low 32 bits + 1 — and the window
+    * group aggregates m per-register MAXes (max is the HLL merge, so
+    * map-side partial aggregation IS sketch union; no custom state store,
+    * no second stateful operator). The estimate is a stateless projection:
+    * α·m²/Σ2^−Mⱼ with the standard small-range linear-counting correction.
+    *
+    * Engine-replayable end to end, unlike the DataSketches surface
+    * ([[graft.operators.Sketches.hllSketchPerGroup]], envelope-gated):
+    * md5-derived integer registers, 2^−M as exact dyadic divisions (never
+    * `pow`), the one `ln` in the small-range branch 6-dp rounded (the
+    * q194 rule) — so the driver gate hash-matches the ESTIMATES, not just
+    * an error bound.
+    *
+    * @return (win_start, n_events, est_distinct), append-mode emission
+    *         under the caller's watermark when `events.isStreaming`.
+    */
+  def windowedDistinctHll(events: DataFrame, keyCol: String,
+      windowLength: String, watermark: Option[String] = None,
+      p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"p must be in [2, 12], got $p")
+    val m = 1 << p
+    val src = watermark.filter(_ => events.isStreaming) match {
+      case Some(w) => events.withWatermark("ts", w)
+      case None    => events
+    }
+    val pows = lit((1 to 32).map(1L << _).toArray) // 2^j for the rank scan
+    val invPows = lit((0 to 33).map(j => 1.0 / (1L << j)).toArray) // 2^-M
+    val keyed = src
+      .select(window(col("ts"), windowLength).as("window"),
+        md5(col(keyCol).cast("string")).as("__md5"))
+      .withColumn("__h2",
+        conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+      .select(col("window"),
+        pmod(conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"), lit(m))
+          .cast("int").as("__reg"),
+        (size(filter(pows, pw => pmod(col("__h2"), pw) === 0)) + 1)
+          .as("__rank"))
+    val maxes = (0 until m).map(j =>
+      max(when(col("__reg") === j, col("__rank"))).as(s"__m_$j"))
+    val agg = keyed.groupBy(col("window"))
+      .agg(count(lit(1)).as("n_events"), maxes: _*)
+    val regs = (0 until m).map(j => coalesce(col(s"__m_$j"), lit(0)))
+    val s = regs.map(r => element_at(invPows, r + 1)).reduce(_ + _)
+    val zeros = regs.map(r => when(r === 0, 1).otherwise(0)).reduce(_ + _)
+    val raw = lit(0.709 * m * m) / s
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      round(lit(m.toDouble) * round(log(lit(m.toDouble) / zeros), 6), 4))
+      .otherwise(round(raw, 4))
+    agg.select(col("window.start").as("win_start"), col("n_events"),
+      est.as("est_distinct"))
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the gap
     * since the user's previous event exceeds `gapSeconds`. Returns the input
     * plus `session_idx` (1-based per user). One shuffle on user_id; the
