@@ -736,14 +736,23 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking column
-    * (e.g. a cluster/label id). Pairwise work bounded per block.
+    * (e.g. a cluster/label id). Pairwise work bounded per block IN TOTAL —
+    * and bounded per TASK by routing the self-join through
+    * [[Skew.saltedJoin]]: nothing bounds one block's size (a dense
+    * embedding region lands everything in one cluster), so a measured-large
+    * input salts the left side by id and replicates the right, splitting a
+    * hot block's |block|² across saltFactor tasks. Every unordered pair
+    * still meets exactly once after the id1 < id2 filter (spec-asserted
+    * identical pair set).
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      routeOn: Seq[DataFrame] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.cosine
     val v1 = df.select(col(idCol).as("id1"), col(blockCol).as("blk"), col(vecCol).as("v1"))
     val v2 = df.select(col(idCol).as("id2"), col(blockCol).as("blk"), col(vecCol).as("v2"))
-    v1.join(v2, "blk" :: Nil).filter(col("id1") < col("id2"))
+    Skew.saltedJoin(v1, v2, Seq("blk"), "id1", routeOn = routeOn)
+      .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -761,8 +770,12 @@ object Dedup {
     * Scale: all-pairs work is confined to a cluster (pick k so n/k rows fit
     * a partition — k ~ n/50k at corpus scale; the paper also uses k in the
     * thousands). The candidate join shuffles (id, cluster, vector) once on
-    * the cluster key; cosine is the codegen'd native expression; only the
-    * k×dim centroid model ever reaches the driver (inside kmeans).
+    * the cluster key and rides [[embeddingNearDup]]'s salted self-join, so
+    * one dense cluster — the semantic-dup-heavy corpora this operator
+    * exists for produce exactly that — splits its |cluster|² across
+    * saltFactor tasks instead of serializing the stage; cosine is the
+    * codegen'd native expression; only the k×dim centroid model ever
+    * reaches the driver (inside kmeans).
     */
   def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, threshold: Double): DataFrame = {
@@ -770,7 +783,10 @@ object Dedup {
     val withCluster = df
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assigned, Seq("vec_id"))
-    val dropped = embeddingNearDup(withCluster, "v", "vec_id", "cluster", threshold)
+    // salt routing reads the TRUE corpus size — the withCluster lineage
+    // estimates as an equi-join byte product under default (no-CBO) stats
+    val dropped = embeddingNearDup(withCluster, "v", "vec_id", "cluster",
+        threshold, routeOn = Seq(df.select(col(idCol), col(vecCol))))
       .select(col("id2").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.join(dropped, Seq("vec_id"), "left")
@@ -987,9 +1003,15 @@ object Dedup {
         countDistinct("doc_id").as("n_docs"),
         max(when(col("prev_doc") =!= col("doc_id"), matchLen)).as("dup_len"))
       .where(col("n_docs") >= 2 && col("dup_len").isNotNull)
-    val rk = Window.orderBy(col("dup_len").desc, col("span").asc)
-    agg.withColumn("rk", row_number().over(rk).cast("long"))
-      .where(col("rk") <= topN)
+    // top-N via sort+limit (TakeOrderedAndProject: per-partition heaps +
+    // driver merge of topN — the survivor set is the cross-doc boilerplate
+    // inventory, unbounded by topN, and an unpartitioned row_number window
+    // would funnel all of it through ONE task); the rank window then runs
+    // over only the topN survivors (the tokenDrift convention).
+    val byLen = Seq(col("dup_len").desc, col("span").asc)
+    val rk = Window.orderBy(byLen: _*)
+    agg.orderBy(byLen: _*).limit(topN)
+      .withColumn("rk", row_number().over(rk).cast("long"))
       .select("rk", "span", "dup_len", "n_docs", "n_occ")
   }
 

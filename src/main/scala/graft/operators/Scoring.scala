@@ -616,9 +616,14 @@ object Scoring {
         round(log((col("cxy").cast("double") / col("nBig")) /
           ((col("c1").cast("double") / col("nTok")) *
             (col("c2").cast("double") / col("nTok")))), 4).as("pmi"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+    // top-K via sort+limit (TakeOrderedAndProject — the ≥minCount bigram
+    // table is vocabulary²-bounded, not topK-bounded, and an unpartitioned
+    // row_number window would rank all of it in ONE task); the rank window
+    // then runs over only the topK survivors (the tokenDrift convention).
+    val byPmi = Seq(col("pmi").desc, col("w1").asc, col("w2").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(byPmi: _*)
+    scored.orderBy(byPmi: _*).limit(topK)
+      .withColumn("rk", row_number().over(w))
       .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
         col("cxy"), col("pmi"))
   }

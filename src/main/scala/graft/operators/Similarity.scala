@@ -34,6 +34,50 @@ object Similarity {
   private val BudgetKey = "graft.sim.broadcastBudgetBytes"
   private val RouteKey = "graft.sim.lastRoute"
 
+  /** The cell join every IVF-confined surface shares: corpus-side rows
+    * (assigned/encoded candidates) joined to the probe side on `cent_id`.
+    * Two hazards, two routes:
+    *   - a broadcast-small probe side takes a broadcast hash join — the
+    *     corpus stays in its scan partitioning, so no per-cell task exists
+    *     and hot cells cannot serialize anything (the common case: a query
+    *     batch probing a big corpus);
+    *   - an over-budget probe side (large query batch, or the corpus
+    *     itself in [[mutualKnnIvf]]'s self-join) must shuffle on the cell
+    *     key, where ONE dense cell — nothing bounds |cell|; near-dup-heavy
+    *     or mode-collapsed corpora produce exactly that — would land its
+    *     whole O(|cell|·|probes-in-cell|) pair work in a single task. That
+    *     route goes through [[Skew.saltedJoin]]: corpus rows salted by id,
+    *     probe rows replicated, per-task work ÷ saltFactor, result
+    *     row-identical (spec-asserted).
+    * Route taken recorded in `graft.sim.lastCellRoute`
+    * ("broadcast" | "salted").
+    */
+  private val CellRouteKey = "graft.sim.lastCellRoute"
+  private def confinedCellJoin(corpus: DataFrame, probes: DataFrame,
+      corpusId: String, probeBase: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val budget = spark.conf.get(BudgetKey, (64L << 20).toString).toLong
+    // two tiers, the budgetedCross pattern — with tier 1 reading the RAW
+    // query frame (`probeBase`), not the probe lineage: the lineage is a
+    // post-crossJoin plan whose Catalyst estimate is a byte product, so it
+    // would read as over-budget for a 5-row batch and force the measuring
+    // job on every call. The base frame's estimate is real (a scan or a
+    // filter of one); the probe explosion is a small constant (`probes`
+    // rows per query, plus a per-row ADC table on the PQ path) the budget's
+    // headroom absorbs. Only a suspicious base estimate pays ONE exact
+    // measuring scan of the probe side (never the corpus).
+    val fits =
+      probeBase.queryExecution.optimizedPlan.stats.sizeInBytes <= budget ||
+        measuredBytes(probes) <= budget
+    if (fits) {
+      spark.conf.set(CellRouteKey, "broadcast")
+      corpus.join(broadcast(probes), "cent_id" :: Nil)
+    } else {
+      spark.conf.set(CellRouteKey, "salted")
+      Skew.saltedJoin(corpus, probes, Seq("cent_id"), corpusId)
+    }
+  }
+
   /** Cross-join `small` onto `big`, broadcasting only when `small` fits
     * the budget. Two tiers so plan CONSTRUCTION stays cheap in the common
     * case: when Catalyst's own size estimate is already within budget the
@@ -43,25 +87,37 @@ object Similarity {
     * the small side — actual array lengths, not a schema guess — before
     * deciding. The big side is never touched.
     */
-  private def budgetedCross(big: DataFrame, small: DataFrame): DataFrame = {
+  /** Exact byte measurement of a (small by contract) frame: actual array
+    * lengths, not a schema guess — ONE aggregation job over the frame.
+    * Shared by the two-tier routes ([[budgetedCross]],
+    * [[confinedCellJoin]]) whose tier-1 Catalyst estimate came back
+    * suspicious: post-join/crossJoin lineages estimate as byte PRODUCTS,
+    * so a KB-sized probe frame can read as hundreds of MB.
+    */
+  private def measuredBytes(df: DataFrame): Long = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val rowBytes = df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(FloatType, _) =>
+          coalesce(size(col(f.name)), lit(0)).cast("long") * 4L + 16L
+        case ArrayType(DoubleType, _) =>
+          coalesce(size(col(f.name)), lit(0)).cast("long") * 8L + 16L
+        case ArrayType(ArrayType(DoubleType, _), _) =>
+          coalesce(size(flatten(col(f.name))), lit(0)).cast("long") * 8L + 32L
+        case _ => lit(16L)
+      }
+    }.reduce(_ + _)
+    df.agg(coalesce(sum(rowBytes), lit(0L)).as("b")).head().getLong(0)
+  }
+
+  private def budgetedCross(big: DataFrame, small: DataFrame): DataFrame = {
     val spark = small.sparkSession
     val budget = spark.conf.get(BudgetKey, (64L << 20).toString).toLong
     if (small.queryExecution.optimizedPlan.stats.sizeInBytes <= budget) {
       spark.conf.set(RouteKey, "broadcast")
       return big.crossJoin(broadcast(small))
     }
-    val rowBytes = small.schema.fields.map { f =>
-      f.dataType match {
-        case ArrayType(FloatType, _) =>
-          coalesce(size(col(f.name)), lit(0)).cast("long") * 4L + 16L
-        case ArrayType(DoubleType, _) =>
-          coalesce(size(col(f.name)), lit(0)).cast("long") * 8L + 16L
-        case _ => lit(16L)
-      }
-    }.reduce(_ + _)
-    val bytes = small.agg(coalesce(sum(rowBytes), lit(0L)).as("b"))
-      .head().getLong(0)
+    val bytes = measuredBytes(small)
     if (bytes <= budget) {
       spark.conf.set(RouteKey, "broadcast")
       big.crossJoin(broadcast(small))
@@ -105,8 +161,11 @@ object Similarity {
     * Scale shape: the centroid set is the only broadcast; candidate
     * generation is ONE equi-join shuffle on cell id, and per-cell work is
     * O((probes·N/C)²) instead of O(N²) globally — the [[Dedup.semDedup]]
-    * confinement pattern. A pair sharing several probed cells scores
-    * identically in each; `distinct` collapses the duplicates before
+    * confinement pattern. The cell join routes through [[Skew.saltedJoin]],
+    * so one DENSE cell (mode-collapsed or near-dup-heavy corpora put most
+    * vectors near one centroid) splits its |cell|² across saltFactor tasks
+    * instead of serializing the stage. A pair sharing several probed cells
+    * scores identically in each; `distinct` collapses the duplicates before
     * ranking.
     *
     * Equivalence envelope: with `probes` ≥ |centroids| every vector sits in
@@ -123,11 +182,31 @@ object Similarity {
     val assigned = nearestCells(
       df.select(col(idCol).as("vid"), col(vecCol).as("v")),
       cents, "vid", "v", probes)
-    val scored = assigned.as("l").join(assigned.as("r"), "cent_id" :: Nil)
-      .where(col("l.vid") =!= col("r.vid"))
-      .select(col("l.vid").as("query_id"), col("r.vid").as("vec_id"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
-      .distinct()
+    // the self-join is the over-budget case of the cell join by
+    // construction (both sides are the corpus) — route it straight through
+    // the salt so a dense cell's |cell|² splits across saltFactor tasks.
+    // Routing reads the TRUE corpus size (the assignment lineage's own
+    // estimate is a crossJoin byte product — uselessly pessimistic). The
+    // measured-small route keeps the ALIASED self-join: both sides are the
+    // identical subtree, so the assignment computes once and the second
+    // side rides a ReusedExchange — a rename into l/r projections would
+    // pay the crossJoin+window twice.
+    val s = Skew.factor(Seq(df.select(col(idCol), col(vecCol))))
+    val scored0 =
+      if (s == 1)
+        assigned.as("l").join(assigned.as("r"), "cent_id" :: Nil)
+          .select(col("l.vid").as("query_id"), col("r.vid").as("vec_id"),
+            round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+      else {
+        val l = assigned.select(col("cent_id"), col("vid").as("query_id"),
+          col("v").as("qv"))
+        val r = assigned.select(col("cent_id"), col("vid").as("vec_id"),
+          col("v").as("cv"))
+        Skew.withFactor(l, r, Seq("cent_id"), "query_id", s)
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      }
+    val scored = scored0.where(col("query_id") =!= col("vec_id")).distinct()
     mutualEdges(topKPerQuery(scored, k))
   }
 
@@ -179,7 +258,8 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, "query_id", "qv", probes)
 
-    val scored = assigned.join(probed, "cent_id" :: Nil)
+    val scored = confinedCellJoin(assigned, probed, "vec_id",
+        queries.select(col(idCol), col(vecCol)))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -245,8 +325,9 @@ object Similarity {
     val probed = nearestCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         cents, "query_id", "qv", probes)
-    val scored = idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id"))
-      .join(probed, "cent_id" :: Nil)
+    val scored = confinedCellJoin(
+        idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id")),
+        probed, "vec_id", queries.select(col(idCol), col(vecCol)))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -369,7 +450,8 @@ object Similarity {
         col("qv"), fit.books))
       .select("query_id", "cent_id", "qtab")
 
-    val scored = encoded.join(probed, "cent_id" :: Nil)
+    val scored = confinedCellJoin(encoded, probed, "vec_id",
+        queries.select(col(idCol), col(vecCol)))
       .select(col("query_id"), col("vec_id"), round(adcDist(m), 6).as("dist"))
     topKByDist(scored, k)
   }
@@ -605,7 +687,8 @@ object Similarity {
     val probed = nearestCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, "query_id", "qv", probes)
-    rankedTopK(assigned.join(probed, "cent_id" :: Nil)
+    rankedTopK(confinedCellJoin(assigned, probed, "vec_id",
+        queries.select(col(idCol), col(vecCol)))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos")), k)
   }

@@ -313,6 +313,19 @@ class PlanQualitySpec extends SparkSpec {
       s"suffix table shuffled $spanExchanges times on the seed:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"suffix dedup fell back to an all-pairs join:\n$p")
+    // the topN report ranks via sort+limit (per-partition heaps + driver
+    // merge); the residual rank window sees ≤ topN survivor rows. A
+    // row_number window straight over the survivor aggregate would funnel
+    // the whole cross-doc boilerplate inventory through one task.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"suffix-dup top-N lost the per-partition-heap shape:\n$p")
+  }
+
+  test("q175 pmi bigrams: top collocations via TakeOrderedAndProject, not a vocab²-wide window") {
+    val p = executedPlan("q175_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pmi top-K lost the per-partition-heap shape:\n$p")
+    assert(p.contains("partial_count"), s"bigram counts not map-side combined:\n$p")
   }
 
   test("q202 script profile is one shuffle-free codegen'd projection") {
