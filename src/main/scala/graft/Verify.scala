@@ -31,9 +31,33 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir)
+    spark.stop()
+    // oracle-artifact lint on every Verify output (not by hand): the two
+    // DuckDB representation hazards (HUGEINT output columns, -0.0 values)
+    // that have produced value-equal hash mismatches. Best-effort — a
+    // missing python/duckdb skips silently (the driver box has both; the
+    // spec suite runs the same lint as a hard gate) — but a DETECTED
+    // violation fails the run loudly: it would fail the driver compare
+    // anyway, and here the message says WHY.
+    lintOracles(sfDir, outDir).foreach { rc =>
+      if (rc != 0) {
+        System.err.println(s"[verify] oracle_lint found violations (rc=$rc)")
+        sys.exit(rc)
+      }
+    }
+  }
+
+  /** Dump SparkEntry.oracleSql as `<outDir>/oracle_sql.json` — the file
+    * the driver's DuckDB compare and the oracle lint both read. Exposed
+    * (not inlined in main) so OracleLintSpec lints the same dump the
+    * driver consumes.
+    *
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  def writeOracleJson(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -46,6 +70,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
+
+  /** Some(exitCode) if the lint ran, None if the environment lacks it
+    * (no python3/duckdb, or the script not found from this working dir).
+    */
+  private def lintOracles(sfDir: String, outDir: String): Option[Int] =
+    try {
+      val script = Seq("tools/oracle_lint.py", "/root/repo/tools/oracle_lint.py")
+        .find(p => new java.io.File(p).isFile)
+        .getOrElse(return None)
+      val probe = new ProcessBuilder("python3", "-c", "import duckdb")
+        .redirectErrorStream(true).start()
+      if (probe.waitFor() != 0) return None
+      val p = new ProcessBuilder("python3", script, sfDir, outDir)
+        .inheritIO().start()
+      Some(p.waitFor())
+    } catch { case _: Exception => None }
 }

@@ -56,13 +56,25 @@ object EventStreams {
     * q194 rule) — so the driver gate hash-matches the ESTIMATES, not just
     * an error bound.
     *
+    * Precision bound: the column-per-register encoding creates 2^p max
+    * aggregates, so the plan (and its generated code / constant pool)
+    * grows with m — measured fine through p = 8 (256 aggregates,
+    * ±~6.5% standard error); p = 12 would be a 4096-aggregate projection
+    * that stresses codegen well before state size matters. The require
+    * pins the PRACTICAL ceiling; above it the right encoding is a
+    * map-typed register state (one aggregate over a m-slot map), which
+    * trades the hash-replayable column form this gate depends on.
+    *
     * @return (win_start, n_events, est_distinct), append-mode emission
     *         under the caller's watermark when `events.isStreaming`.
     */
   def windowedDistinctHll(events: DataFrame, keyCol: String,
       windowLength: String, watermark: Option[String] = None,
       p: Int = 6): DataFrame = {
-    require(p >= 2 && p <= 12, s"p must be in [2, 12], got $p")
+    require(p >= 2 && p <= 8,
+      s"p must be in [2, 8], got $p — the column-per-register encoding " +
+        "generates 2^p max aggregates; past 256 the generated aggregate " +
+        "class outgrows codegen (use a map-typed register state for p > 8)")
     val m = 1 << p
     val src = watermark.filter(_ => events.isStreaming) match {
       case Some(w) => events.withWatermark("ts", w)

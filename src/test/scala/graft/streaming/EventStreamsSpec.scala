@@ -301,4 +301,27 @@ class EventStreamsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 4L, 6L))
   }
+
+  test("windowedDistinctHll estimate lands within HLL error of the truth") {
+    // 600 events, 200 distinct keys, one window — p = 8 gives ±~6.5%
+    // standard error; assert a generous 3σ band so the test pins accuracy,
+    // not luck
+    val df = (0 until 600).map(i => (i.toLong, (i % 200).toLong, ts(i / 60)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventStreams.windowedDistinctHll(df, "user_id", "24 hours", p = 8)
+      .select("n_events", "est_distinct").as[(Long, Double)].collect()
+    assert(out.length === 1)
+    val (n, est) = out.head
+    assert(n === 600L)
+    assert(math.abs(est - 200.0) <= 200.0 * 0.2,
+      s"p=8 estimate $est strays past 20% of the true 200")
+  }
+
+  test("windowedDistinctHll rejects p past the codegen-practical ceiling") {
+    val df = Seq((1L, 1L, ts(0))).toDF("event_id", "user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.windowedDistinctHll(df, "user_id", "1 hour", p = 9)
+    }
+    assert(e.getMessage.contains("map-typed register state"))
+  }
 }
