@@ -89,14 +89,20 @@ object Dedup {
     * would cost more than it buys). Streaming frames are left untouched.
     * Cap via `graft.spread.smallInputBytes` (default 32 MB, 0 disables).
     */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame, by: Column): DataFrame = {
     if (df.isStreaming) return df
     val cap = df.sparkSession.conf
       .get("graft.spread.smallInputBytes", (32L << 20).toString).toLong
     val small =
       cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
     if (small)
-      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      // HASH partition on the caller's (unique) id, never round-robin:
+      // a column-less repartition locally SORTS every partition first
+      // (Spark's retry-determinism rule, sortBeforeRepartition) — on text
+      // rows that sort cost the MinHash gates 26-58% at sf0.1 (probed
+      // round 10, tools/MinhashProbe) while buying nothing; hashing a
+      // unique id distributes identically without touching row order
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, by)
     else df
   }
 
@@ -105,7 +111,7 @@ object Dedup {
     * (containment, novelty, contamination, MinHash) — [[spread]] first.
     */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    spread(df).select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), k)).as("tok"))
+    spread(df, col(idCol)).select(col(idCol).as("doc_id"), explode(shingleArray(col(textCol), k)).as("tok"))
 
   /** Engine-independent 32-bit token id: the first 8 hex digits of md5,
     * read as an integer. Pure map-side (no dictionary build, no shuffle) AND
@@ -168,8 +174,14 @@ object Dedup {
         array_distinct(transform(sh, t => pmod(xxhash64(t), lit(1L << 32))))
       }
     // the shingle+hash expression is the compute-heavy per-row stage —
-    // spread it across the session parallelism (no-op at corpus scale)
-    spread(df).select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
+    // spread it across the session parallelism (no-op at corpus scale).
+    // Measured trade (r10, tools/MinhashProbe at sf0.1, hash-partitioned
+    // spread): q55 1.00× on/off — the shuffle pays for itself exactly;
+    // the incremental paths (q115 1.15×, q119 1.24×) pay it twice (batch
+    // AND corpus side) ahead of persist, a ~0.2 s sf0.1-only overhead
+    // that vanishes at corpus scale where spread no-ops — kept for the
+    // single-split case the cap exists for.
+    spread(df, col(idCol)).select(col(idCol).as("doc_id"), tidsExpr.as("tids"))
       .filter(size(col("tids")) > 0)
   }
 
