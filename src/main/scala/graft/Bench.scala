@@ -68,7 +68,10 @@ object Bench {
         // round-9 continuation: q205 pays the streaming micro-batch floor,
         // q204 re-runs the per-round driver-paced BPE merge loop, q206 the
         // driver-paced Lloyd fit
-        "q204_fertility,q205_stream_near_dedup,q206_cluster_outliers")
+        "q204_fertility,q205_stream_near_dedup,q206_cluster_outliers," +
+        // round 10: q210 is the new slowest gate (streaming micro-batch +
+        // state floor under a 64-aggregate window) — min-of-3 it
+        "q210_stream_distinct_hll")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

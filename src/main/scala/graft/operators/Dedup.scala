@@ -759,10 +759,20 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double,
-      routeOn: Seq[DataFrame] = Nil): DataFrame = {
+      routeOn: Seq[DataFrame] = Nil, maxBlock: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    val v1 = df.select(col(idCol).as("id1"), col(blockCol).as("blk"), col(vecCol).as("v1"))
-    val v2 = df.select(col(idCol).as("id2"), col(blockCol).as("blk"), col(vecCol).as("v2"))
+    // optional SEMANTIC cap (0 = off): total pair cost per block is
+    // |block|² no matter how the salt splits it — past the cap the block
+    // is near-dup soup (the editDistanceNearDup maxBlock rule) and is
+    // dropped from both sides before pairing. Oracle-visible.
+    val base = if (maxBlock <= 0) df else {
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(blockCol))
+      df.withColumn("__bn", count(lit(1)).over(wBlk))
+        .where(col("__bn") <= maxBlock).drop("__bn")
+    }
+    val v1 = base.select(col(idCol).as("id1"), col(blockCol).as("blk"), col(vecCol).as("v1"))
+    val v2 = base.select(col(idCol).as("id2"), col(blockCol).as("blk"), col(vecCol).as("v2"))
     Skew.saltedJoin(v1, v2, Seq("blk"), "id1", routeOn = routeOn)
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
@@ -790,15 +800,19 @@ object Dedup {
     * reaches the driver (inside kmeans).
     */
   def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int, threshold: Double): DataFrame = {
+      iters: Int, threshold: Double, maxCluster: Int = 0): DataFrame = {
     val assigned = Clustering.kmeans(df, vecCol, idCol, k, iters)
     val withCluster = df
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assigned, Seq("vec_id"))
     // salt routing reads the TRUE corpus size — the withCluster lineage
-    // estimates as an equi-join byte product under default (no-CBO) stats
+    // estimates as an equi-join byte product under default (no-CBO) stats.
+    // maxCluster (0 = off) drops over-cap clusters from the PAIRING only —
+    // their rows still emit (kept = true): a cluster that big is a k-too-
+    // small symptom; the principled fix is k ~ n/50k.
     val dropped = embeddingNearDup(withCluster, "v", "vec_id", "cluster",
-        threshold, routeOn = Seq(df.select(col(idCol), col(vecCol))))
+        threshold, routeOn = Seq(df.select(col(idCol), col(vecCol))),
+        maxBlock = maxCluster)
       .select(col("id2").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.join(dropped, Seq("vec_id"), "left")

@@ -174,14 +174,31 @@ object Similarity {
     * endpoints never share a probed cell are lost, and a vector's top-k is
     * ranked among cell-mates only. The recall against the exact graph is
     * certified under the driver gate (q185, the q184 envelope pattern).
+    *
+    * `maxCell` (0 = unbounded, the default) is the SEMANTIC escape hatch
+    * for degenerate corpora: the salt bounds per-TASK work, but a cell's
+    * total pair cost is |cell|² regardless of how it is split, and a
+    * mode-collapsed corpus putting everything in one cell makes that the
+    * whole job. A cell larger than `maxCell` is dropped from BOTH join
+    * sides before pairing (the [[Dedup.shingleContainment]] maxDf rule —
+    * such a cell is near-dup-soup whose edges carry no curation signal;
+    * rows keep appearing via their OTHER probed cells). Oracle-visible:
+    * replicate the cap in comparisons. The non-dropping mitigation is more
+    * centroids (k ~ n/50k, the SemDeDup sizing rule).
     */
   def mutualKnnIvf(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      centroidMod: Int = 100, probes: Int = 2): DataFrame = {
+      centroidMod: Int = 100, probes: Int = 2, maxCell: Int = 0): DataFrame = {
     val cents = df.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
-    val assigned = nearestCells(
+    val assigned0 = nearestCells(
       df.select(col(idCol).as("vid"), col(vecCol).as("v")),
       cents, "vid", "v", probes)
+    // one windowed count per cell on the exchange the pair join reuses
+    val assigned = if (maxCell <= 0) assigned0 else {
+      val wCell = Window.partitionBy("cent_id")
+      assigned0.withColumn("__cn", count(lit(1)).over(wCell))
+        .where(col("__cn") <= maxCell).drop("__cn")
+    }
     // the self-join is the over-budget case of the cell join by
     // construction (both sides are the corpus) — route it straight through
     // the salt so a dense cell's |cell|² splits across saltFactor tasks.

@@ -1334,16 +1334,21 @@ object Pipeline {
     // IVF-PQ composite ANN under the envelope gate: the coarse-quantizer
     // pruning loss is measured against the UNPRUNED PQ ranking (the PQ-vs-
     // exact envelope is q97's gate; this one certifies what the cell
-    // confinement costs on top). Observed overlap ≥ 26/50 at every
-    // shipped SF with 3 probes; the 12/50 floor keeps 2× slack against
-    // data regeneration.
+    // confinement costs on top). Probes scale with the measured centroid
+    // count (≥ 1/8 of cells, min 3 — the q198 rule: a fixed probe count
+    // shrinks the probed fraction as the corpus grows and would breach
+    // the floor at a larger SF with a healthy implementation). Observed
+    // overlap ≥ 26/50 at every shipped SF; the 12/50 floor keeps 2×
+    // slack against data regeneration.
     "q188_ivfpq_envelope" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val q = e.filter(col("vec_id") < 5)
+      val nCents = e.filter(col("vec_id") % 100 === 0).count()
+      val probes = math.max(3, math.ceil(nCents / 8.0).toInt)
       val pq = Similarity.pqTopK(q, e, "embedding", "vec_id", k = 10)
         .select("query_id", "vec_id")
       val comp = Similarity.ivfPqTopK(q, e, "embedding", "vec_id", k = 10,
-          centroidMod = 100, probes = 3)
+          centroidMod = 100, probes = probes)
         .select("query_id", "vec_id")
       val hit = pq.join(comp, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_hit"))
@@ -1486,17 +1491,24 @@ object Pipeline {
     // IVF+SQ8 composite (the FAISS IVFx,SQ8 shape) under the envelope
     // gate: the coarse-quantizer pruning loss is measured against the
     // UNPRUNED SQ8 ranking (q192 is the replayed SQ8-vs-exact side; this
-    // certifies what cell confinement costs on top). Observed overlap
-    // 42/40/23 of 50 at sf0.001/0.01/0.1 with 3 probes; the 12/50 floor
-    // keeps ~2× slack under the weakest shipped SF.
+    // certifies what cell confinement costs on top). The probe count
+    // SCALES with the measured centroid count (≥ 1/8 of cells probed,
+    // min 3) instead of a constant: with probes fixed, the probed
+    // fraction — and the measured overlap (42/40/23 of 50 at
+    // sf0.001/0.01/0.1 with 3 probes) — shrinks as the corpus grows its
+    // centroid subset, and a larger shipped SF would breach a fixed floor
+    // with a healthy implementation. The 12/50 floor keeps ~2× slack
+    // under the pinned fraction at any SF.
     "q198_ivfsq8_envelope" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val q = e.filter(col("vec_id") < 5)
+      val nCents = e.filter(col("vec_id") % 100 === 0).count()
+      val probes = math.max(3, math.ceil(nCents / 8.0).toInt)
       val sq = graft.operators.Similarity.sq8TopK(q, e, "embedding",
           "vec_id", k = 10)
         .select("query_id", "vec_id")
       val comp = graft.operators.Similarity.ivfSq8TopK(q, e, "embedding",
-          "vec_id", k = 10, centroidMod = 100, probes = 3)
+          "vec_id", k = 10, centroidMod = 100, probes = probes)
         .select("query_id", "vec_id")
       val hit = sq.join(comp, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_hit"))

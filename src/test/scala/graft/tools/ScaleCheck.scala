@@ -128,6 +128,70 @@ object ScaleCheck {
         f"out=$n%9d time=$secs%7.2fs route=" +
         spark.conf.get("graft.sim.lastRoute", "?"))
     }
+
+    // IVF-confined vector paths under BOTH corpus shapes: "uniform"
+    // replicas and a HOT-CELL corpus (every vector pulled toward one
+    // direction → one cell swallows the corpus, the mode-collapse shape).
+    // Note the replica subtlety: identical replica VECTORS all tie-break
+    // to the lowest-id copy of their centroid, so even the "uniform"
+    // corpus grows its max cell linearly with the factor (a real corpus
+    // with fresh content grows the CELL COUNT instead) — which makes
+    // these lines a dense-cell stress test at every factor, exactly what
+    // the salt + maxCell machinery exists for. Each line prints the max
+    // cell occupancy next to wall time, the salt factor the pair join
+    // took, and the semantic maxCell cap engaging (out rows drop to the
+    // uncapped cells' edges; without the cap the ×50 hot corpus is a
+    // 10^10-pair job that would never return). The salt cap is pinned to
+    // 0 for these lines so the per-task split is exercised at tool scale
+    // (the 32 MB default targets real corpora).
+    def hotten(emb: DataFrame): DataFrame = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(1.0f)).otherwise((x.cast("double") / 1000.0)
+          .cast("float"))).as("embedding"))
+    def maxCellOf(emb: DataFrame, mod: Int): Long = {
+      val cents = emb.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("__sim").desc, col("cent_id").asc)
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("cv")), 6).as("__sim"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= 2)
+        .groupBy("cent_id").count().agg(max("count")).head().getLong(0)
+    }
+    spark.conf.set("graft.skew.saltBytes", "0")
+    for (factor <- Seq(1, 10, 50); shape <- Seq("uniform", "hotcell")) {
+      val emb0f = if (factor == 1) emb0
+        else emb0.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+          .select((col("vec_id") + col("__rep") * lit(10_000_000L)).as("vec_id"),
+            col("embedding"))
+          .repartition(32).localCheckpoint(true)
+      val emb = if (shape == "hotcell") hotten(emb0f).localCheckpoint(true) else emb0f
+      val mc = maxCellOf(emb, 100)
+      // cap sized to the BASE corpus's one-cell worst case: uncapped at
+      // ×1, engaged on the hot corpus at ×10/×50 where the hot cell holds
+      // the whole replica set
+      val cap = (2 * e0).toInt
+      val t0 = System.nanoTime()
+      val n = graft.operators.Similarity.mutualKnnIvf(emb, "embedding",
+        "vec_id", k = 5, centroidMod = 100, probes = 2, maxCell = cap).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] mutual_knn_ivf/$shape%-8s x$factor%-3d " +
+        f"rows_in=${e0 * factor}%8d out=$n%9d time=$secs%7.2fs " +
+        f"maxcell=$mc%7d cap=$cap salt=" +
+        spark.conf.get("graft.skew.lastSaltFactor", "?"))
+      val t1 = System.nanoTime()
+      val n2 = graft.operators.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 10,
+        centroidMod = 100, probes = 2, m = 8, codebook = 16, iters = 2).count()
+      val secs2 = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] ivfpq_topk/$shape%-8s     x$factor%-3d " +
+        f"rows_in=${e0 * factor}%8d out=$n2%9d time=$secs2%7.2fs " +
+        f"maxcell=$mc%7d route=" +
+        spark.conf.get("graft.sim.lastCellRoute", "?"))
+    }
+    spark.conf.unset("graft.skew.saltBytes")
     spark.stop()
   }
 }

@@ -24,17 +24,22 @@ import org.apache.spark.sql.functions._
   * INTERLEAVED min-of-3 per side (e,s pairs alternate, so neither side
   * systematically inherits warmer JIT/caches from running later).
   *
-  * Measured at sf0.1 / local[32] (2026-08-14, round 9, post machine
-  * recycle): q1 0.99, q5 1.03, WCOJ triangle 1.29, as-of 0.94, interval
-  * 1.11, gap-fill LOCF 0.90, interleave 0.93, containment 0.41, rank
-  * blend 0.86, token drift 0.90, SQ8-vs-exact 0.94, suffix-dup
-  * sort-adjacency 0.88, rendezvous in-row argmax 0.49, leak-free split
-  * 1.07 — every engine path within ~1.3× of the equivalent stock plan,
-  * well inside BASELINE.md's 2× bar, and eight of the data-pipeline
-  * operators run FASTER than their stock formulations. (The WCOJ ratio is
-  * the dense-triangle case binary joins handle well; the LeapFrog node
+  * Measured at sf0.1 / local[32] (2026-08-14, round 10): q1 1.08, q5
+  * 1.05, WCOJ triangle 1.04, as-of 0.89, interval 1.13, gap-fill LOCF
+  * 0.86, interleave 0.93, containment 0.62, rank blend 0.76, token drift
+  * 0.91, SQ8-vs-exact 1.23, suffix-dup sort-adjacency 1.03, rendezvous
+  * in-row argmax 0.30, leak-free split 1.11, windowed distinct HLL 1.31
+  * vs native approx_count_distinct and 1.67 vs DataSketches — every
+  * engine path within ~1.7× of the equivalent stock plan, well inside
+  * BASELINE.md's 2× bar, and seven of the data-pipeline operators run
+  * FASTER than their stock formulations. (The WCOJ ratio is the
+  * dense-triangle case binary joins handle well; the LeapFrog node
   * exists for the skewed/cyclic patterns where binary joins blow up the
-  * intermediate, per WcojSpec's differentials.)
+  * intermediate, per WcojSpec's differentials. The HLL premium over the
+  * native sketches is the portable-register encoding — 2^p conditional
+  * max aggregates instead of one opaque sketch agg — bought for exact
+  * engine replayability; the q210 STREAMING gate additionally pays the
+  * micro-batch/state floor, which no batch formulation shares.)
   *
   * `report` asserts both sides return the same row count before timing —
   * a silently-degenerate side (a mis-escaped regex splitting nothing, an
@@ -364,6 +369,32 @@ object StockCompare {
             |  (sp.split = 'train' AND lk.doc_id IS NULL) AS kept_train
             |FROM sp LEFT JOIN lk USING (doc_id) ORDER BY sp.doc_id""".stripMargin)).count()
       })
+
+    // 15. windowed distinct HLL (q210's sketch) on its BATCH twin — the
+    //     apples-to-apples comparison: the q210 gate itself pays the
+    //     Structured Streaming micro-batch/state floor (~1.5-2 s at this
+    //     SF, amortized at scale), which no batch formulation shares. Two
+    //     comparators: stock approx_count_distinct (Spark's native HLL++,
+    //     the non-replayable twin) and the DataSketches surface
+    //     (hll_sketch_agg + estimate). Row counts (one per window) match
+    //     by construction; the ESTIMATES differ by sketch family — only
+    //     the portable-register sketch is engine-replayable, which is why
+    //     it exists.
+    val eventsDf = graft.Tables(spark, sfDir).events
+    report("windowed distinct HLL",
+      graft.streaming.EventStreams.windowedDistinctHll(
+        eventsDf, "user_id", "1 hour", p = 6).count(),
+      eventsDf.groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct("user_id").as("nd")).count())
+    report("windowed HLL vs DataSketches",
+      graft.streaming.EventStreams.windowedDistinctHll(
+        eventsDf, "user_id", "1 hour", p = 6).count(),
+      graft.operators.Sketches.hllMergeEstimate(
+        graft.operators.Sketches.hllSketchPerGroup(
+          eventsDf.select(col("user_id"),
+            window(col("ts"), "1 hour").as("win")),
+          "user_id", Seq("win")),
+        Seq("win")).count())
 
     spark.stop()
   }
