@@ -70,8 +70,9 @@ object Bench {
         // driver-paced Lloyd fit
         "q204_fertility,q205_stream_near_dedup,q206_cluster_outliers," +
         // round 10: q210 is the new slowest gate (streaming micro-batch +
-        // state floor under a 64-aggregate window) — min-of-3 it
-        "q210_stream_distinct_hll")
+        // state floor under a 64-aggregate window) — min-of-3 it, and its
+        // p=10 array-register sibling q211 pays the same streaming floor
+        "q210_stream_distinct_hll,q211_stream_hll_p10")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -573,7 +573,10 @@ object Dedup {
       // scheme ever appended (normally exactly one).
       val schemes = store.select("sig_shingle", "sig_portable").distinct()
         .collect().map(m => (m.getInt(0), m.getBoolean(1))).toSeq.sorted
-      require(schemes == Seq((shingle, portableIds)),
+      // an EMPTY store (first ingest cycle) holds no scheme and
+      // constrains nothing — only rows hashed under a different scheme
+      // are a wiring error
+      require(schemes.isEmpty || schemes == Seq((shingle, portableIds)),
         s"signature store holds rows hashed with scheme(s) " +
           s"${schemes.mkString(", ")} but the batch would be hashed with " +
           s"(shingle=$shingle, portableIds=$portableIds) — tids would " +

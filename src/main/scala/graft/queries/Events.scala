@@ -304,6 +304,27 @@ object Events {
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
+    }),
+
+    // the register HLL past the column-encoding ceiling: p = 10 (1024
+    // registers) in ONE array-typed streaming aggregate (element-wise max
+    // = sketch union; graft.functions.HllRegisters), standard m-dependent
+    // α, estimates engine-replayed bit-for-bit like q210 — the oracle
+    // replays all 1024 registers and the array-ordered Σ2^-M fold.
+    "q211_stream_hll_p10" -> ((s, d) => {
+      val name = s"stream_hllp10_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val agg = EventStreams.windowedDistinctHllArray(stream, "user_id",
+        "1 hour", watermark = Some("0 seconds"), p = 10)
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("win_start").localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
     })
   )
 
@@ -551,6 +572,42 @@ object Events {
         |  CASE WHEN (0.709 * 64 * 64) / s <= 2.5 * 64 AND zeros > 0
         |    THEN round(64.0 * round(ln(64.0 / zeros), 6), 4)
         |    ELSE round((0.709 * 64 * 64) / s, 4) END AS est_distinct
+        |FROM est JOIN ne USING (win_start) CROSS JOIN mts
+        |WHERE est.win_start + INTERVAL 1 HOUR <= mts.mx
+        |ORDER BY est.win_start""".stripMargin,
+    "q211_stream_hll_p10" ->
+      // the q210 replay at m = 1024 with the standard α written as the
+      // SAME double expression the engine computes (0.7213/(1+1.079/m) —
+      // identical IEEE ops, so the 4-dp rounding cannot straddle); the
+      // engine's Σ2^-M folds the register array in index order, which the
+      // grid-ordered sum here reproduces
+      """WITH mts AS (SELECT max(ts) AS mx FROM events),
+        |e AS (SELECT date_trunc('hour', ts) AS win_start,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |hh AS (SELECT win_start,
+        |    CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 1024 AS INT) AS reg,
+        |    CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS h2
+        |  FROM e),
+        |r AS (SELECT win_start, reg,
+        |    CAST(len(list_filter(range(1, 33),
+        |      j -> h2 % (1::BIGINT << j) = 0)) + 1 AS INT) AS rnk
+        |  FROM hh),
+        |mreg AS (SELECT win_start, reg, max(rnk) AS mr FROM r GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT win_start FROM r),
+        |fl AS (SELECT g.win_start, CAST(u.j AS INT) AS reg,
+        |    coalesce(m.mr, 0) AS mr
+        |  FROM grid g CROSS JOIN unnest(range(0, 1024)) AS u(j)
+        |  LEFT JOIN mreg m ON m.win_start = g.win_start AND m.reg = u.j),
+        |est AS (SELECT win_start,
+        |    sum(1.0 / (1::BIGINT << mr)) AS s,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM fl GROUP BY win_start),
+        |ne AS (SELECT win_start, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1)
+        |SELECT est.win_start, ne.n_events,
+        |  CASE WHEN ((0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)) * 1024 * 1024) / s <= 2.5 * 1024 AND zeros > 0
+        |    THEN round(1024.0 * round(ln(1024.0 / zeros), 6), 4)
+        |    ELSE round(((0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)) * 1024 * 1024) / s, 4) END AS est_distinct
         |FROM est JOIN ne USING (win_start) CROSS JOIN mts
         |WHERE est.win_start + INTERVAL 1 HOUR <= mts.mx
         |ORDER BY est.win_start""".stripMargin

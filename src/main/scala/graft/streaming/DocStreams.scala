@@ -68,4 +68,71 @@ object DocStreams {
       sig.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("simhash")
     else sig.dropDuplicates("simhash")
   }
+
+  /** Rolling-crawl ingest — the architecture the store/incremental layers
+    * exist for, wired to a stream: every micro-batch is near-dup-deduped
+    * against the PERSISTED signature store
+    * ([[graft.operators.Dedup.incrementalMinHashDedupFromStore]] — the
+    * corpus is never re-read, never re-shingled), surviving documents are
+    * appended to `outPath`, and their signatures are appended to the
+    * store so every LATER batch — and every later RESTART — dedups
+    * against everything ingested so far. This is state no streaming
+    * operator can hold: `dropDuplicatesWithinWatermark` is watermark-
+    * bounded and `mapGroupsWithState` dies with the checkpoint, while a
+    * crawl's dedup memory is corpus-lifetime and must survive job
+    * restarts; `foreachBatch` + the parquet store is the Spark-native
+    * shape for that (the store validates its hashing scheme on every
+    * probe, so a restart with drifted settings fails loudly).
+    *
+    * Per cycle at 100 TB: O(|batch| shingles + |store| ids) — one band
+    * join per batch against stored (doc_id, tids), no text ever shuffled
+    * from the store side.
+    *
+    * Delivery: `foreachBatch` is at-least-once. The append ORDER (output,
+    * then store) makes the two failure windows behave differently: a
+    * crash before the store append replays the identical survivor set —
+    * DUPLICATE rows in `outPath`, store correct; a crash after it replays
+    * against a store already holding the batch's own signatures, so every
+    * doc self-near-dups out and the replay appends nothing — output keeps
+    * the first attempt's rows, both sides correct. Future-batch dedup is
+    * right in every case (duplicate store rows only duplicate band
+    * candidates, which `distinct` collapses). Exactly-once OUTPUT needs an
+    * idempotent sink (per-batch subdirectories keyed on `batchId`, or a
+    * transactional table format) — documented rather than faked.
+    *
+    * @return the started query; callers own awaitTermination/stop
+    */
+  def ingestDedupStream(docs: DataFrame, storePath: String, outPath: String,
+      checkpointPath: String, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingle: Int = 3, portableIds: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // the batch feeds three plans (dedup, emit, re-sign) — pin it
+        val pinned = batch.localCheckpoint(true)
+        // an absent store (first batch ever) is an EMPTY store with the
+        // batch-derived schema — limit(0) through signatureStore gives
+        // exactly the columns a written store would have
+        val store = scala.util.Try(spark.read.parquet(storePath))
+          .getOrElse(Dedup.signatureStore(pinned.limit(0), textCol, idCol,
+            shingle, portableIds))
+        val survivors = Dedup.incrementalMinHashDedupFromStore(
+          pinned, store, textCol, idCol, threshold,
+          shingle = shingle, portableIds = portableIds)
+        val kept = pinned.join(survivors,
+            pinned(idCol) === survivors("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        kept.write.mode("append").parquet(outPath)
+        Dedup.signatureStore(kept, textCol, idCol, shingle, portableIds)
+          .write.mode("append").parquet(storePath)
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(kept)
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
+        ()
+      }
+      .start()
+  }
 }

@@ -74,15 +74,40 @@ object EventStreams {
     require(p >= 2 && p <= 8,
       s"p must be in [2, 8], got $p — the column-per-register encoding " +
         "generates 2^p max aggregates; past 256 the generated aggregate " +
-        "class outgrows codegen (use a map-typed register state for p > 8)")
+        "class outgrows codegen (use windowedDistinctHllArray for p > 8)")
     val m = 1 << p
+    val invPows = lit((0 to 33).map(j => 1.0 / (1L << j)).toArray) // 2^-M
+    val keyed = hllKeyed(events, keyCol, windowLength, watermark, m)
+    val maxes = (0 until m).map(j =>
+      max(when(col("__reg") === j, col("__rank"))).as(s"__m_$j"))
+    val agg = keyed.groupBy(col("window"))
+      .agg(count(lit(1)).as("n_events"), maxes: _*)
+    val regs = (0 until m).map(j => coalesce(col(s"__m_$j"), lit(0)))
+    val s = regs.map(r => element_at(invPows, r + 1)).reduce(_ + _)
+    val zeros = regs.map(r => when(r === 0, 1).otherwise(0)).reduce(_ + _)
+    // α pinned at the p = 6 constant for every p this path allows — the
+    // committed q210 oracle replays it; the array path below uses the
+    // standard m-dependent α (they coincide exactly at p = 6)
+    val raw = lit(0.709 * m * m) / s
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      round(lit(m.toDouble) * round(log(lit(m.toDouble) / zeros), 6), 4))
+      .otherwise(round(raw, 4))
+    agg.select(col("window.start").as("win_start"), col("n_events"),
+      est.as("est_distinct"))
+  }
+
+  /** (window, __reg, __rank) — the stateless per-event register map both
+    * HLL encodings share: register = md5-high-32 mod m, rank = trailing
+    * zeros of md5-low-32 + 1.
+    */
+  private def hllKeyed(events: DataFrame, keyCol: String,
+      windowLength: String, watermark: Option[String], m: Int): DataFrame = {
     val src = watermark.filter(_ => events.isStreaming) match {
       case Some(w) => events.withWatermark("ts", w)
       case None    => events
     }
     val pows = lit((1 to 32).map(1L << _).toArray) // 2^j for the rank scan
-    val invPows = lit((0 to 33).map(j => 1.0 / (1L << j)).toArray) // 2^-M
-    val keyed = src
+    src
       .select(window(col("ts"), windowLength).as("window"),
         md5(col(keyCol).cast("string")).as("__md5"))
       .withColumn("__h2",
@@ -92,14 +117,49 @@ object EventStreams {
           .cast("int").as("__reg"),
         (size(filter(pows, pw => pmod(col("__h2"), pw) === 0)) + 1)
           .as("__rank"))
-    val maxes = (0 until m).map(j =>
-      max(when(col("__reg") === j, col("__rank"))).as(s"__m_$j"))
-    val agg = keyed.groupBy(col("window"))
-      .agg(count(lit(1)).as("n_events"), maxes: _*)
-    val regs = (0 until m).map(j => coalesce(col(s"__m_$j"), lit(0)))
-    val s = regs.map(r => element_at(invPows, r + 1)).reduce(_ + _)
-    val zeros = regs.map(r => when(r === 0, 1).otherwise(0)).reduce(_ + _)
-    val raw = lit(0.709 * m * m) / s
+  }
+
+  /** [[windowedDistinctHll]] past the column-encoding ceiling: the m
+    * registers live in ONE array-typed aggregate
+    * ([[graft.functions.HllRegisters]] — element-wise max IS sketch
+    * union, so map-side partials and streaming state merges union
+    * exactly like the column form), and the estimate is an array fold.
+    * The plan no longer grows with p, so precision is bounded by state
+    * size (m ints per open window), not codegen: p up to 14 (±~0.8%
+    * standard error, 64 KiB of state per window).
+    *
+    * Two deliberate deltas from the column path, both engine-replayable:
+    *   - α is the standard m-dependent constant (0.673/0.697/0.709 at
+    *     m = 16/32/64, 0.7213/(1 + 1.079/m) above — the column path pins
+    *     the p = 6 value for its committed oracle; the two coincide
+    *     exactly at p = 6, spec-asserted);
+    *   - Σ2^−M folds the register array IN ORDER (a fixed order, so the
+    *     double sum is deterministic — same contract, different shape).
+    */
+  def windowedDistinctHllArray(events: DataFrame, keyCol: String,
+      windowLength: String, watermark: Option[String] = None,
+      p: Int = 10): DataFrame = {
+    require(p >= 2 && p <= 14,
+      s"p must be in [2, 14], got $p — state is 2^p ints per open window " +
+        "(64 KiB at 14); past that the register array stops being a " +
+        "sensible streaming state row")
+    val m = 1 << p
+    val invPows = lit((0 to 33).map(j => 1.0 / (1L << j)).toArray) // 2^-M
+    val regsAgg = udaf(new graft.functions.HllRegisters(m))
+    val agg = hllKeyed(events, keyCol, windowLength, watermark, m)
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_events"),
+        regsAgg(col("__reg"), col("__rank")).as("__regs"))
+    val s = aggregate(
+      transform(col("__regs"), r => element_at(invPows, r + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val zeros = size(filter(col("__regs"), r => r === 0))
+    val alpha =
+      if (m == 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1 + 1.079 / m)
+    val raw = lit(alpha * m * m) / s
     val est = when(raw <= lit(2.5 * m) && zeros > 0,
       round(lit(m.toDouble) * round(log(lit(m.toDouble) / zeros), 6), 4))
       .otherwise(round(raw, 4))

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.commons.io.FileUtils
+
+import graft.SparkSpec
+
+/** [[DocStreams.ingestDedupStream]] — the rolling-crawl ingest loop. The
+  * batch specs for the store pieces live in CorpusOpsSpec; these cover
+  * what only the WIRING can get wrong: cross-micro-batch dedup through
+  * the persisted store, store survival across a full stream RESTART
+  * (fresh checkpoint — the memory is the store, not streaming state),
+  * and the loud scheme-drift failure surfacing through the query.
+  */
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "quietly brew luminous potions beneath the ancient library stairs"
+  private def nearDup(tail: String) = base.replace("stairs", tail)
+  private val other =
+    "completely different subject matter entirely about maritime trade " +
+      "routes crossing monsoon seasons with cargo manifests of spice silk"
+  private val third =
+    "meanwhile volcanic soil samples from the northern ridge yielded " +
+      "unexpected crystalline structures that baffled visiting geologists " +
+      "for decades"
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def ids(path: String): Set[Long] =
+    spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+
+  test("ingest stream dedups each micro-batch against the persisted store") {
+    val root = Files.createTempDirectory("ingest_dedup").toString
+    val (src, store, out, ckpt) = (s"$root/src", s"$root/store", s"$root/out", s"$root/ckpt")
+    try {
+      // batch 1: two distinct docs — both survive, both signed
+      docs(1L -> base, 2L -> other).write.mode("append").parquet(src)
+      val stream = spark.readStream.schema(docs(1L -> base).schema).parquet(src)
+      val q = DocStreams.ingestDedupStream(stream, store, out, ckpt, threshold = 0.7)
+      try {
+        q.processAllAvailable()
+        assert(ids(out) === Set(1L, 2L))
+        assert(ids(store) === Set(1L, 2L))
+
+        // batch 2: 3 near-dups batch-1's doc 1 (dropped VIA THE STORE —
+        // doc 1 is in no streaming state), 4 is fresh, 5 near-dups 4
+        // within the batch (higher id drops)
+        docs(3L -> nearDup("steps"), 4L -> third,
+            5L -> third.replace("decades", "generations"))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert(ids(out) === Set(1L, 2L, 4L))
+        assert(ids(store) === Set(1L, 2L, 4L))
+      } finally q.stop()
+
+      // RESTART: fresh checkpoint, fresh source dir, SAME store — a
+      // near-dup of a doc ingested before the restart must still drop,
+      // which no checkpoint-bound state could provide
+      val src2 = s"$root/src2"
+      docs(6L -> nearDup("shelves"), 7L -> base.replace("wizards", "llamas")
+          .replace("potions", "stews").replace("fox", "hare")
+          .replace("library", "granary").replace("dog", "cat"))
+        .write.mode("append").parquet(src2)
+      val stream2 = spark.readStream.schema(docs(1L -> base).schema).parquet(src2)
+      val q2 = DocStreams.ingestDedupStream(stream2, store, out, s"$root/ckpt2",
+        threshold = 0.7)
+      try {
+        q2.processAllAvailable()
+        assert(ids(out) === Set(1L, 2L, 4L, 7L),
+          "store-backed dedup memory must survive a restart with a fresh checkpoint")
+        assert(ids(store) === Set(1L, 2L, 4L, 7L))
+      } finally q2.stop()
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a batch hashed with a drifted scheme fails the query loudly") {
+    val root = Files.createTempDirectory("ingest_drift").toString
+    try {
+      docs(1L -> base).write.mode("append").parquet(s"$root/src")
+      val stream = spark.readStream.schema(docs(1L -> base).schema).parquet(s"$root/src")
+      val q = DocStreams.ingestDedupStream(stream, s"$root/store", s"$root/out",
+        s"$root/ckpt", threshold = 0.7, shingle = 3)
+      try q.processAllAvailable() finally q.stop()
+
+      docs(2L -> other).write.mode("append").parquet(s"$root/src2")
+      val stream2 = spark.readStream.schema(docs(1L -> base).schema).parquet(s"$root/src2")
+      val q2 = DocStreams.ingestDedupStream(stream2, s"$root/store", s"$root/out",
+        s"$root/ckpt2", threshold = 0.7, shingle = 4)
+      val e = intercept[StreamingQueryException] {
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("signature store holds rows hashed")),
+        s"expected the scheme-drift require in the cause chain, got: $e")
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}

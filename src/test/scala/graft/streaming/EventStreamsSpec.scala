@@ -322,6 +322,59 @@ class EventStreamsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       EventStreams.windowedDistinctHll(df, "user_id", "1 hour", p = 9)
     }
-    assert(e.getMessage.contains("map-typed register state"))
+    assert(e.getMessage.contains("windowedDistinctHllArray"))
+  }
+
+  test("array-register HLL is bit-identical to the column encoding at p = 6") {
+    // α coincides at m = 64 and both Σ2^−M folds run in register order,
+    // so the doubles must match exactly, not within tolerance
+    val df = (0 until 500).map(i => (i.toLong, (i % 170).toLong, ts(i / 10)))
+      .toDF("event_id", "user_id", "ts")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("win_start", "n_events", "est_distinct")
+        .as[(Timestamp, Long, Double)].collect().toSet
+    val cols = rows(EventStreams.windowedDistinctHll(df, "user_id", "1 hour", p = 6))
+    val arr = rows(EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour", p = 6))
+    assert(arr === cols)
+    assert(cols.nonEmpty)
+  }
+
+  test("array-register HLL at p = 10 tightens the estimate past the column ceiling") {
+    val df = (0 until 3000).map(i => (i.toLong, (i % 900).toLong, ts(i / 60)))
+      .toDF("event_id", "user_id", "ts")
+    val est = EventStreams.windowedDistinctHllArray(df, "user_id", "24 hours", p = 10)
+      .select("est_distinct").as[Double].head()
+    // p=10 linear-counting/HLL regime: ±~4% at 3σ for 900 keys in 1024
+    // registers — assert 10%
+    assert(math.abs(est - 900.0) <= 90.0, s"p=10 estimate $est strays past 10% of 900")
+  }
+
+  test("array-register HLL runs as a STREAMING append aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("hll_arr_stream")
+    try {
+      // events span ~33 hours so the zero-delay watermark CLOSES windows
+      // (an all-in-one-window corpus appends nothing)
+      val df = (0 until 400).map(i => (i.toLong, (i % 130).toLong, ts(i * 5L)))
+        .toDF("event_id", "user_id", "ts")
+      df.write.mode("overwrite").parquet(dir.toString)
+      val stream = spark.readStream.schema(df.schema).parquet(dir.toString)
+      val agg = EventStreams.windowedDistinctHllArray(stream, "user_id",
+        "1 hour", watermark = Some("0 seconds"), p = 10)
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName("hll_arr_spec").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("hll_arr_spec")
+        .select("n_events", "est_distinct").as[(Long, Double)].collect()
+      spark.catalog.dropTempView("hll_arr_spec")
+      // zero-delay watermark appends only windows closed below max ts —
+      // batch-twin the SAME emission rule to assert value equality
+      val batch = EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour", p = 10)
+      val mx = df.agg(max("ts")).head().getTimestamp(0)
+      val expect = batch
+        .where(col("win_start") + expr("INTERVAL 1 HOUR") <= lit(mx))
+        .select("n_events", "est_distinct").as[(Long, Double)].collect()
+      assert(got.toSet === expect.toSet)
+      assert(got.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 }
