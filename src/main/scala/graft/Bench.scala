@@ -71,8 +71,11 @@ object Bench {
         "q204_fertility,q205_stream_near_dedup,q206_cluster_outliers," +
         // round 10: q210 is the new slowest gate (streaming micro-batch +
         // state floor under a 64-aggregate window) — min-of-3 it, and its
-        // p=10 array-register sibling q211 pays the same streaming floor
-        "q210_stream_distinct_hll,q211_stream_hll_p10")
+        // p=10 array-register sibling q211 pays the same streaming floor;
+        // q212 adds the stream-stream join's 4-state-store floor, q214
+        // three foreachBatch cycles of store dedup + parquet round-trips
+        "q210_stream_distinct_hll,q211_stream_hll_p10," +
+        "q212_stream_interval_join,q214_ingest_crawl")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

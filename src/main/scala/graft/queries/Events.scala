@@ -325,6 +325,69 @@ object Events {
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
+    }),
+
+    // STREAM-STREAM interval join (two independent readStreams, symmetric
+    // hash join with watermark-bounded state): every click paired with
+    // the same user's views within ±30 min. Inner matches emit in the
+    // micro-batch that completes them — no emission-rule filter in the
+    // oracle, the full pair set appears. The time-range predicate is what
+    // lets the state store EVICT (rows past watermark+tolerance can never
+    // match) — the piece a 100 TB-per-day dual-stream correlation needs.
+    "q212_stream_interval_join" -> ((s, d) => {
+      val name = s"stream_ivj_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = src().filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = EventStreams.intervalJoin(clicks, views, "user_id",
+          toleranceSeconds = 1800, watermark = "0 seconds")
+        .select(col("event_id").as("click_id"),
+          col("event_id_r").as("view_id"), col("user_id"),
+          col("ts").as("click_ts"), col("ts_r").as("view_ts"))
+      // a stream-stream join spins up FOUR state stores per partition —
+      // state partitioning is pinned at query start from
+      // spark.sql.shuffle.partitions, and 32×4 HDFS-backed stores is
+      // pure per-micro-batch overhead at gate scale (measured 10.2 s →
+      // 3.0 s at 4). A production deployment sizes this to state volume,
+      // not compute parallelism; restore the session value after.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try joined.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("click_id", "view_id").localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
+
+    // stream-static enrichment: each event decorated from the customer
+    // dimension (re-read per micro-batch, broadcast under the size
+    // threshold — the slowly-changing-dimension shape). Stateless, so no
+    // watermark and every row emits.
+    "q213_stream_enrich" -> ((s, d) => {
+      val name = s"stream_enrich_${streamGateCounter.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = graft.Tables.adaptEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+        .select("event_id", "user_id", "value")
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_mktsegment"))
+      val q = EventStreams.enrich(stream, dim, Seq("user_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).orderBy("event_id").localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
     })
   )
 
@@ -610,6 +673,19 @@ object Events {
         |    ELSE round(((0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)) * 1024 * 1024) / s, 4) END AS est_distinct
         |FROM est JOIN ne USING (win_start) CROSS JOIN mts
         |WHERE est.win_start + INTERVAL 1 HOUR <= mts.mx
-        |ORDER BY est.win_start""".stripMargin
+        |ORDER BY est.win_start""".stripMargin,
+    "q212_stream_interval_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS view_id,
+        |  l.user_id, l.ts AS click_ts, r.ts AS view_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'view'
+        | AND r.ts BETWEEN l.ts - INTERVAL 1800 SECOND
+        |               AND l.ts + INTERVAL 1800 SECOND
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q213_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -534,6 +534,36 @@ object Pipeline {
       finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
+    // the FULL rolling-crawl ingest loop (DocStreams.ingestDedupStream),
+    // gated end-to-end: three crawl cycles arrive as separate micro-
+    // batches of one streaming query; each cycle near-dup-dedups within
+    // itself (higher id of a verified pair drops) and against the
+    // SURVIVORS of all earlier cycles via the persisted signature store —
+    // dropped docs leave no signatures, so only kept docs suppress later
+    // near-dups (the semantic difference from q115/q119's whole-corpus
+    // store, and what the unrolled three-cycle oracle replays).
+    "q214_ingest_crawl" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+      val (src, store, out) = (s"$root/src", s"$root/store", s"$root/out")
+      try {
+        docs.filter(snum < 7).write.mode("append").parquet(src)
+        val q = graft.streaming.DocStreams.ingestDedupStream(
+          s.readStream.schema(docs.schema).parquet(src), store, out,
+          s"$root/ckpt", threshold = 0.3, portableIds = true)
+        try {
+          q.processAllAvailable()
+          docs.filter(snum >= 7 && snum < 14).write.mode("append").parquet(src)
+          q.processAllAvailable()
+          docs.filter(snum >= 14).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(out).select("doc_id").orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
     // portable rows-CMS frequency gate: per-source sketches (the per-batch
     // ingest shape) merged by bucket-count sum — never rescanning the
     // batches — then probed for every distinct token. width 64 forces real
@@ -1841,7 +1871,62 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin
     }
 
+  /** Three-cycle unroll of the ingest-crawl loop: cycle c's drops are
+    * (a) the higher id of every verified within-cycle pair and (b) any
+    * doc verified against a SURVIVOR of an earlier cycle — dropped docs
+    * leave no store signatures, exactly the engine's append-only store.
+    */
+  private lazy val ingestCrawlSql: String = {
+    val bandConds = (0 until 2).map { b =>
+      (0 until 4).map(j => s"s1.sig_${4 * b + j} = s2.sig_${4 * b + j}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val jac = "len(list_intersect(s1.tids, s2.tids))::DOUBLE / " +
+      "(len(s1.tids) + len(s2.tids) - len(list_intersect(s1.tids, s2.tids)))"
+    def c(n: Int, a: String) = n match {
+      case 1 => s"$a.snum < 7"
+      case 2 => s"$a.snum >= 7 AND $a.snum < 14"
+      case 3 => s"$a.snum >= 14"
+    }
+    def within(n: Int) =
+      s"""SELECT DISTINCT s2.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON ${c(n, "s1")} AND ${c(n, "s2")} AND s1.doc_id < s2.doc_id
+         |    AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3""".stripMargin
+    def vsKept(n: Int, kept: String) =
+      s"""SELECT DISTINCT s1.doc_id FROM sigs s1 JOIN sigs s2
+         |    ON ${c(n, "s1")} AND s2.doc_id IN (SELECT doc_id FROM $kept)
+         |    AND ($bandConds)
+         |  WHERE round($jac, 6) >= 0.3""".stripMargin
+    s"""WITH w0 AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS snum,
+       |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id, snum,
+       |  list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
+       |  FROM w0 WHERE len(w) >= 3),
+       |t AS (SELECT doc_id, snum,
+       |  list_distinct(list_transform(shingles, s -> ${portableTidSql("s")})) AS tids
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, snum, tids, $sigExprsSql FROM t),
+       |drop1 AS (${within(1)}),
+       |kept1 AS (SELECT doc_id FROM w0 WHERE ${c(1, "w0")}
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+       |drop2 AS (${vsKept(2, "kept1")}
+       |  UNION
+       |  ${within(2)}),
+       |kept2 AS (SELECT doc_id FROM w0 WHERE ${c(2, "w0")}
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop2)),
+       |kept12 AS (SELECT doc_id FROM kept1 UNION SELECT doc_id FROM kept2),
+       |drop3 AS (${vsKept(3, "kept12")}
+       |  UNION
+       |  ${within(3)})
+       |SELECT doc_id FROM w0
+       |WHERE doc_id IN (SELECT doc_id FROM kept12)
+       |   OR (${c(3, "w0")} AND doc_id NOT IN (SELECT doc_id FROM drop3))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q214_ingest_crawl" -> ingestCrawlSql,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
