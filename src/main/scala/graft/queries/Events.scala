@@ -35,10 +35,12 @@ object Events {
           .option("pathGlobFilter", "events.parquet").parquet(d))
       val evts = stream.select("event_id", "user_id", "ts", "value")
         .as[EventStreams.Evt]
-      val q = EventStreams.sessionizeStateful(evts, gapSeconds = 1800)
-        .select("user_id", "session_idx", "n_events", "start", "end")
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = EventStreams.withStatePartitions(s, 4) {
+        EventStreams.sessionizeStateful(evts, gapSeconds = 1800)
+          .select("user_id", "session_idx", "n_events", "start", "end")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).orderBy("user_id", "session_idx")
         .localCheckpoint(true)
@@ -66,8 +68,10 @@ object Events {
           sum(round(round(col("value"), 6) * 1e6, 0).cast("long")).as("sum_micros"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("sum_micros"))
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = EventStreams.withStatePartitions(s, 4) {
+        agg.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).orderBy("win_start", "event_type")
         .localCheckpoint(true)
@@ -298,8 +302,10 @@ object Events {
           .option("pathGlobFilter", "events.parquet").parquet(d))
       val agg = EventStreams.windowedDistinctHll(stream, "user_id",
         "1 hour", watermark = Some("0 seconds"), p = 6)
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = EventStreams.withStatePartitions(s, 4) {
+        agg.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
@@ -319,8 +325,10 @@ object Events {
           .option("pathGlobFilter", "events.parquet").parquet(d))
       val agg = EventStreams.windowedDistinctHllArray(stream, "user_id",
         "1 hour", watermark = Some("0 seconds"), p = 10)
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = EventStreams.withStatePartitions(s, 4) {
+        agg.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
@@ -350,17 +358,13 @@ object Events {
           col("event_id_r").as("view_id"), col("user_id"),
           col("ts").as("click_ts"), col("ts_r").as("view_ts"))
       // a stream-stream join spins up FOUR state stores per partition —
-      // state partitioning is pinned at query start from
-      // spark.sql.shuffle.partitions, and 32×4 HDFS-backed stores is
-      // pure per-micro-batch overhead at gate scale (measured 10.2 s →
-      // 3.0 s at 4). A production deployment sizes this to state volume,
-      // not compute parallelism; restore the session value after.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try joined.writeStream.outputMode("append").format("memory")
+      // 32×4 HDFS-backed stores is pure per-micro-batch overhead at gate
+      // scale (measured 10.2 s → 3.0 s at 4). A production deployment
+      // sizes this to state volume, not compute parallelism.
+      val q = EventStreams.withStatePartitions(s, 4) {
+        joined.writeStream.outputMode("append").format("memory")
           .queryName(name).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).orderBy("click_id", "view_id").localCheckpoint(true)
       s.catalog.dropTempView(name)

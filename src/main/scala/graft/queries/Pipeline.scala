@@ -1637,8 +1637,10 @@ object Pipeline {
         .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id % 300)"))
       val deduped = graft.streaming.DocStreams.simhashDedupStream(stream)
         .select("simhash")
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      val q = graft.streaming.EventStreams.withStatePartitions(s, 4) {
+        deduped.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
       try q.processAllAvailable() finally q.stop()
       val out = s.table(name).select("simhash").distinct().orderBy("simhash")
         .localCheckpoint(true)

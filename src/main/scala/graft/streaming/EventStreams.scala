@@ -17,6 +17,24 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStreams {
 
+  /** Pin `spark.sql.shuffle.partitions` to `n` for the duration of `body`
+    * (restore after). State partitioning of a streaming query is FIXED at
+    * query start from this conf, so call this around `.writeStream...start()`
+    * to size the number of state stores to state VOLUME instead of compute
+    * parallelism: a stream-stream join spins up four stores per partition,
+    * and at small state sizes the per-micro-batch store commit overhead of
+    * partitions × stores dominates (q212 measured 10.2 s → 3.0 s at n = 4).
+    * NOT a universal win — a single-store query whose state traffic already
+    * commits in parallel across cores can get SLOWER when serialized onto
+    * fewer stores (q100 measured 35% slower at n = 8); measure per query.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming reader over a parquet directory with the events schema. */
   def readEventStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.readStream.schema(schema).parquet(path)
