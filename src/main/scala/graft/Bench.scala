@@ -73,9 +73,13 @@ object Bench {
         // state floor under a 64-aggregate window) — min-of-3 it, and its
         // p=10 array-register sibling q211 pays the same streaming floor;
         // q212 adds the stream-stream join's 4-state-store floor, q214
-        // three foreachBatch cycles of store dedup + parquet round-trips
+        // three foreachBatch cycles of store dedup + parquet round-trips,
+        // q215 the outer join's sentinel batches, q216 three upsert merges
         "q210_stream_distinct_hll,q211_stream_hll_p10," +
-        "q212_stream_interval_join,q214_ingest_crawl")
+        "q212_stream_interval_join,q214_ingest_crawl," +
+        "q215_stream_outer_interval,q216_cdc_upsert," +
+        // q217: four appends + two compaction passes of temp-dir I/O
+        "q217_compact_table")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -153,4 +153,51 @@ object Layout {
     df.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
   }
+
+  /** Small-file compaction over a hive-partitioned parquet table — the
+    * maintenance pass that pays down the compaction debt incremental
+    * sinks accrue (every [[graft.streaming.DocStreams.upsertBatch]] merge
+    * leaves one file per touched bucket per micro-batch; a day of
+    * refreshes is thousands of small files per hot bucket, and scan cost
+    * at 100 TB is dominated by file-open/footer overhead long before
+    * bytes).
+    *
+    * Each partition directory is compacted INDEPENDENTLY and only when
+    * over-fragmented: a dir whose file count already matches
+    * ceil(bytes / targetBytes) is never listed into a job, read, or
+    * rewritten — so the pass touches exactly the debt, not the table
+    * (same contract as the upsert's dynamic partition overwrite). The
+    * rewrite is read → localCheckpoint (pins rows off the files about to
+    * die) → coalesce(n) → overwrite; `coalesce` merges partitions without
+    * a shuffle, and the partition column never travels (it lives in the
+    * directory name, re-derived by partition discovery on read).
+    *
+    * Single-writer per table, like the upsert sink (a transactional
+    * format is the concurrent answer — documented, not faked). Returns
+    * one (partition, filesBefore, filesAfter) row per rewritten dir so
+    * callers can log exactly what the pass touched.
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.toSeq.flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= nOut) None // already compact: leave untouched
+      else {
+        val pinned = spark.read.parquet(p.getPath.toString)
+          .localCheckpoint(true)
+        pinned.coalesce(nOut).write.mode("overwrite")
+          .parquet(p.getPath.toString)
+        org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
+        Some((p.getPath.getName, files.length, nOut))
+      }
+    }
+  }
 }

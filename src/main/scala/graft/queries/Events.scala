@@ -392,6 +392,69 @@ object Events {
       val out = s.table(name).orderBy("event_id").localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
+    }),
+
+    // stream-stream LEFT OUTER interval join — the semantics q212's inner
+    // join doesn't cover: a click with no view inside ±30 min emits its
+    // null-padded row only once the watermark PROVES the window empty
+    // (state-eviction time), never early. The file source's real rows
+    // alone would leave tail clicks unproven forever, so a second micro-
+    // batch delivers one far-future sentinel click+view for a ghost user
+    // (each side's watermark is computed post-filter, so each side needs
+    // one), pushing both watermarks past every real match window — after
+    // which the emitted set equals the batch LEFT JOIN, which is the
+    // oracle. Sentinel rows are filtered out of the output by user_id.
+    "q215_stream_outer_interval" -> ((s, d) => {
+      val name = s"stream_oivj_${streamGateCounter.incrementAndGet()}"
+      val root = java.nio.file.Files.createTempDirectory("graft_oivj")
+      val src = s"$root/src"
+      try {
+        val ev = graft.Tables(s, d).events
+          .select("event_id", "user_id", "ts", "event_type")
+        ev.write.parquet(src)
+        val schema = s.read.parquet(src).schema
+        def side(tpe: String) = s.readStream.schema(schema).parquet(src)
+          .filter(col("event_type") === tpe).drop("event_type")
+        // NO sentinel filter inside the streaming plan: a filter that
+        // excludes the ghost user is pushed below the watermark operator,
+        // so the sentinel rows never reach it and the watermark FREEZES at
+        // the real max ts — no null row ever emits (caught at sf0.001).
+        // Sentinels flow through the join and are dropped batch-side when
+        // the memory sink is read.
+        val joined = EventStreams.intervalJoin(side("click"), side("view"),
+            "user_id", toleranceSeconds = 1800, watermark = "0 seconds",
+            joinType = "left_outer")
+          .select(col("event_id").as("click_id"),
+            col("event_id_r").as("view_id"), col("user_id"),
+            col("ts").as("click_ts"), col("ts_r").as("view_ts"))
+        val q = EventStreams.withStatePartitions(s, 4) {
+          joined.writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+        }
+        try {
+          q.processAllAvailable()
+          val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0) // one row
+          import s.implicits._
+          // TWO sentinel micro-batches: the first advances the watermark
+          // past every real match window; the second is a data batch in
+          // whose processing the first's evictions deterministically EMIT
+          // (null rows surface one batch after the watermark proves them,
+          // and processAllAvailable need not await a trailing no-data
+          // batch — the second sentinel removes the race with stop()).
+          for (h <- Seq(48L, 96L)) {
+            val far = new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)
+            Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
+              .toDF("event_id", "user_id", "ts", "event_type")
+              .write.mode("append").parquet(src)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val out = s.table(name).filter(col("user_id") >= 0)
+          .orderBy("click_id", "view_id")
+          .localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        out
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     })
   )
 
@@ -690,6 +753,15 @@ object Events {
     "q213_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q215_stream_outer_interval" ->
+      """SELECT l.event_id AS click_id, r.event_id AS view_id,
+        |  l.user_id, l.ts AS click_ts, r.ts AS view_ts
+        |FROM events l LEFT JOIN events r
+        |  ON l.user_id = r.user_id AND r.event_type = 'view'
+        | AND r.ts BETWEEN l.ts - INTERVAL 1800 SECOND
+        |               AND l.ts + INTERVAL 1800 SECOND
+        |WHERE l.event_type = 'click'
+        |ORDER BY click_id, view_id""".stripMargin
   )
 }

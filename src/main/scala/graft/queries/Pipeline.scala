@@ -564,6 +564,75 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
+    // CDC latest-wins upsert sink (DocStreams.upsertStream) — the crawl-
+    // REFRESH shape, where a re-crawled doc's later version REPLACES the
+    // stored one (vs q214, which DROPS near-dups): three overlapping
+    // versioned update cycles arrive as separate micro-batches and merge
+    // into a bucket-partitioned parquet table via dynamic partition
+    // overwrite; only buckets containing updated keys are read or
+    // rewritten. The bucket hash is the portable q69 idiom, so the final
+    // table — layout column included — is replayed by the oracle: each
+    // doc ends at the highest version of any cycle that contained it.
+    "q216_cdc_upsert" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+      val (src, table, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
+      def cycle(n: Int, f: org.apache.spark.sql.Column) =
+        docs.filter(f).select(col("doc_id"),
+          lit(n).cast("int").as("version"),
+          concat(col("text"), lit(s" [rev $n]")).as("text"))
+      try {
+        cycle(1, snum < 14).write.mode("append").parquet(src)
+        val q = graft.streaming.DocStreams.upsertStream(
+          s.readStream.schema(s.read.parquet(src).schema).parquet(src),
+          table, ckpt, "doc_id", "version", buckets = 8)
+        try {
+          q.processAllAvailable()
+          cycle(2, snum >= 7 && snum < 17).write.mode("append").parquet(src)
+          q.processAllAvailable()
+          cycle(3, snum >= 14 || snum < 3).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(table)
+          .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+            col("version"), md5(col("text")).as("content_hash"))
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // small-file compaction (Layout.compactPartitions) — the maintenance
+    // pass behind every append-mode sink: four appends × repartition(4)
+    // leave ~16 files per partition dir; one compaction pass rewrites
+    // each over-fragmented dir to its byte-target file count (1 here) and
+    // a second pass is REQUIRED in-gate to be a no-op (the pass touches
+    // the debt, never the table). Content is the hash-gated output — a
+    // compaction that loses or duplicates a row fails the oracle.
+    "q217_compact_table" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val root = java.nio.file.Files.createTempDirectory("graft_compact")
+      val table = s"$root/table"
+      try {
+        val src = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(4L)).as("grp"), col("text"))
+        for (i <- 0 until 4)
+          src.filter(pmod(floor(col("doc_id") / 4), lit(4)) === i)
+            .repartition(4)
+            .write.mode("append").partitionBy("grp").parquet(table)
+        val report = graft.operators.Layout.compactPartitions(
+          s, table, targetBytes = 128L << 20)
+        require(report.size == 4 && report.forall(_._3 == 1),
+          s"expected 4 fragmented dirs compacting to 1 file, got $report")
+        require(graft.operators.Layout.compactPartitions(
+            s, table, 128L << 20).isEmpty,
+          "re-compaction of a compact table must be a no-op")
+        s.read.parquet(table)
+          .select(col("doc_id"), col("grp").cast("long").as("grp"),
+            md5(col("text")).as("content_hash"))
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
     // portable rows-CMS frequency gate: per-source sketches (the per-batch
     // ingest shape) merged by bucket-count sum — never rescanning the
     // batches — then probed for every distinct token. width 64 forces real
@@ -1929,6 +1998,22 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q214_ingest_crawl" -> ingestCrawlSql,
+    "q216_cdc_upsert" ->
+      """WITH s AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS snum,
+        |  text FROM documents),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN snum < 3 THEN 3 WHEN snum < 7 THEN 1
+        |       WHEN snum < 14 THEN 2 ELSE 3 END AS version, text FROM s)
+        |SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 8 AS bucket,
+        |  version,
+        |  md5(text || ' [rev ' || CAST(version AS VARCHAR) || ']')
+        |    AS content_hash
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q217_compact_table" ->
+      """SELECT doc_id, doc_id % 4 AS grp, md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

@@ -346,14 +346,21 @@ object EventStreams {
     * Column names: left keeps its names; right's are suffixed `_r`.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      toleranceSeconds: Long, watermark: String = "30 seconds"): DataFrame = {
+      toleranceSeconds: Long, watermark: String = "30 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
     val r0 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
     val r = r0.withWatermark("ts_r", watermark)
+    // the two-sided time-range predicate is what makes an OUTER stream-
+    // stream join legal (and what lets the state store evict on any type):
+    // a row whose match window the watermark has fully passed is provably
+    // complete, so left_outer can emit its null-padded row then — and only
+    // then. Inner matches emit in the completing micro-batch regardless.
     l.join(r,
       col(key) === col(s"${key}_r") &&
         col("ts_r") >= col("ts") - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
-        col("ts_r") <= col("ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+        col("ts_r") <= col("ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"),
+      joinType)
   }
 
   /** Ordered event funnel: for each user who performed `steps.head`, the

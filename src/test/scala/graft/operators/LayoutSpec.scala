@@ -144,4 +144,44 @@ class TrainingShardsSpec extends SparkSpec {
         new java.io.File(dir).getParentFile)
     }
   }
+
+  test("compactPartitions merges only over-fragmented dirs, preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    def parquetFiles(part: String): Int =
+      new java.io.File(s"$dir/$part").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    try {
+      // grp=0 fragmented (4 appends × repartition(3)), grp=1 one file
+      val frag = (1L to 120L).map(i => (i, s"row $i")).toDF("id", "text")
+        .withColumn("grp", lit(0))
+      for (i <- 0 until 4)
+        frag.filter(col("id") % 4 === i).repartition(3)
+          .write.mode("append").partitionBy("grp").parquet(dir)
+      (200L to 210L).map(i => (i, s"row $i")).toDF("id", "text")
+        .withColumn("grp", lit(1)).coalesce(1)
+        .write.mode("append").partitionBy("grp").parquet(dir)
+      val before = spark.read.parquet(dir)
+        .select("id", "text", "grp").as[(Long, String, Int)].collect().toSet
+      assert(parquetFiles("grp=0") === 12)
+      val oneFileBefore = new java.io.File(s"$dir/grp=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+      val report = Layout.compactPartitions(spark, dir, targetBytes = 1L << 30)
+      assert(report.map(r => (r._1, r._2, r._3)) === Seq(("grp=0", 12, 1)))
+      assert(parquetFiles("grp=0") === 1)
+      // the already-compact dir kept its exact file — never rewritten
+      assert(new java.io.File(s"$dir/grp=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+        === oneFileBefore)
+      // content byte-identical after the rewrite
+      val after = spark.read.parquet(dir)
+        .select("id", "text", "grp").as[(Long, String, Int)].collect().toSet
+      assert(after === before)
+      // second pass: nothing left to compact — a no-op, not a rewrite loop
+      assert(Layout.compactPartitions(spark, dir, 1L << 30).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
 }

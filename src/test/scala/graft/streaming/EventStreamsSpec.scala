@@ -184,6 +184,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(pairs === Set((1L, 91L)))
   }
 
+  test("left outer interval join: null rows emit only after the watermark proves the window empty") {
+    val dirL = java.nio.file.Files.createTempDirectory("sslo").toString
+    val dirR = java.nio.file.Files.createTempDirectory("ssro").toString
+    // user 7: event 1 (t=10m) matches click 91 (t=11m); event 2 (t=100m)
+    // has no click inside ±2 min — the null-padded candidate
+    Seq((1L, 7L, ts(10)), (2L, 7L, ts(100)))
+      .toDF("event_id", "user_id", "ts").write.mode("overwrite").parquet(dirL)
+    Seq((91L, 7L, ts(11)))
+      .toDF("click_id", "user_id", "ts").write.mode("overwrite").parquet(dirR)
+    def side(dir: String) =
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStreams.intervalJoin(side(dirL), side(dirR), "user_id",
+        toleranceSeconds = 120, watermark = "0 seconds", joinType = "left_outer")
+      .select("event_id", "click_id_r")
+      .writeStream.outputMode("append").format("memory").queryName("ssoj").start()
+    try {
+      q.processAllAvailable()
+      def rows = spark.table("ssoj").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      // inner match emits in the completing micro-batch; event 2's null row
+      // must NOT have emitted — the right watermark (11m) has not passed
+      // its match window, so absence-of-match is not yet proven
+      assert(rows === Set((1L, 91L)))
+      // two sentinel micro-batches on BOTH sides: the first advances the
+      // watermark past every real window, the second is the awaited data
+      // batch in which the first's eviction emits the null row
+      for (m <- Seq(10000L, 20000L)) {
+        Seq((-m, 99L, ts(m))).toDF("event_id", "user_id", "ts")
+          .write.mode("append").parquet(dirL)
+        Seq((-m - 1, 99L, ts(m))).toDF("click_id", "user_id", "ts")
+          .write.mode("append").parquet(dirR)
+        q.processAllAvailable()
+      }
+      assert(rows.filter(_._1 > 0) === Set((1L, 91L), (2L, -1L)))
+    } finally q.stop()
+  }
+
   test("streaming windowedAgg equals batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
     val df = Seq(

@@ -107,6 +107,31 @@ object ScaleCheck {
       }
     }
 
+    // CDC upsert: the delta-merge cost must track the DELTA (and its
+    // affected buckets), not the table — the initial load grows ×50 while
+    // the refresh batch stays ~5 keys, so a flat merge time IS the bucket
+    // pruning working (a full-rewrite merge would grow with the factor)
+    for (factor <- Seq(1, 10, 50)) {
+      val docs = scaled(factor)
+      val root = java.nio.file.Files.createTempDirectory("scale_upsert")
+      try {
+        val load = docs.select(col("doc_id"), lit(1).as("version"), col("text"))
+        graft.streaming.DocStreams.upsertBatch(load, s"$root/t",
+          "doc_id", "version", buckets = 64)
+        val delta = load
+          .filter(col("doc_id") % 997 === 0 && col("doc_id") < 10_000_000L)
+          .withColumn("version", lit(2)).localCheckpoint(true)
+        val nd = delta.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocStreams.upsertBatch(delta, s"$root/t",
+          "doc_id", "version", buckets = 64)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] cdc_upsert_delta       x$factor%-3d " +
+          f"table=${n0 * factor}%8d delta=$nd%4d time=$secs%7.2fs " +
+          s"route=bucket-pruned(<=$nd of 64)")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+
     // SQ8 over a replicated embedding corpus: the calibration pass and the
     // candidate scan are the linear-growth surfaces (the query side is
     // fixed at 5); identical replicas leave per-dim [min,max] unchanged,

@@ -396,6 +396,55 @@ object StockCompare {
           "user_id", Seq("win")),
         Seq("win")).count())
 
+    // 16. CDC upsert (q216's merge): the engine's bucket-pruned dynamic
+    //     partition overwrite vs the stock shape — a FULL-table rewrite
+    //     per refresh (read everything, merge, write a new table version).
+    //     Cycle 1 is the initial load for both; cycles 2-3 touch ~5 keys
+    //     each (the point-update refresh a crawl delta actually is), so
+    //     the engine reads and rewrites only the ≤5 affected buckets of
+    //     64 while stock pays the whole table twice per cycle. The gap is
+    //     the table-size-over-update-size ratio — bounded at sf0.1, and
+    //     the reason the bucketed sink exists at 100 TB.
+    {
+      import org.apache.commons.io.FileUtils
+      val docs = graft.Tables(spark, sfDir).documents
+        .select(col("doc_id"), lit(1).as("version"), col("text"))
+        .localCheckpoint(true)
+      def delta(v: Int, m: Int) = docs.filter(col("doc_id") % m === 0)
+        .withColumn("version", lit(v))
+      val (d2, d3) = (delta(2, 997).localCheckpoint(true),
+        delta(3, 883).localCheckpoint(true))
+      def engineUpsert(): Long = {
+        val root = java.nio.file.Files.createTempDirectory("sc_upsert")
+        try {
+          for (b <- Seq(docs, d2, d3))
+            graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
+              "doc_id", "version", buckets = 64)
+          spark.read.parquet(s"$root/t").count()
+        } finally FileUtils.deleteDirectory(root.toFile)
+      }
+      def stockUpsert(): Long = {
+        val root = java.nio.file.Files.createTempDirectory("sc_upsert_stock")
+        try {
+          docs.write.parquet(s"$root/v1")
+          var v = 1
+          for (b <- Seq(d2, d3)) {
+            val cur = spark.read.parquet(s"$root/v$v")
+            cur.unionByName(b)
+              .withColumn("rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("doc_id")
+                  .orderBy(col("version").desc)))
+              .filter(col("rn") === 1).drop("rn")
+              .write.parquet(s"$root/v${v + 1}")
+            v += 1
+          }
+          spark.read.parquet(s"$root/v$v").count()
+        } finally FileUtils.deleteDirectory(root.toFile)
+      }
+      report("cdc upsert bucket pruning", engineUpsert(), stockUpsert())
+    }
+
     spark.stop()
   }
 }
