@@ -139,8 +139,19 @@ object Bench {
     println(json)
     // the driver snapshots only a stdout tail (2000 chars — fewer than the
     // per-query map needs past ~65 queries); the full line also lands in a
-    // file so every per-query time stays machine-readable
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // file so every per-query time stays machine-readable.
+    //
+    // The file is RUN-STAMPED by default: `bench_out.json` is the COMMITTED
+    // record that README and ReadmeCanarySpec pin, and any full rerun that
+    // lands there after the record commit (a driver post-commit rerun did
+    // exactly this in round 10) makes the working tree fail the canary.
+    // Updating the committed record is an explicit act: pass `--commit`
+    // (or set SPARK_GRAFT_BENCH_OUT). Run-stamped files are gitignored.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (args.contains("--commit")) "bench_out.json"
+      else s"bench_out_${java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss"))}.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }

@@ -77,8 +77,17 @@ object Verify {
     */
   private def lintOracles(sfDir: String, outDir: String): Option[Int] =
     try {
-      val script = Seq("tools/oracle_lint.py", "/root/repo/tools/oracle_lint.py")
-        .find(p => new java.io.File(p).isFile)
+      // resolve the script from (1) an explicit env override, then (2)
+      // `tools/oracle_lint.py` under the cwd or any ancestor (so running
+      // from a subdirectory of any checkout still finds the repo's tools/)
+      // — never a machine-specific absolute path
+      val ancestors = Iterator.iterate(
+          Paths.get("").toAbsolutePath.toFile)(_.getParentFile)
+        .takeWhile(_ != null)
+        .map(d => new java.io.File(d, "tools/oracle_lint.py"))
+      val script = (sys.env.get("GRAFT_ORACLE_LINT").map(new java.io.File(_))
+          .iterator ++ ancestors)
+        .find(_.isFile).map(_.getPath)
         .getOrElse(return None)
       val probe = new ProcessBuilder("python3", "-c", "import duckdb")
         .redirectErrorStream(true).start()

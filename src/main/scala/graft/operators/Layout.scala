@@ -162,7 +162,9 @@ object Layout {
     * at 100 TB is dominated by file-open/footer overhead long before
     * bytes).
     *
-    * Each partition directory is compacted INDEPENDENTLY and only when
+    * Each LEAF partition directory (multi-level `a=1/b=2/` layouts are
+    * recursed — parquet files live only at the leaves) is compacted
+    * INDEPENDENTLY, from a bounded driver-side thread pool, and only when
     * over-fragmented: a dir whose file count already matches
     * ceil(bytes / targetBytes) is never listed into a job, read, or
     * rewritten — so the pass touches exactly the debt, not the table
@@ -177,27 +179,77 @@ object Layout {
     * one (partition, filesBefore, filesAfter) row per rewritten dir so
     * callers can log exactly what the pass touched.
     */
+  /** Peak number of concurrently-running per-directory rewrites during the
+    * last [[compactPartitions]] call — observability for the pool actually
+    * engaging (spec-asserted; a scheduler metric, not part of the report).
+    */
+  @volatile var lastCompactPeakConcurrency: Int = 0
+
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytes: Long): Seq[(String, Int, Int)] = {
+      path: String, targetBytes: Long,
+      parallelism: Int = 8): Seq[(String, Int, Int)] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recurse to LEAF partition directories: in a multi-level hive layout
+    // (a=1/b=2/...) the parquet files live only at the leaves, so a single-
+    // level listing would see empty dirs and silently no-op the whole pass
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath)
+      if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(leaves)
+    }
     val parts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    parts.toSeq.flatMap { p =>
-      val files = fs.listStatus(p.getPath)
+      .toSeq.flatMap(s => leaves(s.getPath))
+    // partition value = path relative to the table root (multi-level safe)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    def rel(p: org.apache.hadoop.fs.Path): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    def compactOne(p: org.apache.hadoop.fs.Path): Option[(String, Int, Int)] = {
+      val files = fs.listStatus(p)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (files.length <= nOut) None // already compact: leave untouched
       else {
-        val pinned = spark.read.parquet(p.getPath.toString)
-          .localCheckpoint(true)
-        pinned.coalesce(nOut).write.mode("overwrite")
-          .parquet(p.getPath.toString)
+        val pinned = spark.read.parquet(p.toString).localCheckpoint(true)
+        pinned.coalesce(nOut).write.mode("overwrite").parquet(p.toString)
         org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
-        Some((p.getPath.getName, files.length, nOut))
+        Some((rel(p), files.length, nOut))
       }
+    }
+    // per-dir rewrites are tiny independent jobs; issued serially from the
+    // driver, thousands of fragmented dirs (the operator's design point —
+    // 65k buckets, thousands fragmented after a day of refreshes) would pay
+    // hours of scheduler latency for minutes of I/O. Spark's scheduler is
+    // thread-safe, so submit them from a BOUNDED pool: wall time tracks
+    // pool width, not dir count, and the bound keeps the driver from
+    // queueing thousands of jobs at once.
+    lastCompactPeakConcurrency = 0
+    if (parallelism == 1 || parts.size <= 1) parts.flatMap { p =>
+      lastCompactPeakConcurrency = math.max(lastCompactPeakConcurrency, 1)
+      compactOne(p)
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, parts.size))
+      val running = new java.util.concurrent.atomic.AtomicInteger(0)
+      try {
+        val futures = parts.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Option[(String, Int, Int)]] {
+            def call(): Option[(String, Int, Int)] = {
+              val now = running.incrementAndGet()
+              // racy max is fine: an observability gauge, not the report
+              lastCompactPeakConcurrency =
+                math.max(lastCompactPeakConcurrency, now)
+              try compactOne(p) finally running.decrementAndGet()
+            }
+          })
+        }
+        futures.flatMap(_.get()) // report in deterministic listing order
+      } finally pool.shutdown()
     }
   }
 }

@@ -54,7 +54,8 @@ object Similarity {
     */
   private val CellRouteKey = "graft.sim.lastCellRoute"
   private def confinedCellJoin(corpus: DataFrame, probes: DataFrame,
-      corpusId: String, probeBase: DataFrame): DataFrame = {
+      corpusId: String, probeBase: DataFrame,
+      expansion: Double): DataFrame = {
     val spark = corpus.sparkSession
     val budget = spark.conf.get(BudgetKey, (64L << 20).toString).toLong
     // two tiers, the budgetedCross pattern — with tier 1 reading the RAW
@@ -62,15 +63,24 @@ object Similarity {
     // post-crossJoin plan whose Catalyst estimate is a byte product, so it
     // would read as over-budget for a 5-row batch and force the measuring
     // job on every call. The base frame's estimate is real (a scan or a
-    // filter of one); the probe explosion is a small constant (`probes`
-    // rows per query, plus a per-row ADC table on the PQ path) the budget's
-    // headroom absorbs. Only a suspicious base estimate pays ONE exact
-    // measuring scan of the probe side (never the corpus).
-    val fits =
-      probeBase.queryExecution.optimizedPlan.stats.sizeInBytes <= budget ||
-        measuredBytes(probes) <= budget
+    // filter of one) — but what gets BROADCAST is the exploded probe frame,
+    // `expansion`× the base (probes rows per query; the caller knows the
+    // factor), so the estimate is trusted only after scaling by it: a base
+    // just under budget must not smuggle a probes×-replicated frame past
+    // the driver. A non-finite `expansion` (the PQ path, whose per-row ADC
+    // table is not derivable from the base estimate at all) or a scaled
+    // estimate over budget pays ONE exact measuring scan of the probe side
+    // (never the corpus) before broadcasting.
+    // route value records WHICH tier authorized a broadcast
+    // ("broadcast:estimate" | "broadcast:measured") so a spec can pin
+    // that the PQ path never trusts the unscalable estimate
+    val estimateFits = java.lang.Double.isFinite(expansion) &&
+      probeBase.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble *
+        expansion.max(1.0) <= budget.toDouble
+    val fits = estimateFits || measuredBytes(probes) <= budget
     if (fits) {
-      spark.conf.set(CellRouteKey, "broadcast")
+      spark.conf.set(CellRouteKey,
+        if (estimateFits) "broadcast:estimate" else "broadcast:measured")
       corpus.join(broadcast(probes), "cent_id" :: Nil)
     } else {
       spark.conf.set(CellRouteKey, "salted")
@@ -276,7 +286,7 @@ object Similarity {
       cents, "query_id", "qv", probes)
 
     val scored = confinedCellJoin(assigned, probed, "vec_id",
-        queries.select(col(idCol), col(vecCol)))
+        queries.select(col(idCol), col(vecCol)), expansion = probes)
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -344,7 +354,8 @@ object Similarity {
         cents, "query_id", "qv", probes)
     val scored = confinedCellJoin(
         idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id")),
-        probed, "vec_id", queries.select(col(idCol), col(vecCol)))
+        probed, "vec_id", queries.select(col(idCol), col(vecCol)),
+        expansion = probes)
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -467,8 +478,12 @@ object Similarity {
         col("qv"), fit.books))
       .select("query_id", "cent_id", "qtab")
 
+    // expansion is non-derivable here: each probe row swaps its raw vector
+    // for an m×codebook ADC table (10-100× the vector at small dims), so
+    // the base estimate says nothing about broadcast bytes — always measure
     val scored = confinedCellJoin(encoded, probed, "vec_id",
-        queries.select(col(idCol), col(vecCol)))
+        queries.select(col(idCol), col(vecCol)),
+        expansion = Double.PositiveInfinity)
       .select(col("query_id"), col("vec_id"), round(adcDist(m), 6).as("dist"))
     topKByDist(scored, k)
   }
@@ -705,7 +720,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, "query_id", "qv", probes)
     rankedTopK(confinedCellJoin(assigned, probed, "vec_id",
-        queries.select(col(idCol), col(vecCol)))
+        queries.select(col(idCol), col(vecCol)), expansion = probes)
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos")), k)
   }

@@ -300,8 +300,13 @@ object Events {
       val stream = graft.Tables.adaptEventTs(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
-      val agg = EventStreams.windowedDistinctHll(stream, "user_id",
+      // through the p-router (q186 pattern: the route the router took is
+      // asserted in-gate, so a router regression fails correctness)
+      val agg = EventStreams.windowedDistinctHllAuto(stream, "user_id",
         "1 hour", watermark = Some("0 seconds"), p = 6)
+      require(s.conf.get(EventStreams.HllFormKey) == "columns",
+        s"p=6 must route to the column-register form, " +
+          s"got ${s.conf.get(EventStreams.HllFormKey)}")
       val q = EventStreams.withStatePartitions(s, 4) {
         agg.writeStream.outputMode("append").format("memory")
           .queryName(name).start()
@@ -323,8 +328,11 @@ object Events {
       val stream = graft.Tables.adaptEventTs(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
-      val agg = EventStreams.windowedDistinctHllArray(stream, "user_id",
+      val agg = EventStreams.windowedDistinctHllAuto(stream, "user_id",
         "1 hour", watermark = Some("0 seconds"), p = 10)
+      require(s.conf.get(EventStreams.HllFormKey) == "array",
+        s"p=10 must route to the array-register form, " +
+          s"got ${s.conf.get(EventStreams.HllFormKey)}")
       val q = EventStreams.withStatePartitions(s, 4) {
         agg.writeStream.outputMode("append").format("memory")
           .queryName(name).start()

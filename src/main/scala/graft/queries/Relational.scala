@@ -578,6 +578,64 @@ object Relational {
           datediff(od, lit("1995-01-01").cast("date"))
             .cast("long").as("days_since"))
         .orderBy("o_orderkey")
+    }),
+
+    // PK-FK join reorder under the hard gate (the q186 route-pin pattern):
+    // the join is WRITTEN smallest-first (nation ⨝ customer ⨝ orders) —
+    // the worst build order, every probe row carried through both shuffles
+    // — and the rule (plans/PkFkJoinReorder.scala, the reference's
+    // OptimizePKFKJoin rebuilt on Catalyst) must rebuild it left-deep from
+    // the largest relation, attaching PK sides: orders ⨝ customer(PK) ⨝
+    // nation(PK). The leaf order actually planned is emitted as a column,
+    // so a rule that silently stops firing hash-mismatches the oracle's
+    // 'orders,customer,nation' literal. Registrations are cleared in
+    // finally — the rule must not leak into other gates' plans.
+    "q218_pkfk_reorder" -> ((s, d) => {
+      val t = Tables(s, d)
+      import graft.plans.PkFkJoinReorder
+      if (!s.experimental.extraOptimizations.contains(PkFkJoinReorder))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ PkFkJoinReorder
+      PkFkJoinReorder.registerPrimaryKey("customer", Seq("c_custkey"))
+      PkFkJoinReorder.registerPrimaryKey("nation", Seq("n_nationkey"))
+      try {
+        val j = t.nation
+          .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+          .join(t.orders, col("o_custkey") === col("c_custkey"))
+        def leafName(cols: Set[String]): String =
+          if (cols.contains("o_orderkey")) "orders"
+          else if (cols.contains("c_custkey")) "customer"
+          else if (cols.contains("n_nationkey")) "nation"
+          else "?"
+        val order = j.queryExecution.optimizedPlan.collectLeaves()
+          .map(l => leafName(l.output.map(_.name).toSet)).mkString(",")
+        j.groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .withColumn("join_order", lit(order))
+          .orderBy("n_name")
+          // the agg runs OUTSIDE the try: pin rows while the rule is live
+          // so the executed plan is the reordered one the column reports
+          .localCheckpoint(true)
+      } finally PkFkJoinReorder.clear()
+    }),
+
+    // per-attribute-set exact cardinalities — the reference's
+    // Statistics.fullCardinality (statsEstimation/Statistics.scala:27-70),
+    // the stats surface that feeds cardinality-aware attribute ordering.
+    // The Map result is emitted as (attrs, card) rows so the driver gate
+    // checks the VALUES the optimizer would consume, not just that a spec
+    // ran: single-key, composite-key, and low-cardinality sets in one call
+    // (planned as one Expand pass, not one scan per set).
+    "q219_full_cardinality" -> ((s, d) => {
+      val t = Tables(s, d)
+      val es = new graft.api.EngineSession(s)
+      val sets = Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_suppkey"))
+      val cards = es.fullCardinality(t.lineitem, sets)
+      val rows = sets.map(set => (set.mkString(","), cards(set)))
+      import s.implicits._
+      rows.toDF("attrs", "card").orderBy("attrs")
     })
   )
 
@@ -866,6 +924,27 @@ object Relational {
         |  CAST(quarter(od) AS BIGINT) AS q,
         |  CAST(dayofyear(od) AS BIGINT) AS doy,
         |  CAST(od - DATE '1995-01-01' AS BIGINT) AS days_since
-        |FROM o ORDER BY o_orderkey""".stripMargin
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q218_pkfk_reorder" ->
+      // values replay the 3-table join; the 'orders,customer,nation'
+      // literal pins the join order the PK-FK rule must have planned
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  'orders,customer,nation' AS join_order
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q219_full_cardinality" ->
+      """SELECT attrs, CAST(card AS BIGINT) AS card FROM (
+        |  SELECT 'l_orderkey' AS attrs,
+        |    count(DISTINCT l_orderkey) AS card FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey,l_linenumber', count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |  UNION ALL SELECT 'l_returnflag,l_linestatus', count(*) FROM
+        |    (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        |  UNION ALL SELECT 'l_suppkey',
+        |    count(DISTINCT l_suppkey) FROM lineitem
+        |) ORDER BY attrs""".stripMargin
   )
 }

@@ -147,14 +147,34 @@ object DocStreams {
     * hash (md5 first-8-hex-digits mod `buckets`, the q69 split idiom) so
     * the layout itself is oracle-checkable.
     */
+  /** `Some(read)` iff `path` EXISTS, `None` iff it does not — and a loud
+    * failure for everything else. The distinction is load-bearing for both
+    * sinks below: an absent table/store is the legitimate first-batch case,
+    * but any OTHER read failure (corrupt footer, transient FS error,
+    * exhausted task retries, a concurrent maintenance pass deleting files
+    * mid-read) must propagate so the micro-batch fails and RETRIES — a
+    * catch-all that maps every failure to "empty" would make the upsert
+    * merge rewrite affected buckets from the batch alone (destroying every
+    * stored row not in the batch) and make the ingest loop silently skip
+    * dedup against all prior history.
+    */
+  private def parquetIfExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   def upsertBatch(batch: DataFrame, tablePath: String, keyCol: String,
       versionCol: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
     val bucket = pmod(
       conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(buckets.toLong))
-    // the batch feeds two plans (affected-bucket scan + merge) — pin it
-    val pinned = batch.withColumn("bucket", bucket).localCheckpoint(true)
+    // the batch feeds two plans (affected-bucket scan + merge) — cache it;
+    // the affected-bucket collect below populates the cache as a side
+    // effect, where an eager localCheckpoint paid a dedicated job per batch
+    val pinned = batch.withColumn("bucket", bucket).persist()
     val affected = pinned.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by `buckets`, not data
     val dataCols = pinned.columns.filterNot(c => c == keyCol || c == "bucket")
@@ -166,11 +186,12 @@ object DocStreams {
           struct(dataCols.map(col): _*).as("_row")).as("_m"))
     // pin the affected-bucket read: the merge OVERWRITES the path it reads
     // (Spark rightly refuses a lazy read-overwrite cycle on one path), and
-    // the pin bounds the materialization to the affected buckets' rows
-    val current = scala.util.Try(
-        spark.read.parquet(tablePath).filter(col("bucket").isin(affected: _*))
-          .localCheckpoint(true))
-      .getOrElse(pinned.limit(0)) // absent table (first batch) = empty
+    // the pin bounds the materialization to the affected buckets' rows.
+    // Empty ONLY when the table path does not exist (first batch); any
+    // other read failure propagates — see [[parquetIfExists]].
+    val current = parquetIfExists(spark, tablePath)
+      .map(_.filter(col("bucket").isin(affected: _*)).localCheckpoint(true))
+      .getOrElse(pinned.limit(0))
     val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
       .groupBy(keyCol, "bucket") // bucket is a function of the key
       .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
@@ -184,7 +205,7 @@ object DocStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(tablePath)
     org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(current)
-    org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
+    pinned.unpersist(false)
   }
 
   def ingestDedupStream(docs: DataFrame, storePath: String, outPath: String,
@@ -197,25 +218,40 @@ object DocStreams {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // the batch feeds three plans (dedup, emit, re-sign) — pin it
-        val pinned = batch.localCheckpoint(true)
-        // an absent store (first batch ever) is an EMPTY store with the
-        // batch-derived schema — limit(0) through signatureStore gives
-        // exactly the columns a written store would have
-        val store = scala.util.Try(spark.read.parquet(storePath))
-          .getOrElse(Dedup.signatureStore(pinned.limit(0), textCol, idCol,
-            shingle, portableIds))
-        val survivors = Dedup.incrementalMinHashDedupFromStore(
-          pinned, store, textCol, idCol, threshold,
-          shingle = shingle, portableIds = portableIds)
-        val kept = pinned.join(survivors,
-            pinned(idCol) === survivors("doc_id"), "left_semi")
-          .localCheckpoint(true)
-        kept.write.mode("append").parquet(outPath)
-        Dedup.signatureStore(kept, textCol, idCol, shingle, portableIds)
-          .write.mode("append").parquet(storePath)
-        org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(kept)
-        org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(pinned)
+        // the batch feeds two plans (the dedup probe and the survivor
+        // semi-join) — CACHE it rather than eagerly checkpoint: the first
+        // action populates the block store as a side effect of work it was
+        // doing anyway, where localCheckpoint(true) paid a dedicated
+        // materialization job per micro-batch (two of them, measured as
+        // the dominant share of the q214 gate's wall time)
+        val pinned = batch.persist()
+        try {
+          // an absent store (first batch ever) is an EMPTY store with the
+          // batch-derived schema — limit(0) through signatureStore gives
+          // exactly the columns a written store would have. Absence ONLY:
+          // any other store read failure propagates and the micro-batch
+          // retries ([[parquetIfExists]]) instead of silently skipping
+          // dedup against all prior history.
+          val store = parquetIfExists(spark, storePath)
+            .getOrElse(Dedup.signatureStore(pinned.limit(0), textCol, idCol,
+              shingle, portableIds))
+          val survivors = Dedup.incrementalMinHashDedupFromStore(
+            pinned, store, textCol, idCol, threshold,
+            shingle = shingle, portableIds = portableIds)
+          // survivors is eagerly pinned inside the dedup (batch-bound ids),
+          // so kept's lineage is cache blocks + that pin — the store append
+          // below cannot leak back into it, and the output write doubles as
+          // the cache-populating action for the signature append that
+          // follows (one batch scan feeds both, no checkpoint round-trip)
+          val kept = pinned.join(survivors,
+              pinned(idCol) === survivors("doc_id"), "left_semi")
+            .persist()
+          try {
+            kept.write.mode("append").parquet(outPath)
+            Dedup.signatureStore(kept, textCol, idCol, shingle, portableIds)
+              .write.mode("append").parquet(storePath)
+          } finally kept.unpersist(false)
+        } finally pinned.unpersist(false)
         ()
       }
       .start()

@@ -185,6 +185,36 @@ object EventStreams {
       est.as("est_distinct"))
   }
 
+  /** Route key recording which register encoding [[windowedDistinctHllAuto]]
+    * chose on its last call ("columns" | "array") — the q186/q200
+    * observability pattern, spec-pinned.
+    */
+  val HllFormKey = "graft.hll.lastForm"
+
+  /** ONE entry point over both register encodings, routed on `p`: the
+    * column-per-register form ([[windowedDistinctHll]] — every register a
+    * codegen'd max aggregate, the committed-oracle form) through its
+    * measured ceiling p ≤ 8, the array-register Aggregator
+    * ([[windowedDistinctHllArray]]) above it, up to the state ceiling
+    * p ≤ 14. Callers pick precision; the encoding is an implementation
+    * detail this router owns (route recorded under [[HllFormKey]]).
+    *
+    * The two forms differ ONLY in the α constant away from p = 6 (the
+    * column form pins the p = 6 α for its committed oracle; the array form
+    * uses the standard m-dependent α — they coincide exactly at p = 6,
+    * spec-asserted), so the route boundary is a precision/plan-size
+    * trade, never a semantic one.
+    */
+  def windowedDistinctHllAuto(events: DataFrame, keyCol: String,
+      windowLength: String, watermark: Option[String] = None,
+      p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 14, s"p must be in [2, 14], got $p")
+    val form = if (p <= 8) "columns" else "array"
+    events.sparkSession.conf.set(HllFormKey, form)
+    if (p <= 8) windowedDistinctHll(events, keyCol, windowLength, watermark, p)
+    else windowedDistinctHllArray(events, keyCol, windowLength, watermark, p)
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the gap
     * since the user's previous event exceeds `gapSeconds`. Returns the input
     * plus `session_idx` (1-based per user). One shuffle on user_id; the

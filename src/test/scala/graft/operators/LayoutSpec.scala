@@ -184,4 +184,72 @@ class TrainingShardsSpec extends SparkSpec {
         new java.io.File(dir).getParentFile)
     }
   }
+
+  test("compactPartitions recurses to the leaves of a multi-level layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_ml").toString + "/t"
+    try {
+      // two-level hive layout a=·/b=· — parquet files live only at the
+      // leaves, so a single-level listing would see empty dirs and
+      // silently no-op (the round-10 advice finding)
+      val df = (1L to 80L).map(i => (i, i % 2, i % 3, s"row $i"))
+        .toDF("id", "a", "b", "text")
+      for (k <- 0 until 3)
+        df.filter(col("id") % 3 === k).repartition(2)
+          .write.mode("append").partitionBy("a", "b").parquet(dir)
+      val before = spark.read.parquet(dir)
+        .select("id", "a", "b", "text").as[(Long, Long, Long, String)]
+        .collect().toSet
+      val report = Layout.compactPartitions(spark, dir, targetBytes = 1L << 30)
+      // every leaf was fragmented (3 appends × repartition(2)); the report
+      // names leaves by their FULL relative path, not the top level
+      assert(report.nonEmpty)
+      assert(report.forall { case (p, nIn, nOut) =>
+        p.matches("a=\\d+/b=\\d+") && nIn > 1 && nOut === 1
+      }, s"unexpected report: $report")
+      val leaves = for (a <- 0 to 1; b <- 0 to 2) yield s"a=$a/b=$b"
+      assert(report.map(_._1).toSet === leaves.toSet)
+      leaves.foreach { leaf =>
+        val n = new java.io.File(s"$dir/$leaf").listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(n === 1, s"$leaf holds $n files after compaction")
+      }
+      val after = spark.read.parquet(dir)
+        .select("id", "a", "b", "text").as[(Long, Long, Long, String)]
+        .collect().toSet
+      assert(after === before)
+      assert(Layout.compactPartitions(spark, dir, 1L << 30).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("compactPartitions drains ~100 fragmented dirs through the bounded pool") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_wide").toString + "/t"
+    try {
+      // 100 partition dirs, each fragmented by 2 appends (the split key
+      // id/100 is independent of grp = id%100, so EVERY grp lands rows in
+      // BOTH appends — guaranteed ≥ 2 files per dir; a split on id%2 would
+      // correlate with grp parity and leave half the dirs single-append)
+      val df = (0L until 400L).map(i => (i, i % 100, s"row $i"))
+        .toDF("id", "grp", "text")
+      for (k <- 0 until 2)
+        df.filter((col("id") / 100).cast("long") % 2 === k).repartition(2)
+          .write.mode("append").partitionBy("grp").parquet(dir)
+      val before = spark.read.parquet(dir).count()
+      val report = Layout.compactPartitions(spark, dir,
+        targetBytes = 1L << 30, parallelism = 8)
+      assert(report.size === 100, s"expected all 100 dirs compacted, got ${report.size}")
+      assert(report.forall(_._3 === 1))
+      // the pool actually engaged: per-dir rewrites overlapped, so wall
+      // time is bounded by pool width, not by issuing 100 jobs serially
+      assert(Layout.lastCompactPeakConcurrency >= 2,
+        s"rewrites never overlapped (peak=${Layout.lastCompactPeakConcurrency})")
+      assert(spark.read.parquet(dir).count() === before)
+      assert(Layout.compactPartitions(spark, dir, 1L << 30).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
 }

@@ -107,7 +107,7 @@ class SkewSaltSpec extends graft.SparkSpec {
         k = 4, centroidMod = 100, probes = 2)
       .select("query_id", "vec_id", "cos", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
-    assert(spark.conf.get("graft.sim.lastCellRoute") === "broadcast")
+    assert(spark.conf.get("graft.sim.lastCellRoute").startsWith("broadcast"))
     val viaSalt = withConf("graft.sim.broadcastBudgetBytes", "0") {
       forcedSalt {
         val out = Similarity.ivfTopK(q, hotCell, "embedding", "vec_id",
@@ -141,6 +141,22 @@ class SkewSaltSpec extends graft.SparkSpec {
     }
     assert(viaSalt === viaBroadcast)
     assert(viaBroadcast.nonEmpty)
+  }
+
+  test("PQ cell join never trusts the tier-1 estimate for its ADC-table broadcast") {
+    // each exploded probe row swaps its raw vector for an m×codebook ADC
+    // table the base frame's Catalyst estimate says NOTHING about — so a
+    // broadcast on the PQ path must always come from the exact measuring
+    // scan (route "broadcast:measured"), never from the unscalable
+    // estimate ("broadcast:estimate"), however generous the budget
+    val e = (0L until 128L).map { i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val out = Similarity.ivfPqTopK(q, e, "embedding", "vec_id", k = 5,
+      centroidMod = 50, probes = 2, m = 4, codebook = 8, iters = 2)
+    assert(out.count() > 0)
+    assert(spark.conf.get("graft.sim.lastCellRoute") === "broadcast:measured")
   }
 
   test("embeddingNearDup pair set is salt-invariant on a single hot block") {

@@ -157,6 +157,47 @@ class DocStreamsSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("a corrupt table read FAILS the upsert merge instead of wiping buckets") {
+    val root = Files.createTempDirectory("upsert_corrupt").toString
+    try {
+      // the table path EXISTS but holds a non-parquet file: the merge must
+      // propagate the read failure (so the micro-batch retries), never
+      // treat it as a first batch — that would rewrite affected buckets
+      // from the batch alone, deleting every previously stored row there
+      val table = new java.io.File(s"$root/t")
+      table.mkdirs()
+      Files.write(java.nio.file.Paths.get(s"$root/t/part-garbage.parquet"),
+        "not parquet at all".getBytes("UTF-8"))
+      intercept[Exception] {
+        DocStreams.upsertBatch(upds((1L, 1, "a1")), s"$root/t",
+          "doc_id", "version", buckets = 4)
+      }
+      // the garbage file is still there — nothing was overwritten
+      assert(new java.io.File(s"$root/t/part-garbage.parquet").isFile)
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a corrupt signature store FAILS the ingest batch instead of skipping dedup") {
+    val root = Files.createTempDirectory("ingest_corrupt").toString
+    try {
+      new java.io.File(s"$root/store").mkdirs()
+      Files.write(java.nio.file.Paths.get(s"$root/store/part-bad.parquet"),
+        "garbage".getBytes("UTF-8"))
+      docs(1L -> base).write.mode("append").parquet(s"$root/src")
+      val q = DocStreams.ingestDedupStream(
+        spark.readStream.schema(docs(1L -> base).schema).parquet(s"$root/src"),
+        s"$root/store", s"$root/out", s"$root/ckpt", threshold = 0.7)
+      // an unreadable EXISTING store must surface as a query failure —
+      // silently treating it as empty would skip dedup against all prior
+      // history while still appending output and fresh signatures
+      intercept[StreamingQueryException] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(!new java.io.File(s"$root/out").exists,
+        "no output may be appended when the store read failed")
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("upsert batch replay is idempotent; same-version ties are deterministic") {
     val root = Files.createTempDirectory("upsert_idem").toString
     try {

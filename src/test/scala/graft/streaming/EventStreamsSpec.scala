@@ -362,6 +362,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("windowedDistinctHllArray"))
   }
 
+  test("windowedDistinctHllAuto routes on p and pins the route taken") {
+    val df = (0 until 400).map(i => (i.toLong, (i % 130).toLong, ts(i / 10)))
+      .toDF("event_id", "user_id", "ts")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("win_start", "n_events", "est_distinct")
+        .as[(Timestamp, Long, Double)].collect().toSet
+    // p ≤ 8 → the column-register form, route recorded
+    val auto6 = rows(EventStreams.windowedDistinctHllAuto(df, "user_id", "1 hour", p = 6))
+    assert(spark.conf.get(EventStreams.HllFormKey) === "columns")
+    assert(auto6 === rows(EventStreams.windowedDistinctHll(df, "user_id", "1 hour", p = 6)))
+    // p > 8 → the array-register Aggregator
+    val auto10 = rows(EventStreams.windowedDistinctHllAuto(df, "user_id", "1 hour", p = 10))
+    assert(spark.conf.get(EventStreams.HllFormKey) === "array")
+    assert(auto10 === rows(EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour", p = 10)))
+    intercept[IllegalArgumentException] {
+      EventStreams.windowedDistinctHllAuto(df, "user_id", "1 hour", p = 15)
+    }
+  }
+
   test("array-register HLL is bit-identical to the column encoding at p = 6") {
     // α coincides at m = 64 and both Σ2^−M folds run in register order,
     // so the doubles must match exactly, not within tolerance

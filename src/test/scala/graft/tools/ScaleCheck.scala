@@ -122,13 +122,21 @@ object ScaleCheck {
           .filter(col("doc_id") % 997 === 0 && col("doc_id") < 10_000_000L)
           .withColumn("version", lit(2)).localCheckpoint(true)
         val nd = delta.count()
+        // the ACTUAL affected-bucket count (the upsert's portable bucket
+        // hash), printed next to wall time: flat time across ×1/×10/×50
+        // with a flat bucket count IS the O(batch + affected buckets)
+        // claim measured
+        val nb = delta.select(pmod(
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long"), lit(64L)).as("b"))
+          .distinct().count()
         val t0 = System.nanoTime()
         graft.streaming.DocStreams.upsertBatch(delta, s"$root/t",
           "doc_id", "version", buckets = 64)
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] cdc_upsert_delta       x$factor%-3d " +
           f"table=${n0 * factor}%8d delta=$nd%4d time=$secs%7.2fs " +
-          s"route=bucket-pruned(<=$nd of 64)")
+          s"route=bucket-pruned($nb of 64 affected)")
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
 

@@ -445,6 +445,74 @@ object StockCompare {
       report("cdc upsert bucket pruning", engineUpsert(), stockUpsert())
     }
 
+    // 17. rolling-crawl ingest (q214's full gate: a streaming query whose
+    //     three micro-batches each dedup against the persisted signature
+    //     store) vs the SAME three cycles replayed as plain batch
+    //     incrementalMinHashDedupFromStore calls — identical dedup work
+    //     and store round-trips, so the ratio isolates exactly the
+    //     streaming-gate mechanics (foreachBatch scheduling, checkpoint
+    //     dir, processAllAvailable barriers) that made q214's driver
+    //     measurement irreproducible in round 10.
+    {
+      import org.apache.commons.io.FileUtils
+      import graft.operators.Dedup
+      val docs = graft.Tables(spark, sfDir).documents
+      val snum = expr("CAST(substring(source, 4, 10) AS INT)")
+      val cycles = Seq(docs.filter(snum < 7),
+        docs.filter(snum >= 7 && snum < 14), docs.filter(snum >= 14))
+      def batchIngest(): Long = {
+        val root = java.nio.file.Files.createTempDirectory("sc_ingest_b")
+        val (store, out) = (s"$root/store", s"$root/out")
+        try {
+          for (c0 <- cycles) {
+            val c = c0.persist()
+            try {
+              val fsP = new org.apache.hadoop.fs.Path(store)
+              val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val st =
+                if (fs.exists(fsP)) spark.read.parquet(store)
+                else Dedup.signatureStore(c.limit(0), "text", "doc_id", 3, true)
+              val survivors = Dedup.incrementalMinHashDedupFromStore(
+                c, st, "text", "doc_id", 0.3, portableIds = true)
+              val kept = c.join(survivors,
+                  c("doc_id") === survivors("doc_id"), "left_semi")
+                .persist()
+              try {
+                kept.write.mode("append").parquet(out)
+                Dedup.signatureStore(kept, "text", "doc_id", 3, true)
+                  .write.mode("append").parquet(store)
+              } finally kept.unpersist(false)
+            } finally c.unpersist(false)
+          }
+          spark.read.parquet(out).count()
+        } finally FileUtils.deleteDirectory(root.toFile)
+      }
+      report("ingest crawl 3-cycle",
+        graft.queries.Pipeline.queries("q214_ingest_crawl")(spark, sfDir).count(),
+        batchIngest())
+    }
+
+    // 18. stream-stream LEFT OUTER interval join (q215's full gate,
+    //     sentinel-forced null emission included) vs the stock BATCH
+    //     formulation — one LEFT JOIN with the BETWEEN range predicate
+    //     over the typed event slices. The delta is the whole streaming
+    //     apparatus: four join state stores, watermark bookkeeping, the
+    //     sentinel micro-batches that prove eviction. The inner form is
+    //     comparator 5; the outer adds the null-emission state cost.
+    report("stream outer interval join",
+      graft.queries.Events.queries("q215_stream_outer_interval")(spark, sfDir).count(),
+      spark.sql(stockSql(
+        """WITH c AS (SELECT event_id, user_id, ts FROM events
+          |    WHERE event_type = 'click'),
+          |v AS (SELECT event_id AS view_id, user_id AS user_id_r,
+          |    ts AS view_ts FROM events WHERE event_type = 'view')
+          |SELECT c.event_id AS click_id, v.view_id, c.user_id,
+          |  c.ts AS click_ts, v.view_ts
+          |FROM c LEFT JOIN v ON c.user_id = v.user_id_r
+          |  AND v.view_ts >= c.ts - INTERVAL 1800 SECONDS
+          |  AND v.view_ts <= c.ts + INTERVAL 1800 SECONDS
+          |ORDER BY click_id, view_id""".stripMargin)).count())
+
     spark.stop()
   }
 }
