@@ -192,15 +192,23 @@ object DocStreams {
     val current = parquetIfExists(spark, tablePath)
       .map(_.filter(col("bucket").isin(affected: _*)).localCheckpoint(true))
       .getOrElse(pinned.limit(0))
+    // ONE shuffle for merge + layout: repartitioning on `bucket` BEFORE the
+    // aggregate both satisfies the groupBy's clustering requirement
+    // (HashPartitioning(bucket) is an expression subset of (key, bucket) —
+    // same bucket ⇒ same task, and bucket is a function of the key) and
+    // leaves the output bucket-aligned for the partitioned write, so each
+    // rewritten bucket directory gets ONE file per micro-batch instead of
+    // one per shuffle task — B small files of compaction debt, not T×B
     val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
-      .groupBy(keyCol, "bucket") // bucket is a function of the key
+      // merge parallelism = the affected-bucket count, not the session
+      // shuffle width: each task is exactly one bucket-dir rewrite (the
+      // file-layout contract), and a 5-bucket delta shouldn't schedule 32
+      // near-empty tasks per micro-batch
+      .repartition(math.max(affected.size, 1), col("bucket"))
+      .groupBy(keyCol, "bucket") // reuses the bucket exchange, no 2nd shuffle
       .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
       .select(col(keyCol) +: col("bucket") +:
         dataCols.map(c => col(s"_m._row.$c").as(c)): _*)
-      // one file per rewritten bucket directory: the merge output is
-      // key-grouped already, and B small files per micro-batch is the
-      // compaction debt this sink exists to avoid
-      .repartition(col("bucket"))
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(tablePath)

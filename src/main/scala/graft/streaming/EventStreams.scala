@@ -191,28 +191,32 @@ object EventStreams {
     */
   val HllFormKey = "graft.hll.lastForm"
 
-  /** ONE entry point over both register encodings, routed on `p`: the
-    * column-per-register form ([[windowedDistinctHll]] — every register a
-    * codegen'd max aggregate, the committed-oracle form) through its
-    * measured ceiling p ≤ 8, the array-register Aggregator
-    * ([[windowedDistinctHllArray]]) above it, up to the state ceiling
-    * p ≤ 14. Callers pick precision; the encoding is an implementation
-    * detail this router owns (route recorded under [[HllFormKey]]).
+  /** ONE entry point over both register encodings, up to the state
+    * ceiling p ≤ 14. Callers pick precision; the encoding is an
+    * implementation detail this router owns (route recorded under
+    * [[HllFormKey]]).
     *
-    * The two forms differ ONLY in the α constant away from p = 6 (the
-    * column form pins the p = 6 α for its committed oracle; the array form
-    * uses the standard m-dependent α — they coincide exactly at p = 6,
-    * spec-asserted), so the route boundary is a precision/plan-size
-    * trade, never a semantic one.
+    * The route is ALWAYS the array-register Aggregator
+    * ([[windowedDistinctHllArray]]), and the choice is measured, not
+    * assumed: the column-per-register form evaluates all 2^p conditional
+    * max aggregates on EVERY input row (O(m) per row — only one register
+    * can change), where the Aggregator computes the row's register index
+    * and updates that one slot (O(1) per row). Interleaved min-of-3 on
+    * the sf0.1 streaming gate shape (tools/ProbeHllForms, 2026-08-15):
+    * columns 3.27 s vs array 2.24 s at p = 6 (1.46×), 5.04 s vs 2.16 s at
+    * p = 8 (2.34×) — the gap grows with p exactly as the per-row ratio
+    * predicts, so there is no small-p regime where the column form wins.
+    * The column form ([[windowedDistinctHll]]) is retained as the
+    * spec-differential twin: bit-identical at p = 6 (where its pinned α
+    * and the standard m-dependent α coincide — spec-asserted), which is
+    * also what keeps the committed q210 oracle green under this route.
     */
   def windowedDistinctHllAuto(events: DataFrame, keyCol: String,
       windowLength: String, watermark: Option[String] = None,
       p: Int = 6): DataFrame = {
     require(p >= 2 && p <= 14, s"p must be in [2, 14], got $p")
-    val form = if (p <= 8) "columns" else "array"
-    events.sparkSession.conf.set(HllFormKey, form)
-    if (p <= 8) windowedDistinctHll(events, keyCol, windowLength, watermark, p)
-    else windowedDistinctHllArray(events, keyCol, windowLength, watermark, p)
+    events.sparkSession.conf.set(HllFormKey, "array")
+    windowedDistinctHllArray(events, keyCol, windowLength, watermark, p)
   }
 
   /** Gap-based sessionization (batch form): a new session starts when the gap

@@ -217,4 +217,26 @@ class DocStreamsSpec extends SparkSpec {
       assert(tableRows(s"$root/t2") === first)
     } finally FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("upsert merge writes ONE file per bucket dir however wide the batch plan") {
+    val root = Files.createTempDirectory("upsert_files").toString
+    try {
+      // a 16-partition batch covering every bucket: if the merge's output
+      // partitioning were the plan's shuffle width instead of the bucket
+      // hash, each task would write a sliver into every bucket dir —
+      // tasks×buckets small files of compaction debt per micro-batch
+      // instead of the one-file-per-rewritten-bucket layout contract
+      val batch = (0L until 400L).map(i => (i, 1, s"text $i"))
+        .toDF("doc_id", "version", "text").repartition(16)
+      DocStreams.upsertBatch(batch, s"$root/t", "doc_id", "version", buckets = 8)
+      val dirs = new java.io.File(s"$root/t").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      assert(dirs.length === 8)
+      dirs.foreach { d =>
+        val n = d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(n === 1, s"${d.getName} holds $n files — the merge is not bucket-aligned")
+      }
+      assert(tableRows(s"$root/t").size === 400)
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe: exchange count in the upsert merge plan + file counts per
+  * bucket dir + the StockCompare-16 shape timed standalone.
+  */
+object ProbeUpsert {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), lit(1).as("version"), col("text"))
+      .localCheckpoint(true)
+    def delta(v: Int, m: Int) = docs.filter(col("doc_id") % m === 0)
+      .withColumn("version", lit(v))
+    val (d2, d3) = (delta(2, 997).localCheckpoint(true),
+      delta(3, 883).localCheckpoint(true))
+    for (round <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert")
+      val t0 = System.nanoTime()
+      for (b <- Seq(docs, d2, d3))
+        graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
+          "doc_id", "version", buckets = 64)
+      val n = spark.read.parquet(s"$root/t").count()
+      println(f"[upsert] round=$round ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
+      if (round == 1) {
+        val dirs = new java.io.File(s"$root/t").listFiles().filter(_.isDirectory)
+        val fileCounts = dirs.map(_.listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".parquet")))
+        println(s"[upsert] bucketDirs=${dirs.length} " +
+          s"filesPerDir(min,max)=(${fileCounts.min},${fileCounts.max})")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+    spark.stop()
+  }
+}
