@@ -259,6 +259,26 @@ object Graph {
           |) SELECT src, dst FROM tc ORDER BY src, dst""".stripMargin).df
     }),
 
+    // toGraph/node()/edge()/subgraph() through the FACADE (the §2 rows that
+    // were spec-verified only): the edge list lifts to a property graph
+    // whose vertex set derives from endpoints (EngineDataFrame.toGraph →
+    // PropertyGraph.fromEdges), subgraph keeps vertices with id % 3 <> 0
+    // and edges with src < dst AND both endpoints surviving (the
+    // reference's vFilter+eFilter semantics, SeccoGraphFrame.scala:57-67 —
+    // a `???` stub there for node/edge), and the result is the surviving
+    // out-degree profile with the vertex count pinned alongside. Every
+    // piece replays relationally in DuckDB.
+    "q220_graph_subgraph" -> ((s, d) => {
+      val es = new graft.api.EngineSession(s)
+      val g = es.createDatasetFromSparkSQL(denseEdges(Tables(s, d))).toGraph()
+      val sg = g.subgraph(Some("id % 3 <> 0"), Some("src < dst"))
+      val nV = sg.node().count() // bounded: ≤211 derived vertices
+      sg.edge().groupBy("src").agg(count(lit(1)).as("out_deg"))
+        .withColumnRenamed("src", "node_id")
+        .withColumn("n_vertices", lit(nV))
+        .orderBy("node_id")
+    }),
+
     // one-round message passing: in-degree via msg=1/sum/coalesce — the
     // messagePassing surface of SeccoGraphFrame.scala:104-146.
     "q45_msgpass_indegree" -> ((s, d) => {
@@ -275,6 +295,16 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q220_graph_subgraph" ->
+      s"""WITH edges AS ($denseEdgesSql),
+         |v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |vf AS (SELECT id FROM v WHERE id % 3 <> 0),
+         |ef AS (SELECT e.src, e.dst FROM edges e
+         |  JOIN vf a ON e.src = a.id JOIN vf b ON e.dst = b.id
+         |  WHERE e.src < e.dst)
+         |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS out_deg,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vf) AS n_vertices
+         |FROM ef GROUP BY src ORDER BY node_id""".stripMargin,
     "q40_triangle" ->
       s"""WITH edges AS ($denseEdgesSql)
          |SELECT count(*) AS n_triangles

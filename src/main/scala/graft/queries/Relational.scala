@@ -627,6 +627,50 @@ object Relational {
     // checks the VALUES the optimizer would consume, not just that a spec
     // ran: single-key, composite-key, and low-cardinality sets in one call
     // (planned as one Expand pass, not one scan per set).
+    // the symbol expression DSL under the hard gate (§2 row 21, spec-only
+    // until now): `'a + 'b` arithmetic, symbol-vs-symbol comparison
+    // ('l_discount < 'l_tax — the RHS-unwrap the DSL exists for), boolean
+    // composition, and % — every operator family the reference's
+    // dsl/package.scala:36-62 exposes, lowered to the same Catalyst
+    // expressions the SQL oracle replays.
+    "q222_dsl_exprs" -> ((s, d) => {
+      val t = Tables(s, d)
+      import graft.dsl._
+      t.lineitem
+        .filter(('l_quantity >= 30.0) && ('l_discount < 'l_tax))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round('l_extendedprice * (lit(1.0) - 'l_discount), 4).as("net"),
+          round(('l_quantity % 7.0) + ('l_tax - 'l_discount), 6).as("mix"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // leaf constructors + temp-table round-trip + subqueryAlias + the
+    // string-expression facade ops (§2 rows 2/3/9/16, spec-only until now):
+    // a local Seq lifts through createDatasetFromSeq (Row + StructType, the
+    // reference's SeccoSession.createDatasetFromSeq shape), registers via
+    // createOrReplaceTable, re-enters through table(), aliases via
+    // subqueryAlias, joins region through the string-condition facade join,
+    // and aggregates through the string-expression aggregate — the VALUES
+    // list the oracle replays verbatim.
+    "q221_facade_ctors" -> ((s, d) => {
+      val t = Tables(s, d)
+      val es = new graft.api.EngineSession(s)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(StructField("r_key", LongType, nullable = false),
+        StructField("mult", LongType, nullable = false)))
+      val rows = Seq(Row(0L, 2L), Row(1L, 3L), Row(2L, 5L), Row(3L, 7L), Row(4L, 11L))
+      es.createDatasetFromSeq(rows, schema).createOrReplaceTable("facade_mult")
+      try {
+        val m = es.table("facade_mult").subqueryAlias("m")
+        es.createDatasetFromSparkSQL(t.region).subqueryAlias("r")
+          .join(m, "r.r_regionkey = m.r_key")
+          .aggregate(Seq("count(1) AS n", "sum(r_regionkey * mult) AS weighted"),
+            Seq("r_name"))
+          .sort("r_name").df
+      } finally es.dropTable("facade_mult")
+    }),
+
     "q219_full_cardinality" -> ((s, d) => {
       val t = Tables(s, d)
       val es = new graft.api.EngineSession(s)
@@ -935,6 +979,19 @@ object Relational {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q222_dsl_exprs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount), 4) AS net,
+        |  round((l_quantity % 7.0) + (l_tax - l_discount), 6) AS mix
+        |FROM lineitem
+        |WHERE l_quantity >= 30.0 AND l_discount < l_tax
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q221_facade_ctors" ->
+      """WITH m(r_key, mult) AS (VALUES (0, 2), (1, 3), (2, 5), (3, 7), (4, 11))
+        |SELECT r_name, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(r_regionkey * mult) AS BIGINT) AS weighted
+        |FROM region JOIN m ON r_regionkey = r_key
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q219_full_cardinality" ->
       """SELECT attrs, CAST(card AS BIGINT) AS card FROM (
         |  SELECT 'l_orderkey' AS attrs,
