@@ -347,4 +347,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"scalar attach became a real cartesian:\n$p")
   }
+
+  test("q222 DSL expressions reach the scan as pushed filters with pruned schema") {
+    val p = executedPlan("q222_dsl_exprs")
+    // the symbol DSL lowers to ordinary Catalyst expressions — the filter
+    // must reach the parquet scan and the 11-column lineitem read must
+    // prune to the 6 referenced columns, exactly as the SQL form would
+    // plan toString truncates long field lists — match the visible prefix
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30"),
+      s"DSL filter not pushed to the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:dou"),
+      s"DSL projection did not prune the scan:\n$p")
+    assert(p.contains("*("), s"DSL expressions fell out of codegen:\n$p")
+  }
+
+  test("q220 subgraph endpoint semi-joins broadcast the vertex filter, no SMJ") {
+    val p = executedPlan("q220_graph_subgraph")
+    // the surviving-vertex set is tiny (≤211 ids): both endpoint
+    // semi-joins must ride broadcasts, never a sort-merge of the edges
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"subgraph endpoint filter lost the broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"subgraph filtering fell back to sort-merge:\n$p")
+  }
 }

@@ -225,6 +225,46 @@ object ScaleCheck {
         spark.conf.get("graft.sim.lastCellRoute", "?"))
     }
     spark.conf.unset("graft.skew.saltBytes")
+
+    // small-file compaction: the per-dir rewrites are tiny independent
+    // jobs, so wall time must track POOL WIDTH, not directory count —
+    // two identical 96-dir fragmented trees, one drained serially
+    // (parallelism = 1), one through the bounded pool (8). At the
+    // operator's design point (thousands of fragmented dirs after a day
+    // of refreshes) the serial shape is hours of scheduler latency for
+    // minutes of I/O; the ratio here is that latency measured.
+    {
+      import org.apache.commons.io.FileUtils
+      def buildTree(): String = {
+        val dir = java.nio.file.Files.createTempDirectory("scale_compact")
+          .toString + "/t"
+        val df = spark.range(0, 384)
+          .select(col("id"), (col("id") % 96).as("grp"),
+            concat(lit("row "), col("id")).as("text"))
+        for (k <- 0 until 2)
+          df.filter((col("id") / 96).cast("long") % 2 === k).repartition(2)
+            .write.mode("append").partitionBy("grp").parquet(dir)
+        dir
+      }
+      def timed(dir: String, par: Int): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val rep = graft.operators.Layout.compactPartitions(
+          spark, dir, targetBytes = 1L << 30, parallelism = par)
+        ((System.nanoTime() - t0) / 1e9, rep.size)
+      }
+      val (serialDir, pooledDir) = (buildTree(), buildTree())
+      try {
+        val (sSecs, sN) = timed(serialDir, par = 1)
+        val (pSecs, pN) = timed(pooledDir, par = 8)
+        println(f"[scale] compact_96dirs/serial      dirs=$sN%4d time=$sSecs%7.2fs pool=1")
+        println(f"[scale] compact_96dirs/pooled      dirs=$pN%4d time=$pSecs%7.2fs pool=8 " +
+          f"peak=${graft.operators.Layout.lastCompactPeakConcurrency} " +
+          f"speedup=${sSecs / pSecs}%.1fx")
+      } finally {
+        FileUtils.deleteDirectory(new java.io.File(serialDir).getParentFile)
+        FileUtils.deleteDirectory(new java.io.File(pooledDir).getParentFile)
+      }
+    }
     spark.stop()
   }
 }
