@@ -419,13 +419,28 @@ object Events {
     "q215_stream_outer_interval" -> ((s, d) => {
       val name = s"stream_oivj_${streamGateCounter.incrementAndGet()}"
       val root = java.nio.file.Files.createTempDirectory("graft_oivj")
-      val src = s"$root/src"
+      val sent = s"$root/sent"
       try {
+        // the corpus streams straight from the test data (no temp-dir
+        // copy — at sf0.1 that copy was a full extra write+read of the
+        // table, and temp-dir I/O is exactly what made q214's driver
+        // measurement irreproducible); only the SENTINELS live in an
+        // appendable side dir, unioned into each input before the
+        // watermark so they advance it like any other row
+        new java.io.File(sent).mkdirs()
+        val schema = s.read.parquet(s"$d/events.parquet").schema
         val ev = graft.Tables(s, d).events
           .select("event_id", "user_id", "ts", "event_type")
-        ev.write.parquet(src)
-        val schema = s.read.parquet(src).schema
-        def side(tpe: String) = s.readStream.schema(schema).parquet(src)
+        val sentSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+        def side(tpe: String) = graft.Tables.adaptEventTs(
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(d))
+          .select("event_id", "user_id", "ts", "event_type")
+          .unionByName(s.readStream.schema(sentSchema).parquet(sent))
           .filter(col("event_type") === tpe).drop("event_type")
         // NO sentinel filter inside the streaming plan: a filter that
         // excludes the ghost user is pushed below the watermark operator,
@@ -457,7 +472,7 @@ object Events {
             val far = new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)
             Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
               .toDF("event_id", "user_id", "ts", "event_type")
-              .write.mode("append").parquet(src)
+              .write.mode("append").parquet(sent)
             q.processAllAvailable()
           }
         } finally q.stop()
