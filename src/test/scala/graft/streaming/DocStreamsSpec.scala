@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.apache.commons.io.FileUtils
 
@@ -76,6 +76,68 @@ class DocStreamsSpec extends SparkSpec {
           "store-backed dedup memory must survive a restart with a fresh checkpoint")
         assert(ids(store) === Set(1L, 2L, 4L, 7L))
       } finally q2.stop()
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("randomized 3-cycle ingest keeps exactly the batch-replay reference's id SET") {
+    // property differential for the ingest loop's WIRING: a randomized
+    // corpus with planted cross-cycle and within-cycle near-dups, run once
+    // through the streaming loop (3 micro-batches against the persisted
+    // store) and once as 3 plain batch incrementalMinHashDedupFromStore
+    // cycles — the kept doc_id SETS must be identical, not just the counts
+    // the StockCompare comparator asserts.
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(81511L)
+    val words = Vector("alpha", "bridge", "copper", "delta", "ember",
+      "falcon", "garnet", "harbor", "indigo", "juniper", "kestrel", "lumen")
+    def fresh() = (1 to 18).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    val basis = Vector.fill(8)(fresh())
+    val corpus = (0L until 36L).map { i =>
+      val t =
+        if (rng.nextInt(3) == 0) basis(rng.nextInt(basis.size)) // planted dup
+        else if (rng.nextInt(3) == 0) // near-dup: one word swapped
+          basis(rng.nextInt(basis.size)).split(" ").updated(
+            rng.nextInt(18), words(rng.nextInt(words.size))).mkString(" ")
+        else fresh()
+      (i, t)
+    }
+    val slices = Seq(corpus.filter(_._1 < 12), corpus.filter(c => c._1 >= 12 && c._1 < 24),
+      corpus.filter(_._1 >= 24))
+
+    val root = Files.createTempDirectory("ingest_rand").toString
+    try {
+      // streaming loop: slices land INTERLEAVED with processAllAvailable
+      // so each is its own micro-batch against the store
+      docs(slices.head: _*).write.mode("append").parquet(s"$root/src")
+      val stream = spark.readStream.schema(docs(1L -> base).schema)
+        .parquet(s"$root/src")
+      val q = DocStreams.ingestDedupStream(stream, s"$root/store", s"$root/out",
+        s"$root/ckpt", threshold = 0.5)
+      try {
+        q.processAllAvailable()
+        for (sl <- slices.tail) {
+          docs(sl: _*).write.mode("append").parquet(s"$root/src")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // batch replay of the same three cycles
+      var store = Dedup.signatureStore(docs(slices.head: _*).limit(0),
+        "text", "doc_id", 3, portableIds = false)
+      val kept = scala.collection.mutable.Set.empty[Long]
+      for (sl <- slices) {
+        val c = docs(sl: _*)
+        val survivors = Dedup.incrementalMinHashDedupFromStore(
+          c, store, "text", "doc_id", 0.5)
+        val k = c.join(survivors, c("doc_id") === survivors("doc_id"), "left_semi")
+        kept ++= k.select("doc_id").as[Long].collect()
+        store = store.unionByName(
+          Dedup.signatureStore(k, "text", "doc_id", 3, portableIds = false))
+          .localCheckpoint(true)
+      }
+      assert(ids(s"$root/out") === kept.toSet,
+        "streaming ingest and the batch 3-cycle replay kept different doc sets")
+      assert(kept.size < corpus.size, "the planted dups must actually drop")
     } finally FileUtils.deleteDirectory(new java.io.File(root))
   }
 
@@ -216,6 +278,46 @@ class DocStreamsSpec extends SparkSpec {
         "doc_id", "version", buckets = 4)
       assert(tableRows(s"$root/t2") === first)
     } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("randomized upsert sequences converge to the naive latest-wins reference") {
+    // property: applying K random update batches through the bucketed
+    // partition-pruned merge reaches EXACTLY the state a naive global
+    // latest-wins over the concatenated history computes — same keys, same
+    // winning versions, same winning payloads (including the same-version
+    // content-hash tie-break, which the reference must replicate).
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val root = Files.createTempDirectory(s"upsert_rand$trial").toString
+      try {
+        // naive sequential reference: per batch, the within-batch winner is
+        // max (version, xxhash64(version, text), text) — the engine's own
+        // deterministic tie — then the state merge takes the batch row iff
+        // its version is >= the stored one (equal version ⇒ the LATER
+        // delivery wins, the engine's priority column)
+        val state = scala.collection.mutable.Map.empty[Long, (Int, String)]
+        for (_ <- 1 to 4) {
+          val batch = (1 to (5 + rng.nextInt(20))).map { _ =>
+            val k = rng.nextInt(30).toLong
+            val v = 1 + rng.nextInt(3)
+            (k, v, s"payload ${rng.nextInt(5)}")
+          }
+          DocStreams.upsertBatch(upds(batch: _*), s"$root/t",
+            "doc_id", "version", buckets = 8)
+          val winners = upds(batch: _*)
+            .withColumn("h", xxhash64(col("version"), col("text")))
+            .groupBy("doc_id")
+            .agg(max(struct(col("version"), col("h"), col("text"))).as("w"))
+            .select(col("doc_id"), col("w.version"), col("w.text"))
+            .as[(Long, Int, String)].collect()
+          winners.foreach { case (k, v, t) =>
+            if (state.get(k).forall(_._1 <= v)) state(k) = (v, t)
+          }
+        }
+        val ref = state.map { case (k, (v, t)) => (k, v, t) }.toSet
+        assert(tableRows(s"$root/t") === ref, s"trial $trial diverged")
+      } finally FileUtils.deleteDirectory(new java.io.File(root))
+    }
   }
 
   test("upsert merge writes ONE file per bucket dir however wide the batch plan") {
