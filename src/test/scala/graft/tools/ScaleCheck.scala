@@ -226,6 +226,37 @@ object ScaleCheck {
     }
     spark.conf.unset("graft.skew.saltBytes")
 
+    // WCOJ triangle enumeration under DISJOINT-COPY scaling: factor
+    // disjoint copies of the dense derived graph (node ids offset per
+    // copy) have exactly factor × the base triangle count, so a
+    // worst-case-optimal plan must grow near-linearly — a binary-join
+    // plan's intermediate (all 2-paths) grows the same way here, but the
+    // check pins the LeapFrog node's own scaling and that the measured
+    // route (broadcast complement vs HyperCube) flips on the byte budget,
+    // not on luck.
+    {
+      val base = graft.Tables(spark, sfDir).orders
+        .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      for (factor <- Seq(1, 10, 50)) {
+        val edges = (if (factor == 1) base
+          else base.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+            .select((col("src") + col("__rep") * 1000L).as("src"),
+              (col("dst") + col("__rep") * 1000L).as("dst")))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val n = graft.wcoj.WcojJoin.leapfrog(spark,
+          Seq((edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+            (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+            (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))),
+          Seq("a", "b", "c")).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] wcoj_triangle          x$factor%-3d " +
+          f"edges=${edges.count()}%8d out=$n%9d time=$secs%7.2fs route=" +
+          spark.conf.get("graft.wcoj.lastRoute", "?"))
+      }
+    }
+
     // small-file compaction: the per-dir rewrites are tiny independent
     // jobs, so wall time must track POOL WIDTH, not directory count —
     // two identical 96-dir fragmented trees, one drained serially
