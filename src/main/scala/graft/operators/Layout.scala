@@ -204,8 +204,11 @@ object Layout {
     val parts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .toSeq.flatMap(s => leaves(s.getPath))
-    // partition value = path relative to the table root (multi-level safe)
-    val rootUri = root.toUri.getPath.stripSuffix("/")
+    // partition value = path relative to the table root (multi-level safe).
+    // Qualify the root first: listStatus returns fully-qualified paths, so
+    // a relative or differently-normalized input root would never prefix-
+    // match and the report would silently emit absolute paths.
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     def rel(p: org.apache.hadoop.fs.Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     def compactOne(p: org.apache.hadoop.fs.Path): Option[(String, Int, Int)] = {
@@ -248,7 +251,17 @@ object Layout {
             }
           })
         }
-        futures.flatMap(_.get()) // report in deterministic listing order
+        try futures.flatMap(_.get()) // report in deterministic listing order
+        catch { case e: java.util.concurrent.ExecutionException =>
+          // surface the real Spark error, not the pool wrapper — and stop
+          // the pass before the caller sees it: cancel what hasn't started
+          // and wait out what has, so no background thread is still
+          // mutating the table when the exception unwinds
+          futures.foreach(_.cancel(false))
+          pool.shutdown()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     }
   }

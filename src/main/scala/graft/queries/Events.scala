@@ -462,19 +462,34 @@ object Events {
           q.processAllAvailable()
           val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0) // one row
           import s.implicits._
-          // TWO sentinel micro-batches: the first advances the watermark
-          // past every real match window; the second is a data batch in
-          // whose processing the first's evictions deterministically EMIT
-          // (null rows surface one batch after the watermark proves them,
-          // and processAllAvailable need not await a trailing no-data
-          // batch — the second sentinel removes the race with stop()).
-          for (h <- Seq(48L, 96L)) {
+          def writeSentinel(h: Long): Unit = {
             val far = new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)
             Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
               .toDF("event_id", "user_id", "ts", "event_type")
               .write.mode("append").parquet(sent)
             q.processAllAvailable()
           }
+          // ONE sentinel micro-batch advances the watermark past every real
+          // match window; the evictions (null rows) emit in the NEXT batch
+          // — which the engine schedules itself as a no-data micro-batch
+          // (spark.sql.streaming.noDataMicroBatches, default on), so the
+          // r11 second sentinel write was paying a full extra data batch
+          // for it (A/B: 5.0 → 4.6 s warm at sf0.1). processAllAvailable
+          // does not await no-data batches, so await its COMMIT by batch
+          // id: any batch after the sentinel's data batch is it. Bounded;
+          // falls back to the second sentinel (the r11 shape) if the
+          // engine never fires one (noDataMicroBatches disabled).
+          writeSentinel(48)
+          def maxDataBatch = q.recentProgress.filter(_.numInputRows > 0)
+            .map(_.batchId).foldLeft(-1L)(math.max)
+          val bSent = maxDataBatch
+          def evictionBatchRan = q.recentProgress.exists(_.batchId > bSent)
+          val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+          while (!evictionBatchRan && System.nanoTime() < deadline) {
+            Thread.sleep(25)
+            q.processAllAvailable()
+          }
+          if (!evictionBatchRan) writeSentinel(96)
         } finally q.stop()
         val out = s.table(name).filter(col("user_id") >= 0)
           .orderBy("click_id", "view_id")

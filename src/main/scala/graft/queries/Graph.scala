@@ -52,6 +52,45 @@ object Graph {
     """SELECT DISTINCT o_custkey % 997 AS src, o_orderkey % 997 AS dst
       |FROM orders WHERE o_orderkey % 17 = 0 AND o_custkey % 997 <> o_orderkey % 997""".stripMargin
 
+  /** Sparse graph + a deterministic directed 5-clique seed on vertices
+    * 1001–1005 (disjoint from the mod-997 data range): the 5-vertex
+    * reference patterns S5–S8 need a graph where matches EXIST at every SF
+    * (the thinned sparse graph alone has none at sf0.01) without the
+    * medium graph's density, where 5-vertex enumeration explodes at sf0.1
+    * (measured: S5 on medium = 5.6e9 bindings). The seed guarantees a
+    * deterministic match floor; the data edges make it a real query.
+    */
+  private def seededSparseEdges(s: SparkSession, t: Tables): DataFrame = {
+    import s.implicits._
+    val seed = (for { u <- 1001L to 1005L; v <- 1001L to 1005L; if u != v }
+      yield (u, v)).toDF("src", "dst")
+    t.orders.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(seed)
+      .distinct()
+  }
+
+  private val seedCliqueSql: String =
+    (for { u <- 1001 to 1005; v <- 1001 to 1005; if u != v } yield s"($u, $v)")
+      .mkString(", ")
+
+  private val seededSparseEdgesSql =
+    s"""SELECT DISTINCT src, dst FROM (
+       |  SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst FROM orders
+       |  WHERE o_orderkey % 17 = 0 AND o_custkey % 997 <> o_orderkey % 997
+       |  UNION ALL SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT)
+       |  FROM (VALUES $seedCliqueSql) t(src, dst))""".stripMargin
+
+  /** route pin for the wcoj-routed pattern gates (the q186 pattern): the
+    * literal the oracle expects is only emitted when the executed plan
+    * actually contains the LeapFrogJoin Catalyst node — a silent fallback
+    * to binary joins hash-mismatches.
+    */
+  private def wcojRouteOf(df: DataFrame): String =
+    if (df.queryExecution.executedPlan.toString.contains("LeapFrogJoin")) "leapfrog"
+    else "binary"
+
   val queries: Map[String, Q] = Map(
     // directed triangle (3-cycle) via the Cypher-ish pattern API — reference
     // subgraph query S1; exercises PatternParser + natural-join lowering.
@@ -192,6 +231,82 @@ object Graph {
       g.pattern("(a)-[]->(b)-[]->(c)-[]->(e); (e)-[]->(a)")
         .filter(col("a") < col("b") && col("a") < col("c") && col("a") < col("e"))
         .agg(count(lit(1)).as("n_cycles"))
+    }),
+
+    // reference subgraph workload S3, the diamond a-b;b-c;c-d;d-a;b-d
+    // (benchmark/testcases/subgraphQuery.scala:33-35), with the reference's
+    // CountSubgraphBenchmark aggregate (count(*) by a) — through the GHD
+    // BINARY route: the chord splits the 4-cycle into two triangle bags
+    // sharing (b, d), so intermediates are triangle-bounded instead of
+    // path-3-bounded. 54M bindings at sf0.1 on the medium graph.
+    "q224_s3_diamond" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+      g.pattern("(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d)")
+        .groupBy("a").agg(count(lit(1)).as("cnt"))
+        .orderBy("a")
+    }),
+
+    // reference subgraph workload S4, the directed 4-clique orientation
+    // a-b;b-c;c-d;d-a;a-c;b-d (subgraphQuery.scala:37-39) — through the
+    // WCOJ route (pattern(wcoj = true) → LeapFrogJoin Catalyst node), with
+    // the executed-plan route pinned in-result: a silent fallback to
+    // binary joins hash-mismatches the oracle's 'leapfrog' literal.
+    "q225_s4_clique" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d); (a)-[]->(c)",
+        wcoj = true)
+      m.groupBy("a").agg(count(lit(1)).as("cnt"))
+        .withColumn("route", lit(wcojRouteOf(m)))
+        .orderBy("a")
+    }),
+
+    // reference subgraph workload S5, the 5-cycle + b-e chord "house"
+    // a-b;b-c;c-d;d-e;a-e;b-e (subgraphQuery.scala:41-43) on the seeded
+    // sparse graph — GHD binary route over a genuinely 5-variable
+    // hypergraph.
+    "q226_s5_house" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      g.pattern("(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)")
+        .groupBy("a").agg(count(lit(1)).as("cnt"))
+        .orderBy("a")
+    }),
+
+    // reference subgraph workload S6 = S5 + c-e (subgraphQuery.scala:45-47)
+    // — WCOJ route with the executed-plan route pinned in-result.
+    "q227_s6_house_x" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)",
+        wcoj = true)
+      m.groupBy("a").agg(count(lit(1)).as("cnt"))
+        .withColumn("route", lit(wcojRouteOf(m)))
+        .orderBy("a")
+    }),
+
+    // reference subgraph workload S7, the 8-edge 5-vertex pattern
+    // a-b;b-c;c-d;d-e;a-e;a-c;b-d;c-e (subgraphQuery.scala:49-51) — WCOJ
+    // route: 8 edge relations over 5 attributes is exactly the hypergraph
+    // shape where binary plans pay intermediate blow-up, pinned in-result.
+    "q228_s7_dense5" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)",
+        wcoj = true)
+      m.groupBy("a").agg(count(lit(1)).as("cnt"))
+        .withColumn("route", lit(wcojRouteOf(m)))
+        .orderBy("a")
+    }),
+
+    // reference subgraph workload S8, a-b;b-c;c-d;d-e;a-e;b-d;b-e;c-e
+    // (subgraphQuery.scala:53-55) — GHD binary route, so the S7/S8 pair
+    // proves BOTH routes on the 8-edge 5-vertex shapes.
+    "q229_s8_dense5" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)")
+        .groupBy("a").agg(count(lit(1)).as("cnt"))
+        .orderBy("a")
     }),
 
     // the reference's SQL-text graph surface: MATCH(graph, pattern) as a
@@ -413,6 +528,66 @@ object Graph {
          | JOIN e e3 ON e2.v = e3.u AND e3.v = e1.u
          |WHERE e1.u < e1.v AND e1.u < e2.v
          |ORDER BY a, b, c""".stripMargin,
+    // S3–S8 oracles: a = e1.src, b = e1.dst, c = e2.dst, d = e3.dst,
+    // (5-vertex) e = e4.dst; one self-join per pattern edge.
+    "q224_s3_diamond" ->
+      s"""WITH edges AS ($mediumEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src AND e4.dst = e1.src
+         | JOIN edges e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q225_s4_clique" ->
+      s"""WITH edges AS ($mediumEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt, 'leapfrog' AS route
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src AND e4.dst = e1.src
+         | JOIN edges e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+         | JOIN edges e6 ON e6.src = e1.src AND e6.dst = e2.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q226_s5_house" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q227_s6_house_x" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt, 'leapfrog' AS route
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+         | JOIN edges e7 ON e7.src = e2.dst AND e7.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q228_s7_dense5" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt, 'leapfrog' AS route
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.src AND e6.dst = e2.dst
+         | JOIN edges e7 ON e7.src = e1.dst AND e7.dst = e3.dst
+         | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q229_s8_dense5" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e3.dst
+         | JOIN edges e7 ON e7.src = e1.dst AND e7.dst = e4.dst
+         | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q46_ghd_4cycle" ->
       s"""WITH edges AS ($mediumEdgesSql)
          |SELECT count(*) AS n_cycles

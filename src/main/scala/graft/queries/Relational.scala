@@ -620,6 +620,80 @@ object Relational {
       } finally PkFkJoinReorder.clear()
     }),
 
+    // the DIFFERENTIAL PK-FK gate: q218's star shape is one where
+    // Catalyst's stats-free ReorderJoin happens to pick the same order as
+    // the PK-FK rule (the ProbeCbo finding), so it proves the rule runs,
+    // not that it decides. This CHAIN is written smallest-first
+    // (region → nation → supplier → lineitem) — an order stock Catalyst
+    // KEEPS (each step already has a join condition) — while the rule must
+    // rebuild largest-first along PK edges: lineitem, then supplier (PK
+    // s_suppkey), nation (PK n_nationkey), region (PK r_regionkey). The
+    // pinned 'lineitem,supplier,nation,region' literal therefore only
+    // matches when the rule CHANGED the leaf order; the companion
+    // PkFkJoinReorderSpec asserts the without-rule order differs.
+    "q223_pkfk_chain" -> ((s, d) => {
+      val t = Tables(s, d)
+      import graft.plans.PkFkJoinReorder
+      if (!s.experimental.extraOptimizations.contains(PkFkJoinReorder))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ PkFkJoinReorder
+      PkFkJoinReorder.registerPrimaryKey("region", Seq("r_regionkey"))
+      PkFkJoinReorder.registerPrimaryKey("nation", Seq("n_nationkey"))
+      PkFkJoinReorder.registerPrimaryKey("supplier", Seq("s_suppkey"))
+      try {
+        val j = t.region
+          .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+          .join(t.supplier, col("s_nationkey") === col("n_nationkey"))
+          .join(t.lineitem, col("l_suppkey") === col("s_suppkey"))
+        def leafName(cols: Set[String]): String =
+          if (cols.contains("l_orderkey")) "lineitem"
+          else if (cols.contains("s_suppkey")) "supplier"
+          else if (cols.contains("n_nationkey")) "nation"
+          else if (cols.contains("r_regionkey")) "region"
+          else "?"
+        val order = j.queryExecution.optimizedPlan.collectLeaves()
+          .map(l => leafName(l.output.map(_.name).toSet)).mkString(",")
+        j.groupBy("r_name")
+          .agg(count(lit(1)).as("n_items"),
+            // integer-lifted: floor-to-cents on both engines, so the sum
+            // is order-independent exact integer arithmetic
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("join_order", lit(order))
+          .orderBy("r_name")
+          // pin rows while the rule is live (the q218 pattern)
+          .localCheckpoint(true)
+      } finally PkFkJoinReorder.clear()
+    }),
+
+    // co-bucketed join under the hard gate: BOTH sides written through
+    // writeBucketed on the join key with the same bucket count — the one
+    // 100-TB layout technique that was spec-only — then joined AND
+    // aggregated on that key with broadcast disabled. The executed plan
+    // must contain NO Exchange at all (scan → SMJ → agg, all bucket-
+    // aligned); the plan-derived literal hash-mismatches the oracle's
+    // 'colocated' if any shuffle sneaks in.
+    "q230_cobucket_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val es = new graft.api.EngineSession(s)
+      es.writeBucketed(t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")), "cb_orders", Seq("o_custkey"), 8)
+      es.writeBucketed(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        "cb_customer", Seq("c_custkey"), 8)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.table("cb_orders")
+          .join(s.table("cb_customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        val layout =
+          if (j.queryExecution.executedPlan.toString.contains("Exchange")) "shuffled"
+          else "colocated"
+        j.withColumn("layout", lit(layout)).localCheckpoint(true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }),
+
     // per-attribute-set exact cardinalities — the reference's
     // Statistics.fullCardinality (statsEstimation/Statistics.scala:27-70),
     // the stats surface that feeds cardinality-aware attribute ordering.
@@ -979,6 +1053,25 @@ object Relational {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q223_pkfk_chain" ->
+      // the 'lineitem,supplier,nation,region' literal pins the leaf order
+      // ONLY the PK-FK rule produces on this smallest-first chain (stock
+      // Catalyst keeps the written region-first order — spec-asserted)
+      """SELECT r_name, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  'lineitem,supplier,nation,region' AS join_order
+        |FROM region
+        | JOIN nation ON n_regionkey = r_regionkey
+        | JOIN supplier ON s_nationkey = n_nationkey
+        | JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q230_cobucket_join" ->
+      // 'colocated' pins the exchange-free plan over the co-bucketed pair
+      """SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  'colocated' AS layout
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "q222_dsl_exprs" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS net,

@@ -162,7 +162,21 @@ object DocStreams {
       path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    // "exists" is not "readable table": a dir holding only _SUCCESS (an
+    // empty first micro-batch) or markers would fail schema inference on
+    // EVERY retry — semantically it IS the legitimate absent/empty case.
+    // One recursive metadata listing decides: absent-or-markers-only ⇒
+    // None; any data file present ⇒ read, and read failures propagate.
+    def hasDataFile: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !(name.startsWith("_") || name.startsWith("."))
+      }
+      found
+    }
+    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(path)) else None
   }
 
   def upsertBatch(batch: DataFrame, tablePath: String, keyCol: String,
@@ -173,47 +187,103 @@ object DocStreams {
         .cast("long"), lit(buckets.toLong))
     // the batch feeds two plans (affected-bucket scan + merge) — cache it;
     // the affected-bucket collect below populates the cache as a side
-    // effect, where an eager localCheckpoint paid a dedicated job per batch
+    // effect. try/finally: a table-read or merge-write failure propagates
+    // (and the micro-batch retries), so the pin must not outlive the batch.
     val pinned = batch.withColumn("bucket", bucket).persist()
-    val affected = pinned.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq // bounded by `buckets`, not data
-    val dataCols = pinned.columns.filterNot(c => c == keyCol || c == "bucket")
-    def tagged(df: DataFrame, priority: Int): DataFrame =
-      df.select(col(keyCol), col("bucket"),
-        struct(
-          col(versionCol).as("_v"), lit(priority).as("_prio"),
-          xxhash64(dataCols.map(col): _*).as("_tie"),
-          struct(dataCols.map(col): _*).as("_row")).as("_m"))
-    // pin the affected-bucket read: the merge OVERWRITES the path it reads
-    // (Spark rightly refuses a lazy read-overwrite cycle on one path), and
-    // the pin bounds the materialization to the affected buckets' rows.
-    // Empty ONLY when the table path does not exist (first batch); any
-    // other read failure propagates — see [[parquetIfExists]].
-    val current = parquetIfExists(spark, tablePath)
-      .map(_.filter(col("bucket").isin(affected: _*)).localCheckpoint(true))
-      .getOrElse(pinned.limit(0))
-    // ONE shuffle for merge + layout: repartitioning on `bucket` BEFORE the
-    // aggregate both satisfies the groupBy's clustering requirement
-    // (HashPartitioning(bucket) is an expression subset of (key, bucket) —
-    // same bucket ⇒ same task, and bucket is a function of the key) and
-    // leaves the output bucket-aligned for the partitioned write, so each
-    // rewritten bucket directory gets ONE file per micro-batch instead of
-    // one per shuffle task — B small files of compaction debt, not T×B
-    val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
-      // merge parallelism = the affected-bucket count, not the session
-      // shuffle width: each task is exactly one bucket-dir rewrite (the
-      // file-layout contract), and a 5-bucket delta shouldn't schedule 32
-      // near-empty tasks per micro-batch
-      .repartition(math.max(affected.size, 1), col("bucket"))
-      .groupBy(keyCol, "bucket") // reuses the bucket exchange, no 2nd shuffle
-      .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
-      .select(col(keyCol) +: col("bucket") +:
-        dataCols.map(c => col(s"_m._row.$c").as(c)): _*)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(tablePath)
-    org.apache.spark.sql.GraftSqlBridge.releaseCheckpoint(current)
-    pinned.unpersist(false)
+    try {
+      val affected = pinned.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq // bounded by `buckets`, not data
+      val dataCols = pinned.columns.filterNot(c => c == keyCol || c == "bucket")
+      def tagged(df: DataFrame, priority: Int): DataFrame =
+        df.select(col(keyCol), col("bucket"),
+          struct(
+            col(versionCol).as("_v"), lit(priority).as("_prio"),
+            xxhash64(dataCols.map(col): _*).as("_tie"),
+            struct(dataCols.map(col): _*).as("_row")).as("_m"))
+      // the affected-bucket read stays LAZY and lists ONLY the affected
+      // bucket=N directories (basePath recovers the partition column): a
+      // whole-table read would build a file index over every bucket dir
+      // just to prune most of them — at the 65k-bucket design point that
+      // listing dwarfs the delta itself. |affected| exists() probes
+      // replace it. Because the merge output lands in a sibling temp dir
+      // (below) there is no read-overwrite cycle to break — the old
+      // localCheckpoint pin materialized every current row twice
+      // (checkpoint write + read-back) as a dedicated driver job per
+      // micro-batch. Empty when no affected bucket dir exists yet (first
+      // batch); a read failure on an existing dir propagates so the
+      // micro-batch retries.
+      val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val affectedDirs = affected
+        .map(b => new org.apache.hadoop.fs.Path(tableDir, s"bucket=$b"))
+        .filter(fs.exists(_)).map(_.toString)
+      // treating "no affected dir" as empty is only safe when the path is
+      // absent, empty, or a real bucket layout (all-new buckets). A path
+      // holding anything ELSE is some other table — merging "against
+      // empty" would silently publish bucket dirs beside it. Early-exit
+      // scan: the first bucket= entry proves the layout without listing
+      // the other 65k dirs.
+      if (affectedDirs.isEmpty && fs.exists(tableDir)) {
+        val it = fs.listStatusIterator(tableDir)
+        var bucketSeen = false
+        var alien: Option[String] = None
+        while (!bucketSeen && it.hasNext) {
+          val name = it.next().getPath.getName
+          if (name.startsWith("bucket=")) bucketSeen = true
+          else if (!(name.startsWith("_") || name.startsWith("."))) alien = Some(name)
+        }
+        if (!bucketSeen) alien.foreach { a =>
+          throw new java.io.IOException(
+            s"upsertBatch: $tablePath exists but is not a bucket-partitioned " +
+              s"upsert table (found '$a') — refusing to merge against it")
+        }
+      }
+      val current =
+        if (affectedDirs.isEmpty) pinned.limit(0)
+        else spark.read.option("basePath", tablePath).parquet(affectedDirs: _*)
+      // ONE shuffle for merge + layout: repartitioning on `bucket` BEFORE the
+      // aggregate both satisfies the groupBy's clustering requirement
+      // (HashPartitioning(bucket) is an expression subset of (key, bucket) —
+      // same bucket ⇒ same task, and bucket is a function of the key) and
+      // leaves the output bucket-aligned for the partitioned write, so each
+      // rewritten bucket directory gets ONE file per micro-batch instead of
+      // one per shuffle task — B small files of compaction debt, not T×B
+      val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
+        // merge parallelism = the affected-bucket count, not the session
+        // shuffle width: each task is exactly one bucket-dir rewrite (the
+        // file-layout contract), and a 5-bucket delta shouldn't schedule 32
+        // near-empty tasks per micro-batch
+        .repartition(math.max(affected.size, 1), col("bucket"))
+        .groupBy(keyCol, "bucket") // reuses the bucket exchange, no 2nd shuffle
+        .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
+        .select(col(keyCol) +: col("bucket") +:
+          dataCols.map(c => col(s"_m._row.$c").as(c)): _*)
+      // write-then-publish, 2 driver jobs per micro-batch total (affected
+      // collect + this write; was 3 with the checkpoint round-trip): the
+      // merged rows land in a sibling temp dir in one job, then each
+      // rewritten bucket=N dir is published into the table by a
+      // metadata-only rename. A crash before the publish loop leaves the
+      // table untouched; a crash mid-publish leaves whole-bucket dirs
+      // either old or new — the same per-partition atomicity dynamic
+      // partition overwrite offered (a transactional table format is the
+      // multi-writer/multi-bucket-atomic answer; documented, not faked).
+      val tmpDir = new org.apache.hadoop.fs.Path(
+        tableDir.getParent, tableDir.getName + ".__graft_upsert_tmp")
+      fs.delete(tmpDir, true)
+      try {
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmpDir.toString)
+        fs.mkdirs(tableDir)
+        fs.listStatus(tmpDir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .foreach { s =>
+            val dest = new org.apache.hadoop.fs.Path(tableDir, s.getPath.getName)
+            fs.delete(dest, true)
+            if (!fs.rename(s.getPath, dest))
+              throw new java.io.IOException(
+                s"upsertBatch: publish rename ${s.getPath} -> $dest failed")
+          }
+      } finally fs.delete(tmpDir, true): Unit
+    } finally pinned.unpersist(false)
   }
 
   def ingestDedupStream(docs: DataFrame, storePath: String, outPath: String,

@@ -35,6 +35,17 @@ final case class LeapFrogJoinPlan(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     outputSet
 
+  // EVERY child column is consumed (each is a trie level), but the node
+  // carries no Catalyst expressions, so the derived `references` would be
+  // EMPTY — and ColumnPruning's generic case prunes any child column not in
+  // `child.references ++ parent.references`. With a Project/Aggregate
+  // directly above (e.g. `node.groupBy("a").count()` — no Filter in
+  // between), that pruned the join inputs to a column subset and the
+  // enumeration silently matched nothing. Declaring the true references
+  // makes pruning keep all join columns.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(children.flatMap(_.output))
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = copy(children = newChildren)
 }

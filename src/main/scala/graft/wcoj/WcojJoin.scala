@@ -75,6 +75,32 @@ object WcojJoin {
         return leapfrogHyperCube(spark, relations, attrOrder, numPartitions)
       }
     }
+
+    // leading-attribute skew guard: hash-partitioning on the FIRST
+    // attribute alone sends every row of a celebrity leading value to ONE
+    // task — that task then holds (and enumerates against) the hot value's
+    // entire slice of every partitioned relation. One skew-aware stats
+    // pass (Misra-Gries lower bound, so errors point toward "no skew",
+    // never toward a phantom reroute) estimates that hot-task payload; past
+    // `graft.wcoj.cellBudgetBytes` (the same per-cell budget the Shares
+    // optimizer plans under) the whole join reroutes to the HyperCube
+    // grid, which splits the hot value across the OTHER attributes' share
+    // dimensions. The inputs are persisted so the stats pass and the
+    // routing shuffle share one scan.
+    withFirst.foreach(_._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cellBudget = spark.conf.get(
+      "graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
+    val hotTaskBytes = withFirst.map { case (attrs, rdd) =>
+      val st = SkewStats.relStat(attrs, rdd, skewAware = true)
+      val rowBytes = 8L * attrs.length + 24
+      (st.heavyFrac.getOrElse(first, 0.0) * st.rows).toLong * rowBytes
+    }.sum
+    if (hotTaskBytes > cellBudget) {
+      withFirst.foreach(_._2.unpersist(blocking = false))
+      without.foreach(_._2.unpersist(blocking = false))
+      spark.conf.set("graft.wcoj.lastRoute", "hypercube")
+      return leapfrogHyperCube(spark, relations, attrOrder, numPartitions)
+    }
     spark.conf.set("graft.wcoj.lastRoute", "broadcast")
 
     // broadcast the relations lacking the partitioning attribute (counted
@@ -92,6 +118,11 @@ object WcojJoin {
       rdd.map(row => (row(firstPos), (idx, row)))
     }.reduce(_ union _)
     val routed = tagged.partitionBy(partitioner)
+    // materialize the shuffle while the inputs are cached (the skew-guard
+    // stats pass warmed them), then free the cache; the consumer job reuses
+    // the shuffle files (skipped stage) — same shape as the hypercube path
+    spark.sparkContext.runJob(routed, (_: Iterator[(Long, (Int, Array[Long]))]) => ())
+    withFirst.foreach(_._2.unpersist(blocking = false))
 
     val attrsByIdx = withFirst.map(_._1).toArray
     val resultRdd = routed.mapPartitions { it =>

@@ -403,6 +403,33 @@ class SimilaritySpec extends SparkSpec {
     assert(comp === sq)
   }
 
+  test("mass-adaptive probing: massFrac = 1 equals plain sq8TopK, 0.25 stays confined") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // covering the full corpus mass voids pruning — bit-identical
+    val sq = rows(Similarity.sq8TopK(q, e, "embedding", "vec_id", 10))
+    val full = rows(Similarity.ivfSq8TopKAdaptive(q, e, "embedding", "vec_id",
+      10, centroidMod = 100, massFrac = 1.0))
+    assert(full === sq)
+    // a real mass target still returns k rows per query (the first cell is
+    // always kept, so no query can end up probing nothing)
+    val confined = Similarity.ivfSq8TopKAdaptive(q, e, "embedding", "vec_id",
+      10, centroidMod = 100, massFrac = 0.25)
+    val perQuery = confined.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQuery.size === 5 && perQuery.values.forall(_ == 10))
+    // same contract on the float IVF form
+    val exact = Similarity.cosineTopK(q, e, "embedding", "vec_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfFull = Similarity.ivfTopKAdaptive(q, e, "embedding", "vec_id",
+        10, centroidMod = 100, massFrac = 1.0)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfFull === exact)
+  }
+
   test("truncatedRerank with a full-corpus shortlist equals cosineTopK") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = e.filter($"vec_id" < 3)

@@ -64,6 +64,56 @@ class PkFkJoinReorderSpec extends SparkSpec {
     PkFkJoinReorder.clear()
   }
 
+  test("differential: the rule CHANGES the leaf order on a smallest-first chain") {
+    // the q223 gate's claim, spec-asserted from both sides: stock Catalyst
+    // (stats-free ReorderJoin) keeps the written smallest-first chain
+    // region → nation → supplier → lineitem (every step already carries a
+    // condition), while the PK-FK rule rebuilds largest-first along PK
+    // edges. If the without-rule order ever equals the with-rule order the
+    // gate degrades to q218's prove-it-ran form — this spec fails first.
+    PkFkJoinReorder.clear()
+    val t = graft.Tables(spark, sf0001)
+    def chain = t.region
+      .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+      .join(t.supplier, col("s_nationkey") === col("n_nationkey"))
+      .join(t.lineitem, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n"))
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map { l =>
+        val cols = l.output.map(_.name).toSet
+        if (cols.contains("l_orderkey")) "lineitem"
+        else if (cols.contains("s_suppkey")) "supplier"
+        else if (cols.contains("n_nationkey")) "nation"
+        else if (cols.contains("r_regionkey")) "region"
+        else "?"
+      }
+
+    val hadRule = spark.experimental.extraOptimizations.contains(PkFkJoinReorder)
+    if (hadRule) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == PkFkJoinReorder)
+    val without = leafOrder(chain)
+    try {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PkFkJoinReorder
+      PkFkJoinReorder.registerPrimaryKey("region", Seq("r_regionkey"))
+      PkFkJoinReorder.registerPrimaryKey("nation", Seq("n_nationkey"))
+      PkFkJoinReorder.registerPrimaryKey("supplier", Seq("s_suppkey"))
+      val withRule = leafOrder(chain)
+      assert(withRule === Seq("lineitem", "supplier", "nation", "region"))
+      assert(without !== withRule,
+        s"stock Catalyst now plans $without — the q223 differential is vacuous")
+      // and the rewrite is a pure plan change: results agree
+      val a = chain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      PkFkJoinReorder.clear()
+      val b = chain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a === b)
+    } finally {
+      PkFkJoinReorder.clear()
+      if (!hadRule) spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PkFkJoinReorder)
+    }
+  }
+
   test("rule preserves results on a 4-table star with conditions intact") {
     PkFkJoinReorder.clear()
     PkFkJoinReorder.registerPrimaryKey("r1", Seq("k1"))

@@ -257,6 +257,76 @@ object ScaleCheck {
       }
     }
 
+    // 4-clique (reference subgraph S4, the q225 gate) through the Catalyst
+    // LeapFrog node: disjoint graph copies again make the true count grow
+    // linearly with the factor, so near-linear wall time pins the
+    // worst-case-optimal claim on a 6-relation 4-attribute hypergraph —
+    // the shape where a binary plan's intermediates dwarf the output.
+    {
+      val base = graft.Tables(spark, sfDir).orders
+        .filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      for (factor <- Seq(1, 10, 50)) {
+        val edges = (if (factor == 1) base
+          else base.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+            .select((col("src") + col("__rep") * 1000L).as("src"),
+              (col("dst") + col("__rep") * 1000L).as("dst")))
+          .localCheckpoint(true)
+        def r(n1: String, n2: String) =
+          (edges.select(col("src").as(n1), col("dst").as(n2)), Seq(n1, n2))
+        val t0 = System.nanoTime()
+        val clique = graft.wcoj.WcojJoin.leapfrogCatalyst(spark,
+          Seq(r("a", "b"), r("b", "c"), r("c", "d"), r("d", "a"), r("b", "d"), r("a", "c")),
+          Seq("a", "b", "c", "d"))
+        val n = clique.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] wcoj_4clique           x$factor%-3d " +
+          f"edges=${edges.count()}%8d out=$n%9d time=$secs%7.2fs route=catalyst")
+      }
+    }
+
+    // leading-attribute skew guard: a planted celebrity vertex (half of a
+    // replicated graph's edges re-sourced to one node) makes the raw
+    // leapfrog's single-attribute partitioning concentrate the whole hot
+    // enumeration in one task — the guard must FLIP the route to hypercube
+    // on the measured heavy-hitter mass, while the clean copy stays on the
+    // broadcast path. Run under an explicit 1 MB cell budget (the q186
+    // budget-pinning pattern): the flip condition is mass > budget, so a
+    // small budget demonstrates the same mechanism the 64 MB default
+    // applies at 64× the data.
+    {
+      spark.conf.set("graft.wcoj.cellBudgetBytes", (1L << 20).toString)
+      val base = graft.Tables(spark, sfDir).orders
+        .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .crossJoin(spark.range(10).select(col("id").as("__rep")))
+        .select((col("src") + col("__rep") * 1000L).as("src"),
+          (col("dst") + col("__rep") * 1000L).as("dst"))
+      for (hot <- Seq(false, true)) {
+        // the hot copy UNIONS a 60k-neighbor star on vertex 0 (fresh dst id
+        // range, so every star edge is distinct and adds no triangle —
+        // same answer shape, but ~22% of the leading attribute's rows now
+        // hash to one task). Re-sourcing existing edges instead would
+        // collapse under distinct(): only 211×factor dst values exist.
+        val edges = (if (!hot) base
+          else base.unionByName(spark.range(60000).select(lit(0L).as("src"),
+            (col("id") + 1000000L).as("dst"))))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val n = graft.wcoj.WcojJoin.leapfrog(spark,
+          Seq((edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+            (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+            (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))),
+          Seq("a", "b", "c")).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] wcoj_skew_guard        hot=$hot%-5s " +
+          f"edges=${edges.count()}%8d out=$n%9d time=$secs%7.2fs route=" +
+          spark.conf.get("graft.wcoj.lastRoute", "?"))
+      }
+      spark.conf.unset("graft.wcoj.cellBudgetBytes")
+    }
+
     // small-file compaction: the per-dir rewrites are tiny independent
     // jobs, so wall time must track POOL WIDTH, not directory count —
     // two identical 96-dir fragmented trees, one drained serially

@@ -247,6 +247,35 @@ class WcojJoinSpec extends SparkSpec {
     } finally spark.conf.unset("graft.wcoj.broadcastBudgetBytes")
   }
 
+  test("celebrity leading vertex trips the skew guard onto the hypercube path") {
+    // a hot leading value: ~85% of edges start at vertex 0, so hashing on
+    // the first attribute alone would serialize that value's whole
+    // enumeration into one task. With a cell budget below the hot slice's
+    // payload the guard must reroute the join to the hypercube grid and
+    // agree exactly with the unguarded broadcast route.
+    val rnd = new scala.util.Random(13)
+    val hot = Seq.fill(300)((0L, 1L + rnd.nextInt(40).toLong))
+    val cold = Seq.fill(60)((1L + rnd.nextInt(40).toLong, 1L + rnd.nextInt(40).toLong))
+    val edges = (hot ++ cold).distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("b"), $"dst".as("c")), Seq("b", "c")),
+      (edges.select($"dst".as("a"), $"src".as("c")), Seq("a", "c")))
+    def run(): Set[(Long, Long, Long)] =
+      WcojJoin.leapfrog(spark, rels, Seq("a", "b", "c"), numPartitions = 4)
+        .as[(Long, Long, Long)].collect().toSet
+    try {
+      spark.conf.set("graft.wcoj.cellBudgetBytes", "64")
+      val viaCube = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "hypercube")
+      spark.conf.set("graft.wcoj.cellBudgetBytes", (64L << 20).toString)
+      val viaBroadcast = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "broadcast")
+      assert(viaCube === viaBroadcast)
+      assert(viaCube.nonEmpty)
+    } finally spark.conf.unset("graft.wcoj.cellBudgetBytes")
+  }
+
   test("hypercube triangle equals DataFrame 3-way join (no broadcast side)") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
