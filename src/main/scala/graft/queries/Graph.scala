@@ -309,6 +309,55 @@ object Graph {
         .orderBy("a")
     }),
 
+    // reference complex-subgraph workload C1 (subgraphQuery.scala:59-66):
+    // the S5 edge set, then the reference's OWN composition — facade
+    // `project` (DISTINCT π) to (b, d), facade `aggregate` count by b —
+    // so the gate drives pattern() THROUGH EngineDataFrame exactly as the
+    // reference's SubgraphBenchmark.genQuery chains Dataset ops.
+    "q232_c1_proj_count" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)")
+      new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
+        .project("b, d")
+        .aggregate(Seq("count(1) AS cnt"), Seq("b"))
+        .sort("b").df
+    }),
+
+    // reference C2 (subgraphQuery.scala:68-75): the S6 edge set projected
+    // (distinct) to (b, c), counted by b — same facade chain.
+    "q233_c2_proj_count" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)")
+      new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
+        .project("b, c")
+        .aggregate(Seq("count(1) AS cnt"), Seq("b"))
+        .sort("b").df
+    }),
+
+    // reference C3 (subgraphQuery.scala:77-85): S5 plus a free vertex w
+    // hanging off d — the weighted-pattern form, aggregate sum(w) by a
+    // over the BAG of matches (no projection dedup).
+    "q234_c3_weighted" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (d)-[]->(w)")
+      new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
+        .aggregate(Seq("sum(w) AS sum_w"), Seq("a"))
+        .sort("a").df
+    }),
+
+    // reference C4 (subgraphQuery.scala:87-96): S6 + d-w, sum(w) by a.
+    "q235_c4_weighted" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e); (d)-[]->(w)")
+      new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
+        .aggregate(Seq("sum(w) AS sum_w"), Seq("a"))
+        .sort("a").df
+    }),
+
     // the reference's SQL-text graph surface: MATCH(graph, pattern) as a
     // FROM-clause table (SQLParser.scala:240-246), resolved through the
     // named-graph catalog + SqlRewriter — same triangles as q40, reached
@@ -587,6 +636,48 @@ object Graph {
          | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e3.dst
          | JOIN edges e7 ON e7.src = e1.dst AND e7.dst = e4.dst
          | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q232_c1_proj_count" ->
+      s"""WITH edges AS ($seededSparseEdgesSql),
+         |bd AS (SELECT DISTINCT e1.dst AS b, e3.dst AS d
+         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         |   JOIN edges e3 ON e2.dst = e3.src
+         |   JOIN edges e4 ON e3.dst = e4.src
+         |   JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         |   JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst)
+         |SELECT b, CAST(count(*) AS BIGINT) AS cnt
+         |FROM bd GROUP BY b ORDER BY b""".stripMargin,
+    "q233_c2_proj_count" ->
+      s"""WITH edges AS ($seededSparseEdgesSql),
+         |bc AS (SELECT DISTINCT e1.dst AS b, e2.dst AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         |   JOIN edges e3 ON e2.dst = e3.src
+         |   JOIN edges e4 ON e3.dst = e4.src
+         |   JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         |   JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+         |   JOIN edges e7 ON e7.src = e2.dst AND e7.dst = e4.dst)
+         |SELECT b, CAST(count(*) AS BIGINT) AS cnt
+         |FROM bc GROUP BY b ORDER BY b""".stripMargin,
+    "q234_c3_weighted" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, CAST(sum(e9.dst) AS BIGINT) AS sum_w
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+         | JOIN edges e9 ON e9.src = e3.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    "q235_c4_weighted" ->
+      s"""WITH edges AS ($seededSparseEdgesSql)
+         |SELECT e1.src AS a, CAST(sum(e9.dst) AS BIGINT) AS sum_w
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src
+         | JOIN edges e4 ON e3.dst = e4.src
+         | JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst
+         | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
+         | JOIN edges e7 ON e7.src = e2.dst AND e7.dst = e4.dst
+         | JOIN edges e9 ON e9.src = e3.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q46_ghd_4cycle" ->
       s"""WITH edges AS ($mediumEdgesSql)
