@@ -694,6 +694,47 @@ object Relational {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }),
 
+    // reference workload W7 (benchmark/testcases/workloadQuery.scala:631-654),
+    // the theta-join + project schema, composed through the facade exactly
+    // as the reference chains it: R1 θ[B<C] R2 → distinct π(A,D) → θ[D<E]
+    // R3. Tables derive from nation/region (fixed 25/5 rows at every SF,
+    // so the inequality cross products stay bounded by schema, not data).
+    "q236_w7_theta_chain" -> ((s, d) => {
+      val t = Tables(s, d)
+      val es = new graft.api.EngineSession(s)
+      val r1 = es.createDatasetFromSparkSQL(t.nation.select(
+        col("n_nationkey").as("a"), ((col("n_nationkey") * 7) % 25).as("b")))
+      val r2 = es.createDatasetFromSparkSQL(t.nation.select(
+        ((col("n_nationkey") * 3) % 25).as("c"), col("n_regionkey").as("d")))
+      val r3 = es.createDatasetFromSparkSQL(t.region.select(
+        col("r_regionkey").as("e"), (col("r_regionkey") % 3).as("f")))
+      r1.join(r2, "b < c").project("a, d").join(r3, "d < e")
+        .sort("a", "d", "e").df
+    }),
+
+    // reference workload W10 (workloadQuery.scala:996-1034), the line-join
+    // + MID-CHAIN aggregate schema: R1 ⋈ R2 ⋈ R3 → count(*) by A,D →
+    // ⋈ R4 ⋈ R5 (natural joins; the aggregate's grouping columns carry the
+    // chain forward). Tables derive from orders via modulo projections so
+    // the chain scales with SF while every join stays key-bounded.
+    "q237_w10_line_agg" -> ((s, d) => {
+      val t = Tables(s, d)
+      val es = new graft.api.EngineSession(s)
+      def rel(c1: String, m1: Int, c2: String, m2: Int, k1: String, k2: String) =
+        es.createDatasetFromSparkSQL(t.orders.select(
+          (col(c1) % m1).as(k1), (col(c2) % m2).as(k2)).distinct())
+      val r1 = rel("o_orderkey", 41, "o_custkey", 37, "a", "b")
+      val r2 = rel("o_custkey", 37, "o_orderkey", 31, "b", "c")
+      val r3 = rel("o_orderkey", 31, "o_custkey", 29, "c", "d")
+      val r4 = rel("o_custkey", 29, "o_orderkey", 23, "d", "e")
+      val r5 = rel("o_orderkey", 23, "o_custkey", 19, "e", "f")
+      r1.naturalJoin(r2).naturalJoin(r3)
+        .aggregate(Seq("count(1) AS cnt"), Seq("a", "d"))
+        .naturalJoin(r4).naturalJoin(r5)
+        .aggregate(Seq("count(1) AS n_ext", "sum(cnt) AS sum_cnt"), Seq("a"))
+        .sort("a").df
+    }),
+
     // per-attribute-set exact cardinalities — the reference's
     // Statistics.fullCardinality (statsEstimation/Statistics.scala:27-70),
     // the stats surface that feeds cardinality-aware attribute ordering.
@@ -1053,6 +1094,22 @@ object Relational {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q236_w7_theta_chain" ->
+      """WITH r1 AS (SELECT n_nationkey AS a, (n_nationkey * 7) % 25 AS b FROM nation),
+        |r2 AS (SELECT (n_nationkey * 3) % 25 AS c, n_regionkey AS d FROM nation),
+        |r3 AS (SELECT r_regionkey AS e, r_regionkey % 3 AS f FROM region),
+        |p AS (SELECT DISTINCT a, d FROM r1 JOIN r2 ON b < c)
+        |SELECT a, d, e, f FROM p JOIN r3 ON d < e ORDER BY a, d, e""".stripMargin,
+    "q237_w10_line_agg" ->
+      """WITH r1 AS (SELECT DISTINCT o_orderkey % 41 AS a, o_custkey % 37 AS b FROM orders),
+        |r2 AS (SELECT DISTINCT o_custkey % 37 AS b, o_orderkey % 31 AS c FROM orders),
+        |r3 AS (SELECT DISTINCT o_orderkey % 31 AS c, o_custkey % 29 AS d FROM orders),
+        |r4 AS (SELECT DISTINCT o_custkey % 29 AS d, o_orderkey % 23 AS e FROM orders),
+        |r5 AS (SELECT DISTINCT o_orderkey % 23 AS e, o_custkey % 19 AS f FROM orders),
+        |m AS (SELECT a, d, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM r1 JOIN r2 USING (b) JOIN r3 USING (c) GROUP BY a, d)
+        |SELECT a, CAST(count(*) AS BIGINT) AS n_ext, CAST(sum(cnt) AS BIGINT) AS sum_cnt
+        |FROM m JOIN r4 USING (d) JOIN r5 USING (e) GROUP BY a ORDER BY a""".stripMargin,
     "q223_pkfk_chain" ->
       // the 'lineitem,supplier,nation,region' literal pins the leaf order
       // ONLY the PK-FK rule produces on this smallest-first chain (stock

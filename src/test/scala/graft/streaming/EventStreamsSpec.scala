@@ -436,4 +436,23 @@ class EventStreamsSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("q215 eviction fallback: no-data micro-batches disabled still emits every null row") {
+    // the round-12 single-sentinel scheme relies on the engine's no-data
+    // micro-batch to surface the watermark evictions; when that engine
+    // feature is OFF the bounded wait must expire and the second-sentinel
+    // fallback must produce the identical result. This is the only
+    // coverage of the fallback branch — without it a silent wait-forever
+    // or an under-emitting fallback would only show up as a driver-gate
+    // flake.
+    val gate = graft.SparkEntry.queries("q215_stream_outer_interval")
+    def run(): Set[Seq[Any]] = gate(spark, sf0001).collect().map(_.toSeq).toSet
+    val viaNoDataBatch = run()
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val viaFallback = run()
+      assert(viaFallback === viaNoDataBatch)
+      assert(viaFallback.nonEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
 }
