@@ -79,7 +79,11 @@ object Bench {
         "q212_stream_interval_join,q214_ingest_crawl," +
         "q215_stream_outer_interval,q216_cdc_upsert," +
         // q217: four appends + two compaction passes of temp-dir I/O
-        "q217_compact_table")
+        "q217_compact_table," +
+        // round 12: q230 writes two bucketed catalog tables per run (file
+        // I/O jitter), q231 pays an extra bounded measurement job for the
+        // adaptive-probe expansion — both spread >20% across full passes
+        "q230_cobucket_join,q231_ivfsq8_adaptive")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
