@@ -55,6 +55,26 @@ class PlanQualitySpec extends SparkSpec {
       s"string-keyed triangle fell back to an all-pairs join:\n$p")
   }
 
+  test("q224 diamond's five edge copies share ONE distinct-shuffle via ReusedExchange") {
+    // the pattern lowering derives every edge copy from the same distinct
+    // edge frame; physical CSE must collapse their identical exchanges or
+    // a 5-edge pattern pays 5 scans + 5 distinct shuffles of the edge set.
+    // Asserted at sf0.01 — at sf0.001 every side broadcasts and there is
+    // no hash exchange to reuse (measured healthy at round 12: 1 exchange
+    // + 4 ReusedExchange at sf0.01).
+    val df = SparkEntry.queries("q224_s3_diamond")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"edge-copy exchanges are no longer deduplicated:\n${p.take(3000)}")
+  }
+
+  test("q225 4-clique runs through LeapFrogJoin with the route pinned") {
+    val p = executedPlan("q225_s4_clique")
+    assert(p.contains("LeapFrogJoin"),
+      s"4-clique wcoj route fell back to binary joins:\n${p.take(3000)}")
+  }
+
   test("q62 simhash pairs never go all-pairs: no cartesian/nested-loop join") {
     val p = executedPlan("q62_simhash_hamming")
     assert(!p.contains("CartesianProduct"))

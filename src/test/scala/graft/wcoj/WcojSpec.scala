@@ -276,6 +276,32 @@ class WcojJoinSpec extends SparkSpec {
     } finally spark.conf.unset("graft.wcoj.cellBudgetBytes")
   }
 
+  test("skew guard also covers the NO-complement shape (every relation carries the lead)") {
+    // a 2-relation star on `a`: both relations carry the leading attribute,
+    // so the broadcast-budget check never runs — the skew guard is the only
+    // thing standing between a celebrity lead value and a one-task join.
+    val rnd = new scala.util.Random(17)
+    val hot = Seq.fill(400)((0L, 1L + rnd.nextInt(300).toLong))
+    val cold = Seq.fill(80)((1L + rnd.nextInt(40).toLong, 1L + rnd.nextInt(40).toLong))
+    val edges = (hot ++ cold).distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val rels = Seq(
+      (edges.select($"src".as("a"), $"dst".as("b")), Seq("a", "b")),
+      (edges.select($"src".as("a"), $"dst".as("c")), Seq("a", "c")))
+    def run(): Set[(Long, Long, Long)] =
+      WcojJoin.leapfrog(spark, rels, Seq("a", "b", "c"), numPartitions = 4)
+        .as[(Long, Long, Long)].collect().toSet
+    try {
+      spark.conf.set("graft.wcoj.cellBudgetBytes", "64")
+      val viaCube = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "hypercube")
+      spark.conf.set("graft.wcoj.cellBudgetBytes", (64L << 20).toString)
+      val viaBroadcast = run()
+      assert(spark.conf.get("graft.wcoj.lastRoute") === "broadcast")
+      assert(viaCube === viaBroadcast)
+      assert(viaCube.nonEmpty)
+    } finally spark.conf.unset("graft.wcoj.cellBudgetBytes")
+  }
+
   test("hypercube triangle equals DataFrame 3-way join (no broadcast side)") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
