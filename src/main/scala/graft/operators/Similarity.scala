@@ -340,6 +340,18 @@ object Similarity {
       .select(idName, vecName, "cent_id")
   }
 
+  /** The broadcast-budget guard's real replication factor for an adaptive
+    * probe set: one bounded agg over the probed rows (≤ queries × cells).
+    * An EMPTY query set makes max() NULL — read through Option so the
+    * adaptive forms return empty like the non-adaptive ones instead of
+    * throwing on the null.
+    */
+  private def measuredExpansion(probed: DataFrame): Int = {
+    val head = probed.groupBy("query_id")
+      .agg(count(lit(1)).as("n")).agg(max("n")).head()
+    math.max(1L, Option(head.get(0)).map(_.asInstanceOf[Long]).getOrElse(1L)).toInt
+  }
+
   /** [[ivfTopK]] with mass-adaptive probing (see [[nearestCellsByMass]]):
     * each query probes its nearest cells until `massFrac` of the corpus is
     * covered, so the scanned fraction is scale-stable where a fixed
@@ -357,10 +369,7 @@ object Similarity {
     val probed = nearestCellsByMass(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, cellSizes, "query_id", "qv", massFrac)
-    // the broadcast-budget guard needs the real replication factor: one
-    // bounded agg over the probed set (≤ queries × cells rows)
-    val expansion = math.max(1L, probed.groupBy("query_id")
-      .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)).toInt
+    val expansion = measuredExpansion(probed)
     val scored = confinedCellJoin(assigned, probed, "vec_id",
         queries.select(col(idCol), col(vecCol)), expansion = expansion)
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
@@ -382,8 +391,7 @@ object Similarity {
     val probed = nearestCellsByMass(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, cellSizes, "query_id", "qv", massFrac)
-    val expansion = math.max(1L, probed.groupBy("query_id")
-      .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)).toInt
+    val expansion = measuredExpansion(probed)
     rankedTopK(confinedCellJoin(assigned, probed, "vec_id",
         queries.select(col(idCol), col(vecCol)), expansion = expansion)
       .select(col("query_id"), col("vec_id"),
@@ -443,6 +451,48 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Mass-adaptive probing over a [[buildIvfIndex]] store — the
+    * scale-stable default for the persisted-index path: per-cell candidate
+    * counts come straight from the STORED assignment (one groupBy over the
+    * index's cent_id column — partition-pruned, no vector is scored and
+    * the assignment is never recomputed), and each query probes its
+    * nearest cells until `massFrac` of the corpus is covered
+    * ([[nearestCellsByMass]]). A fixed probe count shrinks the probed
+    * fraction as the corpus grows its centroid subset (the q198
+    * fixed-probe overlap decayed 42→23 of 50 across shipped SFs); probing
+    * to a mass target keeps the scanned fraction — and the recall
+    * envelope — stable across scale, which is exactly what an index built
+    * ONCE and queried for months needs. Gated q238 (overlap vs the exact
+    * ranking ≥ 50% at every shipped SF, probes chosen by the rule).
+    */
+  def ivfTopKFromIndexAdaptive(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, massFrac: Double = 0.25): DataFrame = {
+    val idx = spark.read.parquet(path)
+    require(idx.columns.contains("ivf_centroid_mod"),
+      s"ivfTopKFromIndexAdaptive: $path is not a graft IVF index (no scheme column)")
+    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
+    require(mods.length == 1,
+      s"ivfTopKFromIndexAdaptive: $path carries ${mods.length} centroid schemes — rebuild")
+    val mod = mods.head
+    val cents = idx.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
+    // the sizes already live in the store: count rows per stored cell —
+    // a scan of the partition column only, never the vectors
+    val cellSizes = idx.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
+    val probed = nearestCellsByMass(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, cellSizes, "query_id", "qv", massFrac)
+    val expansion = measuredExpansion(probed)
+    val scored = confinedCellJoin(
+        idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id")),
+        probed, "vec_id", queries.select(col(idCol), col(vecCol)),
+        expansion = expansion)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    rankedTopK(scored, k)
   }
 
   /** Product-quantization (PQ) top-k with asymmetric distance computation —

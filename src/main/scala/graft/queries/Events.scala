@@ -311,11 +311,19 @@ object Events {
       require(s.conf.get(EventStreams.HllFormKey) == "array",
         s"the router must take the measured-faster array form, " +
           s"got ${s.conf.get(EventStreams.HllFormKey)}")
+      // explicit checkpoint on the tmpfs-preferring root (the q215
+      // rationale: the implicit temp checkpoint measures the box's /tmp
+      // disk, not the stream)
+      val ckpt = GateTmp.dir("graft_ckpt_hll")
       val q = EventStreams.withStatePartitions(s, 4) {
         agg.writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt.toString)
           .queryName(name).start()
       }
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      }
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
@@ -337,11 +345,19 @@ object Events {
       require(s.conf.get(EventStreams.HllFormKey) == "array",
         s"p=10 must route to the array-register form, " +
           s"got ${s.conf.get(EventStreams.HllFormKey)}")
+      // explicit checkpoint on the tmpfs-preferring root (the q215
+      // rationale: the implicit temp checkpoint measures the box's /tmp
+      // disk, not the stream)
+      val ckpt = GateTmp.dir("graft_ckpt_hll")
       val q = EventStreams.withStatePartitions(s, 4) {
         agg.writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt.toString)
           .queryName(name).start()
       }
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      }
       val out = s.table(name).orderBy("win_start").localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
@@ -418,7 +434,7 @@ object Events {
     // oracle. Sentinel rows are filtered out of the output by user_id.
     "q215_stream_outer_interval" -> ((s, d) => {
       val name = s"stream_oivj_${streamGateCounter.incrementAndGet()}"
-      val root = java.nio.file.Files.createTempDirectory("graft_oivj")
+      val root = GateTmp.dir("graft_oivj")
       val sent = s"$root/sent"
       try {
         // the corpus streams straight from the test data (no temp-dir
@@ -455,7 +471,11 @@ object Events {
             col("event_id_r").as("view_id"), col("user_id"),
             col("ts").as("click_ts"), col("ts_r").as("view_ts"))
         val q = EventStreams.withStatePartitions(s, 4) {
+          // explicit checkpoint on the gate's (tmpfs-preferring) root: the
+          // memory sink's implicit temp checkpoint lands on java.io.tmpdir,
+          // which on a contended-disk box measures the disk, not the join
           joined.writeStream.outputMode("append").format("memory")
+            .option("checkpointLocation", s"$root/ckpt")
             .queryName(name).start()
         }
         try {

@@ -52,21 +52,29 @@ object Graph {
     """SELECT DISTINCT o_custkey % 997 AS src, o_orderkey % 997 AS dst
       |FROM orders WHERE o_orderkey % 17 = 0 AND o_custkey % 997 <> o_orderkey % 997""".stripMargin
 
-  /** Sparse graph + a deterministic directed 5-clique seed on vertices
-    * 1001–1005 (disjoint from the mod-997 data range): the 5-vertex
-    * reference patterns S5–S8 need a graph where matches EXIST at every SF
-    * (the thinned sparse graph alone has none at sf0.01) without the
-    * medium graph's density, where 5-vertex enumeration explodes at sf0.1
-    * (measured: S5 on medium = 5.6e9 bindings). The seed guarantees a
-    * deterministic match floor; the data edges make it a real query.
+  /** Degree-capped dense graph + a deterministic directed 5-clique seed on
+    * vertices 1001–1005 (disjoint from the mod-211 data range): the
+    * 5-vertex reference patterns S5–S8 need a graph where matches are
+    * DATA-BORNE and grow with SF (the round-12 thinned sparse graph had
+    * none at sf0.01 — every match came from the seed) without the medium
+    * graph's density, where 5-vertex enumeration explodes at sf0.1
+    * (measured: S5 on medium = 5.6e9 bindings). Capping each vertex to its
+    * 6 smallest out-neighbors bounds any 5-vertex pattern's bindings at
+    * V·6⁴ while the edge CONTENT still shifts with SF (more orders → more
+    * low-dst candidates win the cap), so match mass comes from the data
+    * and grows across SFs (measured S5: 949 → 18,918 → 196,204 at
+    * sf0.001/0.01/0.1; S7 data-borne from sf0.01 on). The seed keeps a
+    * deterministic floor so sf0.001 smoke rows exist for every shape.
     */
-  private def seededSparseEdges(s: SparkSession, t: Tables): DataFrame = {
+  private def seededCappedEdges(s: SparkSession, t: Tables): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val seed = (for { u <- 1001L to 1005L; v <- 1001L to 1005L; if u != v }
       yield (u, v)).toDF("src", "dst")
-    t.orders.filter(col("o_orderkey") % 17 === 0)
-      .select((col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val w = Window.partitionBy("src").orderBy("dst")
+    denseEdges(t)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 6)
+      .select("src", "dst")
       .unionByName(seed)
       .distinct()
   }
@@ -75,17 +83,23 @@ object Graph {
     (for { u <- 1001 to 1005; v <- 1001 to 1005; if u != v } yield s"($u, $v)")
       .mkString(", ")
 
-  private val seededSparseEdgesSql =
+  private val seededCappedEdgesSql =
     s"""SELECT DISTINCT src, dst FROM (
-       |  SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst FROM orders
-       |  WHERE o_orderkey % 17 = 0 AND o_custkey % 997 <> o_orderkey % 997
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM ($denseEdgesSql))
+       |  WHERE rn <= 6
        |  UNION ALL SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT)
        |  FROM (VALUES $seedCliqueSql) t(src, dst))""".stripMargin
 
   /** route pin for the wcoj-routed pattern gates (the q186 pattern): the
     * literal the oracle expects is only emitted when the executed plan
     * actually contains the LeapFrogJoin Catalyst node — a silent fallback
-    * to binary joins hash-mismatches.
+    * to binary joins hash-mismatches. Call sites pass the AGGREGATED gate
+    * frame, not the bare pattern frame: the round-12 pruning bug only
+    * manifested with an Aggregate directly above the WCOJ node, so pinning
+    * the pre-aggregate plan would miss exactly the fallback class the pin
+    * exists to catch.
     */
   private def wcojRouteOf(df: DataFrame): String =
     if (df.queryExecution.executedPlan.toString.contains("LeapFrogJoin")) "leapfrog"
@@ -256,17 +270,17 @@ object Graph {
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d); (a)-[]->(c)",
         wcoj = true)
-      m.groupBy("a").agg(count(lit(1)).as("cnt"))
-        .withColumn("route", lit(wcojRouteOf(m)))
-        .orderBy("a")
+      val agged = m.groupBy("a").agg(count(lit(1)).as("cnt"))
+      agged.withColumn("route", lit(wcojRouteOf(agged))).orderBy("a")
     }),
 
     // reference subgraph workload S5, the 5-cycle + b-e chord "house"
     // a-b;b-c;c-d;d-e;a-e;b-e (subgraphQuery.scala:41-43) on the seeded
-    // sparse graph — GHD binary route over a genuinely 5-variable
-    // hypergraph.
+    // degree-capped graph — GHD binary route over a genuinely 5-variable
+    // hypergraph with data-borne, SF-growing match mass (18,918 matches
+    // at sf0.01 vs the 5-row seed floor of round 12).
     "q226_s5_house" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       g.pattern("(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)")
         .groupBy("a").agg(count(lit(1)).as("cnt"))
         .orderBy("a")
@@ -275,13 +289,12 @@ object Graph {
     // reference subgraph workload S6 = S5 + c-e (subgraphQuery.scala:45-47)
     // — WCOJ route with the executed-plan route pinned in-result.
     "q227_s6_house_x" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)",
         wcoj = true)
-      m.groupBy("a").agg(count(lit(1)).as("cnt"))
-        .withColumn("route", lit(wcojRouteOf(m)))
-        .orderBy("a")
+      val agged = m.groupBy("a").agg(count(lit(1)).as("cnt"))
+      agged.withColumn("route", lit(wcojRouteOf(agged))).orderBy("a")
     }),
 
     // reference subgraph workload S7, the 8-edge 5-vertex pattern
@@ -289,20 +302,19 @@ object Graph {
     // route: 8 edge relations over 5 attributes is exactly the hypergraph
     // shape where binary plans pay intermediate blow-up, pinned in-result.
     "q228_s7_dense5" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)",
         wcoj = true)
-      m.groupBy("a").agg(count(lit(1)).as("cnt"))
-        .withColumn("route", lit(wcojRouteOf(m)))
-        .orderBy("a")
+      val agged = m.groupBy("a").agg(count(lit(1)).as("cnt"))
+      agged.withColumn("route", lit(wcojRouteOf(agged))).orderBy("a")
     }),
 
     // reference subgraph workload S8, a-b;b-c;c-d;d-e;a-e;b-d;b-e;c-e
     // (subgraphQuery.scala:53-55) — GHD binary route, so the S7/S8 pair
     // proves BOTH routes on the 8-edge 5-vertex shapes.
     "q229_s8_dense5" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)")
         .groupBy("a").agg(count(lit(1)).as("cnt"))
@@ -315,7 +327,7 @@ object Graph {
     // so the gate drives pattern() THROUGH EngineDataFrame exactly as the
     // reference's SubgraphBenchmark.genQuery chains Dataset ops.
     "q232_c1_proj_count" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)")
       new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
@@ -327,7 +339,7 @@ object Graph {
     // reference C2 (subgraphQuery.scala:68-75): the S6 edge set projected
     // (distinct) to (b, c), counted by b — same facade chain.
     "q233_c2_proj_count" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)")
       new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
@@ -340,7 +352,7 @@ object Graph {
     // hanging off d — the weighted-pattern form, aggregate sum(w) by a
     // over the BAG of matches (no projection dedup).
     "q234_c3_weighted" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (d)-[]->(w)")
       new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
@@ -350,7 +362,7 @@ object Graph {
 
     // reference C4 (subgraphQuery.scala:87-96): S6 + d-w, sum(w) by a.
     "q235_c4_weighted" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededSparseEdges(s, Tables(s, d)))
+      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e); (d)-[]->(w)")
       new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
@@ -597,7 +609,7 @@ object Graph {
          | JOIN edges e6 ON e6.src = e1.src AND e6.dst = e2.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q226_s5_house" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, count(*) AS cnt
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src
@@ -606,7 +618,7 @@ object Graph {
          | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q227_s6_house_x" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, count(*) AS cnt, 'leapfrog' AS route
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src
@@ -616,7 +628,7 @@ object Graph {
          | JOIN edges e7 ON e7.src = e2.dst AND e7.dst = e4.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q228_s7_dense5" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, count(*) AS cnt, 'leapfrog' AS route
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src
@@ -627,7 +639,7 @@ object Graph {
          | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q229_s8_dense5" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, count(*) AS cnt
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src
@@ -638,7 +650,7 @@ object Graph {
          | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q232_c1_proj_count" ->
-      s"""WITH edges AS ($seededSparseEdgesSql),
+      s"""WITH edges AS ($seededCappedEdgesSql),
          |bd AS (SELECT DISTINCT e1.dst AS b, e3.dst AS d
          |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          |   JOIN edges e3 ON e2.dst = e3.src
@@ -648,7 +660,7 @@ object Graph {
          |SELECT b, CAST(count(*) AS BIGINT) AS cnt
          |FROM bd GROUP BY b ORDER BY b""".stripMargin,
     "q233_c2_proj_count" ->
-      s"""WITH edges AS ($seededSparseEdgesSql),
+      s"""WITH edges AS ($seededCappedEdgesSql),
          |bc AS (SELECT DISTINCT e1.dst AS b, e2.dst AS c
          |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          |   JOIN edges e3 ON e2.dst = e3.src
@@ -659,7 +671,7 @@ object Graph {
          |SELECT b, CAST(count(*) AS BIGINT) AS cnt
          |FROM bc GROUP BY b ORDER BY b""".stripMargin,
     "q234_c3_weighted" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, CAST(sum(e9.dst) AS BIGINT) AS sum_w
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src
@@ -669,7 +681,7 @@ object Graph {
          | JOIN edges e9 ON e9.src = e3.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q235_c4_weighted" ->
-      s"""WITH edges AS ($seededSparseEdgesSql)
+      s"""WITH edges AS ($seededCappedEdgesSql)
          |SELECT e1.src AS a, CAST(sum(e9.dst) AS BIGINT) AS sum_w
          |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
          | JOIN edges e3 ON e2.dst = e3.src

@@ -520,7 +520,7 @@ object Pipeline {
     "q119_store_dedup" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
-      val dir = java.nio.file.Files.createTempDirectory("graft_sigstore")
+      val dir = GateTmp.dir("graft_sigstore")
       Dedup.signatureStore(docs.filter(snum < 10), "text", "doc_id",
           portableIds = true)
         .write.mode("overwrite").parquet(dir.toString)
@@ -545,7 +545,7 @@ object Pipeline {
     "q214_ingest_crawl" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
-      val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+      val root = GateTmp.dir("graft_ingest")
       val (src, store, out) = (s"$root/src", s"$root/store", s"$root/out")
       try {
         docs.filter(snum < 7).write.mode("append").parquet(src)
@@ -576,7 +576,7 @@ object Pipeline {
     "q216_cdc_upsert" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
-      val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+      val root = GateTmp.dir("graft_upsert")
       val (src, table, ckpt) = (s"$root/src", s"$root/table", s"$root/ckpt")
       def cycle(n: Int, f: org.apache.spark.sql.Column) =
         docs.filter(f).select(col("doc_id"),
@@ -610,7 +610,7 @@ object Pipeline {
     // compaction that loses or duplicates a row fails the oracle.
     "q217_compact_table" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val root = java.nio.file.Files.createTempDirectory("graft_compact")
+      val root = GateTmp.dir("graft_compact")
       val table = s"$root/table"
       try {
         val src = docs.select(col("doc_id"),
@@ -1411,7 +1411,7 @@ object Pipeline {
     "q187_ivf_index_roundtrip" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val q = e.filter(col("vec_id") < 5)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      val dir = GateTmp.dir("graft_ivfidx")
       Similarity.buildIvfIndex(e, "embedding", "vec_id", dir.toString,
         centroidMod = 100)
       try {
@@ -1574,7 +1574,7 @@ object Pipeline {
     // oracle as q192 — the store round-trip is provably invisible.
     "q197_sq8_index_roundtrip" -> ((s, d) => {
       val e = Tables(s, d).embeddings
-      val dir = java.nio.file.Files.createTempDirectory("graft_sq8idx")
+      val dir = GateTmp.dir("graft_sq8idx")
       graft.operators.Similarity.buildSq8Index(e, "embedding", "vec_id",
         dir.toString)
       try {
@@ -1637,6 +1637,38 @@ object Pipeline {
       q.agg(count(lit(1)).as("n_queries")).crossJoin(hit)
         .select(col("n_queries"),
           (col("n_hit") >= 25).as("adaptive_envelope_ok"))
+    }),
+
+    // mass-adaptive probing on the PERSISTED index (the q231 rule moved to
+    // the store path, per the round-12 directive): the corpus-side
+    // assignment is built ONCE (buildIvfIndex), per-cell sizes are read
+    // from the stored cent_id column (never recomputed by scoring), and
+    // the probe count is CHOSEN BY THE 25%-mass rule per query. Overlap is
+    // certified against the EXACT brute-force ranking — a harder bar than
+    // q231's sq8 comparison. Observed 38/36/30 of 50 across
+    // sf0.001/0.01/0.1; the 25/50 floor is the ≥ 50% bar, met with slack
+    // at the largest shipped SF.
+    "q238_ivf_index_adaptive" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val q = e.filter(col("vec_id") < 5)
+      val dir = GateTmp.dir("graft_ivfidx_ad")
+      Similarity.buildIvfIndex(e, "embedding", "vec_id", dir.toString,
+        centroidMod = 100)
+      try {
+        val exact = Similarity.cosineTopK(q, e, "embedding", "vec_id", k = 10)
+          .select("query_id", "vec_id")
+        val stored = Similarity.ivfTopKFromIndexAdaptive(s, dir.toString, q,
+            "embedding", "vec_id", k = 10, massFrac = 0.25)
+          .select("query_id", "vec_id")
+        val hit = exact.join(stored, Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        // pinned eagerly so the finally-delete cannot outrun the lazy
+        // store read (the q187 pattern)
+        q.agg(count(lit(1)).as("n_queries")).crossJoin(hit)
+          .select(col("n_queries"),
+            (col("n_hit") >= 25).as("index_adaptive_ok"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
     // cross-source near-dup attribution: the q55 verified pairs rolled up
@@ -3343,6 +3375,13 @@ object Pipeline {
       // probing rule holds ≥ 50% overlap at every shipped SF
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  TRUE AS adaptive_envelope_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q238_ivf_index_adaptive" ->
+      // the q231 envelope form on the PERSISTED-index path: the floor
+      // certifies rule-chosen probes hold ≥ 50% overlap vs the exact
+      // ranking at every shipped SF with the assignment never recomputed
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS index_adaptive_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q193_trunc_rerank" ->
       // coarse cosine on dims 1..8 → 50-deep shortlist → exact rerank;

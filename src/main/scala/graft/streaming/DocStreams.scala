@@ -261,12 +261,16 @@ object DocStreams {
       // write-then-publish, 2 driver jobs per micro-batch total (affected
       // collect + this write; was 3 with the checkpoint round-trip): the
       // merged rows land in a sibling temp dir in one job, then each
-      // rewritten bucket=N dir is published into the table by a
-      // metadata-only rename. A crash before the publish loop leaves the
-      // table untouched; a crash mid-publish leaves whole-bucket dirs
-      // either old or new — the same per-partition atomicity dynamic
-      // partition overwrite offered (a transactional table format is the
-      // multi-writer/multi-bucket-atomic answer; documented, not faked).
+      // rewritten bucket=N dir is published into the table by metadata-only
+      // renames. A crash before the publish loop leaves the table
+      // untouched; per bucket the old dir is renamed ASIDE before the new
+      // one is renamed in and the aside copy deleted LAST, so whole-bucket
+      // dirs are always either old, aside (recoverable), or new — never
+      // gone (a transactional table format is the multi-writer/
+      // multi-bucket-atomic answer; documented, not faked). The replayed
+      // micro-batch reproduces the identical merge, so a crash between
+      // aside and rename-in self-heals on retry: the merge read filters to
+      // bucket= dirs, skips the aside, and the retry's publish deletes it.
       val tmpDir = new org.apache.hadoop.fs.Path(
         tableDir.getParent, tableDir.getName + ".__graft_upsert_tmp")
       fs.delete(tmpDir, true)
@@ -277,10 +281,16 @@ object DocStreams {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
           .foreach { s =>
             val dest = new org.apache.hadoop.fs.Path(tableDir, s.getPath.getName)
-            fs.delete(dest, true)
-            if (!fs.rename(s.getPath, dest))
+            val aside = new org.apache.hadoop.fs.Path(tableDir,
+              "." + s.getPath.getName + ".__old")
+            fs.delete(aside, true) // stale aside from a crashed prior publish
+            val hadOld = fs.exists(dest) && fs.rename(dest, aside)
+            if (!fs.rename(s.getPath, dest)) {
+              if (hadOld) fs.rename(aside, dest) // restore, then fail loudly
               throw new java.io.IOException(
                 s"upsertBatch: publish rename ${s.getPath} -> $dest failed")
+            }
+            if (hadOld) fs.delete(aside, true)
           }
       } finally fs.delete(tmpDir, true): Unit
     } finally pinned.unpersist(false)

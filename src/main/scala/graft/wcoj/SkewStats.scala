@@ -60,6 +60,40 @@ object SkewStats {
 
     /** Lower bound on the heaviest value's count (0 when empty). */
     def maxCount: Long = if (counts.isEmpty) 0L else counts.values.max
+
+    /** The heaviest value's IDENTITY with its count lower bound — so a
+      * consumer summing hot masses across relations can group by the value
+      * (different heavy values hash to different tasks; only same-value
+      * masses co-locate). Deterministic tie-break by smallest key.
+      */
+    def maxEntry: Option[(Long, Long)] =
+      if (counts.isEmpty) None
+      else Some(counts.toSeq.minBy { case (k, c) => (-c, k) })
+  }
+
+  /** AccumulatorV2 over one [[MisraGries]] — lets the leading-attribute
+    * skew guard piggyback sketch collection on the routing shuffle's MAP
+    * side: clean inputs pay no extra pass at all (a dedicated stats job
+    * measured as a +20% tax on the whole join), and the value is read
+    * after the shuffle materializes. A retried map task can only
+    * OVERcount, which errs toward the perf-only hypercube reroute, never
+    * toward missing real skew.
+    */
+  final class MgAccumulator(k: Int = 32)
+      extends org.apache.spark.util.AccumulatorV2[Long, MisraGries] {
+    private var sk = new MisraGries(k)
+    override def isZero: Boolean = sk.maxCount == 0L
+    override def copy(): MgAccumulator = {
+      val c = new MgAccumulator(k)
+      c.sk = new MisraGries(k).merge(sk)
+      c
+    }
+    override def reset(): Unit = sk = new MisraGries(k)
+    override def add(v: Long): Unit = sk.add(v)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, MisraGries]): Unit =
+      sk.merge(o.value): Unit
+    override def value: MisraGries = sk
   }
 
   /** One aggregate pass over prepared rows: (rowCount, per-column sketches). */

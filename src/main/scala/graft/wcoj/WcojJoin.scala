@@ -76,33 +76,6 @@ object WcojJoin {
       }
     }
 
-    // leading-attribute skew guard: hash-partitioning on the FIRST
-    // attribute alone sends every row of a celebrity leading value to ONE
-    // task — that task then holds (and enumerates against) the hot value's
-    // entire slice of every partitioned relation. One skew-aware stats
-    // pass (Misra-Gries lower bound, so errors point toward "no skew",
-    // never toward a phantom reroute) estimates that hot-task payload; past
-    // `graft.wcoj.cellBudgetBytes` (the same per-cell budget the Shares
-    // optimizer plans under) the whole join reroutes to the HyperCube
-    // grid, which splits the hot value across the OTHER attributes' share
-    // dimensions. The inputs are persisted so the stats pass and the
-    // routing shuffle share one scan.
-    withFirst.foreach(_._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cellBudget = spark.conf.get(
-      "graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
-    val hotTaskBytes = withFirst.map { case (attrs, rdd) =>
-      val st = SkewStats.relStat(attrs, rdd, skewAware = true)
-      val rowBytes = 8L * attrs.length + 24
-      (st.heavyFrac.getOrElse(first, 0.0) * st.rows).toLong * rowBytes
-    }.sum
-    if (hotTaskBytes > cellBudget) {
-      withFirst.foreach(_._2.unpersist(blocking = false))
-      without.foreach(_._2.unpersist(blocking = false))
-      spark.conf.set("graft.wcoj.lastRoute", "hypercube")
-      return leapfrogHyperCube(spark, relations, attrOrder, numPartitions)
-    }
-    spark.conf.set("graft.wcoj.lastRoute", "broadcast")
-
     // broadcast the relations lacking the partitioning attribute (counted
     // above: under budget; the collect reads the cache, not a second scan)
     val bc = spark.sparkContext.broadcast(
@@ -111,18 +84,68 @@ object WcojJoin {
       })
     without.foreach(_._2.unpersist(blocking = false))
 
+    // leading-attribute skew guard: hash-partitioning on the FIRST
+    // attribute alone sends every row of a celebrity leading value to ONE
+    // task — that task then holds (and enumerates against) the hot value's
+    // entire slice of every partitioned relation. The Misra-Gries sketch
+    // rides the routing shuffle's MAP side as an accumulator (zero extra
+    // pass on clean inputs — a dedicated stats job measured +20% on the
+    // whole join) and is checked after the map-side materialization, BEFORE
+    // any enumeration: past `graft.wcoj.cellBudgetBytes` (the same per-cell
+    // budget the Shares optimizer plans under) the whole join reroutes to
+    // the HyperCube grid, which splits the hot value across the OTHER
+    // attributes' share dimensions, and only the shuffle write is wasted —
+    // its map side distributes evenly even under skew, and the drain task
+    // streams-and-discards, so the reroute happens before any hot-task
+    // blow-up can materialize. `graft.wcoj.skewGuard=false` skips the
+    // sketch (known-clean escape hatch); error direction: the MG estimate
+    // is a lower bound and accumulator retries only overcount, so misses
+    // err toward "no skew" and retries toward the perf-only reroute.
+    val cellBudget = spark.conf.get(
+      "graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
+    val guardOn = spark.conf.get("graft.wcoj.skewGuard", "true").toBoolean
+    val accs: Seq[SkewStats.MgAccumulator] =
+      if (!guardOn) Seq.empty
+      else withFirst.map { _ =>
+        val a = new SkewStats.MgAccumulator()
+        spark.sparkContext.register(a, "graft.wcoj.leadingMg")
+        a
+      }
+
     // tag rows with their relation index, then ONE shuffle on hash(first)
     val partitioner = new HashPartitioner(parts)
     val tagged = withFirst.zipWithIndex.map { case ((attrs, rdd), idx) =>
       val firstPos = attrs.indexOf(first)
-      rdd.map(row => (row(firstPos), (idx, row)))
+      val acc = if (guardOn) accs(idx) else null
+      rdd.map { row =>
+        if (acc != null) acc.add(row(firstPos))
+        (row(firstPos), (idx, row))
+      }
     }.reduce(_ union _)
     val routed = tagged.partitionBy(partitioner)
-    // materialize the shuffle while the inputs are cached (the skew-guard
-    // stats pass warmed them), then free the cache; the consumer job reuses
-    // the shuffle files (skipped stage) — same shape as the hypercube path
+    // materialize the shuffle (fills the guard accumulators); the consumer
+    // job reuses the shuffle files (skipped stage, no re-count)
     spark.sparkContext.runJob(routed, (_: Iterator[(Long, (Int, Array[Long]))]) => ())
-    withFirst.foreach(_._2.unpersist(blocking = false))
+    if (guardOn) {
+      // one task holds ONE hash bucket of the first attribute: masses from
+      // different relations co-locate only when their heavy value is the
+      // SAME value, so sum per heavy-value identity and take the max over
+      // values — summing blindly would overestimate a single task's payload
+      // and trigger a spurious (perf-only) reroute.
+      val hotMasses = withFirst.zip(accs).map { case ((attrs, _), acc) =>
+        val sk = acc.value
+        val rowBytes = 8L * attrs.length + 24
+        (sk.maxEntry.map(_._1), sk.maxCount * rowBytes)
+      }
+      val hotTaskBytes = hotMasses.groupBy(_._1)
+        .map { case (_, ms) => ms.map(_._2).sum }.foldLeft(0L)(math.max)
+      if (hotTaskBytes > cellBudget) {
+        bc.destroy() // the complement broadcast never reaches a consumer
+        spark.conf.set("graft.wcoj.lastRoute", "hypercube")
+        return leapfrogHyperCube(spark, relations, attrOrder, numPartitions)
+      }
+    }
+    spark.conf.set("graft.wcoj.lastRoute", "broadcast")
 
     val attrsByIdx = withFirst.map(_._1).toArray
     val resultRdd = routed.mapPartitions { it =>

@@ -75,6 +75,18 @@ class PlanQualitySpec extends SparkSpec {
       s"4-clique wcoj route fell back to binary joins:\n${p.take(3000)}")
   }
 
+  test("q227/q228 FULL gate plans (agg above the WCOJ node) keep LeapFrogJoin") {
+    // the round-12 pruning bug only manifested with an Aggregate directly
+    // above the WCOJ node — so the 5-variable wcoj gates are asserted on
+    // the executed plan of the WHOLE gate (groupBy/agg/orderBy included),
+    // not the bare pattern frame
+    for (q <- Seq("q227_s6_house_x", "q228_s7_dense5")) {
+      val p = executedPlan(q)
+      assert(p.contains("LeapFrogJoin"),
+        s"$q full gate plan lost the WCOJ node:\n${p.take(3000)}")
+    }
+  }
+
   test("q62 simhash pairs never go all-pairs: no cartesian/nested-loop join") {
     val p = executedPlan("q62_simhash_hamming")
     assert(!p.contains("CartesianProduct"))

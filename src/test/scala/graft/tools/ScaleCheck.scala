@@ -286,6 +286,79 @@ object ScaleCheck {
       }
     }
 
+    // 5-vertex dense pattern (reference subgraph S7, the q228 gate) through
+    // the Catalyst LeapFrog node on disjoint copies of the seeded
+    // degree-capped graph (the gate's own graph): true count grows linearly
+    // with the factor, so near-linear wall time extends the
+    // worst-case-optimal claim from 4 to 5 attributes / 8 relations — the
+    // deepest trie shape any reference benchmark uses.
+    {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")
+      val dense = graft.Tables(spark, sfDir).orders
+        .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= 6)
+        .select("src", "dst")
+      for (factor <- Seq(1, 10, 50)) {
+        val edges = (if (factor == 1) dense
+          else dense.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+            .select((col("src") + col("__rep") * 1000L).as("src"),
+              (col("dst") + col("__rep") * 1000L).as("dst")))
+          .localCheckpoint(true)
+        def r(n1: String, n2: String) =
+          (edges.select(col("src").as(n1), col("dst").as(n2)), Seq(n1, n2))
+        val t0 = System.nanoTime()
+        // S7: a-b,b-c,c-d,d-e,a-e,a-c,b-d,c-e (subgraphQuery.scala:49-51)
+        val n = graft.wcoj.WcojJoin.leapfrogCatalyst(spark,
+          Seq(r("a", "b"), r("b", "c"), r("c", "d"), r("d", "e"),
+            r("a", "e"), r("a", "c"), r("b", "d"), r("c", "e")),
+          Seq("a", "b", "c", "d", "e")).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] wcoj_s7_5vertex        x$factor%-3d " +
+          f"edges=${edges.count()}%8d out=$n%9d time=$secs%7.2fs route=catalyst")
+      }
+    }
+
+    // skew-guard TAX on clean inputs: the same triangle join, guard on vs
+    // off (min-of-3, alternated order), at the DEFAULT 64 MB cell budget
+    // on unskewed data — the guard must not flip (route stays broadcast)
+    // and its cost must stay a small fraction of the join. Since r13 the
+    // Misra-Gries sketch rides the routing shuffle's map side as an
+    // accumulator instead of a dedicated stats job: measured tax fell from
+    // +20% (extra-pass design) to ≤~3%, within run-to-run noise.
+    {
+      val base = graft.Tables(spark, sfDir).orders
+        .select((col("o_custkey") % 211).as("src"), (col("o_orderkey") % 211).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      for (factor <- Seq(1, 10, 50)) {
+        val edges = (if (factor == 1) base
+          else base.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+            .select((col("src") + col("__rep") * 1000L).as("src"),
+              (col("dst") + col("__rep") * 1000L).as("dst")))
+          .localCheckpoint(true)
+        def run(): Long = graft.wcoj.WcojJoin.leapfrog(spark,
+          Seq((edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+            (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+            (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))),
+          Seq("a", "b", "c")).count()
+        val nWarm = run()
+        var onSecs = Double.MaxValue; var offSecs = Double.MaxValue
+        for (i <- 1 to 3; on <- if (i % 2 == 0) Seq(true, false) else Seq(false, true)) {
+          spark.conf.set("graft.wcoj.skewGuard", on.toString)
+          val t0 = System.nanoTime(); val n = run()
+          require(n == nWarm, s"guard changed the answer: $n != $nWarm")
+          val s = (System.nanoTime() - t0) / 1e9
+          if (on) onSecs = math.min(onSecs, s) else offSecs = math.min(offSecs, s)
+        }
+        spark.conf.unset("graft.wcoj.skewGuard")
+        println(f"[scale] wcoj_guard_tax         x$factor%-3d " +
+          f"edges=${edges.count()}%8d out=$nWarm%9d on=$onSecs%6.2fs " +
+          f"off=$offSecs%6.2fs tax=${(onSecs / offSecs - 1) * 100}%+5.1f%% route=" +
+          spark.conf.get("graft.wcoj.lastRoute", "?"))
+      }
+    }
+
     // leading-attribute skew guard: a planted celebrity vertex (half of a
     // replicated graph's edges re-sourced to one node) makes the raw
     // leapfrog's single-attribute partitioning concentrate the whole hot
