@@ -185,14 +185,34 @@ object DocStreams {
     val bucket = pmod(
       conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(buckets.toLong))
-    // the batch feeds two plans (affected-bucket scan + merge) — cache it;
-    // the affected-bucket collect below populates the cache as a side
-    // effect. try/finally: a table-read or merge-write failure propagates
-    // (and the micro-batch retries), so the pin must not outlive the batch.
-    val pinned = batch.withColumn("bucket", bucket).persist()
+    val tableDir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableExists = fs.exists(tableDir)
+    // When a table exists the batch feeds two plans (affected-bucket
+    // discovery + merge), but is NOT cached by default: the discovery scan
+    // reads only the key column (column-pruned at the source) and a
+    // foreachBatch micro-batch recomputes deterministically from bounded
+    // source data, so paying a block-store materialization of the full
+    // rows to save that narrow re-read measured ~15% SLOWER per refresh
+    // (A/B in ProbeUpsert). `graft.upsert.cacheBatch=true` restores the
+    // pin for callers whose batch lineage is genuinely expensive. The
+    // FIRST batch has nothing to read back: no discovery job at all — the
+    // initial load is ONE job + publish. try/finally: a table-read or
+    // merge-write failure propagates (and the micro-batch retries), so a
+    // pin never outlives the batch.
+    val pinned0 = batch.withColumn("bucket", bucket)
+    val pinned = if (tableExists && spark.conf.get(
+        "graft.upsert.cacheBatch", "false").toBoolean) pinned0.persist()
+      else pinned0
     try {
-      val affected = pinned.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSeq // bounded by `buckets`, not data
+      // bounded by `buckets`, never by data; collect_set aggregates to ONE
+      // reduce task (a distinct would shuffle the session's full partition
+      // width for a result of ≤`buckets` longs — measured as a visible
+      // share of the per-micro-batch floor)
+      val affected: Seq[Long] =
+        if (!tableExists) Seq.empty
+        else pinned.select("bucket")
+          .agg(collect_set("bucket")).head().getSeq[Long](0)
       val dataCols = pinned.columns.filterNot(c => c == keyCol || c == "bucket")
       def tagged(df: DataFrame, priority: Int): DataFrame =
         df.select(col(keyCol), col("bucket"),
@@ -212,8 +232,6 @@ object DocStreams {
       // micro-batch. Empty when no affected bucket dir exists yet (first
       // batch); a read failure on an existing dir propagates so the
       // micro-batch retries.
-      val tableDir = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val affectedDirs = affected
         .map(b => new org.apache.hadoop.fs.Path(tableDir, s"bucket=$b"))
         .filter(fs.exists(_)).map(_.toString)
@@ -223,7 +241,7 @@ object DocStreams {
       // empty" would silently publish bucket dirs beside it. Early-exit
       // scan: the first bucket= entry proves the layout without listing
       // the other 65k dirs.
-      if (affectedDirs.isEmpty && fs.exists(tableDir)) {
+      if (affectedDirs.isEmpty && tableExists) {
         val it = fs.listStatusIterator(tableDir)
         var bucketSeen = false
         var alien: Option[String] = None
@@ -238,9 +256,13 @@ object DocStreams {
               s"upsert table (found '$a') — refusing to merge against it")
         }
       }
+      // explicit schema (batch columns + the long partition column): the
+      // stored files were written from this exact projection, so inference
+      // would only re-read footers to learn what the caller already knows
       val current =
         if (affectedDirs.isEmpty) pinned.limit(0)
-        else spark.read.option("basePath", tablePath).parquet(affectedDirs: _*)
+        else spark.read.schema(pinned.schema)
+          .option("basePath", tablePath).parquet(affectedDirs: _*)
       // ONE shuffle for merge + layout: repartitioning on `bucket` BEFORE the
       // aggregate both satisfies the groupBy's clustering requirement
       // (HashPartitioning(bucket) is an expression subset of (key, bucket) —
@@ -248,18 +270,25 @@ object DocStreams {
       // leaves the output bucket-aligned for the partitioned write, so each
       // rewritten bucket directory gets ONE file per micro-batch instead of
       // one per shuffle task — B small files of compaction debt, not T×B
+      // merge parallelism = the affected-bucket count, not the session
+      // shuffle width: each task is exactly one bucket-dir rewrite (the
+      // file-layout contract — one file per dir holds under ANY bucket-
+      // keyed partitioning), and a 5-bucket delta shouldn't schedule 32
+      // near-empty tasks per micro-batch. The first batch skipped the
+      // discovery job, so it spreads across min(buckets, shuffle width).
+      val mergeParts =
+        if (!tableExists) math.max(1, math.min(buckets,
+          spark.sessionState.conf.numShufflePartitions))
+        else math.max(affected.size, 1)
       val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
-        // merge parallelism = the affected-bucket count, not the session
-        // shuffle width: each task is exactly one bucket-dir rewrite (the
-        // file-layout contract), and a 5-bucket delta shouldn't schedule 32
-        // near-empty tasks per micro-batch
-        .repartition(math.max(affected.size, 1), col("bucket"))
+        .repartition(mergeParts, col("bucket"))
         .groupBy(keyCol, "bucket") // reuses the bucket exchange, no 2nd shuffle
         .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
         .select(col(keyCol) +: col("bucket") +:
           dataCols.map(c => col(s"_m._row.$c").as(c)): _*)
-      // write-then-publish, 2 driver jobs per micro-batch total (affected
-      // collect + this write; was 3 with the checkpoint round-trip): the
+      // write-then-publish — 2 driver jobs per refresh micro-batch
+      // (discovery collect + this write; was 3 with the checkpoint
+      // round-trip) and 1 for the initial load: the
       // merged rows land in a sibling temp dir in one job, then each
       // rewritten bucket=N dir is published into the table by metadata-only
       // renames. A crash before the publish loop leaves the table

@@ -26,11 +26,15 @@ object ProbeUpsert {
     for (round <- 1 to 3) {
       val root = java.nio.file.Files.createTempDirectory("probe_upsert")
       val t0 = System.nanoTime()
-      for (b <- Seq(docs, d2, d3))
+      val per = Seq(docs, d2, d3).map { b =>
+        val s0 = System.nanoTime()
         graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
           "doc_id", "version", buckets = 64)
+        (System.nanoTime() - s0) / 1e9
+      }
       val n = spark.read.parquet(s"$root/t").count()
-      println(f"[upsert] round=$round ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
+      println(f"[upsert] round=$round ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n " +
+        s"per=${per.map(s => f"$s%.2f").mkString(",")}")
       if (round == 1) {
         val dirs = new java.io.File(s"$root/t").listFiles().filter(_.isDirectory)
         val fileCounts = dirs.map(_.listFiles()
@@ -38,6 +42,44 @@ object ProbeUpsert {
         println(s"[upsert] bucketDirs=${dirs.length} " +
           s"filesPerDir(min,max)=(${fileCounts.min},${fileCounts.max})")
       }
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+    // A/B: the same engine rounds with the batch cache off
+    spark.conf.set("graft.upsert.cacheBatch", "false")
+    for (round <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert_nc")
+      val t0 = System.nanoTime()
+      val per = Seq(docs, d2, d3).map { b =>
+        val s0 = System.nanoTime()
+        graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
+          "doc_id", "version", buckets = 64)
+        (System.nanoTime() - s0) / 1e9
+      }
+      val n = spark.read.parquet(s"$root/t").count()
+      println(f"[upsert] nocache round=$round ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n " +
+        s"per=${per.map(s => f"$s%.2f").mkString(",")}")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+    spark.conf.unset("graft.upsert.cacheBatch")
+
+    // the StockCompare-16 stock side, timed with the same warm state
+    for (round <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert_stock")
+      val t0 = System.nanoTime()
+      docs.write.parquet(s"$root/v1")
+      var v = 1
+      for (b <- Seq(d2, d3)) {
+        val cur = spark.read.parquet(s"$root/v$v")
+        cur.unionByName(b)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("version").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .write.parquet(s"$root/v${v + 1}")
+        v += 1
+      }
+      val n = spark.read.parquet(s"$root/v$v").count()
+      println(f"[upsert] stock round=$round ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
     spark.stop()
