@@ -38,6 +38,28 @@ object MultiwayJoin {
     attrs.toSeq.sortBy(a => (-rels.count(_._2.contains(a)), card(a), a))
   }
 
+  /** Every column a join attribute, and every attribute's occurrences pass
+    * the ONE shared eligibility rule (WcojJoin.attrOccurrencesEligible) —
+    * duplicating the rule here let planner and executor drift apart.
+    * NULL parity: the WCOJ kernel drops rows with NULL in ANY listed
+    * attribute (a trie level has no NULL binding), which matches the
+    * binary fallback only for attributes that actually join (≥ 2
+    * occurrences); a NULLABLE attribute carried by a single relation
+    * would ride through the fallback as a value but be dropped by the
+    * kernel — such inputs take the fallback, keeping wcoj a pure plan
+    * choice rather than a semantics change.
+    */
+  private def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
+    rels.forall { case (df, attrs) => df.columns.toSet == attrs.toSet } && {
+      val fields = rels.flatMap { case (df, attrs) =>
+        attrs.map(a => a -> df.schema(a))
+      }
+      fields.groupBy(_._1).values.forall { fs =>
+        graft.wcoj.WcojJoin.attrOccurrencesEligible(fs.map(_._2.dataType)) &&
+          (fs.size >= 2 || !fs.head._2.nullable)
+      }
+    }
+
   /** Natural-join the relations (join attributes = same-named columns),
     * ordering the joins by the minimum-fhtw GHD of the join hypergraph.
     *
@@ -74,6 +96,29 @@ object MultiwayJoin {
     require(relations.nonEmpty, "no relations to join")
     if (relations.size == 1) return relations.head._1
 
+    // wcoj + a CYCLIC hypergraph: one LeapFrogJoin over ALL relations (the
+    // reference's whole-query subgraph strategy) instead of the GHD hybrid.
+    // The hybrid bounds each bag by ITS OWN output — and a decomposition
+    // can hand an acyclic bag whose internal star join materializes a
+    // non-output-bounded cube: S7's {a,c,d,e} bag (edges de, ae, ce) is
+    // Σ_e indeg(e)³ rows, measured 15+ s on the degree-capped sf0.1 graph
+    // where the single worst-case-optimal enumeration over all 8 edges —
+    // output-bounded for the WHOLE query by AGM — takes 0.5 s. Acyclic
+    // full patterns keep the GHD/Yannakakis route below (linear beats
+    // trie-building there); so do bags with ineligible attribute types.
+    if (wcoj && {
+      val attrSets = relations.map(_._2.toSet)
+      !JoinHyperGraph.isAcyclic(attrSets)
+    } && wcojEligible(relations)) {
+      val spark = relations.head._1.sparkSession
+      val attrs = relations.flatMap(_._2).toSet
+      val order = wcojAttrOrder(relations, attrs, cardinalityOrder)
+      val cleaned = relations.map { case (df, as) =>
+        (as.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), as)
+      }
+      return graft.wcoj.WcojJoin.leapfrogAny(spark, cleaned, order)
+    }
+
     val edges = relations.zipWithIndex.map { case ((_, attrs), i) =>
       JoinHyperGraph.Edge(i, attrs.toSet)
     }
@@ -83,27 +128,6 @@ object MultiwayJoin {
       val common = l.columns.intersect(r.columns).toIndexedSeq
       if (common.isEmpty) l.crossJoin(r) else l.join(r, common, "inner")
     }
-
-    // every column a join attribute, and every attribute's occurrences pass
-    // the ONE shared eligibility rule (WcojJoin.attrOccurrencesEligible) —
-    // duplicating the rule here let planner and executor drift apart.
-    // NULL parity: the WCOJ kernel drops rows with NULL in ANY listed
-    // attribute (a trie level has no NULL binding), which matches the
-    // binary fallback only for attributes that actually join (≥ 2
-    // occurrences); a NULLABLE attribute carried by a single relation
-    // would ride through the fallback as a value but be dropped by the
-    // kernel — such bags take the fallback, keeping wcoj a pure plan
-    // choice rather than a semantics change.
-    def wcojEligible(rels: Seq[(DataFrame, Seq[String])]): Boolean =
-      rels.forall { case (df, attrs) => df.columns.toSet == attrs.toSet } && {
-        val fields = rels.flatMap { case (df, attrs) =>
-          attrs.map(a => a -> df.schema(a))
-        }
-        fields.groupBy(_._1).values.forall { fs =>
-          graft.wcoj.WcojJoin.attrOccurrencesEligible(fs.map(_._2.dataType)) &&
-            (fs.size >= 2 || !fs.head._2.nullable)
-        }
-      }
 
     /** Greedy bushy join of a bag's relations: repeatedly join the pair with
       * the largest column overlap (earliest-index tie-break, joined results

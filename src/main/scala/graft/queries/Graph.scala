@@ -266,7 +266,11 @@ object Graph {
     // the executed-plan route pinned in-result: a silent fallback to
     // binary joins hash-mismatches the oracle's 'leapfrog' literal.
     "q225_s4_clique" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(mediumEdges(Tables(s, d)))
+      // edges pinned: the WCOJ route's trie builds consume each edge copy
+      // as a separate child scan (no ReusedExchange through the LeapFrog
+      // node, unlike the binary route), so an unpinned frame recomputes
+      // the scan+distinct once per pattern edge
+      val g = PropertyGraph.fromEdges(mediumEdges(Tables(s, d)).localCheckpoint(true))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d); (a)-[]->(c)",
         wcoj = true)
@@ -289,7 +293,9 @@ object Graph {
     // reference subgraph workload S6 = S5 + c-e (subgraphQuery.scala:45-47)
     // — WCOJ route with the executed-plan route pinned in-result.
     "q227_s6_house_x" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
+      // pinned for the same reason as q225: one scan, not one per edge copy
+      val g = PropertyGraph.fromEdges(
+        seededCappedEdges(s, Tables(s, d)).localCheckpoint(true))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)",
         wcoj = true)
@@ -302,7 +308,9 @@ object Graph {
     // route: 8 edge relations over 5 attributes is exactly the hypergraph
     // shape where binary plans pay intermediate blow-up, pinned in-result.
     "q228_s7_dense5" -> ((s, d) => {
-      val g = PropertyGraph.fromEdges(seededCappedEdges(s, Tables(s, d)))
+      // pinned for the same reason as q225: one scan, not one per edge copy
+      val g = PropertyGraph.fromEdges(
+        seededCappedEdges(s, Tables(s, d)).localCheckpoint(true))
       val m = g.pattern(
         "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)",
         wcoj = true)

@@ -1207,6 +1207,37 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("mass-adaptive probing over the persisted index equals the direct adaptive path") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_ad_spec")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      // same centroid subset, same stored assignment, same mass rule —
+      // the index path must be bit-identical to recomputing from vectors
+      val direct = Similarity.ivfTopKAdaptive(q, vecs, "embedding", "vec_id",
+          k = 5, centroidMod = 20, massFrac = 0.4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val stored = Similarity.ivfTopKFromIndexAdaptive(spark, dir.toString, q,
+          "embedding", "vec_id", k = 5, massFrac = 0.4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(stored === direct)
+      assert(direct.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("adaptive forms return empty on an EMPTY query set instead of throwing") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val none = e.filter($"vec_id" < 0)
+    assert(Similarity.ivfTopKAdaptive(none, e, "embedding", "vec_id",
+      k = 5, centroidMod = 100, massFrac = 0.25).count() === 0L)
+    assert(Similarity.ivfSq8TopKAdaptive(none, e, "embedding", "vec_id",
+      k = 5, centroidMod = 100, massFrac = 0.25).count() === 0L)
+  }
+
   test("a parquet dir without the scheme column is rejected as an index") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_bad")
     try {
