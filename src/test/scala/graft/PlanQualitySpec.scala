@@ -84,6 +84,13 @@ class PlanQualitySpec extends SparkSpec {
       val p = executedPlan(q)
       assert(p.contains("LeapFrogJoin"),
         s"$q full gate plan lost the WCOJ node:\n${p.take(3000)}")
+      // ONE-BAG shape (r13): a cyclic wcoj pattern must not fall back to
+      // the GHD hybrid, whose acyclic bag materialized a Σ indeg³ star
+      // cube on S7 (15+ s at sf0.1 vs 0.5 s one-bag) — no binary join
+      // operator may appear anywhere in the gate plan
+      for (bin <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+        assert(!p.contains(bin),
+          s"$q regressed to the GHD hybrid ($bin in plan):\n${p.take(3000)}")
     }
   }
 

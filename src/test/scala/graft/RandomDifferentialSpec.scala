@@ -67,10 +67,15 @@ class RandomDifferentialSpec extends SparkSpec {
       "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a)",                          // 4-cycle
       "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d)",             // diamond
       "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d); (a)-[]->(c)",// 4-clique
-      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)")     // S5 house
+      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e)",     // S5 house
+      // the 7-8-edge 5-vertex shapes that route through the r13 ONE-BAG
+      // wcoj path (the GHD hybrid's acyclic-bag cube lived exactly here)
+      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)",              // S6
+      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)", // S7
+      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)") // S8
     def canonRows(df: DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq).toSet
-    for (trial <- 1 to 6) {
+    for (trial <- 1 to 10) {
       val e = Seq.fill(180)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
         .distinct.filter(p => p._1 != p._2).toDF("src", "dst")
       val g = graft.graph.PropertyGraph.fromEdges(e)

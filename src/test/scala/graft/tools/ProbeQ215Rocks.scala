@@ -20,7 +20,7 @@ object ProbeQ215Rocks {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(provider: Option[String]): (Long, Double) = {
+    def run(provider: Option[String], parts: Int = 4): (Long, Double) = {
       provider match {
         case Some(p) => spark.conf.set(
           "spark.sql.streaming.stateStore.providerClass", p)
@@ -53,7 +53,7 @@ object ProbeQ215Rocks {
           .select(col("event_id").as("click_id"),
             col("event_id_r").as("view_id"), col("user_id"),
             col("ts").as("click_ts"), col("ts_r").as("view_ts"))
-        val q = graft.streaming.EventStreams.withStatePartitions(spark, 4) {
+        val q = graft.streaming.EventStreams.withStatePartitions(spark, parts) {
           joined.writeStream.outputMode("append").format("memory")
             .option("checkpointLocation", s"$root/ckpt")
             .queryName(name).start()
@@ -95,6 +95,13 @@ object ProbeQ215Rocks {
       val (nR, tR) = run(rocks)
       require(nH == nR, s"providers disagree: $nH vs $nR")
       println(f"[rocks] iter=$i hdfs=$tH%6.2fs rocksdb=$tR%6.2fs rows=$nH")
+    }
+    // state-partition sweep under the default provider: 4 join state
+    // stores x P partitions = 4P store instances per micro-batch; at this
+    // state volume the commit count may dominate
+    for (i <- 1 to 3; parts <- Seq(1, 2, 4, 8)) {
+      val (n, t) = run(None, parts)
+      println(f"[parts] iter=$i parts=$parts%-2d time=$t%6.2fs rows=$n")
     }
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.stop()
