@@ -733,9 +733,13 @@ object Relational {
         ("q239_nation", t.nation.select("n_nationkey", "n_regionkey"),
           Seq("n_nationkey", "n_regionkey")),
         ("q239_region", t.region.select("r_regionkey"), Seq("r_regionkey")))
+      // external tables on the gate temp root (tmpfs when available): the
+      // managed warehouse is repo-dir disk, and 7 writes + ANALYZE scans
+      // per gate pass measure that disk, not the estimator
+      val root = GateTmp.dir("graft_cbo")
       try {
         tables.foreach { case (n, df, cols) =>
-          df.write.mode("overwrite").saveAsTable(n)
+          df.write.mode("overwrite").option("path", s"$root/$n").saveAsTable(n)
           es.analyzeTable(n, cols) // FOR COLUMNS computes row count + NDVs
         }
         s.conf.set("spark.sql.cbo.enabled", "true")
@@ -765,6 +769,7 @@ object Relational {
       } finally {
         s.conf.set("spark.sql.cbo.enabled", prevCbo)
         tables.foreach { case (n, _, _) => s.sql(s"DROP TABLE IF EXISTS $n") }
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }
     }),
 
