@@ -72,14 +72,23 @@ class RandomDifferentialSpec extends SparkSpec {
       // wcoj path (the GHD hybrid's acyclic-bag cube lived exactly here)
       "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(e); (c)-[]->(e)",              // S6
       "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)", // S7
-      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)") // S8
+      "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)", // S8
+      // cyclic core + a DANGLING free vertex (the C3/C4 weighted shape):
+      // the r13 one-bag route must agree with the GHD's bag-join on a
+      // hypergraph whose w edge the GHD would put in an acyclic bag
+      "(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(w)")                     // triangle + tail
     def canonRows(df: DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq).toSet
-    for (trial <- 1 to 10) {
+    // every pattern runs at least once (trials 1..patterns.size sweep the
+    // pool in order — random picks alone could skip the tail additions);
+    // later trials draw pattern and shape randomly as before
+    for (trial <- 1 to (patterns.size + 4)) {
       val e = Seq.fill(180)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
         .distinct.filter(p => p._1 != p._2).toDF("src", "dst")
       val g = graft.graph.PropertyGraph.fromEdges(e)
-      val pat = patterns(rnd.nextInt(patterns.size))
+      val pat =
+        if (trial <= patterns.size) patterns(trial - 1)
+        else patterns(rnd.nextInt(patterns.size))
       // a random downstream shape on top of the pattern result
       val shape = rnd.nextInt(5)
       def build(wcoj: Boolean): DataFrame = {
