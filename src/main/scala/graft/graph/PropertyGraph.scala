@@ -66,6 +66,16 @@ final case class PropertyGraph(
     *   deduplicated first, so parallel edges count once per distinct
     *   (src, dst) — use the default binary path for bag semantics.
     */
+  /** Match a Cypher-ish pattern. `wcoj = true` routes a CYCLIC pattern
+    * through ONE worst-case-optimal LeapFrogJoin over all edge copies
+    * (output-bounded by AGM — the GHD hybrid could hand an acyclic bag
+    * whose star join materializes a non-output-bounded cube, r13) and
+    * imposes SET semantics: one row per distinct variable binding. The
+    * binary route keeps BAG semantics — a binding appears once per edge
+    * WITNESS, which differs exactly when the input is a multigraph or a
+    * bidirectional pattern edge matches both stored directions
+    * (spec-pinned: wcoj == binary.distinct() there).
+    */
   def pattern(p: String, wcoj: Boolean = false): DataFrame = {
     val pat = PatternParser.parse(p)
 

@@ -108,6 +108,33 @@ class RandomDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("bidirectional cyclic pattern: wcoj route == binary route's DISTINCT bindings") {
+    // wcoj = true is documented SET semantics at the pattern level: when
+    // the data holds BOTH directions of an edge, a bidirectional pattern
+    // edge's two-direction union carries the same binding twice — the
+    // binary (bag) route keeps both witnesses, the wcoj route counts
+    // distinct bindings. The routes therefore agree exactly on the
+    // binding SET (this also exercises the union+distinct edge copy
+    // through the r13 one-bag trie).
+    val rnd = new scala.util.Random(3131)
+    for (trial <- 1 to 3) {
+      val half = Seq.fill(120)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+        .distinct.filter(p => p._1 != p._2)
+      // force mutual pairs so the bag-vs-set divergence is live
+      val e = (half ++ half.take(40).map(_.swap)).distinct.toDF("src", "dst")
+      val g = graft.graph.PropertyGraph.fromEdges(e)
+      val pat = "(a)-[]-(b)-[]->(c); (c)-[]->(a)"
+      val viaWcoj = g.pattern(pat, wcoj = true)
+        .collect().map(_.toSeq).toSet
+      val viaBinaryDistinct = g.pattern(pat).distinct()
+        .collect().map(_.toSeq).toSet
+      withClue(s"trial $trial: ") {
+        assert(viaWcoj === viaBinaryDistinct)
+        assert(viaWcoj.nonEmpty)
+      }
+    }
+  }
+
   test("random string-keyed triangles: dictionary-encoded leapfrogAny == naive") {
     // the leapfrogAny dictionary path (encode -> WCOJ on codes -> decode)
     // must agree with binary natural joins on arbitrary string domains,
