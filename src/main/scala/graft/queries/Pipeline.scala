@@ -1371,12 +1371,19 @@ object Pipeline {
       val q = e.filter(col("vec_id") < 5)
       val exact = Similarity.cosineTopK(q, e, "embedding", "vec_id", k = 10)
         .select(col("query_id"), col("vec_id"))
+      // probes scale with the measured cell count (≥ 40% of cells, min 3 —
+      // the q188/q198 rule): the r13 full-sf0.1 sweep caught the raw
+      // probes = 3 form decaying to 2-4/10 overlap at sf0.1, where 3 of 20
+      // cells is 15% of the corpus vs 60% at sf0.01 — the exact fixed-probe
+      // decay the mass-adaptive forms (q231/q238) exist to avoid
+      val nCents = e.filter(col("vec_id") % 100 === 0).count()
+      val probes = math.max(3, math.ceil(nCents * 0.4).toInt)
       val ivf = Similarity.ivfTopK(q, e, "embedding", "vec_id",
-          k = 10, centroidMod = 100, probes = 3)
+          k = 10, centroidMod = 100, probes = probes)
         .select(col("query_id"), col("vec_id"))
       exact.join(ivf, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("overlap"))
-        // floor measured ≥ 6/10 at every shipped SF with probes = 3; the
+        // floor measured ≥ 6/10 at every shipped SF under the rule; the
         // certified bar keeps one result of slack against data regeneration
         .select(col("query_id"), (col("overlap") >= 5).as("recall_ok"))
         .orderBy("query_id")
