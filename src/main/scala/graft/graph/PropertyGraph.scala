@@ -49,32 +49,28 @@ final case class PropertyGraph(
     copy(vertices = v, edges = e)
   }
 
-  /** Subgraph matching (SeccoGraphFrame.scala:80-94): each pattern edge
-    * becomes a filtered copy of the edge relation with columns renamed to its
-    * variable names (MatchingEdgeRelation), a bidirectional edge becomes the
-    * union of both directions, copies combine by natural inner join, and the
-    * named node variables are projected
+  /** Match a Cypher-ish pattern (SeccoGraphFrame.scala:80-94): each pattern
+    * edge becomes a filtered copy of the edge relation with columns renamed
+    * to its variable names (MatchingEdgeRelation), a bidirectional edge
+    * becomes the union of both directions, copies combine via the GHD-guided
+    * multiway-join planner, and the named node variables are projected
     * (ResolveSubgraphQuery, analysis/rules/resolve.scala:356-421).
     *
-    * Bag semantics: parallel edges yield one row per distinct edge binding,
-    * like the SQL self-join it lowers to. `.distinct()` the result for set
-    * semantics.
-    */
-  /** @param wcoj route the pattern's cyclic GHD bags through the
+    * Semantics by route. The default binary route keeps BAG semantics:
+    * parallel edges yield one row per distinct edge WITNESS, like the SQL
+    * self-join it lowers to (`.distinct()` the result for set semantics).
+    * `wcoj = true` routes a CYCLIC pattern through ONE worst-case-optimal
+    * LeapFrogJoin over all edge copies (output-bounded by AGM — the GHD
+    * hybrid could hand an acyclic bag whose star join materializes a
+    * non-output-bounded cube, r13) and imposes SET semantics: edge copies
+    * are deduplicated first, so a binding appears once per distinct variable
+    * assignment. The two routes differ exactly when the input is a
+    * multigraph or a bidirectional pattern edge matches both stored
+    * directions (spec-pinned: wcoj == binary.distinct() there).
+    *
+    * @param wcoj route the pattern's cyclic core through the
     *   worst-case-optimal LeapFrog Catalyst node (the reference planner's
-    *   MultiwayJoin→trie+leapfrog strategy). Set semantics: edge copies are
-    *   deduplicated first, so parallel edges count once per distinct
-    *   (src, dst) — use the default binary path for bag semantics.
-    */
-  /** Match a Cypher-ish pattern. `wcoj = true` routes a CYCLIC pattern
-    * through ONE worst-case-optimal LeapFrogJoin over all edge copies
-    * (output-bounded by AGM — the GHD hybrid could hand an acyclic bag
-    * whose star join materializes a non-output-bounded cube, r13) and
-    * imposes SET semantics: one row per distinct variable binding. The
-    * binary route keeps BAG semantics — a binding appears once per edge
-    * WITNESS, which differs exactly when the input is a multigraph or a
-    * bidirectional pattern edge matches both stored directions
-    * (spec-pinned: wcoj == binary.distinct() there).
+    *   MultiwayJoin→trie+leapfrog strategy) — set semantics, see above.
     */
   def pattern(p: String, wcoj: Boolean = false): DataFrame = {
     val pat = PatternParser.parse(p)

@@ -204,6 +204,37 @@ object DocStreams {
     val pinned = if (tableExists && spark.conf.get(
         "graft.upsert.cacheBatch", "false").toBoolean) pinned0.persist()
       else pinned0
+    // Heal a crashed prior publish BEFORE discovery. The publish loop below
+    // drops an in-progress marker while it renames; if the marker survives,
+    // some bucket may sit ASIDE (.bucket=N.__old) with its dest missing —
+    // the affectedDirs exists() filter would then treat that bucket as
+    // empty, merge batch-only, and the stale-aside cleanup would delete the
+    // only copy of its stored rows. Restoring aside→dest first means the
+    // retry's merge sees the old rows again. Marker-gated so the table-wide
+    // listing (one NN call, but 65k entries at the design point) is paid
+    // only on the crash-recovery path, never per healthy micro-batch.
+    val publishMarker = new org.apache.hadoop.fs.Path(
+      tableDir, "._graft_publish_inprogress")
+    if (tableExists && fs.exists(publishMarker)) {
+      fs.listStatus(tableDir)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith(".bucket=") && n.endsWith(".__old")
+        }
+        .foreach { s =>
+          val n = s.getPath.getName
+          val dest = new org.apache.hadoop.fs.Path(
+            tableDir, n.stripPrefix(".").stripSuffix(".__old"))
+          // dest present ⇒ the crashed run already renamed the NEW dir in
+          // (crash was between rename-in and aside-delete): the aside is
+          // superseded — drop it here, since this batch's publish loop only
+          // cleans asides of buckets IT touches.
+          if (fs.exists(dest)) fs.delete(s.getPath, true)
+          else if (!fs.rename(s.getPath, dest)) throw new java.io.IOException(
+            s"upsertBatch: crash-recovery restore ${s.getPath} -> $dest failed")
+        }
+      fs.delete(publishMarker, false)
+    }
     try {
       // bounded by `buckets`, never by data; collect_set aggregates to ONE
       // reduce task (a distinct would shuffle the session's full partition
@@ -280,7 +311,19 @@ object DocStreams {
         if (!tableExists) math.max(1, math.min(buckets,
           spark.sessionState.conf.numShufflePartitions))
         else math.max(affected.size, 1)
-      val merged = tagged(current, 0).unionByName(tagged(pinned, 1))
+      // The batch lineage is evaluated twice when uncached (discovery, then
+      // here). Bucket is a pure function of the key, so under deterministic
+      // replay this filter is a no-op — but if a nondeterministic source
+      // recomputes DIFFERENT keys, an unguarded merge would publish rows
+      // into bucket dirs that were never read, overwriting their stored
+      // rows batch-only. Pinning the merge to the collected affected set
+      // makes the failure mode "a nondeterministic row is dropped this
+      // micro-batch" instead of "a bucket of stored rows is lost". First
+      // batch (no discovery) takes every bucket.
+      val batchSide =
+        if (!tableExists) tagged(pinned, 1)
+        else tagged(pinned, 1).where(col("bucket").isin(affected: _*))
+      val merged = tagged(current, 0).unionByName(batchSide)
         .repartition(mergeParts, col("bucket"))
         .groupBy(keyCol, "bucket") // reuses the bucket exchange, no 2nd shuffle
         .agg(max("_m").as("_m"))   // lexicographic: version, priority, hash
@@ -296,31 +339,45 @@ object DocStreams {
       // one is renamed in and the aside copy deleted LAST, so whole-bucket
       // dirs are always either old, aside (recoverable), or new — never
       // gone (a transactional table format is the multi-writer/
-      // multi-bucket-atomic answer; documented, not faked). The replayed
-      // micro-batch reproduces the identical merge, so a crash between
-      // aside and rename-in self-heals on retry: the merge read filters to
-      // bucket= dirs, skips the aside, and the retry's publish deletes it.
+      // multi-bucket-atomic answer; documented, not faked). A crash INSIDE
+      // the loop — between aside and rename-in — leaves the in-progress
+      // marker behind; the retry's heal pass (top of this method) restores
+      // any aside whose dest is missing BEFORE discovery, so the replayed
+      // merge sees the old rows and the retry's publish supersedes the
+      // aside.
       val tmpDir = new org.apache.hadoop.fs.Path(
         tableDir.getParent, tableDir.getName + ".__graft_upsert_tmp")
       fs.delete(tmpDir, true)
       try {
         merged.write.mode("overwrite").partitionBy("bucket").parquet(tmpDir.toString)
         fs.mkdirs(tableDir)
+        fs.create(publishMarker, true).close()
         fs.listStatus(tmpDir)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
           .foreach { s =>
             val dest = new org.apache.hadoop.fs.Path(tableDir, s.getPath.getName)
             val aside = new org.apache.hadoop.fs.Path(tableDir,
               "." + s.getPath.getName + ".__old")
-            fs.delete(aside, true) // stale aside from a crashed prior publish
-            val hadOld = fs.exists(dest) && fs.rename(dest, aside)
-            if (!fs.rename(s.getPath, dest)) {
-              if (hadOld) fs.rename(aside, dest) // restore, then fail loudly
-              throw new java.io.IOException(
+            fs.delete(aside, true) // stale aside superseded by this publish
+            val destExisted = fs.exists(dest)
+            val hadOld = destExisted && fs.rename(dest, aside)
+            // a false aside-rename with dest still present must NOT fall
+            // through: Hadoop rename onto an existing directory moves the
+            // source INSIDE it, silently nesting bucket=N/bucket=N
+            if (destExisted && !hadOld) throw new java.io.IOException(
+              s"upsertBatch: aside rename $dest -> $aside failed while " +
+                s"$dest still exists — refusing to rename into an occupied dir")
+            try {
+              if (!fs.rename(s.getPath, dest)) throw new java.io.IOException(
                 s"upsertBatch: publish rename ${s.getPath} -> $dest failed")
+            } catch { // restore on THROWN failures too, then fail loudly
+              case e: Throwable =>
+                if (hadOld && !fs.exists(dest)) fs.rename(aside, dest)
+                throw e
             }
             if (hadOld) fs.delete(aside, true)
           }
+        fs.delete(publishMarker, false)
       } finally fs.delete(tmpDir, true): Unit
     } finally pinned.unpersist(false)
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, max, struct, udf, xxhash64}
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.apache.commons.io.FileUtils
 
@@ -239,6 +239,80 @@ class DocStreamsSpec extends SparkSpec {
     } finally FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("a publish crash between aside and rename-in heals on the retry") {
+    val root = Files.createTempDirectory("upsert_heal").toString
+    try {
+      DocStreams.upsertBatch(upds((1L, 1, "a1"), (2L, 1, "b1"), (3L, 1, "c1"),
+        (4L, 1, "d1")), s"$root/t", "doc_id", "version", buckets = 8)
+      // simulate the exact crash window: one bucket renamed ASIDE, its dest
+      // missing, the in-progress marker still on disk. Before the heal pass
+      // existed, the retry's affectedDirs filter treated this bucket as
+      // empty and its stale-aside cleanup deleted the only copy of the rows.
+      val table = new java.io.File(s"$root/t")
+      val victim = table.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+      val aside = new java.io.File(table, "." + victim.getName + ".__old")
+      assert(victim.renameTo(aside))
+      Files.write(java.nio.file.Paths.get(
+        s"$root/t/._graft_publish_inprogress"), Array.empty[Byte])
+      // retry touches a key in the victim bucket AND a fresh key — the heal
+      // must restore the aside before discovery so the merge sees old rows
+      DocStreams.upsertBatch(upds((5L, 1, "e1")), s"$root/t",
+        "doc_id", "version", buckets = 8)
+      assert(tableRows(s"$root/t") === Set((1L, 1, "a1"), (2L, 1, "b1"),
+        (3L, 1, "c1"), (4L, 1, "d1"), (5L, 1, "e1")))
+      assert(!aside.exists, "restored aside must not linger")
+      assert(!new java.io.File(s"$root/t/._graft_publish_inprogress").exists)
+      // superseded aside (dest present = crash AFTER rename-in): heal drops
+      // the aside, never clobbers the newer dest
+      val b = table.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+      val aside2 = new java.io.File(table, "." + b.getName + ".__old")
+      aside2.mkdirs()
+      Files.write(java.nio.file.Paths.get(aside2.getPath, "stale.parquet"),
+        "stale".getBytes("UTF-8"))
+      Files.write(java.nio.file.Paths.get(
+        s"$root/t/._graft_publish_inprogress"), Array.empty[Byte])
+      val before = tableRows(s"$root/t")
+      DocStreams.upsertBatch(upds((6L, 1, "f1")), s"$root/t",
+        "doc_id", "version", buckets = 8)
+      assert(tableRows(s"$root/t") === before + ((6L, 1, "f1")))
+      assert(!aside2.exists, "superseded aside must be dropped, not restored")
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a nondeterministic batch recompute cannot overwrite unread buckets") {
+    val root = Files.createTempDirectory("upsert_nondet").toString
+    try {
+      // seed every bucket so ANY unread-bucket publish would lose rows
+      val seed = (1L to 40L).map(i => (i, 1, s"v$i"))
+      DocStreams.upsertBatch(upds(seed: _*), s"$root/t",
+        "doc_id", "version", buckets = 8)
+      // a key that CHANGES between the discovery evaluation and the merge
+      // evaluation (at-least-once sources are supposed to replay
+      // deterministically; the guard bounds the blast radius when one
+      // doesn't): pick two fresh keys hashing to DIFFERENT buckets
+      def bucketOf(k: Long): Long = spark.sql(
+        s"SELECT pmod(cast(conv(substring(md5(cast($k AS string)),1,8),16,10) AS long), 8)")
+        .head().getLong(0)
+      val k0 = 100L
+      val k1 = (101L to 120L).find(bucketOf(_) !== bucketOf(k0)).get
+      DocStreamsSpec.nondetCalls.set(0)
+      val flip = udf { () =>
+        if (DocStreamsSpec.nondetCalls.getAndIncrement() == 0) k0 else k1 }
+        .asNondeterministic()
+      val batch = spark.range(1)
+        .select(flip().as("doc_id"), lit(1).as("version"), lit("n").as("text"))
+      DocStreams.upsertBatch(batch, s"$root/t", "doc_id", "version", buckets = 8)
+      val rows = tableRows(s"$root/t")
+      // every previously stored row survives; the flipped row (seen as k0 at
+      // discovery, k1 at merge) lands in an unread bucket and is DROPPED —
+      // never published over bucket(k1)'s stored rows
+      assert(rows.filter(_._1 <= 40L) === seed.toSet)
+      assert(!rows.exists(_._1 === k1))
+    } finally FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a corrupt signature store FAILS the ingest batch instead of skipping dedup") {
     val root = Files.createTempDirectory("ingest_corrupt").toString
     try {
@@ -341,4 +415,12 @@ class DocStreamsSpec extends SparkSpec {
       assert(tableRows(s"$root/t").size === 400)
     } finally FileUtils.deleteDirectory(new java.io.File(root))
   }
+}
+
+/** Executor-side mutable state for the nondeterministic-recompute spec —
+  * local mode shares the JVM, so a static counter observes both plan
+  * evaluations of the same batch lineage.
+  */
+object DocStreamsSpec {
+  val nondetCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
