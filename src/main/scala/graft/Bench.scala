@@ -91,13 +91,21 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // per-phase decompositions a gate publishes through graft.bench.phases
+    // ("name:secs,name:secs"); recorded once per pass so a slow box shows
+    // WHICH phase carries a swing inside the committed record itself
+    val phaseLog = scala.collection.mutable.Map.empty[String, List[String]]
     def timeOne(name: String): Unit = {
       val fn = SparkEntry.queries(name)
+      spark.conf.unset("graft.bench.phases")
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples.getOrElse(name, Nil)
+        spark.conf.getOption("graft.bench.phases").foreach { p =>
+          phaseLog(name) = p :: phaseLog.getOrElse(name, Nil)
+        }
       } catch { case e: Throwable => errors(name) = e.getClass.getName }
       // UNTIMED inter-query drain: gates that pin localCheckpoint blocks
       // release them via the weak-ref ContextCleaner, which only fires
@@ -110,8 +118,52 @@ object Bench {
       System.gc()
       Thread.sleep(100)
     }
+    // STOCK-SPARK anchors: three fixed queries using no graft code — a
+    // scan-aggregate, a broadcast join, and a shuffle join+agg — timed
+    // before and after the gate passes (min of the samples). Their times
+    // measure the MACHINE WINDOW (I/O, shuffle, JVM state) inside this very
+    // run, so round-over-round totals can be compared on the
+    // anchor-normalized number instead of arguing the band from separate
+    // runs (r13: the committed record was re-pinned in a degrading window,
+    // +6.8% on 235 overlapping gates with zero plan changes; the same code
+    // measured 119.6 s earlier that evening).
+    val anchorFns: Seq[(String, () => Long)] = {
+      import org.apache.spark.sql.functions.{sum, avg, broadcast, col}
+      val t = Tables(spark, sfDir)
+      // Tables fields are defs (fresh attribute ids per access) — capture
+      // each side ONCE so join conditions reference the joined frames
+      val li = t.lineitem
+      val ord = t.orders
+      val nat = t.nation.select(col("n_nationkey"))
+      Seq(
+        "anchor_scan_agg" -> (() => li
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice")).count()),
+        "anchor_bcast_join" -> (() => ord
+          .join(broadcast(nat), ord("o_custkey") % 25 === nat("n_nationkey"))
+          .count()),
+        "anchor_shuffle_join" -> (() => li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .groupBy("o_orderpriority").count().count()))
+    }
+    val anchorSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+    def timeAnchors(record: Boolean): Unit = anchorFns.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (record) anchorSamples(name) = dt :: anchorSamples.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] anchor $name failed: $e")
+      }
+      System.gc(); Thread.sleep(100)
+    }
+    timeAnchors(record = false) // anchor codegen warmup, uncounted
+    timeAnchors(record = true)
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) timeOne(name)
+    timeAnchors(record = true)
     for (name <- names if volatile(name) && !errors.contains(name)) timeOne(name)
+    timeAnchors(record = true)
     val times = samples.view.mapValues(_.min).toMap
     // failed queries report -1 (never a plausible wall-time) + an errors map,
     // so a broken query fails the bench visibly instead of looking fast.
@@ -134,12 +186,47 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = names.collect { case k if !errors.contains(k) => times(k) }.sum
+    // anchor summary: per-anchor min (same semantics as the gates) plus the
+    // in-run spread — a large spread means the window DEGRADED DURING the
+    // run, which no single normalization constant can fix but the record
+    // should say. The normalized total divides by the measured-vs-reference
+    // anchor ratio; reference values are pinned from the round-14 committed
+    // sf0.1 record, so normalization is only emitted at sf0.1 (anchors are
+    // SF-dependent).
+    val anchorRef = Map(
+      "anchor_scan_agg" -> 0.124, "anchor_bcast_join" -> 0.068,
+      "anchor_shuffle_join" -> 0.546)
+    val anchorMin = anchorSamples.view.mapValues(_.min).toMap
+    val anchorsJson = anchorFns.map(_._1).collect {
+      case k if anchorMin.contains(k) =>
+        val ss = anchorSamples(k)
+        "\"" + k + "\":" + (math.rint(ss.min * 10000) / 10000.0) +
+          ",\"" + k + "_spread\":" + (math.rint((ss.max - ss.min) / ss.min * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
+    val anchorRatio: Option[Double] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1") ||
+        anchorRef.keys.exists(k => !anchorMin.contains(k))) None
+      else Some(anchorRef.keys.map(k => anchorMin(k)).sum /
+        anchorRef.values.sum)
+    val normJson = anchorRatio.map { r =>
+      s""","anchor_ratio":${math.rint(r * 1000) / 1000.0},"total_anchor_normalized":${math.rint(total / r * 1000) / 1000.0}"""
+    }.getOrElse("")
+    // per-pass phase decompositions, pass order restored (lists were built
+    // head-first)
+    val phasesJson = phaseLog.toSeq.sortBy(_._1).map { case (name, ps) =>
+      "\"" + name + "\":[" + ps.reverse.map { p =>
+        p.split(",").map { kv =>
+          val i = kv.lastIndexOf(':')
+          "\"" + kv.take(i) + "\":" + kv.drop(i + 1)
+        }.mkString("{", ",", "}")
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // only queries that actually got the third pass (present and unfailed)
     val minOf3Set = names.filter(k => volatile(k) && !errors.contains(k))
     val minOf3 =
       if (minOf3Set.isEmpty) "[]"
       else minOf3Set.sorted.mkString("[\"", "\",\"", "\"]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"anchors":$anchorsJson$normJson,"phases":$phasesJson,"sf":"$sfDir"}"""
     println(json)
     // the driver snapshots only a stdout tail (2000 chars — fewer than the
     // per-query map needs past ~65 queries); the full line also lands in a

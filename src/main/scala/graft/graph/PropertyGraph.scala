@@ -59,10 +59,13 @@ final case class PropertyGraph(
     * Semantics by route. The default binary route keeps BAG semantics:
     * parallel edges yield one row per distinct edge WITNESS, like the SQL
     * self-join it lowers to (`.distinct()` the result for set semantics).
-    * `wcoj = true` routes a CYCLIC pattern through ONE worst-case-optimal
-    * LeapFrogJoin over all edge copies (output-bounded by AGM — the GHD
-    * hybrid could hand an acyclic bag whose star join materializes a
-    * non-output-bounded cube, r13) and imposes SET semantics: edge copies
+    * `wcoj = true` routes the pattern's maximal cyclic core (the edges GYO
+    * ear reduction cannot remove) through ONE worst-case-optimal
+    * LeapFrogJoin per core component — output-bounded by AGM; splitting a
+    * core across GHD bags could hand an acyclic bag whose star join
+    * materializes a non-output-bounded cube (r13) — while pendant tails and
+    * other acyclic periphery join around the core binarily (r14; linear
+    * beats trie enumeration there). It imposes SET semantics: edge copies
     * are deduplicated first, so a binding appears once per distinct variable
     * assignment. The two routes differ exactly when the input is a
     * multigraph or a bidirectional pattern edge matches both stored

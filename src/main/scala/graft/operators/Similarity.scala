@@ -423,14 +423,25 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
   }
 
-  /** Query a [[buildIvfIndex]] store: bit-identical to [[ivfTopK]] with the
-    * index's own centroidMod (spec-asserted; the q187 gate pins the
-    * round-trip as invisible), with the corpus never rescanned — the
-    * assignment join is replaced by the stored cells.
+  /** Query a [[buildIvfIndex]] store with the corpus never rescanned — the
+    * assignment join is replaced by the stored cells. Bit-identical to the
+    * direct (non-index) form under the same probing rule (spec-asserted;
+    * the q187 gate pins the round-trip as invisible).
+    *
+    * The DEFAULT probing rule is mass-adaptive (`probes = 0` delegates to
+    * [[ivfTopKFromIndexAdaptive]] with `massFrac`): a fixed probe count is
+    * the exact decay class q184/q198 demonstrated — the probed fraction
+    * shrinks as the index grows, which is fatal for an index built once
+    * and queried for months. Pass `probes > 0` to OPT IN to fixed-count
+    * probing (reproducing a pinned legacy ranking); `massFrac` is ignored
+    * then.
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, vecCol: String, idCol: String,
-      k: Int, probes: Int = 2): DataFrame = {
+      k: Int, probes: Int = 0, massFrac: Double = 0.25): DataFrame = {
+    if (probes <= 0)
+      return ivfTopKFromIndexAdaptive(spark, path, queries, vecCol, idCol,
+        k, massFrac)
     val idx = spark.read.parquet(path)
     require(idx.columns.contains("ivf_centroid_mod"),
       s"ivfTopKFromIndex: $path is not a graft IVF index (no scheme column)")

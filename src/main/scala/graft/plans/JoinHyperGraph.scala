@@ -50,6 +50,60 @@ object JoinHyperGraph {
     es.isEmpty
   }
 
+  /** Indices of the edges surviving GYO ear reduction — the maximal cyclic
+    * core(s) of the hypergraph. Empty ⇔ α-acyclic. An edge that reduces away
+    * (attributes pruned to nothing, or subsumed by a peer) is acyclic
+    * periphery: contracting each surviving connected component to a single
+    * hyperedge leaves an α-acyclic hypergraph, so a planner can run each
+    * core as ONE worst-case-optimal bag and join the periphery around it
+    * with a linear (Yannakakis / binary-join) strategy — the reference
+    * builds per-bag join trees for exactly this split
+    * (optimization/rules/join.scala:233-270).
+    */
+  def cyclicCoreIds(edges: Seq[Set[String]]): Set[Int] = {
+    var es: Seq[(Int, Set[String])] =
+      edges.zipWithIndex.collect { case (e, i) if e.nonEmpty => (i, e) }
+    var changed = true
+    while (changed && es.nonEmpty) {
+      changed = false
+      val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
+      es.foreach(_._2.foreach(a => counts(a) += 1))
+      val reduced = es.map { case (i, e) => (i, e.filter(a => counts(a) > 1)) }
+      if (reduced.map(_._2) != es.map(_._2)) { es = reduced; changed = true }
+      val pruned = es.zipWithIndex.filterNot { case ((_, e), i) =>
+        e.isEmpty || es.zipWithIndex.exists { case ((_, f), j) =>
+          j != i && e.subsetOf(f) && (f != e || j < i)
+        }
+      }.map(_._1)
+      if (pruned.size != es.size) { es = pruned; changed = true }
+    }
+    es.map(_._1).toSet
+  }
+
+  /** Group the given edge indices into connected components by shared
+    * attributes (two core cycles linked only through periphery are separate
+    * WCOJ bags). Components come out with ascending-min-index order and
+    * sorted members, so plans are deterministic.
+    */
+  def connectedComponents(ids: Seq[Int], attrs: Int => Set[String]): Seq[Seq[Int]] = {
+    val remaining = mutable.SortedSet(ids: _*)
+    val comps = mutable.ArrayBuffer.empty[Seq[Int]]
+    while (remaining.nonEmpty) {
+      val seedId = remaining.head
+      val comp = mutable.SortedSet(seedId)
+      remaining -= seedId
+      var grew = true
+      while (grew) {
+        grew = false
+        val compAttrs = comp.toSeq.flatMap(attrs).toSet
+        val join = remaining.filter(i => attrs(i).exists(compAttrs))
+        if (join.nonEmpty) { comp ++= join; remaining --= join; grew = true }
+      }
+      comps += comp.toSeq
+    }
+    comps.toSeq
+  }
+
   /** Enumerate connected GHDs for ≤ `maxEdges` relations and return the one
     * with minimum fhtw (ties: fewer bags, then smaller total bag size).
     *

@@ -69,19 +69,25 @@ object MultiwayJoin {
     *   extra semijoin passes (cheap shuffles) buy intermediate results that
     *   never exceed the output size — the right trade when bags are
     *   selective or the data is large; off by default for small queries.
-    * @param wcoj route CYCLIC bags through the worst-case-optimal LeapFrog
-    *   Catalyst node instead of binary hash joins — the reference planner's
-    *   `MultiwayJoin → trie+leapfrog` strategy
-    *   (execution/planning/SeccoStrategies.scala:182-191). Opt-in because it
-    *   imposes SET semantics (one output row per distinct binding — callers
-    *   must dedup inputs if they carry duplicates). Join columns may be any
-    *   atomic type: integral columns run on the trie directly (emitted as
-    *   LongType), everything else is dictionary-encoded and decoded
-    *   transparently ([[graft.wcoj.WcojJoin.leapfrogAny]]), so a
-    *   string-keyed cyclic join keeps the WCOJ speedup instead of silently
-    *   falling back. Null join values are filtered (they can never match a
-    *   natural inner join). Acyclic bags fall back to binary joins
-    *   unchanged.
+    * @param wcoj route the MAXIMAL CYCLIC CORE(s) — the edges surviving GYO
+    *   ear reduction — through the worst-case-optimal LeapFrog Catalyst
+    *   node, one bag per core component, with the acyclic periphery joined
+    *   around them binarily (the reference planner's
+    *   `MultiwayJoin → trie+leapfrog` strategy,
+    *   execution/planning/SeccoStrategies.scala:182-191, plus its per-bag
+    *   join trees, optimization/rules/join.scala:233-270). When the whole
+    *   query is the core (cliques, S6–S8) this is one whole-query
+    *   enumeration; a core with pendant tails keeps the tails on the linear
+    *   route. Opt-in because it imposes SET semantics (one output row per
+    *   distinct binding — callers must dedup inputs if they carry
+    *   duplicates). Join columns may be any atomic type: integral columns
+    *   run on the trie directly (emitted as LongType), everything else is
+    *   dictionary-encoded and decoded transparently
+    *   ([[graft.wcoj.WcojJoin.leapfrogAny]]), so a string-keyed cyclic join
+    *   keeps the WCOJ speedup instead of silently falling back. Null join
+    *   values are filtered (they can never match a natural inner join).
+    *   Acyclic queries fall back to binary joins unchanged;
+    *   `graft.wcoj.hybridCore=false` restores the whole-query one-bag.
     * @param cardinalityOrder order each cyclic bag's WCOJ attributes by
     *   measured cardinality (within equal coverage): the reference's
     *   `Statistics.fullCardinality`-driven attribute ordering
@@ -96,27 +102,70 @@ object MultiwayJoin {
     require(relations.nonEmpty, "no relations to join")
     if (relations.size == 1) return relations.head._1
 
-    // wcoj + a CYCLIC hypergraph: one LeapFrogJoin over ALL relations (the
-    // reference's whole-query subgraph strategy) instead of the GHD hybrid.
-    // The hybrid bounds each bag by ITS OWN output — and a decomposition
-    // can hand an acyclic bag whose internal star join materializes a
-    // non-output-bounded cube: S7's {a,c,d,e} bag (edges de, ae, ce) is
-    // Σ_e indeg(e)³ rows, measured 15+ s on the degree-capped sf0.1 graph
-    // where the single worst-case-optimal enumeration over all 8 edges —
-    // output-bounded for the WHOLE query by AGM — takes 0.5 s. Acyclic
-    // full patterns keep the GHD/Yannakakis route below (linear beats
-    // trie-building there); so do bags with ineligible attribute types.
+    // wcoj + a CYCLIC hypergraph: run the MAXIMAL CYCLIC CORE(s) — the
+    // edges surviving GYO ear reduction — as one LeapFrogJoin each, and
+    // join the acyclic periphery around them with the GHD/Yannakakis route.
+    // Two failure modes bound this design from both sides (r13/r14):
+    //   - a GHD bag is only bounded by ITS OWN output, and a decomposition
+    //     can hand an acyclic bag whose internal star join materializes a
+    //     non-output-bounded cube: S7's {a,c,d,e} bag (edges de, ae, ce) is
+    //     Σ_e indeg(e)³ rows, measured 15+ s on the degree-capped sf0.1
+    //     graph where one worst-case-optimal enumeration over all 8 edges —
+    //     AGM-bounded for the whole query — takes 0.5 s. So the cyclic core
+    //     is never split across bags: when the whole query IS the core
+    //     (S4/S6/S7), this is one whole-query LeapFrogJoin.
+    //   - the inverse overshoot: a small cyclic core with a long acyclic
+    //     tail pays trie-building and WCOJ enumeration over relations a
+    //     linear join handles for free. So periphery edges (those GYO
+    //     reduces away) stay on the binary route; contracting each core
+    //     component to one hyperedge leaves an α-acyclic hypergraph, so the
+    //     recursive call below degenerates to a plain GHD join tree.
+    // Set semantics note: with duplicate-free inputs (the documented wcoj
+    // contract) a natural join of sets is a set, so core-bag + binary
+    // periphery emits exactly the whole-query distinct bindings.
+    // Acyclic full patterns keep the GHD/Yannakakis route below; so do
+    // core bags with ineligible attribute types. Escape hatch
+    // `graft.wcoj.hybridCore=false` forces the r13 whole-query one-bag.
     if (wcoj && {
       val attrSets = relations.map(_._2.toSet)
       !JoinHyperGraph.isAcyclic(attrSets)
-    } && wcojEligible(relations)) {
+    }) {
       val spark = relations.head._1.sparkSession
-      val attrs = relations.flatMap(_._2).toSet
-      val order = wcojAttrOrder(relations, attrs, cardinalityOrder)
-      val cleaned = relations.map { case (df, as) =>
-        (as.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), as)
+      val attrSets = relations.map(_._2.toSet)
+      val hybridOn =
+        spark.conf.getOption("graft.wcoj.hybridCore").forall(_.toBoolean)
+      val core =
+        if (hybridOn) JoinHyperGraph.cyclicCoreIds(attrSets)
+        else relations.indices.toSet
+
+      def oneBag(rels: Seq[(DataFrame, Seq[String])]): DataFrame = {
+        val attrs = rels.flatMap(_._2).toSet
+        val order = wcojAttrOrder(rels, attrs, cardinalityOrder)
+        val cleaned = rels.map { case (df, as) =>
+          (as.foldLeft(df)((d, a) => d.filter(col(a).isNotNull)), as)
+        }
+        graft.wcoj.WcojJoin.leapfrogAny(spark, cleaned, order)
       }
-      return graft.wcoj.WcojJoin.leapfrogAny(spark, cleaned, order)
+
+      if (core.size == relations.size) {
+        if (wcojEligible(relations)) return oneBag(relations)
+        // ineligible types: fall through to the GHD route (per-bag checks)
+      } else {
+        val comps = JoinHyperGraph.connectedComponents(
+          core.toSeq.sorted, i => attrSets(i))
+        if (comps.forall(c => wcojEligible(c.map(relations)))) {
+          val coreDfs = comps.map { ids =>
+            val df = oneBag(ids.map(relations))
+            (df, df.columns.toSeq)
+          }
+          val periphery =
+            relations.indices.filterNot(core).map(relations)
+          return join(coreDfs ++ periphery, reduce, wcoj = false,
+            cardinalityOrder)
+        }
+        // an ineligible core component: GHD route below still WCOJs the
+        // cyclic bags whose types qualify
+      }
     }
 
     val edges = relations.zipWithIndex.map { case ((_, attrs), i) =>

@@ -105,6 +105,19 @@ object Graph {
     if (df.queryExecution.executedPlan.toString.contains("LeapFrogJoin")) "leapfrog"
     else "binary"
 
+  /** route pin for the HYBRID core+periphery planner (r14): 'hybrid' only
+    * when the executed plan carries BOTH a LeapFrogJoin (the cyclic core
+    * bag) and a binary join operator (the acyclic periphery) — a silent
+    * collapse to either pure route hash-mismatches the oracle literal.
+    */
+  private def hybridRouteOf(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan.toString
+    val lf = p.contains("LeapFrogJoin")
+    val bin = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(p.contains)
+    if (lf && bin) "hybrid" else if (lf) "leapfrog" else "binary"
+  }
+
   val queries: Map[String, Q] = Map(
     // directed triangle (3-cycle) via the Cypher-ish pattern API — reference
     // subgraph query S1; exercises PatternParser + natural-join lowering.
@@ -376,6 +389,23 @@ object Graph {
       new graft.api.EngineSession(s).createDatasetFromSparkSQL(m)
         .aggregate(Seq("sum(w) AS sum_w"), Seq("a"))
         .sort("a").df
+    }),
+
+    // cyclic-core + acyclic-tail pattern (r14): a triangle with a 3-hop
+    // tail hanging off c, wcoj = true. GYO ear reduction leaves exactly the
+    // triangle as the cyclic core, so the hybrid planner runs ONE LeapFrog
+    // bag over {ab, bc, ca} and joins cd, de, ef around it binarily —
+    // whole-query one-bag (r13) would pay trie-building and WCOJ
+    // enumeration over three relations a linear join handles for free. The
+    // in-result pin requires BOTH operator kinds in the executed plan.
+    "q240_coretail_hybrid" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(
+        seededCappedEdges(s, Tables(s, d)).localCheckpoint(true))
+      val m = g.pattern(
+        "(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(d)-[]->(e)-[]->(f)",
+        wcoj = true)
+      val agged = m.groupBy("a").agg(count(lit(1)).as("cnt"))
+      agged.withColumn("route", lit(hybridRouteOf(agged))).orderBy("a")
     }),
 
     // the reference's SQL-text graph surface: MATCH(graph, pattern) as a
@@ -656,6 +686,19 @@ object Graph {
          | JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e3.dst
          | JOIN edges e7 ON e7.src = e1.dst AND e7.dst = e4.dst
          | JOIN edges e8 ON e8.src = e2.dst AND e8.dst = e4.dst
+         |GROUP BY e1.src ORDER BY a""".stripMargin,
+    // core+tail: a = e1.src, b = e1.dst, c = e2.dst (triangle closed by
+    // e3), then the tail d = e4.dst, e = e5.dst, f = e6.dst. Edges are
+    // DISTINCT, so the plain self-join emits each binding once — the wcoj
+    // route's set semantics.
+    "q240_coretail_hybrid" ->
+      s"""WITH edges AS ($seededCappedEdgesSql)
+         |SELECT e1.src AS a, count(*) AS cnt, 'hybrid' AS route
+         |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         | JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+         | JOIN edges e4 ON e4.src = e2.dst
+         | JOIN edges e5 ON e5.src = e4.dst
+         | JOIN edges e6 ON e6.src = e5.dst
          |GROUP BY e1.src ORDER BY a""".stripMargin,
     "q232_c1_proj_count" ->
       s"""WITH edges AS ($seededCappedEdgesSql),

@@ -547,20 +547,39 @@ object Pipeline {
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
       val root = GateTmp.dir("graft_ingest")
       val (src, store, out) = (s"$root/src", s"$root/store", s"$root/out")
+      // per-phase wall clock, published via graft.bench.phases so the bench
+      // record itself carries the decomposition (r13: a consistent ~3×
+      // cross-box swing on this gate could only be localized by a separate
+      // probe run; now every BENCH_rN shows WHICH cycle carries it)
+      val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var tPhase = System.nanoTime()
+      def mark(n: String): Unit = {
+        marks += n -> (System.nanoTime() - tPhase) / 1e9
+        tPhase = System.nanoTime()
+      }
       try {
         docs.filter(snum < 7).write.mode("append").parquet(src)
         val q = graft.streaming.DocStreams.ingestDedupStream(
           s.readStream.schema(docs.schema).parquet(src), store, out,
           s"$root/ckpt", threshold = 0.3, portableIds = true)
         try {
+          mark("setup")
           q.processAllAvailable()
+          mark("cycle1")
           docs.filter(snum >= 7 && snum < 14).write.mode("append").parquet(src)
           q.processAllAvailable()
+          mark("cycle2")
           docs.filter(snum >= 14).write.mode("append").parquet(src)
           q.processAllAvailable()
+          mark("cycle3")
         } finally q.stop()
-        s.read.parquet(out).select("doc_id").orderBy("doc_id")
+        val res = s.read.parquet(out).select("doc_id").orderBy("doc_id")
           .localCheckpoint(true)
+        mark("readback")
+        s.conf.set("graft.bench.phases", marks.map { case (n, v) =>
+          s"$n:${math.rint(v * 1000) / 1000.0}"
+        }.mkString(","))
+        res
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
@@ -1411,10 +1430,13 @@ object Pipeline {
     // the persisted-IVF-index path of q184: the corpus-side assignment is
     // written to a cent_id-partitioned parquet store once, queries probe
     // the stored cells with the corpus never rescanned — and the round
-    // trip must be INVISIBLE (bit-identical to the direct ivfTopK), the
+    // trip must be INVISIBLE (bit-identical to the direct form), the
     // q119 store-dedup contract. Joining direct and stored results on all
     // four columns: any cos/rank divergence drops a row and store_ok or
-    // n_rows breaks against the oracle.
+    // n_rows breaks against the oracle. Since r14 BOTH arms run the
+    // DEFAULT probing rule — mass-adaptive — so this gate pins the
+    // round-trip contract of the route users actually get (fixed-probe is
+    // opt-in via probes > 0, spec-covered).
     "q187_ivf_index_roundtrip" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val q = e.filter(col("vec_id") < 5)
@@ -1422,10 +1444,10 @@ object Pipeline {
       Similarity.buildIvfIndex(e, "embedding", "vec_id", dir.toString,
         centroidMod = 100)
       try {
-        val direct = Similarity.ivfTopK(q, e, "embedding", "vec_id",
-          k = 10, centroidMod = 100, probes = 3)
+        val direct = Similarity.ivfTopKAdaptive(q, e, "embedding", "vec_id",
+          k = 10, centroidMod = 100)
         val stored = Similarity.ivfTopKFromIndex(s, dir.toString, q,
-          "embedding", "vec_id", k = 10, probes = 3)
+          "embedding", "vec_id", k = 10)
         // pinned eagerly so the finally-delete below cannot outrun the
         // lazy store read (the q119 pattern)
         direct.join(stored, Seq("query_id", "vec_id", "cos", "rank"))

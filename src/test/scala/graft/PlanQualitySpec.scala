@@ -94,6 +94,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q240 core+tail hybrid: LeapFrog core bag AND binary periphery in one plan") {
+    // the r14 hybrid: GYO leaves the triangle as the cyclic core, so the
+    // full gate plan must carry BOTH a LeapFrogJoin (the core bag) and
+    // binary join operators (the 3-hop tail) — a collapse to whole-query
+    // one-bag pays trie enumeration over relations a linear join handles,
+    // and a collapse to pure binary re-opens the r12 bag-cube class
+    val p = executedPlan("q240_coretail_hybrid")
+    assert(p.contains("LeapFrogJoin"),
+      s"core+tail lost the WCOJ core bag:\n${p.take(3000)}")
+    assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(p.contains),
+      s"core+tail lost the binary periphery (one-bag overshoot):\n${p.take(3000)}")
+  }
+
   test("q62 simhash pairs never go all-pairs: no cartesian/nested-loop join") {
     val p = executedPlan("q62_simhash_hamming")
     assert(!p.contains("CartesianProduct"))

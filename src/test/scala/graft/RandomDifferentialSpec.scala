@@ -74,9 +74,13 @@ class RandomDifferentialSpec extends SparkSpec {
       "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (a)-[]->(c); (b)-[]->(d); (c)-[]->(e)", // S7
       "(a)-[]->(b)-[]->(c)-[]->(d)-[]->(e); (a)-[]->(e); (b)-[]->(d); (b)-[]->(e); (c)-[]->(e)", // S8
       // cyclic core + a DANGLING free vertex (the C3/C4 weighted shape):
-      // the r13 one-bag route must agree with the GHD's bag-join on a
-      // hypergraph whose w edge the GHD would put in an acyclic bag
-      "(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(w)")                     // triangle + tail
+      // the r14 HYBRID route (core bag + binary periphery) must agree with
+      // the GHD's bag-join on a hypergraph whose w edge GYO reduces away
+      "(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(w)",                     // triangle + tail
+      // deeper periphery through the hybrid: a 3-hop pendant path (the
+      // q240 gate shape) and a BRANCHING pendant tree off the core
+      "(a)-[]->(b)-[]->(c); (c)-[]->(a); (c)-[]->(d)-[]->(e)-[]->(w)",     // triangle + 3-hop tail
+      "(a)-[]->(b)-[]->(c)-[]->(d); (d)-[]->(a); (b)-[]->(d); (d)-[]->(e); (e)-[]->(w); (e)-[]->(c)") // diamond core + branch closing back
     def canonRows(df: DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq).toSet
     // every pattern runs at least once (trials 1..patterns.size sweep the

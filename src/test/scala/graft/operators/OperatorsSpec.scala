@@ -1229,6 +1229,37 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("index default route is mass-adaptive; fixed-probe is opt-in via probes > 0") {
+    // the r13 finding: a fixed probe count is the decay class q184/q198
+    // demonstrated, yet it was the roundtrip default. Since r14 the
+    // no-probes call must take the massFrac rule; passing probes engages
+    // the fixed path (whose ranking differs here by construction: 1 probe
+    // of 3 cells scans less than 40% mass)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_default_spec")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Int)].collect().toSet
+      val default = rows(Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+        "embedding", "vec_id", k = 5))
+      val adaptive = rows(Similarity.ivfTopKFromIndexAdaptive(spark,
+        dir.toString, q, "embedding", "vec_id", k = 5, massFrac = 0.25))
+      assert(default === adaptive)
+      val fixed = rows(Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+        "embedding", "vec_id", k = 5, probes = 3))
+      // probes = 3 covers ALL cells here — it must equal the exact ranking,
+      // proving the fixed path still runs when opted into
+      val exact = rows(Similarity.cosineTopK(q, vecs, "embedding", "vec_id", 5))
+      assert(fixed === exact)
+      assert(default.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("adaptive forms return empty on an EMPTY query set instead of throwing") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val none = e.filter($"vec_id" < 0)

@@ -68,6 +68,42 @@ class JoinHyperGraphSpec extends AnyFunSuite {
     val d = decompose(edges)
     assert(d.bags.size === 12)
   }
+
+  test("cyclicCoreIds: acyclic shapes have an empty core") {
+    assert(cyclicCoreIds(Seq(Set("a", "b"), Set("b", "c"), Set("c", "d"))).isEmpty)
+    assert(cyclicCoreIds(Seq(Set("k", "x"), Set("k", "y"), Set("k", "z"))).isEmpty)
+  }
+
+  test("cyclicCoreIds: a fully cyclic query IS its core (S7 stays one-bag)") {
+    // S7's 8 edges over 5 vertices: every edge survives ear reduction, so
+    // the hybrid planner degenerates to the r13 whole-query enumeration
+    val s7 = Seq(Set("a", "b"), Set("b", "c"), Set("c", "d"), Set("d", "e"),
+      Set("a", "e"), Set("a", "c"), Set("b", "d"), Set("c", "e"))
+    assert(cyclicCoreIds(s7) === s7.indices.toSet)
+  }
+
+  test("cyclicCoreIds: pendant tails reduce away, the cycle survives") {
+    // triangle {0,1,2} + tail c->d->e->f {3,4,5} — GYO eats the tail from
+    // its free end inward, never the triangle
+    val coreTail = Seq(Set("a", "b"), Set("b", "c"), Set("c", "a"),
+      Set("c", "d"), Set("d", "e"), Set("e", "f"))
+    assert(cyclicCoreIds(coreTail) === Set(0, 1, 2))
+    // a subsumed duplicate edge is periphery too (it only filters)
+    val dup = Seq(Set("a", "b"), Set("b", "c"), Set("c", "a"), Set("a", "b"))
+    assert(cyclicCoreIds(dup) === Set(0, 1, 2))
+  }
+
+  test("cyclicCoreIds + connectedComponents: two cores joined by a pendant vertex split") {
+    // two vertex-disjoint triangles with a shared pendant w off each: w has
+    // count 2 so its edges only reduce via subsumption... keep it simple —
+    // two disconnected triangles (a cross-join query) are two components
+    val two = Seq(Set("a", "b"), Set("b", "c"), Set("c", "a"),
+      Set("x", "y"), Set("y", "z"), Set("z", "x"))
+    val core = cyclicCoreIds(two)
+    assert(core === Set(0, 1, 2, 3, 4, 5))
+    val comps = connectedComponents(core.toSeq.sorted, i => two(i))
+    assert(comps === Seq(Seq(0, 1, 2), Seq(3, 4, 5)))
+  }
 }
 
 class MultiwayJoinSpec extends SparkSpec {

@@ -359,6 +359,61 @@ object ScaleCheck {
       }
     }
 
+    // core+tail HYBRID route (r14): a triangle core on a dense synthetic
+    // digraph (50k nodes, deg 30 — the binary plan materializes the n·d²
+    // ≈ 45M-row path-2 intermediate where WCOJ is triangle-bounded) with
+    // two LARGE non-nullable tail relations scaled by the factor. Three
+    // routes compared min-of-2: the hybrid (core as ONE LeapFrog bag,
+    // tails as hash joins) must beat BOTH the r13 whole-query one-bag
+    // (which range-sorts every tail row into tries — its cost grows with
+    // the factor) and the pure binary GHD (which pays the path-2 cube, a
+    // constant core penalty). Measured r14: x10 hybrid 4.4s / onebag 8.9s
+    // / binary 5.9s; x50 hybrid 5.2s / onebag 34.8s / binary 6.9s.
+    {
+      val nodes = 50000L
+      val deg = 30
+      val edges = spark.range(nodes * deg)
+        .select((col("id") % nodes).as("src"),
+          pmod(hash((col("id") * 2654435761L).cast("long")).cast("long"), lit(nodes)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      for (factor <- Seq(1, 10, 50)) {
+        val cdTail = spark.range(nodes * factor)
+          .select((col("id") % nodes).as("c"), col("id").as("d"))
+          .localCheckpoint(true)
+        val deTail = spark.range(nodes * factor * 2)
+          .select(shiftright(col("id"), 1).as("d"),
+            col("id").bitwiseAND(lit(1L)).as("e"))
+          .localCheckpoint(true)
+        def rels() = Seq(
+          (edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+          (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+          (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a")),
+          (cdTail, Seq("c", "d")), (deTail, Seq("d", "e")))
+        def run(wcoj: Boolean, hybrid: Boolean): (Long, Double) = {
+          spark.conf.set("graft.wcoj.hybridCore", hybrid.toString)
+          val t0 = System.nanoTime()
+          val n = graft.plans.MultiwayJoin.join(rels(), wcoj = wcoj)
+            .groupBy("a").agg(count(lit(1)).as("cnt")).count()
+          spark.conf.unset("graft.wcoj.hybridCore")
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val arms = Seq("hybrid" -> (true, true), "onebag" -> (true, false),
+          "binary" -> (false, true))
+        val best = scala.collection.mutable.Map.empty[String, Double]
+        var out = -1L
+        for (i <- 1 to 2; (name, (w, h)) <- if (i % 2 == 0) arms.reverse else arms) {
+          val (n, s) = run(w, h)
+          require(out == -1L || n == out, s"route $name changed the answer")
+          out = n
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
+        }
+        println(f"[scale] wcoj_coretail_hybrid   x$factor%-3d out=$out%9d " +
+          f"hybrid=${best("hybrid")}%6.2fs onebag=${best("onebag")}%6.2fs " +
+          f"binary=${best("binary")}%6.2fs")
+      }
+    }
+
     // leading-attribute skew guard: a planted celebrity vertex (half of a
     // replicated graph's edges re-sourced to one node) makes the raw
     // leapfrog's single-attribute partitioning concentrate the whole hot
