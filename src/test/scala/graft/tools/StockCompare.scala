@@ -24,22 +24,37 @@ import org.apache.spark.sql.functions._
   * INTERLEAVED min-of-3 per side (e,s pairs alternate, so neither side
   * systematically inherits warmer JIT/caches from running later).
   *
-  * Measured at sf0.1 / local[32] (2026-08-14, round 10): q1 1.08, q5
-  * 1.05, WCOJ triangle 1.04, as-of 0.89, interval 1.13, gap-fill LOCF
-  * 0.86, interleave 0.93, containment 0.62, rank blend 0.76, token drift
-  * 0.91, SQ8-vs-exact 1.23, suffix-dup sort-adjacency 1.03, rendezvous
-  * in-row argmax 0.30, leak-free split 1.11, windowed distinct HLL 1.31
-  * vs native approx_count_distinct and 1.67 vs DataSketches — every
-  * engine path within ~1.7× of the equivalent stock plan, well inside
-  * BASELINE.md's 2× bar, and seven of the data-pipeline operators run
-  * FASTER than their stock formulations. (The WCOJ ratio is the
-  * dense-triangle case binary joins handle well; the LeapFrog node
-  * exists for the skewed/cyclic patterns where binary joins blow up the
-  * intermediate, per WcojSpec's differentials. The HLL premium over the
-  * native sketches is the portable-register encoding — 2^p conditional
-  * max aggregates instead of one opaque sketch agg — bought for exact
-  * engine replayability; the q210 STREAMING gate additionally pays the
-  * micro-batch/state floor, which no batch formulation shares.)
+  * Measured at sf0.1 / local[32] (2026-08-16, round 14, full 24-row
+  * pass): q1 1.02, q5 1.06, WCOJ triangle 0.88, as-of 0.92, interval
+  * 1.17, gap-fill LOCF 0.98, interleave 0.92, containment 0.41, rank
+  * blend 0.84, token drift 0.86, SQ8-vs-exact 0.90, suffix-dup
+  * sort-adjacency 0.97, rendezvous in-row argmax 0.40, leak-free split
+  * 1.02, windowed distinct HLL 1.29 vs native approx_count_distinct and
+  * 1.20 vs DataSketches, cdc upsert 1.96, ingest crawl 1.55, S7 one-bag
+  * WCOJ 2.50, S4 clique WCOJ on the medium graph **0.06** (engine 1.19 s
+  * vs stock binary 21.6 s), core+tail hybrid 1.48, adaptive index ANN
+  * 1.88, stream outer interval 17.55 vs a toy batch join (context row)
+  * and **1.09 vs the identical join written in raw Spark Structured
+  * Streaming** — the apples-to-apples comparator that reclassifies the
+  * r13 weak row: the premium is Spark's own streaming apparatus, not
+  * engine overhead.
+  *
+  * Reading the WCOJ pair (rows 19/19b): the premium is DENSITY-
+  * dependent. On the degree-capped graph (deg ≤ 6) binary plans are
+  * cheap and the trie apparatus costs 2.5× of half a second; on the
+  * medium graph the same plan class blows up its path-2 intermediates
+  * and the one-bag enumeration wins 18×. The wcoj route is opt-in per
+  * call, so callers pay the premium only where binary would explode —
+  * and ScaleCheck's wcoj_coretail_hybrid pins the r14 hybrid ≥ both
+  * pure routes on the dense-core+large-tail shape. The adaptive-index
+  * row prices the store round-trip at a corpus size where a brute scan
+  * is trivially fast; the index exists for the 100 TB regime where the
+  * corpus-side assignment is paid once (cell-pruned reads thereafter).
+  * The HLL premium over the native sketches is the portable-register
+  * encoding — 2^p conditional max aggregates instead of one opaque
+  * sketch agg — bought for exact engine replayability; the q210
+  * STREAMING gate additionally pays the micro-batch/state floor, which
+  * no batch formulation shares.
   *
   * `report` asserts both sides return the same row count before timing —
   * a silently-degenerate side (a mis-escaped regex splitting nothing, an
@@ -492,6 +507,67 @@ object StockCompare {
         batchIngest())
     }
 
+    // 19. S7 one-bag WCOJ (q228's full gate: 8-edge 5-vertex pattern as
+    //     ONE LeapFrog enumeration) vs the stock 8-way binary self-join —
+    //     the oracle text is valid Spark SQL. This is the shape where the
+    //     one-bag route was introduced (r13): a GHD split handed an
+    //     acyclic bag a Σ indeg³ cube.
+    report("s7 one-bag WCOJ",
+      graft.queries.Graph.queries("q228_s7_dense5")(spark, sfDir).count(),
+      spark.sql(stockSql(graft.SparkEntry.oracleSql("q228_s7_dense5"))).count())
+
+    // 19b. S4 4-clique WCOJ (q225) on the MEDIUM graph — the denser edge
+    //      set where binary intermediates grow faster than matches; read
+    //      with row 19: the WCOJ premium is density-dependent (the capped
+    //      graph's deg ≤ 6 makes binary plans cheap; the medium graph
+    //      narrows the gap; the ScaleCheck synthetic dense core inverts
+    //      it).
+    report("s4 clique WCOJ (medium)",
+      graft.queries.Graph.queries("q225_s4_clique")(spark, sfDir).count(),
+      spark.sql(stockSql(graft.SparkEntry.oracleSql("q225_s4_clique"))).count())
+
+    // 20. core+tail hybrid (q240: triangle core as one LeapFrog bag, 3-hop
+    //     tail joined binarily — the r14 hybrid planner) vs the stock
+    //     6-way self-join of the oracle text.
+    report("core+tail hybrid WCOJ",
+      graft.queries.Graph.queries("q240_coretail_hybrid")(spark, sfDir).count(),
+      spark.sql(stockSql(graft.SparkEntry.oracleSql("q240_coretail_hybrid"))).count())
+
+    // 21. persisted-index adaptive ANN: top-10 per query through a
+    //     prebuilt cent_id-partitioned IVF index with the DEFAULT
+    //     mass-adaptive probing (index build untimed — it is the one-time
+    //     cost the store amortizes) vs the stock EXACT cosine scan. Row
+    //     counts match (both k=10 per query); rankings may differ by the
+    //     pruning the q238 envelope bounds.
+    {
+      import org.apache.commons.io.FileUtils
+      val emb = graft.Tables(spark, sfDir).embeddings
+      val dir = java.nio.file.Files.createTempDirectory("sc_ivfidx")
+      graft.operators.Similarity.buildIvfIndex(
+        emb, "embedding", "vec_id", dir.toString, centroidMod = 100)
+      try {
+        report("adaptive index ANN vs exact",
+          graft.operators.Similarity.ivfTopKFromIndex(spark, dir.toString,
+            emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10).count(),
+          spark.sql(stockSql(
+            """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+              |  FROM parquet.`SFDIR/embeddings.parquet` WHERE vec_id < 5),
+              |c AS (SELECT vec_id, embedding AS cv
+              |  FROM parquet.`SFDIR/embeddings.parquet`),
+              |scored AS (SELECT q.query_id, c.vec_id,
+              |    round(aggregate(zip_with(qv, cv, (x, y) ->
+              |        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, b) -> a + b)
+              |      / (sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b))
+              |        * sqrt(aggregate(transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b))), 6) AS cos
+              |  FROM c CROSS JOIN q),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, vec_id) AS rank FROM scored)
+              |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin
+              .replace("SFDIR", sfDir))).count())
+      } finally FileUtils.deleteDirectory(dir.toFile)
+    }
+
     // 18. stream-stream LEFT OUTER interval join (q215's full gate,
     //     sentinel-forced null emission included) vs the stock BATCH
     //     formulation — one LEFT JOIN with the BETWEEN range predicate
@@ -512,6 +588,88 @@ object StockCompare {
           |  AND v.view_ts >= c.ts - INTERVAL 1800 SECONDS
           |  AND v.view_ts <= c.ts + INTERVAL 1800 SECONDS
           |ORDER BY click_id, view_id""".stripMargin)).count())
+
+    // 22. the APPLES-TO-APPLES comparator for q215: the same stream-stream
+    //     LEFT OUTER interval join written in RAW Spark Structured
+    //     Streaming — readStream file sources, withWatermark on both
+    //     sides, one expr-range left_outer join, memory sink, the same
+    //     sentinel protocol to flush evictions. No graft code in the
+    //     measured path: the ratio isolates what the ENGINE adds on top of
+    //     Spark's own streaming apparatus (expected ~1×). Comparator 18
+    //     remains as context — it prices the apparatus itself against a
+    //     toy batch join, which no streaming engine can match on a bounded
+    //     replay.
+    {
+      import org.apache.commons.io.FileUtils
+      val stockStreamCounter = new java.util.concurrent.atomic.AtomicLong()
+      def stockStreamOuter(): Long = {
+        val name = s"sc_oivj_${stockStreamCounter.incrementAndGet()}"
+        val root = graft.queries.GateTmp.dir("sc_oivj")
+        val sent = s"$root/sent"
+        try {
+          new java.io.File(sent).mkdirs()
+          val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+          val ev = graft.Tables(spark, sfDir).events
+            .select("event_id", "user_id", "ts", "event_type")
+          val sentSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+          def side(tpe: String, suffix: String) = graft.Tables.adaptEventTs(
+              spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+            .select("event_id", "user_id", "ts", "event_type")
+            .unionByName(spark.readStream.schema(sentSchema).parquet(sent))
+            .filter(col("event_type") === tpe).drop("event_type")
+            .toDF(Seq("event_id", "user_id", "ts").map(_ + suffix): _*)
+            .withWatermark("ts" + suffix, "0 seconds")
+          val joined = side("click", "").join(side("view", "_r"),
+            expr("user_id = user_id_r AND " +
+              "ts_r >= ts - INTERVAL 1800 SECONDS AND " +
+              "ts_r <= ts + INTERVAL 1800 SECONDS"), "left_outer")
+            .select(col("event_id").as("click_id"),
+              col("event_id_r").as("view_id"), col("user_id"),
+              col("ts").as("click_ts"), col("ts_r").as("view_ts"))
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val q =
+            try joined.writeStream.outputMode("append").format("memory")
+              .option("checkpointLocation", s"$root/ckpt")
+              .queryName(name).start()
+            finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            q.processAllAvailable()
+            val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+            import spark.implicits._
+            def writeSentinel(h: Long): Unit = {
+              val far = new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)
+              Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
+                .toDF("event_id", "user_id", "ts", "event_type")
+                .write.mode("append").parquet(sent)
+              q.processAllAvailable()
+            }
+            writeSentinel(48)
+            def maxDataBatch = q.recentProgress.filter(_.numInputRows > 0)
+              .map(_.batchId).foldLeft(-1L)(math.max)
+            val bSent = maxDataBatch
+            def evictionBatchRan = q.recentProgress.exists(_.batchId > bSent)
+            val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+            while (!evictionBatchRan && System.nanoTime() < deadline) {
+              Thread.sleep(25)
+              q.processAllAvailable()
+            }
+            if (!evictionBatchRan) writeSentinel(96)
+          } finally q.stop()
+          val n = spark.table(name).filter(col("user_id") >= 0).count()
+          spark.catalog.dropTempView(name)
+          n
+        } finally FileUtils.deleteDirectory(root.toFile)
+      }
+      report("stream outer vs stock stream",
+        graft.queries.Events.queries("q215_stream_outer_interval")(spark, sfDir).count(),
+        stockStreamOuter())
+    }
 
     spark.stop()
   }
