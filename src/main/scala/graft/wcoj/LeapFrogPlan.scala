@@ -114,9 +114,21 @@ final case class LeapFrogJoinExec(
     val skewAware = session.conf.get("graft.wcoj.skewAware", "true").toBoolean
     val budget = session.conf.get("graft.wcoj.cellBudgetBytes", (64L << 20).toString).toLong
     val capConf = session.conf.get("graft.wcoj.maxCellsCap", "4096").toInt
-    val stats = prepped.map { case (attrs, rdd) => SkewStats.relStat(attrs, rdd, skewAware) }
+    val stats = SkewStats.relStats(prepped, skewAware)
     val cap = if (maxCells > 0) cells else math.max(cells, capConf)
-    val sized = HyperCube.budgetedShares(ord.toSeq, stats, cells, budget, cap)
+    // measured-small single-cell route: when every relation together fits
+    // comfortably in one task (default 4 MB of routed payload), a
+    // parallelism-floor grid only buys scheduler overhead — free-attribute
+    // replication fans tiny rows into ~32 near-empty cells and the trie
+    // work fragments into sub-millisecond tasks (the S7 capped-graph gate's
+    // fixed ~0.8 s apparatus). One cell = one co-located enumeration, same
+    // machinery. An explicit maxCells (a user's fixed grid) wins as before.
+    val singleCellBytes =
+      session.conf.get("graft.wcoj.singleCellBytes", (4L << 20).toString).toLong
+    val sized =
+      if (maxCells <= 0 && stats.map(_.bytes).sum <= singleCellBytes)
+        HyperCube.optimalSharesStat(ord.toSeq, stats, 1)
+      else HyperCube.budgetedShares(ord.toSeq, stats, cells, budget, cap)
     chosen = Some(sized)
     val shares = sized.shares
     val bcShares = sc.broadcast(shares)

@@ -115,6 +115,57 @@ object SkewStats {
     * Bytes are the routed-payload estimate: an Array[Long] row costs
     * 8·width data + ~24 object/header overhead.
     */
+  /** Stats for ALL prepared relations in ONE job: inputs are unioned with
+    * a relation tag and aggregated together. The per-relation form cost one
+    * scheduler round-trip per relation — on an 8-edge pattern over tiny
+    * inputs those 8 round-trips WERE the apparatus floor (StockCompare r14:
+    * S7 on the capped graph ran 2.5× a stock binary plan, most of it fixed
+    * overhead). One union job also materializes every child's cache in a
+    * single wave instead of sequentially.
+    */
+  def relStats(preps: Seq[(Array[String], RDD[Array[Long]])],
+      skewAware: Boolean): Seq[HyperCube.RelStat] = {
+    if (preps.isEmpty) return Nil
+    val sc = preps.head._2.sparkContext
+    val widths = preps.map(_._1.length).toArray
+    val tagged = sc.union(preps.zipWithIndex.map { case ((_, rdd), i) =>
+      rdd.map(r => (i, r))
+    }.toSeq)
+    val zero = (new Array[Long](preps.size),
+      if (skewAware) widths.map(w => Array.fill(w)(new MisraGries(32)))
+      else Array.empty[Array[MisraGries]])
+    val (counts, sketches) = tagged.treeAggregate(zero)(
+      seqOp = { case ((n, sk), (i, row)) =>
+        n(i) += 1
+        if (sk.nonEmpty) {
+          var j = 0
+          while (j < row.length) { sk(i)(j).add(row(j)); j += 1 }
+        }
+        (n, sk)
+      },
+      combOp = { case ((n1, a), (n2, b)) =>
+        var i = 0
+        while (i < n1.length) { n1(i) += n2(i); i += 1 }
+        if (a.nonEmpty) {
+          var r = 0
+          while (r < a.length) {
+            var j = 0
+            while (j < a(r).length) { a(r)(j).merge(b(r)(j)); j += 1 }
+            r += 1
+          }
+        }
+        (n1, a)
+      })
+    preps.zipWithIndex.map { case ((attrs, _), i) =>
+      val n = counts(i)
+      val heavy =
+        if (!skewAware || n == 0) Map.empty[String, Double]
+        else attrs.indices.map(j =>
+          attrs(j) -> sketches(i)(j).maxCount.toDouble / n).toMap
+      HyperCube.RelStat(attrs.toSet, n, n * (8L * attrs.length + 24), heavy)
+    }
+  }
+
   def relStat(attrs: Array[String], rdd: RDD[Array[Long]],
       skewAware: Boolean): HyperCube.RelStat = {
     val width = attrs.length

@@ -25,28 +25,33 @@ import org.apache.spark.sql.functions._
   * systematically inherits warmer JIT/caches from running later).
   *
   * Measured at sf0.1 / local[32] (2026-08-16, round 14, full 24-row
-  * pass): q1 1.02, q5 1.06, WCOJ triangle 0.88, as-of 0.92, interval
-  * 1.17, gap-fill LOCF 0.98, interleave 0.92, containment 0.41, rank
-  * blend 0.84, token drift 0.86, SQ8-vs-exact 0.90, suffix-dup
-  * sort-adjacency 0.97, rendezvous in-row argmax 0.40, leak-free split
-  * 1.02, windowed distinct HLL 1.29 vs native approx_count_distinct and
-  * 1.20 vs DataSketches, cdc upsert 1.96, ingest crawl 1.55, S7 one-bag
-  * WCOJ 2.50, S4 clique WCOJ on the medium graph **0.06** (engine 1.19 s
-  * vs stock binary 21.6 s), core+tail hybrid 1.48, adaptive index ANN
-  * 1.88, stream outer interval 17.55 vs a toy batch join (context row)
-  * and **1.09 vs the identical join written in raw Spark Structured
-  * Streaming** — the apples-to-apples comparator that reclassifies the
-  * r13 weak row: the premium is Spark's own streaming apparatus, not
-  * engine overhead.
+  * pass, committed as stockcompare_r14.txt): q1 0.94, q5 1.02, WCOJ
+  * triangle 0.78, as-of 1.01, interval 1.18, gap-fill LOCF 0.92,
+  * interleave 0.88, containment 0.49, rank blend 0.86, token drift
+  * 0.84, SQ8-vs-exact 0.94, suffix-dup sort-adjacency 0.95, rendezvous
+  * in-row argmax 0.42, leak-free split 1.00, windowed distinct HLL 1.15
+  * vs native approx_count_distinct and 1.15 vs DataSketches, cdc upsert
+  * 1.92, ingest crawl 1.50, S7 one-bag WCOJ 1.44, S4 clique WCOJ on the
+  * medium graph **0.05** (engine 1.09 s vs stock binary 23.6 s),
+  * core+tail hybrid 1.11, adaptive index ANN 1.96, stream outer
+  * interval 14.5 vs a toy batch join (context row) and **1.09 vs the
+  * identical join written in raw Spark Structured Streaming** — the
+  * apples-to-apples comparator that reclassifies the r13 weak row: the
+  * premium is Spark's own streaming apparatus, not engine overhead.
+  * EVERY non-sink row is under the 2× bar.
   *
   * Reading the WCOJ pair (rows 19/19b): the premium is DENSITY-
   * dependent. On the degree-capped graph (deg ≤ 6) binary plans are
-  * cheap and the trie apparatus costs 2.5× of half a second; on the
-  * medium graph the same plan class blows up its path-2 intermediates
-  * and the one-bag enumeration wins 18×. The wcoj route is opt-in per
-  * call, so callers pay the premium only where binary would explode —
-  * and ScaleCheck's wcoj_coretail_hybrid pins the r14 hybrid ≥ both
-  * pure routes on the dense-core+large-tail shape. The adaptive-index
+  * cheap — the S7 row read 2.50× before the r14 measured-small
+  * single-cell route collapsed the grid (8 tiny relations were paying
+  * ~10 scheduler round-trips: one stats job per relation + a 32-cell
+  * shuffle of half a megabyte; now one combined stats job + one cell →
+  * 1.44×) — while on the medium graph the same plan class blows up its
+  * path-2 intermediates and the one-bag enumeration wins ~20×. The wcoj
+  * route is opt-in per call, so callers pay the (now small) premium only
+  * where binary would explode — and ScaleCheck's wcoj_coretail_hybrid
+  * pins the r14 hybrid ≥ both pure routes on the dense-core+large-tail
+  * shape. The adaptive-index
   * row prices the store round-trip at a corpus size where a brute scan
   * is trivially fast; the index exists for the 100 TB regime where the
   * corpus-side assignment is paid once (cell-pruned reads thereafter).
