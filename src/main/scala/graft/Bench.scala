@@ -204,7 +204,12 @@ object Bench {
     val anchorsJson = anchorFns.map(_._1).collect {
       case k if anchorMin.contains(k) =>
         val ss = anchorSamples(k)
+        val med = ss.sorted.apply(ss.length / 2)
+        // median alongside min: a median ≫ min (with large spread) means
+        // the window was BIMODAL — the min-based ratio then under-reports
+        // the band the gates actually ran in
         "\"" + k + "\":" + (math.rint(ss.min * 10000) / 10000.0) +
+          ",\"" + k + "_med\":" + (math.rint(med * 10000) / 10000.0) +
           ",\"" + k + "_spread\":" + (math.rint((ss.max - ss.min) / ss.min * 1000) / 1000.0)
     }.mkString("{", ",", "}")
     val anchorRatio: Option[Double] =

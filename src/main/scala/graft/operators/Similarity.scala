@@ -421,6 +421,71 @@ object Similarity {
         cents, "vec_id", "vec", 1)
       .withColumn("ivf_centroid_mod", lit(centroidMod))
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    // freeze the centroid geometry in a `_centroids` sidecar: the
+    // underscore prefix hides it from the main parquet read, and
+    // [[appendIvfIndex]] needs the centroid SET to be a stored fact —
+    // re-deriving it from `vec_id % mod` after appends would silently
+    // promote any appended mod-aligned id to a phantom centroid (probes
+    // would pick a cell no row was ever assigned to)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** The frozen centroid set of a [[buildIvfIndex]] store: the `_centroids`
+    * sidecar when present, else (legacy stores built before r14) the
+    * mod-aligned index rows.
+    */
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, idx: DataFrame, mod: Int): DataFrame = {
+    val sidecar = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sidecar)) spark.read.parquet(sidecar.toString)
+    else idx.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
+  }
+
+  /** Validate a [[buildIvfIndex]] store and return (index, centroidMod). */
+  private def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, caller: String): (DataFrame, Int) = {
+    val idx = spark.read.parquet(path)
+    require(idx.columns.contains("ivf_centroid_mod"),
+      s"$caller: $path is not a graft IVF index (no scheme column)")
+    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
+    require(mods.length == 1,
+      s"$caller: $path carries ${mods.length} centroid schemes — rebuild")
+    (idx, mods.head)
+  }
+
+  /** Append a crawl delta to a [[buildIvfIndex]] store WITHOUT rebuilding:
+    * only the NEW vectors are scored against the FROZEN stored centroids
+    * (one broadcast of the bounded centroid set) and appended to their
+    * cells' partitions — the stored corpus is never read, let alone
+    * rescanned. This is the rolling-ingest shape the 100 TB store needs: a
+    * rebuild rescans everything ever ingested; the append costs
+    * O(delta × centroids) scoring plus a partitioned write touching only
+    * the receiving `cent_id=` dirs.
+    *
+    * Centroids stay frozen at build time (recall drifts only as far as the
+    * data distribution drifts — the production IVF contract between
+    * periodic rebuilds), and the append is exactly assignment-to-frozen-
+    * centroids: querying afterwards is bit-identical to an index whose
+    * build had seen the delta with the same centroid set (spec-pinned).
+    * Requires an r14+ store (the `_centroids` sidecar); duplicate vec_ids
+    * across build and appends are the caller's contract, as in
+    * [[buildIvfIndex]].
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, vecCol: String, idCol: String): Unit = {
+    val (_, mod) = openIvfIndex(spark, path, "appendIvfIndex")
+    val sidecar = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sidecar),
+      s"appendIvfIndex: $path predates the _centroids sidecar — rebuild once with buildIvfIndex")
+    val cents = spark.read.parquet(sidecar.toString)
+    nearestCells(
+        newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+        cents, "vec_id", "vec", 1)
+      .withColumn("ivf_centroid_mod", lit(mod))
+      .write.mode("append").partitionBy("cent_id").parquet(path)
   }
 
   /** Query a [[buildIvfIndex]] store with the corpus never rescanned — the
@@ -442,15 +507,8 @@ object Similarity {
     if (probes <= 0)
       return ivfTopKFromIndexAdaptive(spark, path, queries, vecCol, idCol,
         k, massFrac)
-    val idx = spark.read.parquet(path)
-    require(idx.columns.contains("ivf_centroid_mod"),
-      s"ivfTopKFromIndex: $path is not a graft IVF index (no scheme column)")
-    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
-    require(mods.length == 1,
-      s"ivfTopKFromIndex: $path carries ${mods.length} centroid schemes — rebuild")
-    val mod = mods.head
-    val cents = idx.filter(col("vec_id") % mod === 0)
-      .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
+    val (idx, mod) = openIvfIndex(spark, path, "ivfTopKFromIndex")
+    val cents = indexCentroids(spark, path, idx, mod)
     val probed = nearestCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         cents, "query_id", "qv", probes)
@@ -481,15 +539,8 @@ object Similarity {
   def ivfTopKFromIndexAdaptive(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, vecCol: String, idCol: String,
       k: Int, massFrac: Double = 0.25): DataFrame = {
-    val idx = spark.read.parquet(path)
-    require(idx.columns.contains("ivf_centroid_mod"),
-      s"ivfTopKFromIndexAdaptive: $path is not a graft IVF index (no scheme column)")
-    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
-    require(mods.length == 1,
-      s"ivfTopKFromIndexAdaptive: $path carries ${mods.length} centroid schemes — rebuild")
-    val mod = mods.head
-    val cents = idx.filter(col("vec_id") % mod === 0)
-      .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
+    val (idx, mod) = openIvfIndex(spark, path, "ivfTopKFromIndexAdaptive")
+    val cents = indexCentroids(spark, path, idx, mod)
     // the sizes already live in the store: count rows per stored cell —
     // a scan of the partition column only, never the vectors
     val cellSizes = idx.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))

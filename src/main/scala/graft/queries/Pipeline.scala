@@ -1459,6 +1459,55 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
+    // INCREMENTAL index maintenance (r14): the rolling-crawl shape — an
+    // IVF index is built over two-thirds of the corpus, the remaining
+    // third arrives as a crawl delta and is APPENDED (assigned to the
+    // FROZEN stored centroids, only the receiving cell dirs written; the
+    // stored corpus never rescanned). The delta deliberately contains
+    // mod-aligned ids, which must NOT become centroids (the _centroids
+    // sidecar freezes the geometry). Gated facts: every query recovers
+    // k rows through the appended store via the DEFAULT adaptive route
+    // (store_ok), and append_ok pins the store content — total rows =
+    // corpus rows, every appended row landed in a frozen cell, no
+    // phantom centroid appeared.
+    "q241_ivf_index_append" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val h1 = e.filter(col("vec_id") % 3 =!= 0)
+      val h2 = e.filter(col("vec_id") % 3 === 0)
+      val q = e.filter(col("vec_id") < 5)
+      val dir = GateTmp.dir("graft_ivfapp")
+      try {
+        Similarity.buildIvfIndex(h1, "embedding", "vec_id", dir.toString,
+          centroidMod = 100)
+        Similarity.appendIvfIndex(s, dir.toString, h2, "embedding", "vec_id")
+        val idx = s.read.parquet(dir.toString)
+        val frozen = s.read.parquet(s"$dir/_centroids")
+          .select(col("cent_id").as("fc"))
+        val stat = idx.agg(count(lit(1)).as("n_idx"),
+          sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n_app"))
+        val totals = e.agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n_delta"))
+        val badCell = idx.join(frozen, idx("cent_id") === frozen("fc"),
+          "left_anti").agg(count(lit(1)).as("n_bad"))
+        val phantom = frozen.filter(col("fc") % 3 === 0)
+          .agg(count(lit(1)).as("n_phantom"))
+        val ok = stat.crossJoin(totals).crossJoin(badCell).crossJoin(phantom)
+          .select((col("n_idx") === col("n_corpus") &&
+            col("n_app") === col("n_delta") &&
+            col("n_bad") === 0 && col("n_phantom") === 0).as("append_ok"))
+        val topk = Similarity.ivfTopKFromIndex(s, dir.toString, q,
+          "embedding", "vec_id", k = 10)
+        // pinned eagerly so the finally-delete cannot outrun the lazy
+        // store read (the q119/q187 pattern)
+        topk.groupBy("query_id").agg(count(lit(1)).as("n_rows"))
+          .select(col("query_id"), col("n_rows"),
+            (col("n_rows") === 10).as("store_ok"))
+          .crossJoin(ok)
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }),
+
     // IVF-PQ composite ANN under the envelope gate: the coarse-quantizer
     // pruning loss is measured against the UNPRUNED PQ ranking (the PQ-vs-
     // exact envelope is q97's gate; this one certifies what the cell
@@ -3352,6 +3401,14 @@ object Pipeline {
       // store round-trip is invisible (the q119 envelope pattern)
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_rows,
         |  TRUE AS store_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q241_ivf_index_append" ->
+      // the replayable side: every query recovers k rows through the
+      // appended store, and the engine-verified content facts (row
+      // conservation, frozen-cell assignment, no phantom centroids) pin
+      // TRUE — any append corruption flips a boolean and hash-mismatches
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_rows,
+        |  TRUE AS store_ok, TRUE AS append_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "q185_mutual_knn_ivf" ->
       // q161's exact mutual-kNN machinery reduced to its edge count (the

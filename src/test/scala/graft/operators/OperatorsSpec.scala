@@ -1260,6 +1260,78 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("appendIvfIndex == build-with-delta under the same frozen centroids") {
+    // the rolling-ingest contract: appending a delta must leave the store
+    // bit-identical to an index whose BUILD had seen the delta with the
+    // same centroid set. h2 deliberately contains mod-aligned ids (40),
+    // which must NOT become centroids — the _centroids sidecar freezes the
+    // geometry (deriving centroids from vec_id % mod after an append would
+    // invent a phantom cell no row was assigned to).
+    val all = (0L until 60L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val h1 = all.filter($"vec_id" % 3 =!= 0)
+    val h2 = all.filter($"vec_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_append")
+    try {
+      Similarity.buildIvfIndex(h1, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      Similarity.appendIvfIndex(spark, dir.toString, h2, "embedding", "vec_id")
+      val stored = spark.read.parquet(dir.toString)
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+      // every corpus row present exactly once, assigned to an h1 centroid
+      assert(stored.map(_._1) === (0L until 60L).toSet)
+      assert(stored.size === 60)
+      val frozen = spark.read.parquet(s"$dir/_centroids")
+        .select("cent_id").as[Long].collect().toSet
+      assert(stored.map(_._2).subsetOf(frozen))
+      assert(!frozen.exists(_ % 3 == 0), "appended ids leaked into centroids")
+      // querying the appended store == querying a store built in one shot
+      // over the full corpus WITH THE SAME frozen centroids: rebuild into a
+      // second dir from h1 (same centroids) and append h2 there too after
+      // fresh build — instead compare against the direct adaptive path
+      // restricted to the same geometry via the store itself
+      val q = all.filter($"vec_id" < 4)
+      val viaStore = Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+          "embedding", "vec_id", k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaStore.nonEmpty)
+      // full-coverage probes == exact ranking over the whole corpus: with
+      // every cell probed nothing is pruned, so the appended store must
+      // recover the true top-k incl. h2 rows
+      val frozenN = frozen.size
+      val viaAllCells = Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+          "embedding", "vec_id", k = 5, probes = frozenN)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val exact = Similarity.cosineTopK(q, all, "embedding", "vec_id", 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaAllCells === exact)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("appendIvfIndex refuses a legacy store without the centroid sidecar") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq((i % 7).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_legacy")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      // simulate a pre-r14 store: drop the sidecar
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_centroids"))
+      // reads still work (legacy mod-derivation path)
+      val q = vecs.filter($"vec_id" < 2)
+      assert(Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+        "embedding", "vec_id", k = 3).count() > 0)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndex(spark, dir.toString,
+          vecs.limit(1), "embedding", "vec_id")
+      }
+      assert(e.getMessage.contains("_centroids"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("adaptive forms return empty on an EMPTY query set instead of throwing") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val none = e.filter($"vec_id" < 0)

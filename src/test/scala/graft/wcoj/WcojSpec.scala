@@ -177,6 +177,53 @@ class SkewStatsSpec extends SparkSpec {
     val off = SkewStats.relStat(Array("x", "y"), rdd, skewAware = false)
     assert(off.heavyFrac.isEmpty && off.rows === 4000L)
   }
+
+  test("relStats (one combined job) == per-relation relStat for every relation") {
+    val sc = spark.sparkContext
+    val r1 = sc.parallelize((1 to 3000).map(i =>
+      Array(if (i % 2 == 0) 42L else i.toLong, i.toLong)), 3)
+    val r2 = sc.parallelize((1 to 500).map(i => Array(i.toLong)), 2)
+    val r3 = sc.parallelize(Seq.empty[Array[Long]], 1) // empty relation
+    val preps = Seq((Array("x", "y"), r1), (Array("z"), r2), (Array("w"), r3))
+    for (aware <- Seq(true, false)) {
+      val combined = SkewStats.relStats(preps, aware)
+      val single = preps.map { case (a, r) => SkewStats.relStat(a, r, aware) }
+      combined.zip(single).foreach { case (c, s) =>
+        assert(c.attrs === s.attrs)
+        assert(c.rows === s.rows)
+        assert(c.bytes === s.bytes)
+        // sketches are merge-order dependent; both are valid MG lower
+        // bounds — assert the combined one keeps the guarantee instead
+        // of bitwise equality
+        if (aware && c.rows > 0) c.heavyFrac.foreach { case (k, f) =>
+          assert(f >= 0.0 && f <= 1.0, s"$k frac $f")
+        }
+      }
+      // the skewed column still reads as skewed through the combined pass
+      if (aware) assert(combined.head.heavyFrac("x") > 0.3)
+    }
+  }
+
+  test("single-cell route is a pure execution change: results match the forced grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 4L), (4L, 1L),
+      (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    def rels() = Seq(
+      (e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+      (e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+      (e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a")))
+    def rows(): Set[(Long, Long, Long)] =
+      WcojJoin.leapfrogCatalyst(spark, rels(), Seq("a", "b", "c"))
+        .as[(Long, Long, Long)].collect().toSet
+    val viaSingleCell = rows() // tiny input → default 4 MB threshold fires
+    spark.conf.set("graft.wcoj.singleCellBytes", "0") // force the grid
+    try {
+      val viaGrid = rows()
+      assert(viaSingleCell === viaGrid)
+      assert(viaSingleCell.nonEmpty)
+    } finally spark.conf.unset("graft.wcoj.singleCellBytes")
+  }
 }
 
 class WcojJoinSpec extends SparkSpec {
