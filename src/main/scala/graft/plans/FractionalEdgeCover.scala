@@ -88,4 +88,24 @@ object FractionalEdgeCover {
     val restricted = edgeAttrs.map(_.intersect(bagAttrs).map(verts)).filter(_.nonEmpty)
     if (bagAttrs.isEmpty) 0.0 else solve(verts.size, restricted)._1
   }
+
+  /** The AGM output bound itself: Π |R_e|^{x_e} at the optimal fractional
+    * edge cover — a true worst-case cap on the join's binding count from row
+    * counts alone. Edges that don't touch the bag contribute nothing; empty
+    * relations are floored at 1 row (their exponent is then moot — callers
+    * short-circuit empty inputs before asking for a bound).
+    */
+  def agmBound(bagAttrs: Set[String], edges: Seq[(Set[String], Long)]): Double = {
+    if (bagAttrs.isEmpty) return 1.0
+    val verts = bagAttrs.toSeq.sorted.zipWithIndex.toMap
+    val kept = edges.zipWithIndex
+      .map { case ((as, n), i) => (as.intersect(bagAttrs).map(verts), n, i) }
+      .filter(_._1.nonEmpty)
+    val (_, x) = solve(verts.size, kept.map(_._1))
+    // sum in log space: exponents up to the edge count keep the product far
+    // from Double overflow for any realistic count, but log is cheap and safe
+    math.exp(kept.zip(x).map { case ((_, n, _), xe) =>
+      xe * math.log(math.max(n, 1L).toDouble)
+    }.sum)
+  }
 }

@@ -123,12 +123,44 @@ final case class LeapFrogJoinExec(
     // work fragments into sub-millisecond tasks (the S7 capped-graph gate's
     // fixed ~0.8 s apparatus). One cell = one co-located enumeration, same
     // machinery. An explicit maxCells (a user's fixed grid) wins as before.
+    //
+    // BUT input bytes alone are blind to output cardinality: a cyclic join
+    // with tiny inputs can have AGM-large output (the 4-cycle on the
+    // sf0.1 medium graph routes ~4 MB yet enumerates 27.8M bindings —
+    // serialized into one task that collapse cost ×6.5). So the collapse
+    // additionally requires a small ESTIMATED OUTPUT, bounded two ways and
+    // taking the tighter: (1) the AGM bound Π nᵢ^xᵢ at the optimal
+    // fractional edge cover over the in-hand RelStat counts — free, but
+    // blind to degree caps (capped-graph S6: AGM 5.9e7 vs 1.6e5 actual);
+    // (2) when AGM alone says "too big", one EXACT degree-sequence bound
+    // job over the still-cached inputs — milliseconds by construction,
+    // since this regime already measured ≤ singleCellBytes of payload.
+    // Budget default 16M bindings: one doubling above the largest measured
+    // single-cell WINNER (dense triangle, bound 9.2M / actual 8.3M, beats
+    // the grid 1.27 vs 1.40 s), and 20× under the smallest measured LOSER
+    // (the 4-cycle, bound 3.9e8 — grid 2.3 s vs serial 8.5+ s). At the
+    // budget a worst-case serial tail is ~2.5 s (codegen'd count
+    // enumeration measures ~6M bindings/s/task) — the same order as the
+    // grid's fixed apparatus, so the threshold sits at the break-even.
     val singleCellBytes =
       session.conf.get("graft.wcoj.singleCellBytes", (4L << 20).toString).toLong
+    val bindingBudget = session.conf.get(
+      "graft.wcoj.singleCellMaxBindings", (16L << 20).toString).toLong
+    val smallOutput = maxCells <= 0 &&
+      stats.map(_.bytes).sum <= singleCellBytes && {
+        val agm = graft.plans.FractionalEdgeCover.agmBound(
+          ord.toSet, stats.map(s => (s.attrs, s.rows)))
+        val bound =
+          if (agm <= bindingBudget.toDouble) agm
+          else math.min(agm, SkewStats.degreeBound(prepped, ord.toSeq))
+        session.conf.set("graft.wcoj.lastOutputBound",
+          math.min(bound, Long.MaxValue.toDouble).toLong.toString)
+        bound <= bindingBudget.toDouble
+      }
     val sized =
-      if (maxCells <= 0 && stats.map(_.bytes).sum <= singleCellBytes)
-        HyperCube.optimalSharesStat(ord.toSeq, stats, 1)
+      if (smallOutput) HyperCube.optimalSharesStat(ord.toSeq, stats, 1)
       else HyperCube.budgetedShares(ord.toSeq, stats, cells, budget, cap)
+    session.conf.set("graft.wcoj.lastCells", sized.shares.numCells.toString)
     chosen = Some(sized)
     val shares = sized.shares
     val bcShares = sc.broadcast(shares)

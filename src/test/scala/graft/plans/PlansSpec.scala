@@ -31,6 +31,29 @@ class FractionalEdgeCoverSpec extends AnyFunSuite {
   test("uncoverable vertex rejected") {
     intercept[IllegalArgumentException](FractionalEdgeCover.solve(2, Seq(Set(0))))
   }
+
+  test("agmBound: triangle is n^1.5, 4-cycle is n^2, path is product of ends") {
+    val tri = FractionalEdgeCover.agmBound(Set("a", "b", "c"),
+      Seq((Set("a", "b"), 100L), (Set("b", "c"), 100L), (Set("a", "c"), 100L)))
+    assert(math.abs(tri - math.pow(100, 1.5)) < 1e-6)
+    val cyc = FractionalEdgeCover.agmBound(Set("a", "b", "c", "d"),
+      Seq((Set("a", "b"), 50L), (Set("b", "c"), 50L),
+        (Set("c", "d"), 50L), (Set("a", "d"), 50L)))
+    assert(math.abs(cyc - 2500.0) < 1e-6)
+    // path AB-BC: cover AB=1, BC=1 → |AB|·|BC|
+    val path = FractionalEdgeCover.agmBound(Set("a", "b", "c"),
+      Seq((Set("a", "b"), 10L), (Set("b", "c"), 30L)))
+    assert(math.abs(path - 300.0) < 1e-6)
+    // asymmetric triangle: one tiny relation draws cover weight — the bound
+    // must be ≤ the symmetric estimate with the large count
+    val asym = FractionalEdgeCover.agmBound(Set("a", "b", "c"),
+      Seq((Set("a", "b"), 100L), (Set("b", "c"), 100L), (Set("a", "c"), 4L)))
+    assert(asym <= math.pow(100, 1.5) + 1e-6)
+    // edges outside the bag are ignored; empty counts floor at 1
+    val restricted = FractionalEdgeCover.agmBound(Set("a", "b"),
+      Seq((Set("a", "b"), 7L), (Set("x", "y"), 1000000L)))
+    assert(math.abs(restricted - 7.0) < 1e-6)
+  }
 }
 
 class JoinHyperGraphSpec extends AnyFunSuite {

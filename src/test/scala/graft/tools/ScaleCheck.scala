@@ -455,6 +455,43 @@ object ScaleCheck {
       spark.conf.unset("graft.wcoj.cellBudgetBytes")
     }
 
+    // small-input / LARGE-OUTPUT cyclic join (the r14 regression shape): a
+    // near-complete digraph keeps the routed payload tiny (KBs) while the
+    // 4-cycle output grows ~V^4 — the r14 input-bytes-only single-cell
+    // heuristic serialized exactly this into one task (q48: 1.3 → 8.7 s).
+    // The output-aware router must KEEP THE GRID as V grows (bound above
+    // the binding budget), and the forced single-cell arm shows the serial
+    // cliff the router is avoiding. Both arms must agree on the count.
+    {
+      for (v <- Seq(30, 50, 70)) {
+        val edges = spark.range(v.toLong * v)
+          .select((col("id") % v).as("src"), (col("id") / v).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).localCheckpoint(true)
+        def rels() = Seq(
+          (edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+          (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+          (edges.select(col("src").as("c"), col("dst").as("d")), Seq("c", "d")),
+          (edges.select(col("src").as("d"), col("dst").as("a")), Seq("d", "a")))
+        def run(forceSingle: Boolean): (Long, Double, String) = {
+          if (forceSingle)
+            spark.conf.set("graft.wcoj.singleCellMaxBindings", Long.MaxValue.toString)
+          val t0 = System.nanoTime()
+          val n = graft.wcoj.WcojJoin.leapfrogCatalyst(spark, rels(),
+            Seq("a", "b", "c", "d")).count()
+          val cells = spark.conf.get("graft.wcoj.lastCells", "?")
+          spark.conf.unset("graft.wcoj.singleCellMaxBindings")
+          (n, (System.nanoTime() - t0) / 1e9, cells)
+        }
+        val (nG, tG, cellsG) = run(forceSingle = false)
+        val (nS, tS, cellsS) = run(forceSingle = true)
+        require(nG == nS, "routing changed the answer")
+        println(f"[scale] wcoj_highout_4cycle    V=$v%-4d edges=${v * (v - 1)}%6d " +
+          f"out=$nG%10d routed=${tG}%6.2fs(cells=$cellsG) " +
+          f"forced_single=${tS}%6.2fs(cells=$cellsS) " +
+          f"bound=${spark.conf.get("graft.wcoj.lastOutputBound", "?")}")
+      }
+    }
+
     // small-file compaction: the per-dir rewrites are tiny independent
     // jobs, so wall time must track POOL WIDTH, not directory count —
     // two identical 96-dir fragmented trees, one drained serially

@@ -204,6 +204,92 @@ class SkewStatsSpec extends SparkSpec {
     }
   }
 
+  test("degreeBound is a true output cap and exact on hand-built shapes") {
+    val sc = spark.sparkContext
+    // functional chain: edges i -> i+1 (out-degree 1). Triangle bound along
+    // (a,b,c) = distinct(a) × 1 × 1 = n, vs AGM n^1.5 — the capped case.
+    val n = 500
+    val path = sc.parallelize((0 until n).map(i => Array(i.toLong, i + 1L)), 4)
+    val preps = Seq(
+      (Array("a", "b"), path), (Array("b", "c"), path),
+      (Array("a", "c"), path))
+    val bound = SkewStats.degreeBound(preps, Seq("a", "b", "c"))
+    assert(bound === n.toDouble) // distinct(a)=n, caps for b and c are 1
+    // random instance: bound ≥ the actual triangle count, every time
+    val rnd = new scala.util.Random(23)
+    val e = Seq.fill(300)(Array(rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .distinctBy(r => (r(0), r(1))).filter(r => r(0) != r(1))
+    val er = sc.parallelize(e, 3)
+    val rpreps = Seq((Array("a", "b"), er), (Array("b", "c"), er),
+      (Array("a", "c"), sc.parallelize(e.map(r => Array(r(1), r(0))), 3)))
+    val rbound = SkewStats.degreeBound(rpreps, Seq("a", "b", "c"))
+    val actual = (for {
+      x <- e; y <- e; if x(1) == y(0)
+      z <- e; if z(1) == x(0) && z(0) == y(1)
+    } yield 1).size
+    assert(rbound >= actual.toDouble)
+    // empty relation ⇒ empty join ⇒ bound 0
+    val empty = sc.parallelize(Seq.empty[Array[Long]], 1)
+    assert(SkewStats.degreeBound(
+      Seq((Array("a", "b"), er), (Array("b", "c"), empty)),
+      Seq("a", "b", "c")) === 0.0)
+  }
+
+  test("single-cell collapse is output-aware: small input with large estimated output keeps the grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // near-complete digraph on 30 nodes: ~870 edges ≈ 35 KB routed (far
+    // under the 4 MB payload threshold), but triangle AGM ≈ 870^1.5 ≈ 25.7k
+    // and degree bound ≈ 30·29·29 ≈ 25.2k — with the binding budget set
+    // below that, the collapse must NOT fire (this is the q48 shape: the
+    // r14 input-bytes-only heuristic serialized a 27.8M-binding 4-cycle
+    // into one task)
+    val edges = (for { u <- 0 until 30; v <- 0 until 30; if u != v }
+      yield (u.toLong, v.toLong)).toDF("src", "dst")
+    def rels() = Seq(
+      (edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+      (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+      (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a")))
+    def countRows(): Long =
+      WcojJoin.leapfrogCatalyst(spark, rels(), Seq("a", "b", "c")).count()
+    try {
+      spark.conf.set("graft.wcoj.singleCellMaxBindings", "1000")
+      val viaGrid = countRows()
+      assert(spark.conf.get("graft.wcoj.lastCells").toInt > 1,
+        "estimated-large output must keep the parallel grid")
+      assert(spark.conf.get("graft.wcoj.lastOutputBound").toLong > 1000L)
+      spark.conf.set("graft.wcoj.singleCellMaxBindings", (16L << 20).toString)
+      val viaSingle = countRows()
+      assert(spark.conf.get("graft.wcoj.lastCells").toInt === 1)
+      assert(viaGrid === viaSingle) // routing is a pure execution change
+      assert(viaGrid > 0L)
+    } finally spark.conf.unset("graft.wcoj.singleCellMaxBindings")
+  }
+
+  test("degree-capped inputs still collapse to one cell when AGM alone is too loose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // functional graph i -> (i+1) mod n: AGM for the triangle is n^1.5
+    // (≈ 31.6k at n=1000) but the true output cap is n (out-degree 1) —
+    // the q227/q228 capped-graph shape. With the budget between the two,
+    // only the exact degree-sequence refinement can (and must) keep the
+    // single-cell win.
+    val n = 1000L
+    val edges = spark.range(n).select(
+      col("id").as("src"), ((col("id") + 1L) % n).as("dst"))
+    val rels = Seq(
+      (edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+      (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+      (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a")))
+    try {
+      spark.conf.set("graft.wcoj.singleCellMaxBindings", "5000")
+      WcojJoin.leapfrogCatalyst(spark, rels, Seq("a", "b", "c")).count(): Unit
+      assert(spark.conf.get("graft.wcoj.lastCells").toInt === 1,
+        "degree bound (n) is under budget — the collapse must still fire")
+      assert(spark.conf.get("graft.wcoj.lastOutputBound").toLong <= 5000L)
+    } finally spark.conf.unset("graft.wcoj.singleCellMaxBindings")
+  }
+
   test("single-cell route is a pure execution change: results match the forced grid") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
