@@ -201,25 +201,100 @@ object Bench {
       "anchor_scan_agg" -> 0.144, "anchor_bcast_join" -> 0.084,
       "anchor_shuffle_join" -> 0.369)
     val anchorMin = anchorSamples.view.mapValues(_.min).toMap
+    val anchorMed = anchorSamples.view
+      .mapValues(ss => ss.sorted.apply(ss.length / 2)).toMap
     val anchorsJson = anchorFns.map(_._1).collect {
       case k if anchorMin.contains(k) =>
         val ss = anchorSamples(k)
-        val med = ss.sorted.apply(ss.length / 2)
         // median alongside min: a median ≫ min (with large spread) means
         // the window was BIMODAL — the min-based ratio then under-reports
         // the band the gates actually ran in
         "\"" + k + "\":" + (math.rint(ss.min * 10000) / 10000.0) +
-          ",\"" + k + "_med\":" + (math.rint(med * 10000) / 10000.0) +
+          ",\"" + k + "_med\":" + (math.rint(anchorMed(k) * 10000) / 10000.0) +
           ",\"" + k + "_spread\":" + (math.rint((ss.max - ss.min) / ss.min * 1000) / 1000.0)
     }.mkString("{", ",", "}")
-    val anchorRatio: Option[Double] =
-      if (!sfDir.stripSuffix("/").endsWith("sf0.1") ||
-        anchorRef.keys.exists(k => !anchorMin.contains(k))) None
-      else Some(anchorRef.keys.map(k => anchorMin(k)).sum /
-        anchorRef.values.sum)
+    // min-vs-median basis, AUTOMATED (r14 left it to the README narrative):
+    // in a coherent window the min-of-9 anchor samples are the right
+    // estimator (same semantics as the gates' min-of-N); in a BIMODAL
+    // window the mins catch transient fast moments the gates never got —
+    // r14 measured min-ratio ≈0.9 while gates ran ~1.2× slow. Detection =
+    // medians well above mins (sum ratio ≥ 1.3) with large in-run spreads
+    // (avg ≥ 0.8); the record says which basis it used.
+    val haveAll = anchorRef.keys.forall(anchorMin.contains)
+    val (ratioBasis, anchorRatio): (String, Option[Double]) =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1") || !haveAll) ("none", None)
+      else {
+        val minSum = anchorRef.keys.map(anchorMin(_)).sum
+        val medSum = anchorRef.keys.map(anchorMed(_)).sum
+        val avgSpread = anchorRef.keys.map { k =>
+          val ss = anchorSamples(k); (ss.max - ss.min) / ss.min
+        }.sum / anchorRef.size
+        val bimodal = medSum / minSum >= 1.3 && avgSpread >= 0.8
+        val basis = if (bimodal) "median" else "min"
+        (basis, Some((if (bimodal) medSum else minSum) / anchorRef.values.sum))
+      }
     val normJson = anchorRatio.map { r =>
-      s""","anchor_ratio":${math.rint(r * 1000) / 1000.0},"total_anchor_normalized":${math.rint(total / r * 1000) / 1000.0}"""
+      s""","anchor_ratio":${math.rint(r * 1000) / 1000.0},"anchor_ratio_basis":"$ratioBasis","total_anchor_normalized":${math.rint(total / r * 1000) / 1000.0}"""
     }.getOrElse("")
+    // the pinned reference values ride INSIDE the record (ADVICE r14): a
+    // downstream comparison can see what the normalization divided by, and
+    // that the constants are one box/day's calibration — the normalized
+    // total is a band estimate, not a precise number
+    val anchorRefJson = anchorRef.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","anchor_ref":{""", ",", "}")
+    // PER-GATE regression tripwire (VERDICT r14 #2): the q48 ×6.5 shipped
+    // because only totals were compared. Before overwriting, read the
+    // PREVIOUS committed record and compare every overlapping gate's
+    // anchor-normalized time; everything above ×1.5 (with a prior time
+    // ≥ 0.05 s — sub-50 ms gates flap on scheduler noise alone) lands in
+    // the record's `regressions` field and on stderr. The README round
+    // narrative must enumerate that list, empty or explained.
+    val regressionsJson = {
+      val prevPath = java.nio.file.Paths.get("bench_out.json")
+      val prev = try {
+        if (java.nio.file.Files.exists(prevPath))
+          Some(java.nio.file.Files.readString(prevPath))
+        else None
+      } catch { case _: Exception => None }
+      val entries = prev.toSeq.flatMap { p =>
+        val prevRatio = raw""""anchor_ratio":([0-9.]+)""".r
+          .findFirstMatchIn(p).map(_.group(1).toDouble).getOrElse(1.0)
+        val curRatio = anchorRatio.getOrElse(1.0)
+        val qBlock = p.indexOf("\"queries\":{")
+        if (qBlock < 0) Nil
+        else {
+          val inner = p.substring(qBlock + "\"queries\":{".length,
+            p.indexOf("}", qBlock))
+          raw""""([a-zA-Z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner).flatMap { m =>
+            val (name, prevRaw) = (m.group(1), m.group(2).toDouble)
+            times.get(name).flatMap { curRaw =>
+              val prevNorm = prevRaw / prevRatio
+              val curNorm = curRaw / curRatio
+              if (prevRaw >= 0.05 && !errors.contains(name) &&
+                  curNorm / prevNorm > 1.5) {
+                System.err.println(f"[bench] REGRESSION $name: " +
+                  f"$prevNorm%.2f -> $curNorm%.2f s anchor-normalized " +
+                  f"(x${curNorm / prevNorm}%.2f)")
+                Some("\"" + name + "\":{\"prev_norm\":" +
+                  math.rint(prevNorm * 1000) / 1000.0 + ",\"cur_norm\":" +
+                  math.rint(curNorm * 1000) / 1000.0 + ",\"ratio\":" +
+                  math.rint(curNorm / prevNorm * 100) / 100.0 + "}")
+              } else None
+            }
+          }.toSeq
+        }
+      }
+      entries.mkString(""","regressions":{""", ",", "}")
+    }
+    // environment observability (VERDICT r14 #3): which tmp base the gates'
+    // checkpoint/store I/O resolved (/dev/shm vs the java.io.tmpdir
+    // fallback) and how much room it had — the one cross-box variable the
+    // q214 investigation could not see in the committed records
+    val envJson = {
+      val (tmpBase, tmpFree) = graft.queries.GateTmp.info
+      s""","env":{"tmp_base":"$tmpBase","tmp_free_bytes":$tmpFree}"""
+    }
     // per-pass phase decompositions, pass order restored (lists were built
     // head-first)
     val phasesJson = phaseLog.toSeq.sortBy(_._1).map { case (name, ps) =>
@@ -235,7 +310,7 @@ object Bench {
     val minOf3 =
       if (minOf3Set.isEmpty) "[]"
       else minOf3Set.sorted.mkString("[\"", "\",\"", "\"]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"anchors":$anchorsJson$normJson,"phases":$phasesJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"anchors":$anchorsJson$normJson$anchorRefJson$regressionsJson$envJson,"phases":$phasesJson,"sf":"$sfDir"}"""
     println(json)
     // the driver snapshots only a stdout tail (2000 chars — fewer than the
     // per-query map needs past ~65 queries); the full line also lands in a

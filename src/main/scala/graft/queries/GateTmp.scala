@@ -20,6 +20,17 @@ object GateTmp {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Which base this process resolved, plus its free bytes — the silent
+    * /dev/shm → java.io.tmpdir fallback (or a near-full tmpfs) is exactly
+    * the cross-box variable the r14 q214 swing investigation could not see,
+    * so the bench record now carries it (VERDICT r14 finding #3).
+    */
+  def info: (String, Long) = {
+    val free = try java.nio.file.Files.getFileStore(base).getUsableSpace
+      catch { case _: Exception => -1L }
+    (base.toString, free)
+  }
+
   /** A fresh temp directory under the fast base — drop-in for
     * `Files.createTempDirectory(prefix)`.
     */

@@ -576,9 +576,15 @@ object Pipeline {
         val res = s.read.parquet(out).select("doc_id").orderBy("doc_id")
           .localCheckpoint(true)
         mark("readback")
+        // fold the per-micro-batch sub-phases (store read / band-join dedup /
+        // publish / signature append, published by ingestDedupStream) into
+        // the gate's phase record: cycle N's swing is now attributable to a
+        // specific sub-step inside the committed bench JSON itself
+        val subPhases = graft.streaming.DocStreams.drainIngestPhases(store)
+        val sub = if (subPhases.isEmpty) "" else "," + subPhases.mkString(",")
         s.conf.set("graft.bench.phases", marks.map { case (n, v) =>
           s"$n:${math.rint(v * 1000) / 1000.0}"
-        }.mkString(","))
+        }.mkString(",") + sub)
         res
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),

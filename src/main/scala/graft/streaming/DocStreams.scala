@@ -382,6 +382,18 @@ object DocStreams {
     } finally pinned.unpersist(false)
   }
 
+  /** Per-micro-batch sub-phase timings published by [[ingestDedupStream]],
+    * keyed by store path (concurrent streams over different stores don't
+    * interleave). Drained — not just read — so one gate invocation's record
+    * never bleeds into the next.
+    */
+  private val ingestPhaseLog = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  def drainIngestPhases(storePath: String): Seq[String] =
+    Option(ingestPhaseLog.remove(storePath))
+      .map(q => q.toArray(Array.empty[String]).toSeq).getOrElse(Nil)
+
   def ingestDedupStream(docs: DataFrame, storePath: String, outPath: String,
       checkpointPath: String, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id",
@@ -390,8 +402,24 @@ object DocStreams {
     import graft.operators.Dedup
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // per-micro-batch sub-phase wall clock, accumulated in a process-
+        // level log (foreachBatch runs on the stream's CLONED session — a
+        // session-conf write would never reach the caller) so a bench gate
+        // can fold it into its published phase record: the r14 cross-box
+        // q214 swing localized to the store-grown cycles but the cycle
+        // number alone could not say WHICH part (store read, dedup band
+        // join, output publish, signature append) carried it
+        var tPhase = System.nanoTime()
+        def mark(n: String): Unit = {
+          val secs = (System.nanoTime() - tPhase) / 1e9
+          tPhase = System.nanoTime()
+          ingestPhaseLog
+            .computeIfAbsent(storePath,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+            .add(s"b${batchId}_$n:${math.rint(secs * 1000) / 1000.0}"): Unit
+        }
         // the batch feeds two plans (the dedup probe and the survivor
         // semi-join) — CACHE it rather than eagerly checkpoint: the first
         // action populates the block store as a side effect of work it was
@@ -409,9 +437,11 @@ object DocStreams {
           val store = parquetIfExists(spark, storePath)
             .getOrElse(Dedup.signatureStore(pinned.limit(0), textCol, idCol,
               shingle, portableIds))
+          mark("store_read")
           val survivors = Dedup.incrementalMinHashDedupFromStore(
             pinned, store, textCol, idCol, threshold,
             shingle = shingle, portableIds = portableIds)
+          mark("dedup") // eager inside (batch-bound pin): the band join ran
           // survivors is eagerly pinned inside the dedup (batch-bound ids),
           // so kept's lineage is cache blocks + that pin — the store append
           // below cannot leak back into it, and the output write doubles as
@@ -422,8 +452,10 @@ object DocStreams {
             .persist()
           try {
             kept.write.mode("append").parquet(outPath)
+            mark("publish")
             Dedup.signatureStore(kept, textCol, idCol, shingle, portableIds)
               .write.mode("append").parquet(storePath)
+            mark("sig_append")
           } finally kept.unpersist(false)
         } finally pinned.unpersist(false)
         ()
