@@ -340,18 +340,6 @@ object Similarity {
       .select(idName, vecName, "cent_id")
   }
 
-  /** The broadcast-budget guard's real replication factor for an adaptive
-    * probe set: one bounded agg over the probed rows (≤ queries × cells).
-    * An EMPTY query set makes max() NULL — read through Option so the
-    * adaptive forms return empty like the non-adaptive ones instead of
-    * throwing on the null.
-    */
-  private def measuredExpansion(probed: DataFrame): Int = {
-    val head = probed.groupBy("query_id")
-      .agg(count(lit(1)).as("n")).agg(max("n")).head()
-    math.max(1L, Option(head.get(0)).map(_.asInstanceOf[Long]).getOrElse(1L)).toInt
-  }
-
   /** [[ivfTopK]] with mass-adaptive probing (see [[nearestCellsByMass]]):
     * each query probes its nearest cells until `massFrac` of the corpus is
     * covered, so the scanned fraction is scale-stable where a fixed
@@ -369,7 +357,11 @@ object Similarity {
     val probed = nearestCellsByMass(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, cellSizes, "query_id", "qv", massFrac)
-    val expansion = measuredExpansion(probed)
+    // |cells| upper-bounds the probe replication (a query keeps a prefix
+    // of cells) — one candidate-id-column count, where r14's MEASURED
+    // expansion executed the whole probed lineage (incl. the corpus
+    // assignment) in a dedicated extra job
+    val expansion = cents.count().toDouble.max(1.0)
     val scored = confinedCellJoin(assigned, probed, "vec_id",
         queries.select(col(idCol), col(vecCol)), expansion = expansion)
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
@@ -391,7 +383,9 @@ object Similarity {
     val probed = nearestCellsByMass(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, cellSizes, "query_id", "qv", massFrac)
-    val expansion = measuredExpansion(probed)
+    // |cells| upper bound instead of the r14 measured-expansion job — see
+    // [[ivfTopKAdaptive]]
+    val expansion = cents.count().toDouble.max(1.0)
     rankedTopK(confinedCellJoin(assigned, probed, "vec_id",
         queries.select(col(idCol), col(vecCol)), expansion = expansion)
       .select(col("query_id"), col("vec_id"),
@@ -428,7 +422,86 @@ object Similarity {
     // promote any appended mod-aligned id to a phantom centroid (probes
     // would pick a cell no row was ever assigned to)
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    // per-cell candidate counts as a second sidecar, maintained by build
+    // and append: the adaptive probing rule needs them EVERY query batch,
+    // and recounting them from the index is a scan of every file's
+    // metadata — at the 100 TB store that is the open-cost, not a detail
+    // (r14 measured the recount + expansion jobs as ~1.5× on the
+    // persisted-index gates). Deliberately a PLAIN single file, not a
+    // Spark write: the payload is O(cells) (bounded model state, like the
+    // k-means centroid collects), so driver-side collect + one fs.create
+    // beats a parquet job + commit protocol on write and costs ZERO Spark
+    // jobs on every open. The scheme constant rides in the same file, so
+    // opening a store never scans the index's scheme column either.
+    val spark = candidates.sparkSession
+    val sizes = spark.read.parquet(path)
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("cell_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    writeCellSizesFile(spark, s"$path/$CellSizesFile", centroidMod, sizes)
   }
+
+  /** Sidecar/naming constants for the [[buildIvfIndex]] store layout.
+    * Underscore prefixes keep every sidecar invisible to parquet listings.
+    */
+  private val CellSizesFile = "_cellsizes.csv"
+  private val CellSizesDeltaDir = "_cellsizes_deltas"
+
+  /** One-file cell-size sidecar: line 1 = the centroid-scheme mod, then
+    * `cent_id,count` lines. Written via create-temp + rename so readers
+    * never see a torn file.
+    */
+  private def writeCellSizesFile(spark: org.apache.spark.sql.SparkSession,
+      file: String, mod: Int, sizes: Seq[(Long, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write((mod.toString +: sizes.sorted.map { case (c, n) => s"$c,$n" })
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"cell-size sidecar publish rename $tmp -> $p failed")
+  }
+
+  private def readCellSizesFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Int, Seq[(Long, Long)]) = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.split("\n").filter(_.nonEmpty)
+    (lines.head.trim.toInt, lines.tail.toSeq.map { l =>
+      val i = l.indexOf(','); (l.take(i).toLong, l.drop(i + 1).toLong)
+    })
+  }
+
+  /** The cell-size sidecar of an r15+ store — base counts plus any append
+    * deltas, summed per cell, read with NO Spark jobs. None for legacy
+    * stores (readers fall back to recounting the index).
+    */
+  private def storedCellSizes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Map[Long, Long])] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/$CellSizesFile")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/$CellSizesDeltaDir")
+    val parts = readCellSizesFile(fs, base) +:
+      (if (!fs.exists(deltaRoot)) Seq.empty
+       else fs.listStatus(deltaRoot).filter(_.isFile)
+         .filterNot(_.getPath.getName.startsWith("."))
+         .map(s => readCellSizesFile(fs, s.getPath)).toSeq)
+    val mods = parts.map(_._1).distinct
+    require(mods.length == 1,
+      s"$path cell-size sidecars disagree on the centroid scheme: $mods — rebuild")
+    val merged = parts.flatMap(_._2)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    Some((mods.head, merged))
+  }
+
+  private[operators] def storedCellSizesForTest(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(Int, Map[Long, Long])] = storedCellSizes(spark, path)
 
   /** The frozen centroid set of a [[buildIvfIndex]] store: the `_centroids`
     * sidecar when present, else (legacy stores built before r14) the
@@ -443,16 +516,25 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("vec").as("cv0"))
   }
 
-  /** Validate a [[buildIvfIndex]] store and return (index, centroidMod). */
+  /** Validate a [[buildIvfIndex]] store and return (index, centroidMod).
+    * With the cell-size sidecar (r15+) the scheme check reads O(cells)
+    * plain-file bytes — no Spark job; only legacy stores pay the
+    * full-index scheme-column scan. The sidecar is authoritative because
+    * only build/append write it, and append refuses a mod mismatch before
+    * touching the store.
+    */
   private def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, caller: String): (DataFrame, Int) = {
     val idx = spark.read.parquet(path)
     require(idx.columns.contains("ivf_centroid_mod"),
       s"$caller: $path is not a graft IVF index (no scheme column)")
-    val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
-    require(mods.length == 1,
-      s"$caller: $path carries ${mods.length} centroid schemes — rebuild")
-    (idx, mods.head)
+    val mod = storedCellSizes(spark, path).map(_._1).getOrElse {
+      val mods = idx.select("ivf_centroid_mod").distinct().collect().map(_.getInt(0))
+      require(mods.length == 1,
+        s"$caller: $path carries ${mods.length} centroid schemes — rebuild")
+      mods.head
+    }
+    (idx, mod)
   }
 
   /** Append a crawl delta to a [[buildIvfIndex]] store WITHOUT rebuilding:
@@ -475,18 +557,116 @@ object Similarity {
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, vecCol: String, idCol: String): Unit = {
+    healAppends(spark, path) // roll back any interrupted prior append FIRST
     val (_, mod) = openIvfIndex(spark, path, "appendIvfIndex")
     val sidecar = new org.apache.hadoop.fs.Path(s"$path/_centroids")
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(sidecar),
       s"appendIvfIndex: $path predates the _centroids sidecar — rebuild once with buildIvfIndex")
     val cents = spark.read.parquet(sidecar.toString)
+    // the delta must BE the store's vector space: same element type
+    // (nullability-insensitive — the parquet round-trip flips containsNull)
+    // and (sampled) dimension as the frozen centroids — a mismatched delta
+    // previously scored garbage cosines and landed rows silently
+    import org.apache.spark.sql.types.ArrayType
+    def elem(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case ArrayType(e, _) => Some(e)
+      case _ => None
+    }
+    val centField = cents.schema("cv0").dataType
+    val newField = newVecs.schema(vecCol).dataType
+    require(elem(newField).nonEmpty && elem(newField) == elem(centField),
+      s"appendIvfIndex: delta $vecCol is $newField but the store holds $centField")
+    val storeDim = cents.select(size(col("cv0"))).head().getInt(0)
+    newVecs.select(size(col(vecCol))).head(1).foreach { r =>
+      require(r.getInt(0) == storeDim,
+        s"appendIvfIndex: delta vectors have dim ${r.getInt(0)}, store has $storeDim")
+    }
+    // STAGED append (ADVICE r14): assignment lands in a dot-dir (invisible
+    // to parquet listings), a manifest of the exact dest file names is
+    // recorded, and only then do the files move into the cell partitions.
+    // A crash at ANY point leaves a healable state: no manifest → nothing
+    // moved, the stage is dropped; manifest present → [[healAppends]]
+    // ROLLS BACK the listed dest files and the sizes delta, so the store
+    // reads as if the append never started and a retry cannot double-land
+    // an unknown subset.
+    val appendId = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/.__append_tmp_$appendId")
     nearestCells(
         newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
         cents, "vec_id", "vec", 1)
       .withColumn("ivf_centroid_mod", lit(mod))
-      .write.mode("append").partitionBy("cent_id").parquet(path)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(stage.toString)
+    val staged = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cent_id="))
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile)
+        .map(f => (d.getPath.getName, f.getPath)))
+      .filterNot(_._2.getName.startsWith("_"))
+    val deltaName = s"$CellSizesDeltaDir/$appendId.csv"
+    val manifest = new org.apache.hadoop.fs.Path(stage, "_GRAFT_MANIFEST")
+    val manifestBody = (deltaName +: staged.toSeq.map { case (cell, f) =>
+      s"$cell/${f.getName}" }).mkString("\n")
+    val mOut = fs.create(manifest, true)
+    mOut.write(manifestBody.getBytes("UTF-8")); mOut.close()
+    staged.foreach { case (cell, f) =>
+      val destDir = new org.apache.hadoop.fs.Path(path, cell)
+      fs.mkdirs(destDir)
+      val dest = new org.apache.hadoop.fs.Path(destDir, f.getName)
+      if (!fs.rename(f, dest)) throw new java.io.IOException(
+        s"appendIvfIndex: move $f -> $dest failed")
+    }
+    // sizes delta from the moved files themselves (read back by name +
+    // basePath, so cent_id is still partition-inferred): the sidecar can
+    // never disagree with what actually landed. One plain delta file,
+    // published by atomic rename (writeCellSizesFile), so readers either
+    // see a complete delta or none.
+    val deltaSizes = if (staged.isEmpty) Seq.empty[(Long, Long)]
+      else spark.read.option("basePath", path)
+        .parquet(staged.map { case (cell, f) =>
+          s"$path/$cell/${f.getName}" }.toSeq: _*)
+        .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("cell_n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$CellSizesDeltaDir"))
+    writeCellSizesFile(spark, s"$path/$deltaName", mod, deltaSizes)
+    fs.delete(stage, true): Unit // manifest gone = append committed
   }
+
+  /** Roll back any interrupted [[appendIvfIndex]]: a stage dir without a
+    * manifest never moved anything (drop it); one WITH a manifest may have
+    * moved a subset — delete exactly the listed dest files plus the sizes
+    * delta, restoring the pre-append store so the caller's retry starts
+    * clean.
+    */
+  private def healAppends(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".__append_tmp_"))
+      .foreach { s =>
+        val manifest = new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_MANIFEST")
+        if (fs.exists(manifest)) {
+          val in = fs.open(manifest)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val lines = body.split("\n").filter(_.nonEmpty)
+          lines.drop(1).foreach { rel =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+          }
+          lines.headOption.foreach { deltaDir =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, deltaDir), true)
+          }
+        }
+        fs.delete(s.getPath, true)
+      }
+  }
+
+  /** Test seam: run the [[appendIvfIndex]] crash recovery directly. */
+  private[operators] def healAppendsForTest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    healAppends(spark, path)
 
   /** Query a [[buildIvfIndex]] store with the corpus never rescanned — the
     * assignment join is replaced by the stored cells. Bit-identical to the
@@ -541,13 +721,25 @@ object Similarity {
       k: Int, massFrac: Double = 0.25): DataFrame = {
     val (idx, mod) = openIvfIndex(spark, path, "ivfTopKFromIndexAdaptive")
     val cents = indexCentroids(spark, path, idx, mod)
-    // the sizes already live in the store: count rows per stored cell —
-    // a scan of the partition column only, never the vectors
-    val cellSizes = idx.groupBy("cent_id").agg(count(lit(1)).as("cell_n"))
+    // the sizes live WITH the store (r15: one plain-file sidecar + append
+    // deltas, parsed driver-side with zero Spark jobs) — recounting them
+    // from the index cost a per-query-batch metadata scan of every file,
+    // which at a 100 TB store is the open cost, not a detail. Legacy
+    // stores (no sidecar) still recount.
+    val localSizes = storedCellSizes(spark, path).map(_._2)
+    val cellSizes = localSizes
+      .map(m => spark.createDataFrame(m.toSeq.sorted).toDF("cent_id", "cell_n"))
+      .getOrElse(idx.groupBy("cent_id").agg(count(lit(1)).as("cell_n")))
     val probed = nearestCellsByMass(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, cellSizes, "query_id", "qv", massFrac)
-    val expansion = measuredExpansion(probed)
+    // broadcast-budget expansion bound: a query probes at most every cell,
+    // so |cells| (already in hand from the sidecar, no probe-side job at
+    // all) upper-bounds the replication — r14 instead MEASURED the exact
+    // expansion with a dedicated job over the probed frame, pricing the
+    // adaptive default at two extra Spark jobs per query batch
+    val expansion = localSizes.map(_.size.toDouble)
+      .getOrElse(cellSizes.count().toDouble).max(1.0)
     val scored = confinedCellJoin(
         idx.select(col("vec_id"), col("vec").as("cv"), col("cent_id")),
         probed, "vec_id", queries.select(col(idCol), col(vecCol)),

@@ -1309,6 +1309,106 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("cellsizes sidecar: build + append keep it equal to a recount; legacy stores recount") {
+    val all = (0L until 90L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val h1 = all.filter($"vec_id" % 3 =!= 0)
+    val h2 = all.filter($"vec_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_sizes")
+    def recount(): Map[Long, Long] = spark.read.parquet(dir.toString)
+      .groupBy("cent_id").count().as[(Long, Long)].collect().toMap
+    def sidecar(): Map[Long, Long] =
+      Similarity.storedCellSizesForTest(spark, dir.toString).get._2
+    try {
+      Similarity.buildIvfIndex(h1, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      assert(sidecar() === recount())
+      Similarity.appendIvfIndex(spark, dir.toString, h2, "embedding", "vec_id")
+      assert(sidecar() === recount()) // delta rows fold in exactly
+      // the query path reads the SIDECAR sizes — same ranking as a store
+      // whose sizes were recounted (drop both size artifacts: legacy path)
+      val q = all.filter($"vec_id" < 3)
+      val viaSidecar = Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+        "embedding", "vec_id", k = 5).as[(Long, Long, Double, Int)].collect().toSet
+      assert(new java.io.File(s"$dir/_cellsizes.csv").delete())
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_cellsizes_deltas"))
+      val viaRecount = Similarity.ivfTopKFromIndex(spark, dir.toString, q,
+        "embedding", "vec_id", k = 5).as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaSidecar === viaRecount)
+      assert(viaSidecar.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("appendIvfIndex crash windows heal by rollback: the store reads as if the append never started") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val h1 = vecs.filter($"vec_id" % 3 =!= 0)
+    val h2 = vecs.filter($"vec_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_crash")
+    def snapshot(): Set[(Long, Long)] = spark.read.parquet(dir.toString)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    try {
+      Similarity.buildIvfIndex(h1, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      val before = snapshot()
+      val cell = before.head._2
+      // window 1: crash DURING staging (no manifest) — heal drops the stage
+      val stage1 = new java.io.File(s"$dir/.__append_tmp_crash1")
+      assert(stage1.mkdirs())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stage1.toString, "partial"), "x")
+      Similarity.healAppendsForTest(spark, dir.toString)
+      assert(!stage1.exists())
+      assert(snapshot() === before)
+      // window 2: crash AFTER the manifest with a subset of files moved —
+      // heal deletes exactly the listed dest files + the sizes delta
+      val stage2 = new java.io.File(s"$dir/.__append_tmp_crash2")
+      assert(stage2.mkdirs())
+      val movedName = "part-crash-injected.parquet"
+      val destFile = new java.io.File(s"$dir/cent_id=$cell/$movedName")
+      java.nio.file.Files.writeString(destFile.toPath, "not-parquet")
+      val deltaFile = new java.io.File(s"$dir/_cellsizes_deltas/crash2.csv")
+      assert(deltaFile.getParentFile.isDirectory || deltaFile.getParentFile.mkdirs())
+      java.nio.file.Files.writeString(deltaFile.toPath, "20\n0,1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stage2.toString, "_GRAFT_MANIFEST"),
+        s"_cellsizes_deltas/crash2.csv\ncent_id=$cell/$movedName")
+      Similarity.healAppendsForTest(spark, dir.toString)
+      assert(!stage2.exists() && !destFile.exists() && !deltaFile.exists())
+      assert(snapshot() === before)
+      // and the retry lands the full delta exactly once
+      Similarity.appendIvfIndex(spark, dir.toString, h2, "embedding", "vec_id")
+      assert(snapshot().map(_._1) === (0L until 60L).toSet)
+      assert(snapshot().size === 60)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("appendIvfIndex validates the delta's vector type and dimension against the store") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_dim")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      val wrongDim = Seq((100L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndex(spark, dir.toString, wrongDim,
+          "embedding", "vec_id")
+      }
+      assert(e1.getMessage.contains("dim"))
+      val wrongType = Seq((100L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndex(spark, dir.toString, wrongType,
+          "embedding", "vec_id")
+      }
+      assert(e2.getMessage.toLowerCase.contains("store holds"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("appendIvfIndex refuses a legacy store without the centroid sidecar") {
     val vecs = (0L until 40L).map { i =>
       (i, Seq((i % 7).toFloat, 1.0f))
