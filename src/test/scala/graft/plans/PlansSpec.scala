@@ -226,6 +226,81 @@ class CardinalityOrderSpec extends SparkSpec {
     assert(plain === binary)
   }
 
+  test("hybrid core survives NULLABLE tails: the cyclic core still routes through LeapFrog") {
+    // wcojEligible requires single-occurrence attributes non-nullable, and
+    // parquet-derived columns are nullable — so a whole-query one-bag is
+    // silently unreachable on real data whenever a pattern has a tail (its
+    // end vertex occurs once). The hybrid planner must scope eligibility
+    // to the CORE component (where every attr occurs ≥ 2×), or an
+    // eligibility tweak quietly turns every core+tail pattern into
+    // pure-binary. Swept over tail shapes; q240 pins one live instance.
+    import org.apache.spark.sql.DataFrame
+    def boxed(rows: Seq[(Long, Long)], c1: String, c2: String): DataFrame =
+      rows.map { case (a, b) =>
+        (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b))
+      }.toDF(c1, c2) // boxed → nullable=true, the parquet schema shape
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L))
+    val tail = Seq((1L, 10L), (2L, 20L), (3L, 30L), (10L, 40L), (30L, 50L),
+      (40L, 60L), (50L, 70L))
+    val core = Seq(
+      (boxed(tri, "a", "b"), Seq("a", "b")),
+      (boxed(tri, "b", "c"), Seq("b", "c")),
+      (boxed(tri, "c", "a"), Seq("c", "a")))
+    val tailShapes: Seq[(String, Seq[(DataFrame, Seq[String])])] = Seq(
+      "one-hop" -> Seq((boxed(tail, "c", "d"), Seq("c", "d"))),
+      "multi-hop" -> Seq((boxed(tail, "c", "d"), Seq("c", "d")),
+        (boxed(tail, "d", "e"), Seq("d", "e")),
+        (boxed(tail, "e", "f"), Seq("e", "f"))),
+      "branching" -> Seq((boxed(tail, "c", "d"), Seq("c", "d")),
+        (boxed(tail, "b", "e"), Seq("b", "e"))))
+    for ((shape, tails) <- tailShapes) {
+      val rels = core ++ tails
+      val cols = rels.flatMap(_._2).distinct.sorted
+      val hybrid = MultiwayJoin.join(rels, wcoj = true)
+      val p = hybrid.queryExecution.executedPlan.toString
+      assert(p.contains("LeapFrogJoin"),
+        s"$shape: nullable tail must not evict the core from the WCOJ route")
+      assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        .exists(p.contains), s"$shape: periphery must stay binary")
+      val viaBinary = MultiwayJoin.join(rels, wcoj = false)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val viaHybrid = hybrid.select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(viaHybrid === viaBinary, s"$shape: routes disagree")
+      assert(viaHybrid.nonEmpty, s"$shape: vacuous sweep")
+    }
+    // genuinely parquet-derived columns (not just boxed): same pin
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_nullable")
+    try {
+      boxed(tri, "src", "dst").write.mode("overwrite")
+        .parquet(s"$dir/edges")
+      val e = spark.read.parquet(s"$dir/edges")
+      assert(e.schema.fields.forall(_.nullable), "parquet read must be nullable")
+      val rels = Seq(
+        (e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+        (e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+        (e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c")),
+        (boxed(tail, "c", "d"), Seq("c", "d")))
+      val hybrid = MultiwayJoin.join(rels, wcoj = true)
+      assert(hybrid.queryExecution.executedPlan.toString.contains("LeapFrogJoin"))
+      assert(hybrid.count() > 0)
+      // and with the hybrid planner OFF (r13 one-bag semantics) the
+      // nullable tail makes the whole-query one-bag ineligible: the plan
+      // must keep a binary join (the tail never enters a trie) — it falls
+      // to the GHD route, which may still WCOJ the eligible triangle BAG
+      spark.conf.set("graft.wcoj.hybridCore", "false")
+      try {
+        val oneBag = MultiwayJoin.join(rels, wcoj = true)
+        val p1 = oneBag.queryExecution.executedPlan.toString
+        assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+          .exists(p1.contains),
+          "a nullable tail must keep the whole-query one-bag unreachable")
+        assert(!p1.contains("[a, b, c, d]"),
+          "the tail attribute must never appear in a trie attribute order")
+      } finally spark.conf.unset("graft.wcoj.hybridCore")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("coverage still dominates cardinality across unequal coverage") {
     // d appears in ONE relation with a tiny domain; b in two with a large
     // one — most-covered-first must still put b ahead of d
