@@ -8,6 +8,53 @@ import org.apache.spark.sql.SparkSession
   * measure the query, not JVM cold start.
   */
 object Bench {
+
+  /** Min-vs-median anchor-ratio basis from raw anchor samples — pure so a
+    * spec can pin the classification on the two measured r15 windows (see
+    * the calibration comment at the call site). Returns (basis, ratio):
+    * basis "median" iff medSum/minSum ≥ 1.15 AND avg in-run spread ≥ 0.8.
+    */
+  def anchorBasis(samples: Map[String, List[Double]],
+      refs: Map[String, Double]): (String, Double) = {
+    val minSum = refs.keys.map(k => samples(k).min).sum
+    val medSum = refs.keys.map { k =>
+      val ss = samples(k); ss.sorted.apply(ss.length / 2)
+    }.sum
+    val avgSpread = refs.keys.map { k =>
+      val ss = samples(k); (ss.max - ss.min) / ss.min
+    }.sum / refs.size
+    val bimodal = medSum / minSum >= 1.15 && avgSpread >= 0.8
+    (if (bimodal) "median" else "min",
+      (if (bimodal) medSum else minSum) / refs.values.sum)
+  }
+
+  /** Per-gate regression tripwire against a previous record's JSON text —
+    * pure so a spec can pin the ×1.5 detection, the 0.05 s prior floor,
+    * the error exclusion, and the cross-ratio normalization. Returns
+    * (gate, prevNorm, curNorm, ratio) for every overlapping gate whose
+    * anchor-normalized time grew past ×1.5.
+    */
+  def regressionsVsPrev(prevJson: String, times: Map[String, Double],
+      errored: String => Boolean, curRatio: Double)
+      : Seq[(String, Double, Double, Double)] = {
+    val prevRatio = raw""""anchor_ratio":([0-9.]+)""".r
+      .findFirstMatchIn(prevJson).map(_.group(1).toDouble).getOrElse(1.0)
+    val qBlock = prevJson.indexOf("\"queries\":{")
+    if (qBlock < 0) return Nil
+    val inner = prevJson.substring(qBlock + "\"queries\":{".length,
+      prevJson.indexOf("}", qBlock))
+    raw""""([a-zA-Z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner).flatMap { m =>
+      val (name, prevRaw) = (m.group(1), m.group(2).toDouble)
+      times.get(name).flatMap { curRaw =>
+        val prevNorm = prevRaw / prevRatio
+        val curNorm = curRaw / curRatio
+        if (prevRaw >= 0.05 && !errored(name) && curNorm / prevNorm > 1.5)
+          Some((name, prevNorm, curNorm, curNorm / prevNorm))
+        else None
+      }
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -228,14 +275,8 @@ object Bench {
     val (ratioBasis, anchorRatio): (String, Option[Double]) =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1") || !haveAll) ("none", None)
       else {
-        val minSum = anchorRef.keys.map(anchorMin(_)).sum
-        val medSum = anchorRef.keys.map(anchorMed(_)).sum
-        val avgSpread = anchorRef.keys.map { k =>
-          val ss = anchorSamples(k); (ss.max - ss.min) / ss.min
-        }.sum / anchorRef.size
-        val bimodal = medSum / minSum >= 1.15 && avgSpread >= 0.8
-        val basis = if (bimodal) "median" else "min"
-        (basis, Some((if (bimodal) medSum else minSum) / anchorRef.values.sum))
+        val (basis, ratio) = anchorBasis(anchorSamples.toMap, anchorRef)
+        (basis, Some(ratio))
       }
     val normJson = anchorRatio.map { r =>
       s""","anchor_ratio":${math.rint(r * 1000) / 1000.0},"anchor_ratio_basis":"$ratioBasis","total_anchor_normalized":${math.rint(total / r * 1000) / 1000.0}"""
@@ -261,33 +302,20 @@ object Bench {
           Some(java.nio.file.Files.readString(prevPath))
         else None
       } catch { case _: Exception => None }
-      val entries = prev.toSeq.flatMap { p =>
-        val prevRatio = raw""""anchor_ratio":([0-9.]+)""".r
-          .findFirstMatchIn(p).map(_.group(1).toDouble).getOrElse(1.0)
-        val curRatio = anchorRatio.getOrElse(1.0)
-        val qBlock = p.indexOf("\"queries\":{")
-        if (qBlock < 0) Nil
-        else {
-          val inner = p.substring(qBlock + "\"queries\":{".length,
-            p.indexOf("}", qBlock))
-          raw""""([a-zA-Z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner).flatMap { m =>
-            val (name, prevRaw) = (m.group(1), m.group(2).toDouble)
-            times.get(name).flatMap { curRaw =>
-              val prevNorm = prevRaw / prevRatio
-              val curNorm = curRaw / curRatio
-              if (prevRaw >= 0.05 && !errors.contains(name) &&
-                  curNorm / prevNorm > 1.5) {
-                System.err.println(f"[bench] REGRESSION $name: " +
-                  f"$prevNorm%.2f -> $curNorm%.2f s anchor-normalized " +
-                  f"(x${curNorm / prevNorm}%.2f)")
-                Some("\"" + name + "\":{\"prev_norm\":" +
-                  math.rint(prevNorm * 1000) / 1000.0 + ",\"cur_norm\":" +
-                  math.rint(curNorm * 1000) / 1000.0 + ",\"ratio\":" +
-                  math.rint(curNorm / prevNorm * 100) / 100.0 + "}")
-              } else None
-            }
-          }.toSeq
-        }
+      // only compare records of the SAME scale factor — a local subset run
+      // at another SF against the committed sf0.1 record is pure noise
+      val entries = prev.toSeq.filter { p =>
+        raw""""sf":"([^"]+)"""".r.findFirstMatchIn(p)
+          .forall(_.group(1) == sfDir)
+      }.flatMap { p =>
+        regressionsVsPrev(p, times, errors.contains, anchorRatio.getOrElse(1.0))
+      }.map { case (name, prevNorm, curNorm, ratio) =>
+        System.err.println(f"[bench] REGRESSION $name: " +
+          f"$prevNorm%.2f -> $curNorm%.2f s anchor-normalized (x$ratio%.2f)")
+        "\"" + name + "\":{\"prev_norm\":" +
+          math.rint(prevNorm * 1000) / 1000.0 + ",\"cur_norm\":" +
+          math.rint(curNorm * 1000) / 1000.0 + ",\"ratio\":" +
+          math.rint(ratio * 100) / 100.0 + "}"
       }
       entries.mkString(""","regressions":{""", ",", "}")
     }
