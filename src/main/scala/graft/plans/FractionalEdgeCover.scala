@@ -94,6 +94,12 @@ object FractionalEdgeCover {
     * counts alone. Edges that don't touch the bag contribute nothing; empty
     * relations are floored at 1 row (their exponent is then moot — callers
     * short-circuit empty inputs before asking for a bound).
+    *
+    * The LP minimizes Σ x_e (the cover number), not Σ x_e·log|R_e| — on
+    * asymmetric relation sizes the returned bound can therefore be looser
+    * than the tightest AGM bound. ANY fractional cover yields a valid upper
+    * bound, and looseness errs toward keeping the parallel grid — the safe
+    * direction for the single-cell router this feeds.
     */
   def agmBound(bagAttrs: Set[String], edges: Seq[(Set[String], Long)]): Double = {
     if (bagAttrs.isEmpty) return 1.0
