@@ -463,7 +463,7 @@ object ScaleCheck {
     // the binding budget), and the forced single-cell arm shows the serial
     // cliff the router is avoiding. Both arms must agree on the count.
     {
-      for (v <- Seq(30, 50, 70)) {
+      for (v <- Seq(30, 50, 100)) {
         val edges = spark.range(v.toLong * v)
           .select((col("id") % v).as("src"), (col("id") / v).cast("long").as("dst"))
           .filter(col("src") =!= col("dst")).localCheckpoint(true)
