@@ -16,17 +16,30 @@ object Bench {
     */
   def anchorBasis(samples: Map[String, List[Double]],
       refs: Map[String, Double]): (String, Double) = {
-    val minSum = refs.keys.map(k => samples(k).min).sum
-    val medSum = refs.keys.map { k =>
+    // keys.toSeq before mapping to values: mapping a SET to per-anchor
+    // numbers dedupes equal values before the sum — two anchors that
+    // happened to measure the same min would silently drop one term
+    val ks = refs.keys.toSeq
+    val minSum = ks.map(k => samples(k).min).sum
+    val medSum = ks.map { k =>
       val ss = samples(k); ss.sorted.apply(ss.length / 2)
     }.sum
-    val avgSpread = refs.keys.map { k =>
+    val avgSpread = ks.map { k =>
       val ss = samples(k); (ss.max - ss.min) / ss.min
     }.sum / refs.size
     val bimodal = medSum / minSum >= 1.15 && avgSpread >= 0.8
     (if (bimodal) "median" else "min",
       (if (bimodal) medSum else minSum) / refs.values.sum)
   }
+
+  /** True iff `prevJson` RECORDS a scale factor and it is `sfDir` (modulo a
+    * trailing slash, nothing looser) — pure so a spec can pin that a record
+    * MISSING the sf field is never compared (ADVICE r15: the old forall
+    * treated "no sf" as "any sf").
+    */
+  def sfMatches(prevJson: String, sfDir: String): Boolean =
+    raw""""sf":"([^"]+)"""".r.findFirstMatchIn(prevJson)
+      .exists(_.group(1).stripSuffix("/") == sfDir.stripSuffix("/"))
 
   /** Per-gate regression tripwire against a previous record's JSON text —
     * pure so a spec can pin the ×1.5 detection, the 0.05 s prior floor,
@@ -37,13 +50,17 @@ object Bench {
   def regressionsVsPrev(prevJson: String, times: Map[String, Double],
       errored: String => Boolean, curRatio: Double)
       : Seq[(String, Double, Double, Double)] = {
-    val prevRatio = raw""""anchor_ratio":([0-9.]+)""".r
+    // exponent-aware number pattern (ADVICE r15): a plain [0-9.]+ reads
+    // 8.5E-4 as 8.5 — and sub-millisecond gate times DO serialize in
+    // scientific notation, so the tripwire would baseline ×10000 high
+    val num = raw"-?[0-9.]+(?:[eE][-+]?[0-9]+)?"
+    val prevRatio = raw""""anchor_ratio":($num)""".r
       .findFirstMatchIn(prevJson).map(_.group(1).toDouble).getOrElse(1.0)
     val qBlock = prevJson.indexOf("\"queries\":{")
     if (qBlock < 0) return Nil
     val inner = prevJson.substring(qBlock + "\"queries\":{".length,
       prevJson.indexOf("}", qBlock))
-    raw""""([a-zA-Z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(inner).flatMap { m =>
+    raw""""([a-zA-Z0-9_]+)":($num)""".r.findAllMatchIn(inner).flatMap { m =>
       val (name, prevRaw) = (m.group(1), m.group(2).toDouble)
       times.get(name).flatMap { curRaw =>
         val prevNorm = prevRaw / prevRatio
@@ -243,7 +260,14 @@ object Bench {
     // pinned from the round-14 sf0.1 calibration run (2026-08-16, min of
     // 9 in-run samples); anchor spreads in that run were 0.4–1.6, i.e.
     // the box band moves WITHIN a run — treat the normalized total as a
-    // band estimate, not a constant
+    // band estimate, not a constant.
+    // RECALIBRATION RULE (r16): every cross-round normalized comparison
+    // divides by these exact constants, so re-pinning them silently
+    // rebases history. Re-pin ONLY when the committed record's
+    // anchor_ratio_basis flips twice within one round (the durable-band-
+    // shift signature the basis switch can't absorb), never mid-round,
+    // and date-stamp the change here and in README's recalibration
+    // paragraph.
     val anchorRef = Map(
       "anchor_scan_agg" -> 0.144, "anchor_bcast_join" -> 0.084,
       "anchor_shuffle_join" -> 0.369)
@@ -304,10 +328,7 @@ object Bench {
       } catch { case _: Exception => None }
       // only compare records of the SAME scale factor — a local subset run
       // at another SF against the committed sf0.1 record is pure noise
-      val entries = prev.toSeq.filter { p =>
-        raw""""sf":"([^"]+)"""".r.findFirstMatchIn(p)
-          .forall(_.group(1) == sfDir)
-      }.flatMap { p =>
+      val entries = prev.toSeq.filter(sfMatches(_, sfDir)).flatMap { p =>
         regressionsVsPrev(p, times, errors.contains, anchorRatio.getOrElse(1.0))
       }.map { case (name, prevNorm, curNorm, ratio) =>
         System.err.println(f"[bench] REGRESSION $name: " +

@@ -146,6 +146,12 @@ final case class LeapFrogJoinExec(
       session.conf.get("graft.wcoj.singleCellBytes", (4L << 20).toString).toLong
     val bindingBudget = session.conf.get(
       "graft.wcoj.singleCellMaxBindings", (16L << 20).toString).toLong
+    // stale-proof the observability conf (ADVICE r15): the bound is only
+    // COMPUTED inside the byte-gated branch below, so a query that skips
+    // that branch (big inputs, or an explicit grid) must not leave an
+    // earlier query's bound behind for ScaleCheck to misattribute
+    if (session.conf.getOption("graft.wcoj.lastOutputBound").isDefined)
+      session.conf.unset("graft.wcoj.lastOutputBound")
     val smallOutput = maxCells <= 0 &&
       stats.map(_.bytes).sum <= singleCellBytes && {
         val agm = graft.plans.FractionalEdgeCover.agmBound(

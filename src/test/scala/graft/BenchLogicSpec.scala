@@ -65,4 +65,28 @@ class BenchLogicSpec extends AnyFunSuite {
     // and a record with no queries block contributes nothing
     assert(Bench.regressionsVsPrev("{}", times, _ => false, 1.0).isEmpty)
   }
+
+  test("regressionsVsPrev: parses scientific-notation prior times correctly") {
+    // ADVICE r15: [0-9.]+ read 5E-1 as 5 — a ×4 real regression on a
+    // half-second gate would then look like ×0.4 and stay silent
+    val prev = """{"anchor_ratio":1.0,"queries":{"q_sci":5E-1,"q_neg":8.5E-4}}"""
+    val out = Bench.regressionsVsPrev(prev, Map("q_sci" -> 2.0, "q_neg" -> 0.04),
+      _ => false, curRatio = 1.0)
+    assert(out.map(_._1) === Seq("q_sci"))
+    val (_, prevNorm, _, ratio) = out.head
+    assert(math.abs(prevNorm - 0.5) < 1e-9)
+    assert(math.abs(ratio - 4.0) < 1e-9)
+    // q_neg: prior 8.5e-4 is under the 0.05 s floor — quiet even though the
+    // raw ratio is ×47 (the OLD parse read it as 8.5 and was quiet for the
+    // wrong reason; this pins the right one)
+  }
+
+  test("sfMatches: requires a recorded sf and normalizes only the trailing slash") {
+    val rec = """{"value":1.0,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.sfMatches(rec, "/root/testdata/sf0.1"))
+    assert(Bench.sfMatches(rec, "/root/testdata/sf0.1/"))
+    assert(!Bench.sfMatches(rec, "/root/testdata/sf0.01"))
+    // a record MISSING the field is never compared (the old forall matched it)
+    assert(!Bench.sfMatches("""{"value":1.0}""", "/root/testdata/sf0.1"))
+  }
 }

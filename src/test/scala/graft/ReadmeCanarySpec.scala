@@ -61,4 +61,27 @@ class ReadmeCanarySpec extends AnyFunSuite {
     assert(math.abs(value - total) < 0.1,
       f"README pins the bench record at $total%.1f s but bench_out.json holds $value%.1f s")
   }
+
+  test("README's anchor-basis thresholds match Bench.anchorBasis's boundary behavior") {
+    // r15 shipped README saying the median basis engages at "≥ 1.3× the
+    // mins" while Bench used 1.15 — and the measured bimodal window
+    // (1.228) fell exactly between them, so the stale sentence
+    // re-documented the bug the calibration commit fixed. Pin BOTH the
+    // README text and the detector's actual flip points.
+    assert(readme.contains("≥ 1.15× the mins"),
+      "README no longer documents the 1.15 median-basis threshold")
+    assert(!raw"≥ 1\.3× the mins".r.findFirstIn(readme).isDefined,
+      "README still carries the stale 1.3 threshold sentence")
+    val refs = Map("anchor_scan_agg" -> 0.144,
+      "anchor_bcast_join" -> 0.084, "anchor_shuffle_join" -> 0.369)
+    // three samples per anchor with medSum/minSum = f and avg spread = s
+    def win(f: Double, s: Double) = refs.keys.map { k =>
+      k -> List(0.2, 0.2 * f, 0.2 * (1 + s))
+    }.toMap
+    assert(Bench.anchorBasis(win(1.16, 0.85), refs)._1 === "median")
+    assert(Bench.anchorBasis(win(1.14, 0.85), refs)._1 === "min",
+      "median-ratio threshold drifted below the documented 1.15")
+    assert(Bench.anchorBasis(win(1.16, 0.75), refs)._1 === "min",
+      "spread threshold drifted below the documented 0.8")
+  }
 }
