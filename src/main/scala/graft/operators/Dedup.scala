@@ -587,35 +587,150 @@ object Dedup {
       idCol, threshold, perms, bandSize)
   }
 
+  /** Work-profile diagnostics from [[incrementalCore]] invocations, as
+    * `label:number` strings (the [[graft.streaming.DocStreams]] phase-log
+    * format), computed only under `graft.dedup.diagnostics=true` and
+    * drained by the caller. Exists to close the r15 open question on the
+    * q115/q119/q214 family: the tripwire caught intermittent 2–8× swings
+    * in the LSH band-join phase that wall-clock alone cannot attribute —
+    * MORE WORK (a hot band key exploding the candidate join in that
+    * pass's store slice) reads identically to SAME WORK SLOWER (GC or
+    * box contention during a 239-gate run). Two tiers:
+    * `graft.dedup.diagnostics` emits the candidate-pair counts
+    * (observe-collected INSIDE the main execution — zero extra jobs) plus
+    * JVM GC seconds; `graft.dedup.diagnosticsBands` adds the per-band
+    * histogram (hottest-band mass + count cross-checks), one real extra
+    * job for probe tooling — on deterministic inputs it is a constant of
+    * (data, scheme), so the per-pass gate record doesn't re-measure it.
+    * The counts are pure functions of the inputs, so across passes of one
+    * deterministic gate they CANNOT move — any time swing at flat counts
+    * is proven environmental, and moving counts point at the exact band
+    * skew the [[Salting]] machinery would cap.
+    */
+  private val incrementalDiag =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def drainIncrementalDiag(): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var e = incrementalDiag.poll()
+    while (e != null) { out += e; e = incrementalDiag.poll() }
+    out.toList
+  }
+
+  private def jvmGcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   private def incrementalCore(batch: DataFrame, bBase0: DataFrame,
       cBase0: DataFrame, idCol: String, threshold: Double,
       perms: Seq[Perm], bandSize: Int): DataFrame = {
+    val diagOn = batch.sparkSession.conf
+      .get("graft.dedup.diagnostics", "false").toBoolean
     val bBase = bBase0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cBase = cBase0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = lshBands(bBase, perms, bandSize)
     val cBands = lshBands(cBase, perms, bandSize)
 
+    // candidate-pair counts ride INSIDE the band joins via observe (a
+    // CollectMetrics node): the counts are collected by the tasks that were
+    // enumerating those rows anyway — zero extra jobs, zero extra scans —
+    // where a count()-based first cut re-paid the store-side signature
+    // pass per invocation (measured 0.7–1.0 s/cycle at sf0.1, ~30% of the
+    // very gates under investigation)
+    val obsCorpus = if (diagOn) Some(new org.apache.spark.sql.Observation())
+      else None
+    val obsBatch = if (diagOn) Some(new org.apache.spark.sql.Observation())
+      else None
+    def observed(df: DataFrame, obs: Option[org.apache.spark.sql.Observation]) =
+      obs.map(o => df.observe(o, count(lit(1)).as("cand"))).getOrElse(df)
+
     // vs-corpus: candidates keyed (batch doc1, corpus doc2) — ids may
     // coincide across the two sides, so no ordering filter applies here
     val vsCorpus = verifyJaccard(
-      bBands.select(col("doc_id").as("doc1"), col("band"))
+      observed(bBands.select(col("doc_id").as("doc1"), col("band"))
         .join(cBands.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
-        .select("doc1", "doc2").distinct(),
+        .select("doc1", "doc2"), obsCorpus).distinct(),
       bBase, cBase, threshold)
       .select(col("doc1").as("dup_id")).distinct()
 
     // within-batch: the higher id of each verified pair is the drop
     val withinBatch = verifyJaccard(
-      bBands.select(col("doc_id").as("doc1"), col("band"))
+      observed(bBands.select(col("doc_id").as("doc1"), col("band"))
         .join(bBands.select(col("doc_id").as("doc2"), col("band")), "band" :: Nil)
-        .filter(col("doc1") < col("doc2")).select("doc1", "doc2").distinct(),
+        .filter(col("doc1") < col("doc2")).select("doc1", "doc2"), obsBatch)
+        .distinct(),
       bBase, bBase, threshold)
       .select(col("doc2").as("dup_id")).distinct()
 
     val dropped = vsCorpus.unionByName(withinBatch).distinct()
+    // GC delta brackets exactly the real dedup work (the localCheckpoint
+    // materializes the whole chain); the diag aggregations below run AFTER
+    // the bracket so they don't pollute their own measurement. Cumulative
+    // collector time covers the full local[N] JVM — on a cluster this is
+    // driver GC only, but the swing under investigation is a local-mode
+    // bench artifact.
+    val gc0 = if (diagOn) jvmGcMillis else 0L
     val out = batch.select(col(idCol).as("doc_id"))
       .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
       .localCheckpoint(true) // survivors are batch-bound; release the bases now
+    if (diagOn) {
+      val gcSecs = (jvmGcMillis - gc0) / 1000.0
+      val tD0 = System.nanoTime()
+      // the localCheckpoint above completed the observed executions, so
+      // the metrics are already published; the bounded wait only covers
+      // listener-delivery latency. -1 = metric lost (never plausible as a
+      // count), so a harness change that silently breaks observe-through-
+      // checkpoint reads as loud nonsense, not as zero candidates.
+      // the metrics row is read POSITIONALLY: an EMPTY row means the
+      // optimizer eliminated the observed subtree (PropagateEmptyRelation —
+      // the first ingest cycle's empty store), i.e. the true count is 0;
+      // a timeout means the metric was genuinely lost → -1 (loud nonsense)
+      def candOf(obs: Option[org.apache.spark.sql.Observation]): Double =
+        obs.map { o =>
+          try {
+            val row = scala.concurrent.Await
+              .result(o.future, scala.concurrent.duration.Duration(2, "s"))
+            if (row.length == 0) 0.0
+            else if (row.isNullAt(0)) -1.0
+            else row.getLong(0).toDouble
+          } catch { case _: java.util.concurrent.TimeoutException => -1.0 }
+        }.getOrElse(-1.0)
+      val base = Seq(
+        "cand_corpus" -> candOf(obsCorpus),
+        "cand_batch" -> candOf(obsBatch),
+        "gc" -> gcSecs)
+      // the per-band histogram (hottest-band mass) needs a groupBy the
+      // main flow doesn't have, i.e. a real job re-paying the store-side
+      // signature pass — and on deterministic inputs it is a CONSTANT of
+      // (data, scheme), so the per-pass phase log doesn't need it. Opt in
+      // (probe tooling / specs) via graft.dedup.diagnosticsBands.
+      val bands = if (!batch.sparkSession.conf
+          .get("graft.dedup.diagnosticsBands", "false").toBoolean) Nil
+        else {
+          // ONE job: a left join keeps every batch-side band (corpus
+          // metrics via coalesce-0). nb*(nb-1) summed as a long, halved
+          // driver-side (SQL `/` on longs is true division).
+          val bCnt = bBands.groupBy("band").agg(count(lit(1)).as("nb"))
+          val cCnt = cBands.groupBy("band").agg(count(lit(1)).as("nc"))
+          val prod = col("nb") * coalesce(col("nc"), lit(0L))
+          val st = bCnt.join(cCnt, Seq("band"), "left")
+            .agg(coalesce(sum(prod), lit(0L)),
+              coalesce(max(prod), lit(0L)),
+              coalesce(sum(col("nb") * (col("nb") - 1)), lit(0L)),
+              coalesce(max(col("nb")), lit(0L))).head()
+          Seq("cand_corpus_maxband" -> st.getLong(1).toDouble,
+            "cand_batch_maxband" -> st.getLong(3).toDouble,
+            // cross-checks for the observe counts (same quantities)
+            "cand_corpus_check" -> st.getLong(0).toDouble,
+            "cand_batch_check" -> (st.getLong(2) / 2).toDouble)
+        }
+      val diagSecs = (System.nanoTime() - tD0) / 1e9
+      (base ++ bands :+ ("diag_cost" -> math.rint(diagSecs * 1000) / 1000.0))
+        .foreach { case (k, v) => incrementalDiag.add(s"$k:$v"): Unit }
+      while (incrementalDiag.size > 256) incrementalDiag.poll(): Unit
+    }
     bBase.unpersist(false)
     cBase.unpersist(false)
     out

@@ -507,10 +507,20 @@ object Pipeline {
     "q115_incremental_fuzzy" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val snum = expr("CAST(substring(source, 4, 10) AS INT)")
-      Dedup.incrementalMinHashDedup(
-          docs.filter(snum >= 10), docs.filter(snum < 10),
-          "text", "doc_id", threshold = 0.3, portableIds = true)
-        .orderBy("doc_id")
+      // diagnostics published as the gate's phase record (see q214): this
+      // gate tripped the r15 wire at ×1.67 on the driver's run — the
+      // counts are deterministic per SF, so the committed record proves
+      // whether a future swing moved the work or just the clock
+      s.conf.set("graft.dedup.diagnostics", "true")
+      try {
+        val res = Dedup.incrementalMinHashDedup(
+            docs.filter(snum >= 10), docs.filter(snum < 10),
+            "text", "doc_id", threshold = 0.3, portableIds = true)
+          .orderBy("doc_id")
+        val diag = Dedup.drainIncrementalDiag()
+        if (diag.nonEmpty) s.conf.set("graft.bench.phases", diag.mkString(","))
+        res
+      } finally s.conf.unset("graft.dedup.diagnostics")
     }),
 
     // the signature-STORE path of q115: corpus signatures are written to a
@@ -526,12 +536,21 @@ object Pipeline {
         .write.mode("overwrite").parquet(dir.toString)
       // the FromStore result is eagerly pinned (localCheckpoint inside), so
       // the store files are fully consumed by return — delete them here
-      // rather than leaking one store per invocation into tmp
-      try Dedup.incrementalMinHashDedupFromStore(
-          docs.filter(snum >= 10), s.read.parquet(dir.toString),
-          "text", "doc_id", threshold = 0.3, portableIds = true)
-        .orderBy("doc_id")
-      finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      // rather than leaking one store per invocation into tmp.
+      // Diagnostics as in q115 (this gate tripped the r15 wire at ×1.79).
+      s.conf.set("graft.dedup.diagnostics", "true")
+      try {
+        val res = Dedup.incrementalMinHashDedupFromStore(
+            docs.filter(snum >= 10), s.read.parquet(dir.toString),
+            "text", "doc_id", threshold = 0.3, portableIds = true)
+          .orderBy("doc_id")
+        val diag = Dedup.drainIncrementalDiag()
+        if (diag.nonEmpty) s.conf.set("graft.bench.phases", diag.mkString(","))
+        res
+      } finally {
+        s.conf.unset("graft.dedup.diagnostics")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
     }),
 
     // the FULL rolling-crawl ingest loop (DocStreams.ingestDedupStream),
@@ -557,6 +576,13 @@ object Pipeline {
         marks += n -> (System.nanoTime() - tPhase) / 1e9
         tPhase = System.nanoTime()
       }
+      // work-profile diagnostics ride into each cycle's phase record
+      // (candidate-pair counts, hottest-band mass, GC secs): the r15
+      // driver run swung this gate's cycle-2 dedup 3.7→28.9 s between
+      // passes and the wall clock alone couldn't say whether the work
+      // itself moved — set BEFORE the stream starts (foreachBatch runs
+      // on a session cloned at start)
+      s.conf.set("graft.dedup.diagnostics", "true")
       try {
         docs.filter(snum < 7).write.mode("append").parquet(src)
         val q = graft.streaming.DocStreams.ingestDedupStream(
@@ -586,7 +612,10 @@ object Pipeline {
           s"$n:${math.rint(v * 1000) / 1000.0}"
         }.mkString(",") + sub)
         res
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      } finally {
+        s.conf.unset("graft.dedup.diagnostics")
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
     }),
 
     // CDC latest-wins upsert sink (DocStreams.upsertStream) — the crawl-

@@ -385,8 +385,12 @@ object DocStreams {
   /** Per-micro-batch sub-phase timings published by [[ingestDedupStream]],
     * keyed by store path (concurrent streams over different stores don't
     * interleave). Drained — not just read — so one gate invocation's record
-    * never bleeds into the next.
+    * never bleeds into the next. Capped per store (oldest dropped): a
+    * long-running production stream nobody drains must not grow driver
+    * memory without bound (ADVICE r15) — 512 entries keeps ~2 cycles' worth
+    * at the current ~8 marks/micro-batch, far more than any drain needs.
     */
+  private val MaxPhaseEntries = 512
   private val ingestPhaseLog = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
@@ -415,10 +419,10 @@ object DocStreams {
         def mark(n: String): Unit = {
           val secs = (System.nanoTime() - tPhase) / 1e9
           tPhase = System.nanoTime()
-          ingestPhaseLog
-            .computeIfAbsent(storePath,
-              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-            .add(s"b${batchId}_$n:${math.rint(secs * 1000) / 1000.0}"): Unit
+          val q = ingestPhaseLog.computeIfAbsent(storePath,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+          q.add(s"b${batchId}_$n:${math.rint(secs * 1000) / 1000.0}")
+          while (q.size > MaxPhaseEntries) q.poll(): Unit
         }
         // the batch feeds two plans (the dedup probe and the survivor
         // semi-join) — CACHE it rather than eagerly checkpoint: the first
@@ -442,6 +446,21 @@ object DocStreams {
             pinned, store, textCol, idCol, threshold,
             shingle = shingle, portableIds = portableIds)
           mark("dedup") // eager inside (batch-bound pin): the band join ran
+          // under graft.dedup.diagnostics (inherited from the caller's
+          // session at stream start) the dedup also measured its own work
+          // profile — candidate-pair counts, hottest-band mass, GC time —
+          // which rides into this cycle's phase record so a swing in the
+          // dedup wall clock above is attributable INSIDE the committed
+          // bench JSON: flat counts + moving time = environmental; moving
+          // counts = band skew (r16 directive #1). diag_cost (also
+          // emitted) is the instrument's own price, included in the
+          // mark("dedup") time it explains.
+          Dedup.drainIncrementalDiag().foreach { kv =>
+            val q = ingestPhaseLog.computeIfAbsent(storePath,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+            q.add(s"b${batchId}_$kv")
+            while (q.size > MaxPhaseEntries) q.poll(): Unit
+          }
           // survivors is eagerly pinned inside the dedup (batch-bound ids),
           // so kept's lineage is cache blocks + that pin — the store append
           // below cannot leak back into it, and the output write doubles as

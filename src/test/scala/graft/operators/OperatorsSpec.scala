@@ -215,6 +215,68 @@ class DedupSpec extends SparkSpec {
     assert(keptPortable === kept)
   }
 
+  test("incrementalCore diagnostics: off by default, deterministic work profile when on") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a wholly novel document about spark engines and nothing else"),
+      (12L, "a wholly novel document about spark engines and nothing else")
+    ).toDF("doc_id", "text")
+    // default: no diagnostics computed, nothing to drain
+    Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id", 0.5).count()
+    assert(Dedup.drainIncrementalDiag().isEmpty)
+    def profile(): Map[String, Double] = {
+      Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id", 0.5).count()
+      val d = Dedup.drainIncrementalDiag()
+        .map { kv => val i = kv.lastIndexOf(':')
+          kv.take(i) -> kv.drop(i + 1).toDouble }.toMap
+      d
+    }
+    spark.conf.set("graft.dedup.diagnostics", "true")
+    try {
+      val d1 = profile()
+      assert(d1.keySet === Set("cand_corpus", "cand_batch", "gc", "diag_cost"))
+      // doc 10 is an exact dup of corpus doc 1 → they share every band, so
+      // the vs-corpus band join emits at least one candidate; 11/12 are an
+      // exact within-batch pair likewise. -1 would mean the observe metric
+      // was lost (observe-through-localCheckpoint broke).
+      assert(d1("cand_corpus") >= 1.0 && d1("cand_batch") >= 1.0)
+      // the counts are pure functions of the inputs — the whole point: a
+      // wall-clock swing at FLAT counts is proven environmental
+      val d2 = profile()
+      Seq("cand_corpus", "cand_batch").foreach(k => assert(d1(k) === d2(k), k))
+      // the opt-in band-histogram tier adds the hottest-band mass, and its
+      // job-computed totals must agree with the observe-collected ones
+      spark.conf.set("graft.dedup.diagnosticsBands", "true")
+      val d3 = profile()
+      assert(d3.keySet === d1.keySet ++ Set("cand_corpus_maxband",
+        "cand_batch_maxband", "cand_corpus_check", "cand_batch_check"))
+      assert(d3("cand_corpus_check") === d1("cand_corpus"))
+      assert(d3("cand_batch_check") === d1("cand_batch"))
+      assert(d3("cand_corpus_maxband") >= 1.0 &&
+        d3("cand_corpus_maxband") <= d3("cand_corpus"))
+      assert(d3("cand_batch_maxband") >= 2.0) // the 11/12 pair in one bucket
+      // an EMPTY corpus side optimizes the observed band join away
+      // entirely (PropagateEmptyRelation) — the count must read as the
+      // true 0, not as the metric-lost -1 (the first ingest cycle's shape)
+      spark.conf.unset("graft.dedup.diagnosticsBands")
+      Dedup.incrementalMinHashDedup(batch, corpus.limit(0),
+        "text", "doc_id", 0.5).count()
+      val dEmpty = Dedup.drainIncrementalDiag()
+        .map { kv => val i = kv.lastIndexOf(':')
+          kv.take(i) -> kv.drop(i + 1).toDouble }.toMap
+      assert(dEmpty("cand_corpus") === 0.0)
+      assert(dEmpty("cand_batch") >= 1.0)
+    } finally {
+      spark.conf.unset("graft.dedup.diagnostics")
+      spark.conf.unset("graft.dedup.diagnosticsBands")
+    }
+    assert(Dedup.drainIncrementalDiag().isEmpty) // drained, not re-readable
+  }
+
   test("signature-store dedup equals the recompute path through a parquet round-trip") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
