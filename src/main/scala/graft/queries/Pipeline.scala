@@ -1543,6 +1543,62 @@ object Pipeline {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }),
 
+    // the IVF lifecycle's missing half (r16): append freezes the centroid
+    // geometry — correct BETWEEN rebuilds — so something must measure
+    // recall decay as drifted appends accumulate and trigger the rebuild.
+    // Deterministic fixed-size construction (same at every SF): 8 tight
+    // unit-vector clusters in the x-y plane, one frozen centroid each
+    // (mod 25), then a 50-vector cluster appended at 45° — BETWEEN the
+    // 40° and 50° frozen centroids, so its vectors split across two cells
+    // and a 10%-mass probe sees only half the true neighbors. Gated
+    // facts: healthy recall ≥ 0.9 before the append; the watchdog reads
+    // ≤ 0.7 on drifted queries and triggers the rebuild; the rebuild
+    // re-derives centroids (one lands inside the drifted cluster),
+    // restores recall ≥ 0.9, and conserves all 250 rows through the
+    // staged directory swap.
+    "q242_ivf_drift_rebuild" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      def unitVec(thetaDeg: org.apache.spark.sql.Column) = {
+        val r = radians(thetaDeg)
+        array(cos(r).cast("float"), sin(r).cast("float"), lit(0.0f))
+      }
+      val base = e.filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          unitVec((col("vec_id") / lit(25)).cast("long") * 10.0 +
+            (col("vec_id") % 25 - 12) * 0.02).as("embedding"))
+      val drifted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000L).as("vec_id"),
+          unitVec(lit(45.0) +
+            when(col("vec_id") % 2 === 0, 1.0).otherwise(-1.0) *
+              (lit(2.0) + (col("vec_id") % 3).cast("double"))).as("embedding"))
+      val baseQ = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), unitVec(col("vec_id") * 10.0).as("embedding"))
+      val driftQ = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"),
+          unitVec(lit(44.8) + col("vec_id") * 0.2).as("embedding"))
+      val dir = GateTmp.dir("graft_ivfdrift")
+      try {
+        Similarity.buildIvfIndex(base, "embedding", "vec_id", dir.toString,
+          centroidMod = 25)
+        val r0 = Similarity.ivfRecallCheck(s, dir.toString, baseQ,
+          "embedding", "vec_id", k = 10, massFrac = 0.1)
+        Similarity.appendIvfIndex(s, dir.toString, drifted,
+          "embedding", "vec_id")
+        val (r1, rebuilt) = Similarity.rebuildIfDrifted(s, dir.toString,
+          driftQ, "embedding", "vec_id", minRecall = 0.8, k = 10,
+          massFrac = 0.1)
+        val r2 = Similarity.ivfRecallCheck(s, dir.toString, driftQ,
+          "embedding", "vec_id", k = 10, massFrac = 0.1)
+        val nIdx = s.read.parquet(dir.toString).count()
+        val recentered = s.read.parquet(s"$dir/_centroids")
+          .filter(col("cent_id") >= 1000L).count() > 0
+        import s.implicits._
+        Seq((nIdx, r0 >= 0.9, r1 <= 0.7 && rebuilt, recentered, r2 >= 0.9))
+          .toDF("n_idx", "healthy_ok", "drift_detected", "recentered",
+            "rebuild_restored")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }),
+
     // IVF-PQ composite ANN under the envelope gate: the coarse-quantizer
     // pruning loss is measured against the UNPRUNED PQ ranking (the PQ-vs-
     // exact envelope is q97's gate; this one certifies what the cell
@@ -3445,6 +3501,17 @@ object Pipeline {
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_rows,
         |  TRUE AS store_ok, TRUE AS append_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "q242_ivf_drift_rebuild" ->
+      // the replayable side: the fixed-size construction conserves its
+      // 250 rows and the engine-verified lifecycle facts (healthy recall,
+      // drift detected + rebuild triggered, centroids re-derived, recall
+      // restored) pin TRUE — any watchdog/rebuild regression flips a
+      // boolean and hash-mismatches
+      """SELECT CAST(200 + 50 AS BIGINT) AS n_idx, TRUE AS healthy_ok,
+        |  TRUE AS drift_detected, TRUE AS recentered,
+        |  TRUE AS rebuild_restored
+        |FROM (SELECT 1) WHERE (SELECT count(*) FROM embeddings
+        |  WHERE vec_id < 200) = 200""".stripMargin,
     "q185_mutual_knn_ivf" ->
       // q161's exact mutual-kNN machinery reduced to its edge count (the
       // replayable side); the confined path only via its certified floor
