@@ -182,6 +182,26 @@ object DocStreams {
   def upsertBatch(batch: DataFrame, tablePath: String, keyCol: String,
       versionCol: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // AQE is pure overhead for this merge: it turns each exchange into its
+    // own query-stage job and re-plans between them, but both plans here
+    // are bounded and explicitly laid out (the discovery agg collects ≤
+    // `buckets` longs; the merge width is pinned to the affected-bucket
+    // count for the one-file-per-dir contract) — measured at gate scale:
+    // 4 jobs → 2 and ~40% off the per-refresh wall (ProbeUpsert A/B).
+    // Session-conf save/restore: safe under this sink's documented
+    // single-writer-per-table contract (the streaming path runs on its
+    // own cloned session; a caller sharing one session across concurrent
+    // upserts to DIFFERENT tables should clone sessions likewise).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try upsertBatchNoAqe(batch, tablePath, keyCol, versionCol, buckets)
+    finally spark.conf.set(aqeKey, aqeWas)
+  }
+
+  private def upsertBatchNoAqe(batch: DataFrame, tablePath: String,
+      keyCol: String, versionCol: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
     val bucket = pmod(
       conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(buckets.toLong))

@@ -23,6 +23,73 @@ object ProbeUpsert {
       .withColumn("version", lit(v))
     val (d2, d3) = (delta(2, 997).localCheckpoint(true),
       delta(3, 883).localCheckpoint(true))
+
+    // job-level attribution: wall time per upsertBatch minus Spark job time
+    // = driver/FS overhead (renames, exists probes, listings, scheduling)
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime()): Unit
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = starts.remove(j.jobId)
+        if (t0 != 0L) jobTimes.add((t0, System.nanoTime() - t0)): Unit
+      }
+    })
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert_attr")
+      for ((b, i) <- Seq(docs, d2, d3).zipWithIndex) {
+        jobTimes.clear()
+        val t0 = System.nanoTime()
+        graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
+          "doc_id", "version", buckets = 64)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val js = jobTimes.toArray(Array.empty[(Long, Long)])
+        val jobSecs = js.map(_._2).sum / 1e9
+        println(f"[upsert] attr batch=$i wall=$wall%5.2fs jobs=${js.length} " +
+          f"jobTime=$jobSecs%5.2fs driverFs=${wall - jobSecs}%5.2fs " +
+          s"perJob=${js.map(t => f"${t._2 / 1e9}%.2f").mkString(",")}")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+    // A/B: the same attribution with AQE off (each exchange otherwise
+    // becomes its own query-stage job: 4 jobs/refresh instead of 2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert_noaqe")
+      for ((b, i) <- Seq(docs, d2, d3).zipWithIndex) {
+        jobTimes.clear()
+        val t0 = System.nanoTime()
+        graft.streaming.DocStreams.upsertBatch(b, s"$root/t",
+          "doc_id", "version", buckets = 64)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val js = jobTimes.toArray(Array.empty[(Long, Long)])
+        val jobSecs = js.map(_._2).sum / 1e9
+        println(f"[upsert] noaqe batch=$i wall=$wall%5.2fs jobs=${js.length} " +
+          f"jobTime=$jobSecs%5.2fs driverFs=${wall - jobSecs}%5.2fs " +
+          s"perJob=${js.map(t => f"${t._2 / 1e9}%.2f").mkString(",")}")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // decompose the exact StockCompare-16 engine lambda: which part of the
+    // timed closure is NOT the upserts (temp-dir churn, readback, delete)
+    for (round <- 1 to 3) {
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var root: java.nio.file.Path = null
+      val tDir = t { root = java.nio.file.Files.createTempDirectory("sc_upsert") }
+      val tU1 = t { graft.streaming.DocStreams.upsertBatch(docs, s"$root/t", "doc_id", "version", 64) }
+      val tU2 = t { graft.streaming.DocStreams.upsertBatch(d2, s"$root/t", "doc_id", "version", 64) }
+      val tU3 = t { graft.streaming.DocStreams.upsertBatch(d3, s"$root/t", "doc_id", "version", 64) }
+      val tRead = t { spark.read.parquet(s"$root/t").count(): Unit }
+      val tDel = t { org.apache.commons.io.FileUtils.deleteDirectory(root.toFile) }
+      println(f"[upsert] sc16 round=$round dir=$tDir%.2f u1=$tU1%.2f u2=$tU2%.2f " +
+        f"u3=$tU3%.2f read=$tRead%.2f del=$tDel%.2f total=${tDir+tU1+tU2+tU3+tRead+tDel}%.2f")
+    }
     for (round <- 1 to 3) {
       val root = java.nio.file.Files.createTempDirectory("probe_upsert")
       val t0 = System.nanoTime()

@@ -68,6 +68,9 @@ import org.apache.spark.sql.functions._
 object StockCompare {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // optional 2nd arg: substring filter on row names, for iterating on
+    // one comparison without the full ~8-minute pass
+    val only = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("stock-compare")
@@ -94,6 +97,7 @@ object StockCompare {
     }
 
     def report(name: String, engine: => Long, stock: => Long): Unit = {
+      if (only.exists(f => !name.contains(f))) return
       val en = engine; val sn = stock // one untimed warmup each (cache, codegen)
       // a silently-empty side (e.g. a mis-escaped regex splitting nothing)
       // would otherwise fake a fast "stock" time — the comparison is only
