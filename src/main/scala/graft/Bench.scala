@@ -10,9 +10,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Min-vs-median anchor-ratio basis from raw anchor samples — pure so a
-    * spec can pin the classification on the two measured r15 windows (see
-    * the calibration comment at the call site). Returns (basis, ratio):
-    * basis "median" iff medSum/minSum ≥ 1.15 AND avg in-run spread ≥ 0.8.
+    * spec can pin the classification on the measured calibration windows
+    * (see the comment at the call site). Returns (basis, ratio): basis
+    * "median" iff medSum/minSum ≥ 1.15 AND the MEDIAN per-anchor in-run
+    * spread ≥ 0.8. Median, not mean (r16): a genuinely bimodal window
+    * degrades every anchor's spread together (r15 bimodal: 1.16/1.84/0.72),
+    * while ONE hiccup sample on ONE anchor inflates only that anchor's
+    * spread (an r16 run measured 2.28/0.61/0.36 — mean 1.08 flipped the
+    * basis to median and normalized a 158 s run to a nonsense 82 s; the
+    * median 0.61 correctly keeps the min basis, which agreed with an
+    * independent same-day window within 1%).
     */
   def anchorBasis(samples: Map[String, List[Double]],
       refs: Map[String, Double]): (String, Double) = {
@@ -24,10 +31,11 @@ object Bench {
     val medSum = ks.map { k =>
       val ss = samples(k); ss.sorted.apply(ss.length / 2)
     }.sum
-    val avgSpread = ks.map { k =>
+    val spreads = ks.map { k =>
       val ss = samples(k); (ss.max - ss.min) / ss.min
-    }.sum / refs.size
-    val bimodal = medSum / minSum >= 1.15 && avgSpread >= 0.8
+    }.sorted
+    val medSpread = spreads(spreads.length / 2)
+    val bimodal = medSum / minSum >= 1.15 && medSpread >= 0.8
     (if (bimodal) "median" else "min",
       (if (bimodal) medSum else minSum) / refs.values.sum)
   }
@@ -147,7 +155,10 @@ object Bench {
         // round 12: q230 writes two bucketed catalog tables per run (file
         // I/O jitter), q231 pays an extra bounded measurement job for the
         // adaptive-probe expansion — both spread >20% across full passes
-        "q230_cobucket_join,q231_ivfsq8_adaptive")
+        "q230_cobucket_join,q231_ivfsq8_adaptive," +
+        // round 16: q242 runs build + append + rebuild + two recall
+        // checks of temp-dir index I/O per pass — the q217/q241 class
+        "q242_ivf_drift_rebuild")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

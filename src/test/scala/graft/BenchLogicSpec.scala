@@ -66,6 +66,20 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.regressionsVsPrev("{}", times, _ => false, 1.0).isEmpty)
   }
 
+  test("anchorBasis: one hiccup sample on one anchor does not flip the basis (r16)") {
+    // measured r16 window: scan spread 2.28 from a single bad sample while
+    // the other anchors ran tight (0.61 / 0.36) — the old MEAN spread
+    // (1.08) flipped to the median basis and normalized a 158 s run to a
+    // nonsense 82 s; the median per-anchor spread (0.61) keeps min
+    val samples = Map(
+      "anchor_scan_agg" -> List(0.18, 0.2668, 0.18 * 3.275),
+      "anchor_bcast_join" -> List(0.1123, 0.18, 0.1123 * 1.607),
+      "anchor_shuffle_join" -> List(0.5321, 0.7113, 0.5321 * 1.362))
+    val (basis, ratio) = Bench.anchorBasis(samples, refs)
+    assert(basis === "min")
+    assert(math.abs(ratio - 1.381) < 0.01)
+  }
+
   test("regressionsVsPrev: parses scientific-notation prior times correctly") {
     // ADVICE r15: [0-9.]+ read 5E-1 as 5 — a ×4 real regression on a
     // half-second gate would then look like ×0.4 and stay silent

@@ -266,6 +266,29 @@ class SkewStatsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.wcoj.singleCellMaxBindings")
   }
 
+  test("lastOutputBound is cleared when routing skips the byte-gated estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ADVICE r15: the bound is only computed inside the byte-gated branch,
+    // so a query routed past it (inputs over singleCellBytes) must not
+    // leave an earlier query's bound for ScaleCheck to misattribute
+    val edges = (for { u <- 0 until 20; v <- 0 until 20; if u != v }
+      yield (u.toLong, v.toLong)).toDF("src", "dst")
+    def rels() = Seq(
+      (edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b")),
+      (edges.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c")),
+      (edges.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a")))
+    def run(): Long = WcojJoin.leapfrogCatalyst(spark, rels(), Seq("a", "b", "c")).count()
+    try {
+      run(): Unit // defaults: byte gate passes, bound computed
+      assert(spark.conf.getOption("graft.wcoj.lastOutputBound").isDefined)
+      spark.conf.set("graft.wcoj.singleCellBytes", "1") // byte gate fails
+      run(): Unit
+      assert(spark.conf.getOption("graft.wcoj.lastOutputBound").isEmpty,
+        "stale bound survived a routing decision that never computed one")
+    } finally spark.conf.unset("graft.wcoj.singleCellBytes")
+  }
+
   test("degree-capped inputs still collapse to one cell when AGM alone is too loose") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
