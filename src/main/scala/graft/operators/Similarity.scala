@@ -579,6 +579,22 @@ object Similarity {
       path: String, caller: String): (DataFrame, Int) = {
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a store absent at `path` with a rebuild sibling present is the
+    // documented between-the-two-renames crash window of
+    // [[rebuildIvfIndex]] — fail with the recovery instruction instead of
+    // a bare path-not-found
+    if (!fs.exists(rootP)) {
+      val old = new org.apache.hadoop.fs.Path(rootP.getParent,
+        rootP.getName + ".__rebuild_old")
+      val stg = new org.apache.hadoop.fs.Path(rootP.getParent,
+        rootP.getName + ".__rebuild_tmp")
+      if (fs.exists(old) || fs.exists(stg)) throw new java.io.IOException(
+        s"$caller: $path is absent but a rebuild sibling survives " +
+          s"(old=${fs.exists(old)}, staged=${fs.exists(stg)}) — a " +
+          "rebuildIvfIndex crashed between its two renames; rename " +
+          s"either sibling back to $path to recover (old = pre-rebuild " +
+          "store, staged = completed rebuild)")
+    }
     val (exData, _) = inFlightExclusions(fs, rootP)
     val idx =
       if (exData.isEmpty) spark.read.parquet(path)

@@ -1669,6 +1669,18 @@ class MutualKnnSpec extends graft.SparkSpec {
       val (r3, again) = Similarity.rebuildIfDrifted(spark, dir.toString,
         driftQ, "embedding", "vec_id", minRecall = 0.8, k = 10, massFrac = 0.1)
       assert(r3 >= 0.9 && !again)
+      // the rebuild's between-renames crash window fails LOUD with the
+      // recovery instruction, not a bare path-not-found
+      val moved = new java.io.File(s"$dir.__rebuild_old")
+      assert(new java.io.File(dir.toString).renameTo(moved))
+      try {
+        val e = intercept[java.io.IOException] {
+          Similarity.ivfRecallCheck(spark, dir.toString, driftQ,
+            "embedding", "vec_id", k = 10, massFrac = 0.1)
+        }
+        assert(e.getMessage.contains("rename either sibling back")
+          || e.getMessage.contains("rebuild sibling"))
+      } finally assert(moved.renameTo(new java.io.File(dir.toString)))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
