@@ -157,8 +157,13 @@ object Bench {
         // adaptive-probe expansion — both spread >20% across full passes
         "q230_cobucket_join,q231_ivfsq8_adaptive," +
         // round 16: q242 runs build + append + rebuild + two recall
-        // checks of temp-dir index I/O per pass — the q217/q241 class
-        "q242_ivf_drift_rebuild")
+        // checks of temp-dir index I/O per pass — the q217/q241 class;
+        // q187/q238/q241 each write a fresh temp-dir index store per pass
+        // and wobbled 1.4-2.0x across r16's five windows with unchanged
+        // plans and no tripwire — min-of-3 them so future records carry
+        // their floor, not a window moment
+        "q242_ivf_drift_rebuild,q187_ivf_index_roundtrip," +
+        "q238_ivf_index_adaptive,q241_ivf_index_append")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // optional comma-separated subset for local iteration (driver sets no env)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
