@@ -607,15 +607,20 @@ object Dedup {
     * is proven environmental, and moving counts point at the exact band
     * skew the [[Salting]] machinery would cap.
     */
-  private val incrementalDiag =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val incrementalDiag = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
-  def drainIncrementalDiag(): Seq[String] = {
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    var e = incrementalDiag.poll()
-    while (e != null) { out += e; e = incrementalDiag.poll() }
-    out.toList
-  }
+  /** Drain the work profile for ONE producer key (ADVICE r16): the queue
+    * is keyed the same way [[graft.streaming.DocStreams]]'s phase log is —
+    * concurrent streams over different stores set
+    * `graft.dedup.diagKey = <store path>` on their own (cloned) session
+    * and drain their own key, so neither attributes the other's candidate
+    * counts to its own cycle. Direct/batch callers on a session without
+    * the conf produce and drain the default "" key.
+    */
+  def drainIncrementalDiag(key: String = ""): Seq[String] =
+    Option(incrementalDiag.remove(key))
+      .map(q => q.toArray(Array.empty[String]).toSeq).getOrElse(Nil)
 
   private def jvmGcMillis: Long = {
     import scala.jdk.CollectionConverters._
@@ -727,9 +732,12 @@ object Dedup {
             "cand_batch_check" -> (st.getLong(2) / 2).toDouble)
         }
       val diagSecs = (System.nanoTime() - tD0) / 1e9
+      val diagKey = batch.sparkSession.conf.get("graft.dedup.diagKey", "")
+      val q = incrementalDiag.computeIfAbsent(diagKey,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
       (base ++ bands :+ ("diag_cost" -> math.rint(diagSecs * 1000) / 1000.0))
-        .foreach { case (k, v) => incrementalDiag.add(s"$k:$v"): Unit }
-      while (incrementalDiag.size > 256) incrementalDiag.poll(): Unit
+        .foreach { case (k, v) => q.add(s"$k:$v"): Unit }
+      while (q.size > 256) q.poll(): Unit
     }
     bBase.unpersist(false)
     cBase.unpersist(false)

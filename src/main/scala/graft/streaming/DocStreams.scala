@@ -188,16 +188,33 @@ object DocStreams {
     // `buckets` longs; the merge width is pinned to the affected-bucket
     // count for the one-file-per-dir contract) — measured at gate scale:
     // 4 jobs → 2 and ~40% off the per-refresh wall (ProbeUpsert A/B).
-    // Session-conf save/restore: safe under this sink's documented
-    // single-writer-per-table contract (the streaming path runs on its
-    // own cloned session; a caller sharing one session across concurrent
-    // upserts to DIFFERENT tables should clone sessions likewise).
+    // Session-conf save/restore, SERIALIZED per session (ADVICE r16): the
+    // streaming path runs on its own cloned session, but a caller sharing
+    // one session across concurrent upserts to DIFFERENT tables would race
+    // the toggle — one batch's finally restoring "false" mid-flight for
+    // the other, or clobbering a conf set elsewhere in the window. The
+    // session's monitor makes the whole toggle window exclusive per
+    // session (different sessions still run fully in parallel): a comment
+    // documented this contract before, nothing enforced it. Restore writes
+    // back the pre-toggle EFFECTIVE value — for a registered SQL conf the
+    // public RuntimeConfig API cannot distinguish "unset" from "set to the
+    // default", and the effective semantics are identical either way.
     val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try upsertBatchNoAqe(batch, tablePath, keyCol, versionCol, buckets)
-    finally spark.conf.set(aqeKey, aqeWas)
+    aqeLockFor(spark).synchronized {
+      val aqeWas = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try upsertBatchNoAqe(batch, tablePath, keyCol, versionCol, buckets)
+      finally spark.conf.set(aqeKey, aqeWas)
+    }
   }
+
+  // weak keys: a dedicated monitor per session (locking the session object
+  // itself could collide with Spark-internal synchronization), dropped
+  // when the session is collected
+  private val aqeLocks =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]()
+  private def aqeLockFor(s: org.apache.spark.sql.SparkSession): Object =
+    aqeLocks.synchronized { aqeLocks.computeIfAbsent(s, _ => new Object) }
 
   private def upsertBatchNoAqe(batch: DataFrame, tablePath: String,
       keyCol: String, versionCol: String, buckets: Int): Unit = {
@@ -462,6 +479,11 @@ object DocStreams {
             .getOrElse(Dedup.signatureStore(pinned.limit(0), textCol, idCol,
               shingle, portableIds))
           mark("store_read")
+          // key this stream's work profile by its store path (ADVICE r16):
+          // the conf lives on the stream's CLONED session, so concurrent
+          // streams over different stores each produce into — and drain —
+          // their own diag queue instead of interleaving in a global one
+          spark.conf.set("graft.dedup.diagKey", storePath)
           val survivors = Dedup.incrementalMinHashDedupFromStore(
             pinned, store, textCol, idCol, threshold,
             shingle = shingle, portableIds = portableIds)
@@ -475,7 +497,7 @@ object DocStreams {
           // counts = band skew (r16 directive #1). diag_cost (also
           // emitted) is the instrument's own price, included in the
           // mark("dedup") time it explains.
-          Dedup.drainIncrementalDiag().foreach { kv =>
+          Dedup.drainIncrementalDiag(storePath).foreach { kv =>
             val q = ingestPhaseLog.computeIfAbsent(storePath,
               _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
             q.add(s"b${batchId}_$kv")

@@ -1501,7 +1501,10 @@ class MutualKnnSpec extends graft.SparkSpec {
     val h1 = vecs.filter($"vec_id" % 3 =!= 0)
     val h2 = vecs.filter($"vec_id" % 3 === 0)
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_lease")
-    val lease = new java.io.File(s"$dir/.__append_lease")
+    // the lease is a SIBLING of the store root (r17): a rebuild's dir swap
+    // must not carry it away, and acquiring it must not recreate an
+    // absent root
+    val lease = new java.io.File(s"$dir.__lease")
     try {
       Similarity.buildIvfIndex(h1, "embedding", "vec_id", dir.toString,
         centroidMod = 20)
@@ -1513,6 +1516,8 @@ class MutualKnnSpec extends graft.SparkSpec {
       }
       assert(e.getMessage.contains("lease"))
       assert(lease.exists(), "refusal must not steal the live lease")
+      assert(java.nio.file.Files.readString(lease.toPath) === "holder",
+        "refusal must not rewrite the live holder's token")
       // a STALE lease (crashed appender) is taken over and the append runs
       assert(lease.setLastModified(
         System.currentTimeMillis() - 20L * 60 * 1000))
@@ -1526,7 +1531,124 @@ class MutualKnnSpec extends graft.SparkSpec {
         Similarity.appendIvfIndex(spark, dir.toString, bad, "embedding", "vec_id")
       }
       assert(!lease.exists(), "lease must be released on failure")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      lease.delete()
+    }
+  }
+
+  test("a slow-but-live writer heartbeats past the TTL and a takeover attempt refuses") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_hb")
+    val lease = new java.io.File(s"$dir.__lease")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      spark.conf.set("graft.ivf.appendLeaseTtlMs", "400")
+      // writer A holds the lease LONGER than the TTL but heartbeats
+      // between phases — a second writer's acquire must still refuse,
+      // because the mtime (not the acquisition time) carries liveness
+      Similarity.withWriterLeaseForTest(spark, dir.toString, "writerA") { hb =>
+        Thread.sleep(250); hb()
+        Thread.sleep(250); hb() // total hold 500ms > ttl 400ms, still live
+        val e = intercept[IllegalArgumentException] {
+          Similarity.withWriterLeaseForTest(spark, dir.toString, "writerB") {
+            _ => fail("writerB must not acquire over a live heartbeat")
+          }
+        }
+        assert(e.getMessage.contains("another writer holds the lease"))
+      }
+      assert(!lease.exists(), "lease released after the slow write")
+    } finally {
+      spark.conf.unset("graft.ivf.appendLeaseTtlMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      lease.delete()
+    }
+  }
+
+  test("a mid-write takeover is detected by the owner token and fails the write loudly") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_tok")
+    val lease = new java.io.File(s"$dir.__lease")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", dir.toString,
+        centroidMod = 20)
+      spark.conf.set("graft.ivf.appendLeaseTtlMs", "100")
+      val e = intercept[java.io.IOException] {
+        Similarity.withWriterLeaseForTest(spark, dir.toString, "writerA") { hb =>
+          Thread.sleep(200) // NO heartbeat: the lease goes stale
+          // writer B legitimately takes the stale lease over and finishes
+          Similarity.withWriterLeaseForTest(spark, dir.toString, "writerB") {
+            _ => ()
+          }
+          // A's next heartbeat detects the loss and aborts BEFORE more I/O
+          val hbErr = intercept[IllegalArgumentException](hb())
+          assert(hbErr.getMessage.contains("lost the writer lease"))
+          // ...and even a body that swallows that still cannot report
+          // success: the exit-path token check fails the write (below)
+        }
+      }
+      assert(e.getMessage.contains("taken over mid-write"))
+    } finally {
+      spark.conf.unset("graft.ivf.appendLeaseTtlMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      lease.delete()
+    }
+  }
+
+  test("IVF writers refuse an absent store and diagnose a crashed rebuild instead of recreating the root") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_abs")
+    val store = s"$dir/store"
+    val delta = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    try {
+      // no store at all: a loud FileNotFound, and the root must NOT be
+      // recreated as a lease-only dir (ADVICE r16: Hadoop create() makes
+      // parent dirs, so the old in-store lease invented the store)
+      val e1 = intercept[java.io.FileNotFoundException] {
+        Similarity.appendIvfIndex(spark, store, delta, "embedding", "vec_id")
+      }
+      assert(e1.getMessage.contains("no IVF store"))
+      assert(!new java.io.File(store).exists(),
+        "a refused writer must not recreate the store root")
+      // the between-renames rebuild crash window: store absent but a
+      // sibling survives — the writer repeats openIvfIndex's recovery
+      // guidance instead of failing on schema inference
+      new java.io.File(s"$store.__rebuild_tmp").mkdirs()
+      val e2 = intercept[java.io.IOException] {
+        Similarity.rebuildIvfIndex(spark, store)
+      }
+      assert(e2.getMessage.contains("rename either sibling back"))
+      assert(!new java.io.File(store).exists())
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("IVF writers refuse filesystem schemes without atomic create-exclusive and rename") {
+    val delta = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    // the guard fires BEFORE any filesystem access (no s3a classes needed)
+    for (call <- Seq(
+        () => Similarity.buildIvfIndex(delta, "embedding", "vec_id",
+          "s3a://bucket/ivf"),
+        () => Similarity.appendIvfIndex(spark, "s3a://bucket/ivf", delta,
+          "embedding", "vec_id"),
+        () => Similarity.rebuildIvfIndex(spark, "s3a://bucket/ivf"))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("ATOMIC create-exclusive"))
+      assert(e.getMessage.contains("graft.ivf.extraFsSchemes"))
+    }
+    // the opt-in lifts the refusal: the failure becomes the (expected)
+    // missing-filesystem error, not the contract guard
+    spark.conf.set("graft.ivf.extraFsSchemes", "s3a")
+    try {
+      val e = intercept[Throwable] {
+        Similarity.appendIvfIndex(spark, "s3a://bucket/ivf", delta,
+          "embedding", "vec_id")
+      }
+      assert(!e.getMessage.contains("ATOMIC create-exclusive"))
+    } finally spark.conf.unset("graft.ivf.extraFsSchemes")
   }
 
   test("readers exclude files named by an in-flight append manifest (and its sizes delta)") {
