@@ -95,6 +95,77 @@ class BenchLogicSpec extends AnyFunSuite {
     // wrong reason; this pins the right one)
   }
 
+  test("confirmedRegressions: window scatter clears on confirm, a real regression survives (r17)") {
+    // shaped like the r16 record's adjudicated entries: gates detected at
+    // ×1.53–2.07 whose confirm re-measure lands back in band → CLEARED
+    // (reported with detect/confirm values, not flagged); one synthetic
+    // true regression whose confirm reproduces the slowdown → CONFIRMED
+    val prev = """{"anchor_ratio":1.0,"queries":{"q_scatter_a":1.0,""" +
+      """"q_scatter_b":2.0,"q_real":1.0,"q_flat":1.0},"sf":"/x/sf0.1"}"""
+    val detect = Map(
+      "q_scatter_a" -> 1.53, // ×1.53 at detection (an r16-record entry shape)
+      "q_scatter_b" -> 4.14, // ×2.07
+      "q_real" -> 2.2,       // ×2.2
+      "q_flat" -> 1.05)
+    // confirm samples: scatter gates recover (min drops under the wire),
+    // the real regression reproduces (min stays ×1.5+)
+    val fin = Map(
+      "q_scatter_a" -> 1.1,  // confirm 1.1 → final ratio ×1.1
+      "q_scatter_b" -> 2.6,  // confirm 2.6 → ×1.3
+      "q_real" -> 2.1,       // confirm 2.1 → still ×2.1
+      "q_flat" -> 1.05)
+    val (confirmed, cleared) =
+      Bench.confirmedRegressions(prev, detect, fin, _ => false, 1.0)
+    assert(confirmed.map(_._1) === Seq("q_real"))
+    assert(math.abs(confirmed.head._4 - 2.1) < 1e-9)
+    assert(cleared.map(_._1).sorted === Seq("q_scatter_a", "q_scatter_b"))
+    val a = cleared.find(_._1 == "q_scatter_a").get
+    assert(math.abs(a._3 - 1.53) < 1e-9) // detect-time norm, documented
+    assert(math.abs(a._4 - 1.1) < 1e-9)  // confirm-time norm
+    // no prev gates block → nothing confirmed, nothing cleared
+    assert(Bench.confirmedRegressions("{}", detect, fin, _ => false, 1.0)
+      === ((Nil, Nil)))
+  }
+
+  test("gateMedianRatioVsPrev: median over overlapping gates >= 0.2 s, basis-robust (r17)") {
+    // prev record at ratio 1.2 (its gates' norms = raw/1.2); current run
+    // at ratio 1.0. Overlap floor: prev NORM >= 0.2 s.
+    val prev = """{"anchor_ratio":1.2,"queries":{"qa":1.2,"qb":2.4,""" +
+      """"qc":0.12,"qd":1.2,"qe":6.0,"q_err":1.2},"sf":"/x/sf0.1"}"""
+    val times = Map(
+      "qa" -> 1.0,  // prevNorm 1.0 → ratio 1.0
+      "qb" -> 2.2,  // prevNorm 2.0 → 1.1
+      "qc" -> 0.5,  // prevNorm 0.1 < 0.2 floor → excluded
+      "qd" -> 0.9,  // → 0.9
+      "qe" -> 6.0,  // prevNorm 5.0 → 1.2
+      "q_err" -> 9.0) // errored → excluded
+    val Some((med, n)) = Bench.gateMedianRatioVsPrev(prev, times,
+      _ == "q_err", curRatio = 1.0): @unchecked
+    assert(n === 4)
+    // sorted ratios (0.9, 1.0, 1.1, 1.2) → median (upper) 1.1
+    assert(math.abs(med - 1.1) < 1e-9)
+    // the statistic is ANCHOR-NORMALIZED on both sides: a uniformly slow
+    // current window (curRatio 2.0) must not read as a regression
+    val Some((med2, _)) = Bench.gateMedianRatioVsPrev(prev,
+      times.view.mapValues(_ * 2).toMap, _ == "q_err", 2.0): @unchecked
+    assert(math.abs(med2 - med) < 1e-9)
+    assert(Bench.gateMedianRatioVsPrev("{}", times, _ => false, 1.0).isEmpty)
+  }
+
+  test("volatileDefault: the min-of-3 list is the r17 measured state (entry/exit rule applied)") {
+    // VERDICT r16 #4: the list must be a measured state with an exit
+    // criterion, not a ratchet. r17 applied the rule to the four r16
+    // sf0.1 windows: 16 gates measured cross-window spread < 1.3x and
+    // left; 13 stayed at >= 1.3x plus q242 (too new to exit). This pins
+    // the count and spot-membership so additions/removals must re-run
+    // the measurement (see the rule at the definition).
+    assert(Bench.volatileDefault.size === 14)
+    assert(Bench.volatileDefault("q214_ingest_crawl")) // 5.49x, stays
+    assert(Bench.volatileDefault("q242_ivf_drift_rebuild")) // 2 windows, stays
+    assert(!Bench.volatileDefault("q216_cdc_upsert")) // 1.24x, exited
+    assert(!Bench.volatileDefault("q210_stream_distinct_hll")) // 1.19x, exited
+  }
+
   test("sfMatches: requires a recorded sf and normalizes only the trailing slash") {
     val rec = """{"value":1.0,"sf":"/root/testdata/sf0.1"}"""
     assert(Bench.sfMatches(rec, "/root/testdata/sf0.1"))

