@@ -277,6 +277,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.drainIncrementalDiag().isEmpty) // drained, not re-readable
   }
 
+  test("incrementalCore diagnostics are keyed per producer: streams do not interleave profiles") {
+    // ADVICE r16: two concurrent ingest streams (different stores) used to
+    // share one global diag queue, so each drain attributed the other
+    // stream's work profile to its own cycle. The queue is now keyed by
+    // graft.dedup.diagKey (set per stream session to the store path).
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.diagnostics", "true")
+    try {
+      spark.conf.set("graft.dedup.diagKey", "/stores/a")
+      Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id", 0.5).count()
+      spark.conf.set("graft.dedup.diagKey", "/stores/b")
+      Dedup.incrementalMinHashDedup(batch, corpus, "text", "doc_id", 0.5).count()
+      // the default drain sees NEITHER keyed producer's entries
+      assert(Dedup.drainIncrementalDiag().isEmpty)
+      val a = Dedup.drainIncrementalDiag("/stores/a")
+      val b = Dedup.drainIncrementalDiag("/stores/b")
+      assert(a.nonEmpty && b.nonEmpty)
+      assert(a.exists(_.startsWith("cand_corpus:")))
+      // each key drains exactly its own producer's entries, once
+      assert(a.size === b.size)
+      assert(Dedup.drainIncrementalDiag("/stores/a").isEmpty)
+      assert(Dedup.drainIncrementalDiag("/stores/b").isEmpty)
+    } finally {
+      spark.conf.unset("graft.dedup.diagnostics")
+      spark.conf.unset("graft.dedup.diagKey")
+    }
+  }
+
   test("signature-store dedup equals the recompute path through a parquet round-trip") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
