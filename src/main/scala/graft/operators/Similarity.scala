@@ -628,11 +628,20 @@ object Similarity {
       path: String, caller: String): (DataFrame, Int) = {
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a store absent at `path` with a rebuild sibling present is the
-    // documented between-the-two-renames crash window of
-    // [[rebuildIvfIndex]] — fail with the recovery instruction instead of
-    // a bare path-not-found
+    // a store absent at `path` with a rebuild sibling present is either a
+    // rebuild LIVE between its two renames (fresh sibling lease — tell
+    // the reader to retry; following the recovery instruction now would
+    // corrupt the in-flight swap) or the documented crash window of
+    // [[rebuildIvfIndex]] (no live lease — fail with the recovery
+    // instruction instead of a bare path-not-found)
     if (!fs.exists(rootP)) {
+      val ttlMs = spark.conf.get("graft.ivf.appendLeaseTtlMs",
+        (10L * 60 * 1000).toString).toLong
+      if (leaseAgeMs(fs, rootP).exists(_ < ttlMs)) throw new java.io.IOException(
+        s"$caller: a live writer holds the lease on $path while the " +
+          "store root is mid-rename (a rebuildIvfIndex directory swap in " +
+          "flight) — retry after it finishes; do NOT rename the rebuild " +
+          "siblings back while the lease is fresh")
       val old = new org.apache.hadoop.fs.Path(rootP.getParent,
         rootP.getName + ".__rebuild_old")
       val stg = new org.apache.hadoop.fs.Path(rootP.getParent,
@@ -725,6 +734,19 @@ object Similarity {
       appendIvfIndexLeased(spark, path, newVecs, vecCol, idCol, heartbeat)
     }
 
+  /** Age of the sibling writer lease of store `rootP`, None when absent —
+    * shared by the live-vs-crashed rebuild diagnosis on both the writer
+    * ([[withWriterLease]]) and reader ([[openIvfIndex]]) paths.
+    */
+  private def leaseAgeMs(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path): Option[Long] = {
+    val lease = new org.apache.hadoop.fs.Path(rootP.getParent,
+      rootP.getName + LeaseSuffix)
+    try Some(System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime)
+    catch { case _: java.io.IOException => None }
+  }
+
   /** Writer-side presence check, run BEFORE lease acquisition (ADVICE
     * r16): a writer entry point must never invent a store. With the old
     * in-store lease, `fs.create` silently recreated an absent root as a
@@ -778,11 +800,23 @@ object Similarity {
     requireAtomicFsScheme(spark, path, caller)
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttlMs = spark.conf.get("graft.ivf.appendLeaseTtlMs",
+      (10L * 60 * 1000).toString).toLong
+    // a LIVE sibling lease with the store root absent is a rebuild BETWEEN
+    // its two renames, not a crash — the crashed-rebuild recovery
+    // instruction ("rename a sibling back") would corrupt the in-flight
+    // swap if followed now, so refuse with retry guidance instead and
+    // fall through to the crash diagnosis only when no live writer holds
+    // the lease
+    if (!fs.exists(rootP) && leaseAgeMs(fs, rootP).exists(_ < ttlMs))
+      throw new java.io.IOException(
+        s"$caller: a live writer holds the lease on $path while the " +
+          "store root is mid-rename (a rebuildIvfIndex directory swap in " +
+          "flight) — retry after it finishes; do NOT rename the rebuild " +
+          "siblings back while the lease is fresh")
     requireStoreRoot(fs, rootP, caller)
     val lease = new org.apache.hadoop.fs.Path(rootP.getParent,
       rootP.getName + LeaseSuffix)
-    val ttlMs = spark.conf.get("graft.ivf.appendLeaseTtlMs",
-      (10L * 60 * 1000).toString).toLong
     val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {

@@ -1657,6 +1657,51 @@ class MutualKnnSpec extends graft.SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("a live rebuild's swap window is diagnosed as in-flight, not as a crash") {
+    // the between-renames window with a FRESH lease is a rebuild in
+    // flight: both writers and readers must get retry guidance — the
+    // crashed-rebuild instruction ("rename a sibling back") would corrupt
+    // the live swap if followed
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_swap")
+    val store = s"$dir/store"
+    val aside = java.nio.file.Paths.get(s"$store.__rebuild_old")
+    val delta = Seq((100L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    try {
+      Similarity.buildIvfIndex(vecs, "embedding", "vec_id", store,
+        centroidMod = 20)
+      Similarity.withWriterLeaseForTest(spark, store, "rebuilder") { _ =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(store), aside)
+        try {
+          // concurrent WRITER: refused before lease acquisition, with the
+          // in-flight guidance (not the crash recovery, not a bare FNF)
+          val w = intercept[java.io.IOException] {
+            Similarity.appendIvfIndex(spark, store, delta, "embedding", "vec_id")
+          }
+          assert(w.getMessage.contains("swap in") &&
+            w.getMessage.contains("do NOT rename"))
+          // concurrent READER: same diagnosis through openIvfIndex
+          val r = intercept[java.io.IOException] {
+            Similarity.ivfRecallCheck(spark, store,
+              delta.limit(1), "embedding", "vec_id")
+          }
+          assert(r.getMessage.contains("swap in"))
+        } finally java.nio.file.Files.move(aside,
+          java.nio.file.Paths.get(store))
+        ()
+      }
+      // once no live lease remains, the same absent-root state reads as
+      // the documented crash and gets the recovery instruction
+      java.nio.file.Files.move(java.nio.file.Paths.get(store), aside)
+      val c = intercept[java.io.IOException] {
+        Similarity.appendIvfIndex(spark, store, delta, "embedding", "vec_id")
+      }
+      assert(c.getMessage.contains("rename either sibling back"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("IVF writers refuse filesystem schemes without atomic create-exclusive and rename") {
     val delta = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     // the guard fires BEFORE any filesystem access (no s3a classes needed)
