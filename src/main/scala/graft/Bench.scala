@@ -76,14 +76,14 @@ object Bench {
     * anchor-normalized time grew past ×1.5.
     */
   def regressionsVsPrev(prevJson: String, times: Map[String, Double],
-      errored: String => Boolean, curRatio: Double)
-      : Seq[(String, Double, Double, Double)] = {
+      errored: String => Boolean, curRatio: Double,
+      threshold: Double = 1.5): Seq[(String, Double, Double, Double)] = {
     val (prevRatio, entries) = prevGateEntries(prevJson)
     entries.flatMap { case (name, prevRaw) =>
       times.get(name).flatMap { curRaw =>
         val prevNorm = prevRaw / prevRatio
         val curNorm = curRaw / curRatio
-        if (prevRaw >= 0.05 && !errored(name) && curNorm / prevNorm > 1.5)
+        if (prevRaw >= 0.05 && !errored(name) && curNorm / prevNorm > threshold)
           Some((name, prevNorm, curNorm, curNorm / prevNorm))
         else None
       }
@@ -348,9 +348,13 @@ object Bench {
           anchorRef.keys.forall(anchorSamples.contains))
         anchorBasis(anchorSamples.toMap, anchorRef)._2
       else 1.0
+    // suspects are detected at x1.35 — BELOW the x1.5 flagging wire — so a
+    // gate sitting just under the wire on the PROVISIONAL anchor ratio
+    // still gets its confirm sample even if the final ratio (computed
+    // after these passes) nudges it over; flagging itself stays at 1.5
     val suspects = prevCommitted.toSeq.flatMap { p =>
       regressionsVsPrev(p, timesAtDetection, errors.contains,
-        provisionalRatio)
+        provisionalRatio, threshold = 1.35)
     }.map(_._1)
     if (suspects.nonEmpty) {
       System.err.println(s"[bench] ${suspects.size} suspect gate(s) — " +

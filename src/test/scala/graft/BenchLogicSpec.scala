@@ -64,6 +64,12 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.regressionsVsPrev(prev, times, _ == "q_err", curRatio = 2.0).isEmpty)
     // and a record with no queries block contributes nothing
     assert(Bench.regressionsVsPrev("{}", times, _ => false, 1.0).isEmpty)
+    // the suspect-detection threshold (r17 confirm pass) widens the net
+    // below the x1.5 flagging wire: x1.45 is a suspect at 1.35, not a flag
+    val nearWire = Map("q_flat" -> 1.45)
+    assert(Bench.regressionsVsPrev(prev, nearWire, _ => false, 1.0).isEmpty)
+    assert(Bench.regressionsVsPrev(prev, nearWire, _ => false, 1.0,
+      threshold = 1.35).map(_._1) === Seq("q_flat"))
   }
 
   test("anchorBasis: one hiccup sample on one anchor does not flip the basis (r16)") {
