@@ -494,20 +494,11 @@ object Similarity {
     */
   private def requireAtomicFsScheme(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      caller: String): Unit = {
-    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
-      .getOrElse("file").toLowerCase
-    val extra = spark.conf.get("graft.ivf.extraFsSchemes", "")
-      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-    require((Set("file", "hdfs", "viewfs", "local") ++ extra)(scheme),
-      s"$caller: $path is on filesystem scheme '$scheme', but the IVF " +
-        "store write protocol (writer lease, sidecar publish, staged " +
-        "append, rebuild dir-swap) requires ATOMIC create-exclusive and " +
-        "ATOMIC rename — guaranteed on HDFS/viewfs/local, NOT on " +
-        "S3-family object stores. If this store's filesystem provides " +
-        "both (e.g. via a consistency layer), allow the scheme with " +
-        "spark.conf graft.ivf.extraFsSchemes")
-  }
+      caller: String): Unit =
+    graft.FsContract.requireAtomicScheme(spark, path, caller,
+      "the IVF store write protocol (writer lease, sidecar publish, " +
+        "staged append, rebuild dir-swap)",
+      "graft.ivf.extraFsSchemes")
 
   /** One-file cell-size sidecar: line 1 = the centroid-scheme mod, then
     * `cent_id,count` lines. Written via create-temp + rename so readers

@@ -182,6 +182,14 @@ object DocStreams {
   def upsertBatch(batch: DataFrame, tablePath: String, keyCol: String,
       versionCol: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // the publish loop below does its OWN per-bucket aside/rename swap
+    // with a marker-gated heal — the same custom-protocol class as the
+    // IVF store's, with the same undeclared-on-object-stores hazard
+    // (r17): refuse schemes without atomic create-exclusive + rename
+    graft.FsContract.requireAtomicScheme(spark, tablePath, "upsertBatch",
+      "the upsert publish protocol (per-bucket aside/rename swap + " +
+        "marker-gated heal)",
+      "graft.upsert.extraFsSchemes")
     // AQE is pure overhead for this merge: it turns each exchange into its
     // own query-stage job and re-plans between them, but both plans here
     // are bounded and explicitly laid out (the discovery agg collects ≤

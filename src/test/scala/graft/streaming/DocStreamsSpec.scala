@@ -170,6 +170,27 @@ class DocStreamsSpec extends SparkSpec {
   private def upds(rows: (Long, Int, String)*) =
     rows.toDF("doc_id", "version", "text")
 
+  test("upsertBatch refuses filesystem schemes without atomic create-exclusive and rename") {
+    // the per-bucket aside/rename publish is the same custom-protocol
+    // class as the IVF store's (r17): the guard fires BEFORE any
+    // filesystem access, so no s3a classes are needed
+    val e = intercept[IllegalArgumentException] {
+      DocStreams.upsertBatch(upds((1L, 1, "a1")), "s3a://bucket/t",
+        "doc_id", "version", buckets = 4)
+    }
+    assert(e.getMessage.contains("ATOMIC create-exclusive"))
+    assert(e.getMessage.contains("graft.upsert.extraFsSchemes"))
+    // the opt-in lifts the refusal (failure becomes missing-filesystem)
+    spark.conf.set("graft.upsert.extraFsSchemes", "s3a")
+    try {
+      val e2 = intercept[Throwable] {
+        DocStreams.upsertBatch(upds((1L, 1, "a1")), "s3a://bucket/t",
+          "doc_id", "version", buckets = 4)
+      }
+      assert(!e2.getMessage.contains("ATOMIC create-exclusive"))
+    } finally spark.conf.unset("graft.upsert.extraFsSchemes")
+  }
+
   private def tableRows(path: String): Set[(Long, Int, String)] =
     spark.read.parquet(path).select("doc_id", "version", "text")
       .as[(Long, Int, String)].collect().toSet
