@@ -29,7 +29,16 @@ object FsContract {
   def requireAtomicScheme(spark: org.apache.spark.sql.SparkSession,
       path: String, caller: String, protocol: String,
       extraConf: String): Unit = {
+    // a scheme-less path is resolved by Hadoop against fs.defaultFS, not
+    // against the local filesystem — on a cluster whose defaultFS is an
+    // object store, '/data/ivf' IS an s3a path and defaulting to 'file'
+    // here would silently bypass the refusal this guard exists for
+    // (ADVICE r17). FileSystem.getDefaultUri reads the conf without
+    // instantiating any filesystem, so no object-store classes are
+    // needed to classify the scheme.
     val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .orElse(Option(org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(spark.sparkContext.hadoopConfiguration).getScheme))
       .getOrElse("file").toLowerCase
     val extra = spark.conf.get(extraConf, "")
       .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet

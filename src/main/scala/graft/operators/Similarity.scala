@@ -814,12 +814,7 @@ object Similarity {
         val out = fs.create(lease, false)
         out.write(token.getBytes("UTF-8")); out.close(); true
       } catch { case _: java.io.IOException => false }
-    def leaseToken(): Option[String] =
-      try {
-        val in = fs.open(lease)
-        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close())
-      } catch { case _: java.io.IOException => None }
+    def leaseToken(): Option[String] = readLeaseToken(fs, lease)
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
           fs.getFileStatus(lease).getModificationTime
@@ -842,13 +837,7 @@ object Similarity {
           s"writer took it over after the ${ttlMs / 1000}s TTL elapsed " +
           "without a heartbeat, and its heal-on-entry may be rolling " +
           "this write back right now; aborting before writing more")
-      // mtime refresh = the liveness signal; setTimes where the FS
-      // supports it, else rewrite the same token (content unchanged)
-      try fs.setTimes(lease, System.currentTimeMillis(), -1)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        val out = fs.create(lease, true)
-        out.write(token.getBytes("UTF-8")); out.close()
-      }
+      refreshLeaseMtime(fs, lease, token, caller, path)
     }
     val result = try body(heartbeat) catch { case e: Throwable =>
       // failure path: release only what is still ours — deleting a
@@ -873,6 +862,78 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       caller: String)(body: (() => Unit) => T): T =
     withWriterLease(spark, path, caller)(body)
+
+  /** Read the lease's owner token; None when the lease is absent.
+    *
+    * A ZERO-BYTE read is not a token mismatch (ADVICE r17): acquisition
+    * writes the token after `create(exclusive)` returns, so a concurrent
+    * read can land in the sub-millisecond window where the lease exists
+    * empty — a displaced writer's `stillOurs` or a reader's live-rebuild
+    * check would then spuriously fail the HEALTHY holder. An empty read
+    * is retried briefly; only an empty lease that STAYS empty (a writer
+    * that crashed between create and token-write) is returned as-is,
+    * where it correctly matches no one's token and ages out via the TTL
+    * like any other crashed acquisition.
+    */
+  private[operators] def readLeaseToken(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Option[String] = {
+    def readOnce(): Option[String] =
+      try {
+        val in = fs.open(lease)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close())
+      } catch { case _: java.io.IOException => None }
+    var attempt = 0
+    var read = readOnce()
+    while (read.contains("") && attempt < 5) {
+      Thread.sleep(20)
+      attempt += 1
+      read = readOnce()
+    }
+    read
+  }
+
+  /** Refresh the lease mtime — the heartbeat's liveness signal.
+    * `setTimes` where the filesystem supports it (content untouched, so
+    * no takeover can be clobbered); else rewrite the same token.
+    *
+    * The rewrite fallback is the one path that WRITES during a
+    * heartbeat, and a takeover interleaving around that write would be
+    * silently overwritten with the old holder's token — handing the
+    * lease back to a TTL-expired writer while the taker's heal may
+    * already be rolling its files back (VERDICT r17 #1). Two guards
+    * shrink that window to a detectable state: re-read the token
+    * immediately before the overwrite (narrowing the check→write gap
+    * from the whole heartbeat to sub-millisecond), and re-read it again
+    * after — a foreign token at either point fails the heartbeat
+    * LOUDLY, and a taker whose token we did clobber detects the foreign
+    * (our) token at ITS next ownership check and aborts the same way.
+    * `forceFallbackForTest` / `interleaveForTest` are spec seams: the
+    * production path never sets them.
+    */
+  private[operators] def refreshLeaseMtime(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, token: String, caller: String,
+      path: String, forceFallbackForTest: Boolean = false,
+      interleaveForTest: () => Unit = () => ()): Unit = {
+    def lost(when: String): Nothing = throw new java.io.IOException(
+      s"$caller: a takeover interleaved $when the heartbeat's lease " +
+        s"rewrite on $path — a second writer holds (or held) the lease " +
+        "and its heal-on-entry may be rolling this write back; treat " +
+        "this write as FAILED and re-verify the store before retrying")
+    def rewrite(): Unit = {
+      if (!readLeaseToken(fs, lease).contains(token)) lost("before")
+      val out = fs.create(lease, true)
+      out.write(token.getBytes("UTF-8")); out.close()
+      interleaveForTest()
+      if (!readLeaseToken(fs, lease).contains(token)) lost("after")
+    }
+    if (forceFallbackForTest) rewrite()
+    else try fs.setTimes(lease, System.currentTimeMillis(), -1)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      rewrite()
+    }
+  }
 
   private def appendIvfIndexLeased(spark: org.apache.spark.sql.SparkSession,
       path: String, newVecs: DataFrame, vecCol: String, idCol: String,
@@ -1031,7 +1092,10 @@ object Similarity {
     * periodic maintenance the append contract presumes. The rebuild runs
     * against a sibling staging dir (the live store serves queries
     * untouched throughout) and publishes by directory swap, under the
-    * writer lease so no append can interleave. Crash windows: before the
+    * writer lease so no append can interleave — with a pulse thread
+    * heartbeating the lease at TTL/4 through the staged build, so the
+    * TTL sizes to crash-staleness, not to the full-corpus pass (ADVICE
+    * r17). Crash windows: before the
     * swap ⇒ store untouched (stale staging dir is overwritten by the next
     * rebuild); between the two renames ⇒ the pre-rebuild store survives
     * complete at `<path>.__rebuild_old` and the rebuilt one at
@@ -1050,12 +1114,48 @@ object Similarity {
       val stage = new org.apache.hadoop.fs.Path(rootP.getParent,
         rootP.getName + ".__rebuild_tmp")
       fs.delete(stage, true)
-      buildIvfIndex(idx.select(col("vec_id"), col("vec")), "vec", "vec_id",
-        stage.toString, useMod)
       // the staged rebuild is explicitly a full-corpus pass, i.e. the ONE
-      // phase guaranteed to outlive any fixed TTL at scale — refresh the
-      // lease before the swap so a concurrent appender still sees a live
-      // writer (the sibling lease survives both renames: ADVICE r16)
+      // phase guaranteed to outlive any fixed TTL at scale — so the
+      // between-phases heartbeat discipline is not enough here (ADVICE
+      // r17: without it, the TTL must exceed the ENTIRE rebuild or a
+      // concurrent appender legitimately takes over mid-build and the
+      // rebuild dies at swap time, discarding the full-corpus work). A
+      // PULSE thread heartbeats at TTL/4 for the duration of the staged
+      // build. A pulse failure cannot cancel the in-flight Spark job —
+      // it records the loss instead, and since the build writes only the
+      // STAGING dir, letting it finish is harmless to the live store;
+      // the loss then aborts BEFORE the swap, which is the operation the
+      // lease actually protects.
+      val ttlMs = spark.conf.get("graft.ivf.appendLeaseTtlMs",
+        (10L * 60 * 1000).toString).toLong
+      val pulseEvery = math.max(ttlMs / 4, 50L)
+      val pulseErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val pulseStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pulse = new Thread(() => {
+        var next = System.currentTimeMillis() + pulseEvery
+        while (!pulseStop.get() && pulseErr.get() == null) {
+          if (System.currentTimeMillis() >= next) {
+            try heartbeat() catch { case t: Throwable => pulseErr.set(t) }
+            next = System.currentTimeMillis() + pulseEvery
+          }
+          Thread.sleep(25)
+        }
+      }, "ivf-rebuild-lease-pulse")
+      pulse.setDaemon(true)
+      pulse.start()
+      try buildIvfIndex(idx.select(col("vec_id"), col("vec")), "vec",
+        "vec_id", stage.toString, useMod)
+      finally { pulseStop.set(true); pulse.join(2000) }
+      Option(pulseErr.get()).foreach { t =>
+        throw new java.io.IOException(
+          s"rebuildIvfIndex: lost the writer lease on $path during the " +
+            "staged rebuild (heartbeat pulse failed) — aborting before " +
+            "the directory swap; the staged dir is inert and the live " +
+            "store is untouched", t)
+      }
+      // final ownership re-verify + refresh immediately before the swap
+      // (the sibling lease survives both renames: ADVICE r16)
       heartbeat()
       val aside = new org.apache.hadoop.fs.Path(rootP.getParent,
         rootP.getName + ".__rebuild_old")
