@@ -122,8 +122,13 @@ class BenchLogicSpec extends AnyFunSuite {
       "q_flat" -> 1.05)
     val (confirmed, cleared) =
       Bench.confirmedRegressions(prev, detect, fin, _ => false, 1.0)
-    assert(confirmed.map(_._1) === Seq("q_real"))
-    assert(math.abs(confirmed.head._4 - 2.1) < 1e-9)
+    assert(confirmed.map(_.name) === Seq("q_real"))
+    assert(math.abs(confirmed.head.ratio - 2.1) < 1e-9)
+    // raw times ride in the entry (VERDICT r17 #2) and the raw growth
+    // (1.0 -> 2.1, x2.1 >= 1.25) machine-adjudicates as a PLAN regression
+    assert(math.abs(confirmed.head.prevRaw - 1.0) < 1e-9)
+    assert(math.abs(confirmed.head.curRaw - 2.1) < 1e-9)
+    assert(confirmed.head.cls === "plan")
     assert(cleared.map(_._1).sorted === Seq("q_scatter_a", "q_scatter_b"))
     val a = cleared.find(_._1 == "q_scatter_a").get
     assert(math.abs(a._3 - 1.53) < 1e-9) // detect-time norm, documented
@@ -131,6 +136,34 @@ class BenchLogicSpec extends AnyFunSuite {
     // no prev gates block → nothing confirmed, nothing cleared
     assert(Bench.confirmedRegressions("{}", detect, fin, _ => false, 1.0)
       === ((Nil, Nil)))
+  }
+
+  test("regressionClass: the q178-shaped leverage flap is machine-adjudicated, a raw 2x is plan (r18)") {
+    // VERDICT r17 #2: the committed r17 record's one confirmed entry
+    // (q178_grouping_id x1.51) was raw-FLAT across all fourteen same-day
+    // windows — a small gate that doesn't scale with the anchors crosses
+    // the x1.5 wire whenever a fast window meets a slow baseline. That
+    // adjudication was README prose re-derived by hand each round; now
+    // it is a field. The exact committed shape: prev_norm 0.134 (raw
+    // 0.176 at prev ratio 1.317), cur_norm 0.201 (raw 0.201 at ratio
+    // 1.0) → normalized x1.51, raw x1.14 < 1.25 → leverage.
+    val prev = """{"anchor_ratio":1.317,"queries":{"q_lev":0.176,""" +
+      """"q_plan":0.5},"sf":"/x/sf0.1"}"""
+    val times = Map("q_lev" -> 0.201, "q_plan" -> 1.1)
+    val (confirmed, _) =
+      Bench.confirmedRegressions(prev, times, times, _ => false, 1.0)
+    val byName = confirmed.map(r => r.name -> r).toMap
+    assert(byName("q_lev").cls === "leverage")
+    assert(byName("q_lev").ratio > 1.5)
+    assert(math.abs(byName("q_lev").prevRaw - 0.176) < 1e-9)
+    assert(math.abs(byName("q_lev").curRaw - 0.201) < 1e-9)
+    // a genuine raw doubling is a plan regression even when the
+    // normalized ratio is identical in magnitude
+    assert(byName("q_plan").cls === "plan")
+    // the pure classifier wire sits at x1.25 raw
+    assert(Bench.regressionClass(1.0, 1.24) === "leverage")
+    assert(Bench.regressionClass(1.0, 1.26) === "plan")
+    assert(Bench.regressionClass(0.0, 1.0) === "plan") // no prior: not leverage
   }
 
   test("gateMedianRatioVsPrev: median over overlapping gates >= 0.2 s, basis-robust (r17)") {
@@ -158,18 +191,21 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.gateMedianRatioVsPrev("{}", times, _ => false, 1.0).isEmpty)
   }
 
-  test("volatileDefault: the min-of-3 list is the r17 measured state (entry/exit rule applied)") {
+  test("volatileDefault: the min-of-3 list is the r18 measured state (entry/exit rule applied)") {
     // VERDICT r16 #4: the list must be a measured state with an exit
-    // criterion, not a ratchet. r17 applied the rule to the four r16
-    // sf0.1 windows: 16 gates measured cross-window spread < 1.3x and
-    // left; 13 stayed at >= 1.3x plus q242 (too new to exit). This pins
-    // the count and spot-membership so additions/removals must re-run
-    // the measurement (see the rule at the definition).
-    assert(Bench.volatileDefault.size === 14)
-    assert(Bench.volatileDefault("q214_ingest_crawl")) // 5.49x, stays
-    assert(Bench.volatileDefault("q242_ivf_drift_rebuild")) // 2 windows, stays
-    assert(!Bench.volatileDefault("q216_cdc_upsert")) // 1.24x, exited
-    assert(!Bench.volatileDefault("q210_stream_distinct_hll")) // 1.19x, exited
+    // criterion, not a ratchet. r18 ran the BenchSpread tool over the
+    // three r17-code full windows: 6 members measured < 1.3x and left
+    // (q43 1.12, q76 1.26, q95 1.12, q96 1.11, q167 1.23, and q242
+    // 1.296 on its third window — the r17 carry, now adjudicated); 8
+    // stayed at >= 1.3x. This pins the count and spot-membership so
+    // additions/removals must re-run the measurement (see the rule and
+    // audit record at the definition).
+    assert(Bench.volatileDefault.size === 8)
+    assert(Bench.volatileDefault("q214_ingest_crawl")) // 2.37x, stays
+    assert(Bench.volatileDefault("q231_ivfsq8_adaptive")) // 1.63x, stays
+    assert(!Bench.volatileDefault("q242_ivf_drift_rebuild")) // 1.296, exited on window 3
+    assert(!Bench.volatileDefault("q43_wcc")) // 1.12x, exited
+    assert(!Bench.volatileDefault("q216_cdc_upsert")) // exited r17
   }
 
   test("sfMatches: requires a recorded sf and normalizes only the trailing slash") {
