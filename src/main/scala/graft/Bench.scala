@@ -409,6 +409,16 @@ object Bench {
       confirmRound += 1
       pendingSuspects = newSuspects()
     }
+    // the cap firing with suspects still pending means the anchor ratio
+    // moved every round — those gates would confirm WITHOUT a re-measure
+    // (confirm_sampled:false in the record); say so loudly at the moment
+    // it happens, not only in the buried field
+    if (pendingSuspects.nonEmpty)
+      System.err.println(s"[bench] WARNING: confirm-round cap reached " +
+        s"with ${pendingSuspects.size} unsampled suspect(s) — " +
+        s"${pendingSuspects.mkString(",")} may confirm without a " +
+        "re-measure (confirm_sampled:false); the anchor ratio moved " +
+        "every round, distrust this window")
     val times = samples.view.mapValues(_.min).toMap
     // failed queries report -1 (never a plausible wall-time) + an errors map,
     // so a broken query fails the bench visibly instead of looking fast.

@@ -11,10 +11,16 @@ package graft
   * plus the entry/exit adjudication against the CURRENT list.
   *
   * Usage: `runMain graft.BenchSpread [record.json ...]` — with no args it
-  * reads every `bench_out*.json` in the working directory. Windows are
-  * filtered to full sf0.1 runs (an `anchor_ratio` present and ≥
-  * `graft.spread.minGates` gates, default 200): a subset run normalizes
-  * fine but its gates would count spread windows a full audit never saw.
+  * reads every `bench_out*.json` in the working directory (byte-identical
+  * duplicates — e.g. the committed `bench_out.json` and its run-stamped
+  * copy — are counted ONCE: a double-counted window would inflate every
+  * gate's window count past the 3-window floor). Windows are filtered to
+  * full runs at the audit SF (`SPARK_GRAFT_SF_DIR`, defaulting to
+  * /root/testdata/sf0.1 like [[Bench.main]]) with an `anchor_ratio`
+  * present and ≥ `SPARK_GRAFT_SPREAD_MIN_GATES` gates (default 200): a
+  * subset run normalizes fine but its gates would count spread windows a
+  * full audit never saw. `SPARK_GRAFT_SPREAD_ALL=1` dumps every gate's
+  * row — audit artifacts should use it so exit evidence is in the record.
   *
   * The adjudication applies the pinned rule (hysteresis 1.4 enter /
   * 1.3 exit; ≥ 3 windows to act; membership re-earned when touched) and
@@ -115,18 +121,31 @@ object BenchSpread {
             .toSeq.sortBy(_.getFileName.toString)
         } finally st.close()
       }
-    val loaded = paths.flatMap { p =>
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val loadedAll = paths.flatMap { p =>
       try Some((p.getFileName.toString, java.nio.file.Files.readString(p)))
       catch { case e: Exception =>
         System.err.println(s"[spread] skip $p: $e"); None
       }
     }
+    // byte-identical records are ONE window (the committed bench_out.json
+    // is usually also present as its run-stamped copy)
+    val loaded = loadedAll.foldLeft(
+        (Seq.empty[(String, String)], Set.empty[String])) {
+      case ((keep, seen), (name, json)) =>
+        if (seen(json)) {
+          System.err.println(s"[spread] $name: byte-identical to an " +
+            "already-loaded record — counted once")
+          (keep, seen)
+        } else (keep :+ ((name, json)), seen + json)
+    }._1
     val windows = loaded.filter { case (name, json) =>
       val full = json.contains("\"anchor_ratio\":") &&
-        Bench.sfMatches(json, "/root/testdata/sf0.1") &&
+        Bench.sfMatches(json, sfDir) &&
         Bench.prevGateEntries(json)._2.count(_._2 > 0) >= minGates
-      if (!full) System.err.println(s"[spread] $name: not a full sf0.1 " +
-        "window (missing anchor_ratio, other sf, or < " + minGates +
+      if (!full) System.err.println(s"[spread] $name: not a full window " +
+        s"at $sfDir (missing anchor_ratio, other sf, or < " + minGates +
         " gates) — excluded")
       full
     }

@@ -1718,7 +1718,11 @@ class MutualKnnSpec extends graft.SparkSpec {
     try {
       Similarity.buildIvfIndex(vecs, "embedding", "vec_id", store,
         centroidMod = 20)
-      spark.conf.set("graft.ivf.appendLeaseTtlMs", "250")
+      // TTL 1s (pulse every 250ms): far below the multi-second staged
+      // build so the scenario is real, but wide enough that an ordinary
+      // GC/FS stall between pulses cannot let the contender s takeover
+      // race flake the test on a contended box
+      spark.conf.set("graft.ivf.appendLeaseTtlMs", "1000")
       val rebuildErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val t = new Thread(() =>
         try Similarity.rebuildIvfIndex(spark, store)
