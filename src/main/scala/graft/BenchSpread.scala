@@ -93,6 +93,16 @@ object BenchSpread {
     * EXIT has neither guard: an incoherent set only INFLATES spreads,
     * so a member reading < 1.3 despite the inflation is an extra-safe
     * exit, and leaving the list is always recoverable (it can re-earn).
+    *
+    * Known asymmetry, accepted deliberately: every window set measured
+    * so far (four r16 windows, three r17 windows) reads population
+    * median 1.40–1.54, so under this gate the list can only shrink
+    * until a coherent set exists. That is the right failure mode — the
+    * list's job is one EXTRA timing sample, while the actual defense
+    * against spread-driven false flags is the tripwire's confirm pass
+    * plus the leverage class, which work per-gate inside ONE run and
+    * need no cross-window certification. A chronically noisy box keeps
+    * its flap protection either way.
     */
   def adjudicate(g: GateSpread, member: Boolean,
       coherentForEntry: Boolean = true): String =
