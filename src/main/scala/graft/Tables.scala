@@ -35,6 +35,47 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Spread a NARROW scan across the cluster before an expensive per-row
+    * stage (tokenize / shingle / hash maps): parquet splits cannot subdivide
+    * a row group, so a table laid out as few large row groups serializes its
+    * whole scan-stage map onto as many cores as it has row groups — at the
+    * bench's single-file tables that is ONE core under a 1–2 s tokenization
+    * map while 31 idle (r18 attribution probe). Hash-repartitioning on the
+    * row key spreads the map at the cost of shuffling the raw rows once.
+    *
+    * Scale-adaptive by inspection, not a constant: when the scan already
+    * carries at least half the cluster's parallelism (the 100 TB case —
+    * thousands of files), this is the identity and no shuffle is added; the
+    * repartition only engages when the source is narrower than the cluster
+    * (single file, small crawl slice), where moving the rows once is
+    * strictly cheaper than computing serially. `graft.scan.spreadWidth`
+    * overrides the target width (`0` disables, for A/B probes).
+    */
+  def spreadScan(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val target = spark.conf.get("graft.scan.spreadWidth", "auto") match {
+      case "auto" => spark.sparkContext.defaultParallelism
+      case n => n.toInt
+    }
+    if (target <= 0 || df.rdd.getNumPartitions * 2 > target) df
+    else df.repartition(target, col(key))
+  }
+
+  /** [[spreadScan]]'s width rule for STREAMING sources, where the batch
+    * partition inspection above is unavailable (`.rdd` on a streaming frame
+    * throws): `Some(defaultParallelism)` under the same
+    * `graft.scan.spreadWidth` conf (`0` disables). The CALLER owns the
+    * knowledge that its source is narrower than the cluster — a file-stream
+    * over a single small file here; a wide deployment (many files/topic
+    * partitions per trigger) should pass None and keep the map on the scan.
+    */
+  def streamSpreadWidth(spark: SparkSession): Option[Int] =
+    spark.conf.get("graft.scan.spreadWidth", "auto") match {
+      case "auto" => Some(spark.sparkContext.defaultParallelism).filter(_ > 1)
+      case n => Some(n.toInt).filter(_ > 1)
+    }
+
   /** Normalize the `ts` column to TimestampType whichever of the known
     * parquet encodings the driver's generator emitted (see [[Tables.events]]
     * doc above). Works on batch and streaming frames alike — the branch is

@@ -306,8 +306,12 @@ object Events {
       // than the column form even at this gate's p = 6 (ProbeHllForms);
       // the committed column-form oracle stays green because the two
       // encodings are bit-identical at p = 6 (spec-asserted).
+      // mapWidth: the single-file source scans as ONE partition, so the
+      // md5/register map (the micro-batch's hot 1.8 s, r18 attribution)
+      // would serialize on one core; spread it (see Tables.streamSpreadWidth)
       val agg = EventStreams.windowedDistinctHllAuto(stream, "user_id",
-        "1 hour", watermark = Some("0 seconds"), p = 6)
+        "1 hour", watermark = Some("0 seconds"), p = 6,
+        mapWidth = graft.Tables.streamSpreadWidth(s))
       require(s.conf.get(EventStreams.HllFormKey) == "array",
         s"the router must take the measured-faster array form, " +
           s"got ${s.conf.get(EventStreams.HllFormKey)}")
@@ -340,8 +344,10 @@ object Events {
       val stream = graft.Tables.adaptEventTs(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
+      // mapWidth: see q210 — same single-partition source, same hot map
       val agg = EventStreams.windowedDistinctHllAuto(stream, "user_id",
-        "1 hour", watermark = Some("0 seconds"), p = 10)
+        "1 hour", watermark = Some("0 seconds"), p = 10,
+        mapWidth = graft.Tables.streamSpreadWidth(s))
       require(s.conf.get(EventStreams.HllFormKey) == "array",
         s"p=10 must route to the array-register form, " +
           s"got ${s.conf.get(EventStreams.HllFormKey)}")

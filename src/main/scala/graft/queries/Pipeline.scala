@@ -15,6 +15,16 @@ import graft.operators.{Dedup, Similarity}
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
+  /** [[graft.Tables.spreadScan]] over the documents table (see that scaladoc
+    * for the scale rule): applied only to gates whose scan-stage text map —
+    * tokenize / shingle / hash, serialized on the single-row-group bench
+    * file — measured as the hot phase in the r18 interleaved A/B probe
+    * (ProbeR18 spread/spread2); flat or negative gates keep the plain scan
+    * and are noted in OPTIMIZATION_r18.md.
+    */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spreadScan(Tables(s, d).documents, "doc_id")
+
   /* ---------- shared oracle SQL fragments ---------- */
 
   /** DuckDB twin of [[Dedup.portableTokenId]]: md5-prefix-as-integer. */
@@ -197,8 +207,9 @@ object Pipeline {
     }),
 
     // char-3-gram Jaccard near-dup pairs, blocked on (lang, n_chars).
+    // spreadScan: the char-3-gram explode is the gate's hot map (r18).
     "q57_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccard(Tables(s, d).documents, "text", "doc_id",
+      Dedup.ngramJaccard(docsSpread(s, d), "text", "doc_id",
           blockCols = Seq("lang", "n_chars"), n = 3, threshold = 0.3)
         .orderBy("doc1", "doc2")
     }),
@@ -207,7 +218,7 @@ object Pipeline {
     // → one keeper per cluster (the keep-one step after candidate
     // generation + exact verification).
     "q68_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccard(Tables(s, d).documents, "text", "doc_id",
+      val pairs = Dedup.ngramJaccard(docsSpread(s, d), "text", "doc_id",
         blockCols = Seq("lang", "n_chars"), n = 3, threshold = 0.3)
       Dedup.dedupClusters(pairs).orderBy("doc_id")
     }),
@@ -324,7 +335,7 @@ object Pipeline {
     // inverted-index semi join on the shingle.
     "q76_contamination" -> ((s, d) => {
       graft.operators.Contamination.shingleOverlap(
-          Tables(s, d).documents, "text", "doc_id",
+          docsSpread(s, d), "text", "doc_id",
           isTrain = substring(md5(col("doc_id").cast("string")), 1, 2) <= "cc", k = 3)
         .orderBy("doc_id")
     }),
@@ -905,7 +916,7 @@ object Pipeline {
     // C(#sources, 2), never by documents. The provenance/mirror report.
     "q139_source_overlap" -> ((s, d) => {
       graft.operators.Contamination.sourceOverlap(
-          Tables(s, d).documents, "text", "source", k = 3)
+          docsSpread(s, d), "text", "source", k = 3)
         .orderBy("src1", "src2")
     }),
 
@@ -976,7 +987,7 @@ object Pipeline {
     // diagnostic for span dedup.
     "q130_repeated_ngrams" -> ((s, d) => {
       graft.operators.Dedup.repeatedNgrams(
-          Tables(s, d).documents, "text", "doc_id", n = 8, minDocs = 2)
+          docsSpread(s, d), "text", "doc_id", n = 8, minDocs = 2)
         .orderBy("ngram")
     }),
 
@@ -1011,7 +1022,7 @@ object Pipeline {
         body,
         when(col("doc_id") % 2 === 0, lit("all rights reserved example footer")))
       graft.operators.Dedup.dropBoilerplateLines(
-          Tables(s, d).documents.select(col("doc_id"), lined.as("text")),
+          docsSpread(s, d).select(col("doc_id"), lined.as("text")),
           "text", "doc_id", minDocs = 5)
         .orderBy("doc_id")
     }),
@@ -1356,6 +1367,8 @@ object Pipeline {
     // asymmetric shingle containment |A∩B|/|A| ≥ 0.6 over discriminative
     // (df ≤ 50) 5-token shingles — the quote/subset relation Jaccard
     // resemblance misses; inverted-index join, per-shingle work ≤ df².
+    // spreadScan probed and NOT taken here (r18): 0.96× — the gate's cost
+    // is the containment band join, not the scan-stage shingle map.
     "q167_containment" -> ((s, d) => {
       graft.operators.Dedup.shingleContainment(
           Tables(s, d).documents, "text", "doc_id",
@@ -1389,7 +1402,7 @@ object Pipeline {
     // 4-dp-rounded PMI with (w1, w2) tie-break.
     "q175_pmi_bigrams" -> ((s, d) => {
       graft.operators.Scoring.pmiBigrams(
-          Tables(s, d).documents, "text", minCount = 5, topK = 20)
+          docsSpread(s, d), "text", minCount = 5, topK = 20)
         .orderBy("rk")
     }),
 
@@ -1874,7 +1887,7 @@ object Pipeline {
     // adjacent sorted suffixes, not re-grouped per length; hot seeds
     // capped at 50 suffixes before the sort.
     "q201_suffix_dup" -> ((s, d) => {
-      Dedup.maximalDupSpans(Tables(s, d).documents, "text", "doc_id",
+      Dedup.maximalDupSpans(docsSpread(s, d), "text", "doc_id",
           stride = 4, minLen = 5, maxLen = 8, maxBucket = 50, topN = 20)
         .orderBy("rk")
     }),
@@ -1976,7 +1989,7 @@ object Pipeline {
     // cross-document repetition that per-doc scores miss; n-grams reduce
     // to 8-byte hashes before any exchange.
     "q209_distinct_ngrams" -> ((s, d) => {
-      graft.operators.Scoring.distinctNgramRatio(Tables(s, d).documents,
+      graft.operators.Scoring.distinctNgramRatio(docsSpread(s, d),
           "text", "source", n = 3)
         .orderBy("group")
     })

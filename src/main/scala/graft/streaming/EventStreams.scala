@@ -119,15 +119,26 @@ object EventStreams {
     * zeros of md5-low-32 + 1.
     */
   private def hllKeyed(events: DataFrame, keyCol: String,
-      windowLength: String, watermark: Option[String], m: Int): DataFrame = {
-    val src = watermark.filter(_ => events.isStreaming) match {
+      windowLength: String, watermark: Option[String], m: Int,
+      mapWidth: Option[Int] = None): DataFrame = {
+    val src0 = watermark.filter(_ => events.isStreaming) match {
       case Some(w) => events.withWatermark("ts", w)
       case None    => events
     }
+    // the per-event register map (md5 + base conversion + rank scan) is the
+    // sketch's hot loop and runs WHERE THE SOURCE IS PARTITIONED — a
+    // single-file stream serializes it onto one core (r18 attribution:
+    // 1.8 s of a 2.6 s micro-batch in that one task). mapWidth spreads the
+    // map across the cluster first, shuffling only (window, key) — project
+    // BEFORE the exchange, guide §2.3. Row placement cannot affect the
+    // result: registers are per-row values merged by max. See
+    // [[graft.Tables.streamSpreadWidth]] for when to pass it.
+    val keyed = src0.select(window(col("ts"), windowLength).as("window"),
+      col(keyCol).cast("string").as("__k"))
+    val src = mapWidth.filter(_ > 1).map(keyed.repartition(_)).getOrElse(keyed)
     val pows = lit((1 to 32).map(1L << _).toArray) // 2^j for the rank scan
     src
-      .select(window(col("ts"), windowLength).as("window"),
-        md5(col(keyCol).cast("string")).as("__md5"))
+      .select(col("window"), md5(col("__k")).as("__md5"))
       .withColumn("__h2",
         conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
       .select(col("window"),
@@ -156,7 +167,7 @@ object EventStreams {
     */
   def windowedDistinctHllArray(events: DataFrame, keyCol: String,
       windowLength: String, watermark: Option[String] = None,
-      p: Int = 10): DataFrame = {
+      p: Int = 10, mapWidth: Option[Int] = None): DataFrame = {
     require(p >= 2 && p <= 14,
       s"p must be in [2, 14], got $p — state is 2^p ints per open window " +
         "(64 KiB at 14); past that the register array stops being a " +
@@ -164,7 +175,7 @@ object EventStreams {
     val m = 1 << p
     val invPows = lit((0 to 33).map(j => 1.0 / (1L << j)).toArray) // 2^-M
     val regsAgg = udaf(new graft.functions.HllRegisters(m))
-    val agg = hllKeyed(events, keyCol, windowLength, watermark, m)
+    val agg = hllKeyed(events, keyCol, windowLength, watermark, m, mapWidth)
       .groupBy(col("window"))
       .agg(count(lit(1)).as("n_events"),
         regsAgg(col("__reg"), col("__rank")).as("__regs"))
@@ -213,10 +224,11 @@ object EventStreams {
     */
   def windowedDistinctHllAuto(events: DataFrame, keyCol: String,
       windowLength: String, watermark: Option[String] = None,
-      p: Int = 6): DataFrame = {
+      p: Int = 6, mapWidth: Option[Int] = None): DataFrame = {
     require(p >= 2 && p <= 14, s"p must be in [2, 14], got $p")
     events.sparkSession.conf.set(HllFormKey, "array")
-    windowedDistinctHllArray(events, keyCol, windowLength, watermark, p)
+    windowedDistinctHllArray(events, keyCol, windowLength, watermark, p,
+      mapWidth)
   }
 
   /** Gap-based sessionization (batch form): a new session starts when the gap

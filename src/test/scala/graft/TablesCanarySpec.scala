@@ -71,4 +71,27 @@ class TablesCanarySpec extends SparkSpec {
     assert(a == Seq(1L -> 1700000000000000L, 2L -> 1700000123456789L,
       3L -> 1700009876543210L, 4L -> 1700001111222333L))
   }
+
+  test("spreadScan widens a narrow scan, is the identity when wide/disabled") {
+    // r18: parquet splits cannot subdivide a row group, so a single-file
+    // table serializes its scan-stage map on one core; spreadScan hash-
+    // repartitions ONLY when the scan carries < half the cluster width.
+    val docs = t.documents
+    assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "precondition: the sf0.001 documents scan must be narrow")
+    val spread = Tables.spreadScan(docs, "doc_id")
+    assert(spread.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    // values are the table's, untouched (count + id sum — order-free)
+    import org.apache.spark.sql.functions._
+    val (a, b) = (docs.agg(count(lit(1)), sum("doc_id")).head(),
+      spread.agg(count(lit(1)), sum("doc_id")).head())
+    assert(a === b)
+    // already-wide input: identity (the 100 TB posture — no extra shuffle)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(Tables.spreadScan(wide, "doc_id") eq wide)
+    // conf "0" disables (the A/B probe arm)
+    spark.conf.set("graft.scan.spreadWidth", "0")
+    try assert(Tables.spreadScan(docs, "doc_id") eq docs)
+    finally spark.conf.unset("graft.scan.spreadWidth")
+  }
 }

@@ -384,6 +384,32 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("HLL mapWidth spreads the register map without changing estimates") {
+    // r18: the per-event md5/register map runs where the source is
+    // partitioned — mapWidth inserts a round-robin exchange of (window,
+    // key) BEFORE it so a narrow source (single-file stream) does not
+    // serialize the sketch's hot loop on one core. Registers are per-row
+    // values merged by max, so placement cannot move a single bit.
+    val df = (0 until 500).map(i => (i.toLong, (i % 170).toLong, ts(i / 10)))
+      .toDF("event_id", "user_id", "ts")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("win_start", "n_events", "est_distinct")
+        .as[(Timestamp, Long, Double)].collect().toSet
+    val plain = EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour", p = 10)
+    val spread = EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour",
+      p = 10, mapWidth = Some(8))
+    assert(rows(spread) === rows(plain))
+    assert(rows(plain).nonEmpty)
+    val p = spread.queryExecution.executedPlan.toString
+    assert(p.contains("roundrobin") || p.contains("RoundRobin"),
+      s"mapWidth did not insert the spread exchange:\n$p")
+    // width <= 1 must be the identity plan (the wide-deployment case)
+    val id = EventStreams.windowedDistinctHllArray(df, "user_id", "1 hour",
+      p = 10, mapWidth = Some(1))
+    assert(!id.queryExecution.executedPlan.toString.toLowerCase
+      .contains("roundrobin"))
+  }
+
   test("array-register HLL is bit-identical to the column encoding at p = 6") {
     // α coincides at m = 64 and both Σ2^−M folds run in register order,
     // so the doubles must match exactly, not within tolerance
