@@ -172,6 +172,11 @@ object ProbeR18 {
           "q122_line_dedup", "q130_repeated_ngrams", "q139_source_overlap",
           "q175_pmi_bigrams", "q201_suffix_dup", "q209_distinct_ngrams"),
         Seq("graft.scan.spreadWidth" -> "0"))
+      // q105 tripwire adjudication: did the SHJ preference change its cost?
+      // A = old bench default (SMJ preferred), B = the new bench setting.
+      case "q105" => (
+        Seq("q105_chunk_windows", "q75_doc_repetition"),
+        Seq("spark.sql.join.preferSortMergeJoin" -> "false"))
       // streaming HLL map spread (q210/q211 via Tables.streamSpreadWidth)
       case "hll" => (
         Seq("q210_stream_distinct_hll", "q211_stream_hll_p10"),
