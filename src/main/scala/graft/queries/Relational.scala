@@ -870,7 +870,10 @@ object Relational {
       val es = new graft.api.EngineSession(s)
       val sets = Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
         Seq("l_returnflag", "l_linestatus"), Seq("l_suppkey"))
-      val cards = es.fullCardinality(t.lineitem, sets)
+      // spreadScan (r18): the multi-countDistinct plans as an Expand that
+      // multiplies the 600 k-row scan ×4 INSIDE the single-task scan stage
+      val cards = es.fullCardinality(
+        graft.Tables.spreadScan(t.lineitem, "l_orderkey"), sets)
       val rows = sets.map(set => (set.mkString(","), cards(set)))
       import s.implicits._
       rows.toDF("attrs", "card").orderBy("attrs")

@@ -172,6 +172,10 @@ object ProbeR18 {
           "q122_line_dedup", "q130_repeated_ngrams", "q139_source_overlap",
           "q175_pmi_bigrams", "q201_suffix_dup", "q209_distinct_ngrams"),
         Seq("graft.scan.spreadWidth" -> "0"))
+      // q219: spread lineitem under the ×4 Expand of the multi-countDistinct
+      case "q219" => (
+        Seq("q219_full_cardinality"),
+        Seq("graft.scan.spreadWidth" -> "0"))
       // q105 tripwire adjudication: did the SHJ preference change its cost?
       // A = old bench default (SMJ preferred), B = the new bench setting.
       case "q105" => (
