@@ -220,31 +220,77 @@ object Bench {
     "q197_sq8_index_roundtrip", "q206_cluster_outliers",
     "q214_ingest_crawl", "q231_ivfsq8_adaptive")
 
+  /** The driver-parseable COMPACT summary line (VERDICT r18 #1). The
+    * driver snapshots only the LAST ~2000 characters of stdout and tries
+    * to parse a JSON line out of them; the full record line has grown to
+    * ~11 KB and the 240-gate queries map ALONE is ~6 KB (measured: 3,836
+    * chars of gate names + ~9/entry), so no line carrying every gate can
+    * ever sit complete inside that tail — which is why BENCH_r01..r18 all
+    * carry `parsed: null`. This line is the best the physics allows: the
+    * totals, the anchor normalization, the error map, and the SLOWEST
+    * gates' per-query seconds greedily packed into `budget` bytes
+    * (slowest-first selection = the gates that carry the total and any
+    * perf claim; name-sorted in the output for determinism). The FULL
+    * per-query map still rides the first stdout line and `bench_out.json`;
+    * `queries_omitted` + `full_queries_in` say so in-band, so a consumer
+    * of this line can never mistake the subset for the suite.
+    *
+    * Pure so BenchLogicSpec pins: fits the budget, valid JSON shape, the
+    * slowest gates are present, omission count is exact.
+    */
+  def compactSummary(total: Double, times: Map[String, Double],
+      errors: Map[String, String], anchorRatio: Option[Double],
+      ratioBasis: String, runs: Int, sfDir: String,
+      budget: Int = 1800): String = {
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
+    val errsJson =
+      if (errors.isEmpty) """"errors":{}"""
+      else {
+        val full = errors.toSeq.sortBy(_._1)
+          .map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
+          .mkString("\"errors\":{", ",", "}")
+        // an error storm must not evict the per-query payload — fall back
+        // to the count (n_errors below always carries it)
+        if (full.length <= 400) full else """"errors":"see bench_out.json""""
+      }
+    val normJson = anchorRatio.map { r =>
+      s""","anchor_ratio":${r3(r)},"anchor_ratio_basis":"$ratioBasis"""" +
+        s""","total_anchor_normalized":${r3(total / r)}"""
+    }.getOrElse("")
+    val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+      s""","runs":$runs,"n_queries":${times.size + errors.size}""" +
+      s""","n_errors":${errors.size},$errsJson$normJson,"queries":{"""
+    def suffix(omitted: Int) =
+      s"""},"queries_omitted":$omitted,"full_queries_in":"bench_out.json"""" +
+        s""","sf":"$sfDir"}"""
+    // greedy slowest-first fill against the worst-case suffix length
+    val room = budget - prefix.length - suffix(times.size).length
+    val bySlowest = times.toSeq.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    for ((name, t) <- bySlowest) {
+      val entry = "\"" + name + "\":" + r3(t)
+      val cost = entry.length + (if (picked.isEmpty) 0 else 1)
+      if (used + cost <= room) { picked += ((name, t)); used += cost }
+    }
+    val qJson = picked.sortBy(_._1)
+      .map { case (n, t) => "\"" + n + "\":" + r3(t) }.mkString(",")
+    prefix + qJson + suffix(times.size - picked.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // engine confs (codegen-cache sizing, shuffled-hash preference, AQE, TZ,
+    // nanos adaptation) come from the SHARED defaults — VERDICT r18 #2: the
+    // measured engine must be the shipped engine, so Bench applies exactly
+    // what EngineSession/Verify apply, in one place (graft.SessionDefaults).
+    // Only measurement placement (core count, UI, shuffle width = cores,
+    // tmpfs checkpoint root below) stays bench-local.
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the generated-class cache defaults to 100 entries — far below this
-      // suite's working set, so by the time a later pass reaches a query
-      // its classes were evicted and every pass re-pays janino compile
-      // (measured on q43_wcc: 4.9 s min-of-3 in the full run vs 2.2 s
-      // isolated, the whole gap janino). A long-lived service session
-      // would size this cache to its workload; so does the bench.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // let the planner take shuffled-hash joins where its size conditions
-      // hold instead of always sort-merge (optimization guide §3.1/§9 —
-      // scale-general: the build side must still fit per partition, so this
-      // is not a local-core-count tune). r18 interleaved A/B over 9
-      // join-heavy gates (ProbeR18 smj): 7/9 faster, total 0.93×
-      // (q76 0.81×, q139 0.86×, q43 0.89×); the AQE runtime-conversion
-      // threshold variant measured noisier (smj2) and was NOT taken.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -587,6 +633,13 @@ object Bench {
       else minOf3Set.sorted.mkString("[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"minOf3":$minOf3,"spread":$spread,"median":$medians,"anchors":$anchorsJson$normJson$anchorRefJson$regressionsJson$gateMedianJson$envJson,"phases":$phasesJson,"sf":"$sfDir"}"""
     println(json)
+    // COMPACT summary as the very last stdout line (VERDICT r18 #1): the
+    // driver's ~2000-char stdout tail can hold THIS line complete (plus
+    // sbt's trailing "[success]" line), where the full record above never
+    // fits — see compactSummary's doc for the size physics. Full per-query
+    // ground truth stays in the line above and in the bench_out file.
+    println(compactSummary(total, times, errors.toMap, anchorRatio,
+      ratioBasis, runs, sfDir))
     // the driver snapshots only a stdout tail (2000 chars — fewer than the
     // per-query map needs past ~65 queries); the full line also lands in a
     // file so every per-query time stays machine-readable.

@@ -54,12 +54,45 @@ object Tables {
   def spreadScan(df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    val target = spark.conf.get("graft.scan.spreadWidth", "auto") match {
-      case "auto" => spark.sparkContext.defaultParallelism
-      case n => n.toInt
-    }
-    if (target <= 0 || df.rdd.getNumPartitions * 2 > target) df
+    val target = spreadWidthConf(spark)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (target <= 0 || scanWidth(df) * 2 > target) df
     else df.repartition(target, col(key))
+  }
+
+  /** `graft.scan.spreadWidth` parsed with a descriptive failure (ADVICE
+    * r18: a malformed value used to throw a bare NumberFormatException
+    * that never named the conf). None = "auto".
+    */
+  private def spreadWidthConf(spark: SparkSession): Option[Int] =
+    spark.conf.get("graft.scan.spreadWidth", "auto") match {
+      case "auto" => None
+      case n => try Some(n.toInt) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.scan.spreadWidth must be an integer or 'auto', got '$n'")
+      }
+    }
+
+  /** The frame's partition count via `df.rdd`, CACHED on the canonicalized
+    * analyzed plan (ADVICE r18: the raw `df.rdd` read forces physical
+    * planning + RDD conversion of the scan on the driver per invocation —
+    * harmless per gate, measurable on a driver handling thousands of
+    * concurrent queries over the same tables, where every invocation of a
+    * given table scan re-derives the same width). Bounded: cleared past
+    * 256 entries (a handful of distinct scans exist per workload).
+    */
+  private val scanWidthCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]()
+  private def scanWidth(df: DataFrame): Int = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val cached = scanWidthCache.get(key)
+    if (cached != 0) cached
+    else {
+      val n = df.rdd.getNumPartitions
+      if (scanWidthCache.size > 256) scanWidthCache.clear()
+      scanWidthCache.put(key, n)
+      n
+    }
   }
 
   /** [[spreadScan]]'s width rule for STREAMING sources, where the batch
@@ -71,10 +104,8 @@ object Tables {
     * partitions per trigger) should pass None and keep the map on the scan.
     */
   def streamSpreadWidth(spark: SparkSession): Option[Int] =
-    spark.conf.get("graft.scan.spreadWidth", "auto") match {
-      case "auto" => Some(spark.sparkContext.defaultParallelism).filter(_ > 1)
-      case n => Some(n.toInt).filter(_ > 1)
-    }
+    spreadWidthConf(spark)
+      .orElse(Some(spark.sparkContext.defaultParallelism)).filter(_ > 1)
 
   /** Normalize the `ts` column to TimestampType whichever of the known
     * parquet encodings the driver's generator emitted (see [[Tables.events]]

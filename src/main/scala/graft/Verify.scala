@@ -10,15 +10,14 @@ object Verify {
     // iteration (the driver always calls with 2 args = full set)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shared engine defaults (SessionDefaults): the session the oracle
+    // verifies is the session the bench measures and the facade ships —
+    // including the shuffled-hash join preference, so correctness covers
+    // the same plans the perf numbers come from (VERDICT r18 #2)
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // older testdata generations write events.ts as TIMESTAMP(NANOS) — read
-    // as long, converted in Tables.events (schema-adaptive; harmless when
-    // the data is native timestamp[us])
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -259,15 +259,16 @@ object EngineSession {
     * come from spark-submit conf instead.
     */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): EngineSession = {
-    val spark = SparkSession
+    // engine confs from the shared defaults (graft.SessionDefaults) so the
+    // facade ships the same engine the bench measures — VERDICT r18 #2
+    // (previously the r18 shuffled-hash preference and codegen-cache sizing
+    // lived only in Bench.main)
+    val spark = graft.SessionDefaults(SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new EngineSession(spark)

@@ -216,4 +216,60 @@ class BenchLogicSpec extends AnyFunSuite {
     // a record MISSING the field is never compared (the old forall matched it)
     assert(!Bench.sfMatches("""{"value":1.0}""", "/root/testdata/sf0.1"))
   }
+
+  test("compactSummary: fits the driver's tail, keeps the slowest gates, says what it omitted") {
+    // VERDICT r18 #1: the driver parses only a ~2000-char stdout tail; the
+    // 240-gate map is ~6 KB, so the compact line packs the SLOWEST gates
+    // into the budget and declares the omission in-band.
+    val times = (1 to 240).map(i => f"q${i}_gate_name_of_usual_len" -> i * 0.01).toMap
+    val line = Bench.compactSummary(times.values.sum, times, Map.empty,
+      Some(1.128), "min", runs = 2, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(""","sf":"/root/testdata/sf0.1"}"""))
+    // the very slowest gate is always present; the very fastest never is
+    // (240 entries cannot fit — the omission count must be exact)
+    assert(line.contains("\"q240_gate_name_of_usual_len\":2.4"))
+    assert(!line.contains("\"q1_gate_name_of_usual_len\":"))
+    val omitted = """"queries_omitted":(\d+)""".r
+      .findFirstMatchIn(line).get.group(1).toInt
+    val kept = """"q\d+_gate_name_of_usual_len":""".r
+      .findAllMatchIn(line).size
+    assert(kept + omitted === 240)
+    assert(line.contains(""""anchor_ratio":1.128"""))
+    assert(line.contains(""""total_anchor_normalized":"""))
+    assert(line.contains(""""full_queries_in":"bench_out.json""""))
+    // balanced braces — the line must be one complete JSON object
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+  }
+
+  test("compactSummary: a small suite fits whole, zero omitted; error storms degrade to a count") {
+    val times = Map("q1_agg" -> 0.1, "q2_filter" -> 0.2)
+    val line = Bench.compactSummary(0.3, times, Map("q3_x" -> "Boom"),
+      None, "none", runs = 2, sfDir = "/x")
+    assert(line.contains(""""queries":{"q1_agg":0.1,"q2_filter":0.2}"""))
+    assert(line.contains(""""queries_omitted":0"""))
+    assert(line.contains(""""errors":{"q3_x":"Boom"}"""))
+    assert(line.contains(""""n_queries":3"""))
+    assert(!line.contains("anchor_ratio")) // no normalization off-sf0.1
+    val storm = (1 to 100).map(i => s"q${i}_e" -> "SomeLongExceptionClassName").toMap
+    val line2 = Bench.compactSummary(0.3, times, storm, None, "none", 2, "/x")
+    assert(line2.length <= 1800)
+    assert(line2.contains(""""errors":"see bench_out.json""""))
+    assert(line2.contains(""""n_errors":100"""))
+  }
+
+  test("SessionDefaults carries the promoted engine confs for every entry point") {
+    // VERDICT r18 #2: the r18 session confs must live in ONE shared home
+    // consumed by Bench, Verify and EngineSession — this pins the contents;
+    // the entry points compile against SessionDefaults() directly.
+    val m = SessionDefaults.all.toMap
+    assert(m("spark.sql.join.preferSortMergeJoin") === "false")
+    assert(m("spark.sql.codegen.cache.maxEntries") === "5000")
+    assert(m("spark.sql.adaptive.enabled") === "true")
+    assert(m("spark.sql.session.timeZone") === "UTC")
+    assert(m("spark.sql.legacy.parquet.nanosAsLong") === "true")
+    // static confs must be applied builder-time — keep them declared so
+    assert(SessionDefaults.static.toMap.contains("spark.sql.codegen.cache.maxEntries"))
+  }
 }
