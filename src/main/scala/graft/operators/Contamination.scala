@@ -56,9 +56,21 @@ object Contamination {
     */
   def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
       k: Int = 3): DataFrame = {
-    val ss = df.select(col(sourceCol).as("source"),
-        explode(Dedup.shingleArray(col(textCol), k)).as("shingle"))
-      .distinct()
+    // the shingle leaves the row only as its 64-bit hash (r19, guide §2.3
+    // "shuffle keys, not payloads"): the distinct + self-join only DECIDE
+    // on shingle identity — no downstream consumer reads the text — so the
+    // exchanges carry 8 bytes instead of a k-token string. xxhash64 is
+    // collision-free at every shipped SF (oracle-verified exact); at a
+    // 10^12-shingle corpus the expected ~27 collisions perturb a
+    // cross-source overlap REPORT by ~1e-10 relative. `graft.overlap
+    // .hashShingles=false` restores the string path (A/B probes).
+    val hashed = df.sparkSession.conf
+      .get("graft.overlap.hashShingles", "true").toBoolean
+    val sh = explode(Dedup.shingleArray(col(textCol), k)).as("shingle")
+    val ss0 = df.select(col(sourceCol).as("source"), sh)
+    val ss = (if (hashed) ss0.select(col("source"),
+        xxhash64(col("shingle")).as("shingle"))
+      else ss0).distinct()
     val a = ss.select(col("source").as("src1"), col("shingle"))
     val b = ss.select(col("source").as("src2"), col("shingle"))
     a.join(b, Seq("shingle"))

@@ -677,6 +677,15 @@ object Dedup {
     // driver GC only, but the swing under investigation is a local-mode
     // bench artifact.
     val gc0 = if (diagOn) jvmGcMillis else 0L
+    // spill/peak-execution-memory bracket beside the GC bracket (VERDICT
+    // r18 #3, guide §5): a dedup wall-time swing at FLAT candidate counts
+    // was previously "environmental by elimination" — spilled-bytes delta
+    // and window-peak memory make memory pressure a RECORDED fact of the
+    // committed phase log instead. Same process-global caveat as the GC
+    // number (see ExecMetrics doc).
+    val sc = batch.sparkSession.sparkContext
+    val spill0 = if (diagOn) graft.ExecMetrics.spilledBytes(sc) else 0L
+    if (diagOn) graft.ExecMetrics.resetWindowPeak(sc)
     val out = batch.select(col(idCol).as("doc_id"))
       .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
       .localCheckpoint(true) // survivors are batch-bound; release the bases now
@@ -702,10 +711,21 @@ object Dedup {
             else row.getLong(0).toDouble
           } catch { case _: java.util.concurrent.TimeoutException => -1.0 }
         }.getOrElse(-1.0)
+      val candCorpus = candOf(obsCorpus)
+      val candBatch = candOf(obsBatch)
+      // read the §5 counters AFTER the Observation awaits above — the
+      // futures resolve on query end, by which point the bracket's task-end
+      // events have been through the same listener bus
+      val spillMb = math.rint((graft.ExecMetrics.spilledBytes(sc) - spill0)
+        / 1048576.0 * 10) / 10.0
+      val peakMb = math.rint(graft.ExecMetrics.windowPeakBytes(sc)
+        / 1048576.0 * 10) / 10.0
       val base = Seq(
-        "cand_corpus" -> candOf(obsCorpus),
-        "cand_batch" -> candOf(obsBatch),
-        "gc" -> gcSecs)
+        "cand_corpus" -> candCorpus,
+        "cand_batch" -> candBatch,
+        "gc" -> gcSecs,
+        "spill_mb" -> spillMb,
+        "peak_exec_mb" -> peakMb)
       // the per-band histogram (hottest-band mass) needs a groupBy the
       // main flow doesn't have, i.e. a real job re-paying the store-side
       // signature pass — and on deterministic inputs it is a CONSTANT of

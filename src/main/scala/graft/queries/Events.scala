@@ -379,9 +379,19 @@ object Events {
     "q212_stream_interval_join" -> ((s, d) => {
       val name = s"stream_ivj_${streamGateCounter.incrementAndGet()}"
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def src() = graft.Tables.adaptEventTs(
+      // ONE shared source (r19, the q215 shape): both sides filter the
+      // same rows post-source, so a streaming self-join over one source
+      // replaces two independent sources — halving per-micro-batch file
+      // listing/offset tracking. Rows, watermarks and emitted pairs are
+      // unchanged (oracle-verified). `graft.q212.sources=two` restores the
+      // r18 shape for A/B.
+      def mkSrc() = graft.Tables.adaptEventTs(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
+      lazy val sharedSrc = mkSrc()
+      def src() =
+        if (s.conf.get("graft.q212.sources", "shared") == "two") mkSrc()
+        else sharedSrc
       val clicks = src().filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = src().filter(col("event_type") === "view")
@@ -458,12 +468,56 @@ object Events {
           org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
           org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
-        def side(tpe: String) = graft.Tables.adaptEventTs(
-            s.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet").parquet(d))
+        // SOURCE SHAPE (r19, VERDICT r18 #3): the r11–r18 form built FOUR
+        // file-stream sources (per side: the events glob + the sentinel
+        // dir, unioned) — and the gate's attribution showed ~2 s of its
+        // 2.8 s floor was stream apparatus (per-source per-micro-batch
+        // listing/offset tracking + stream-start planning), not the join.
+        // One INGEST DIR serves data and sentinels instead: `$root/in`
+        // holds a symlink to the events file (zero-copy — the r18 q214
+        // lesson: a corpus copy is a full extra write+read) and receives
+        // the sentinel files, so one file-stream source per side covers
+        // both — and since both sides filter the same rows post-source,
+        // ONE shared source serves both (a streaming self-join; Spark
+        // tracks the shared source once). Sentinel files are written in
+        // the EVENTS schema encoding (ts matched to the observed dtype;
+        // absent columns read as nulls) so the one schema fits both file
+        // families. Per-side watermarks are applied post-filter inside
+        // intervalJoin exactly as before — row set, watermark semantics
+        // and emitted output are unchanged (oracle-verified at every
+        // shipped SF). `graft.q215.sources` restores the old shapes for
+        // A/B: legacy (4 sources) | perside (one ingest-dir source per
+        // side, 2 sources).
+        val srcMode = s.conf.get("graft.q215.sources", "shared")
+        val inDir = s"$root/in"
+        if (srcMode != "legacy") {
+          new java.io.File(inDir).mkdirs()
+          val link = java.nio.file.Paths.get(s"$inDir/events.parquet")
+          val target = java.nio.file.Paths.get(s"$d/events.parquet")
+          try java.nio.file.Files.createSymbolicLink(link, target)
+          catch { case _: UnsupportedOperationException |
+                       _: java.io.IOException =>
+            // filesystems without symlinks fall back to a copy — apparatus
+            // correctness over apparatus speed
+            java.nio.file.Files.copy(target, link): Unit
+          }
+        }
+        def ingestSrc() = graft.Tables.adaptEventTs(
+            s.readStream.schema(schema).parquet(inDir))
           .select("event_id", "user_id", "ts", "event_type")
-          .unionByName(s.readStream.schema(sentSchema).parquet(sent))
-          .filter(col("event_type") === tpe).drop("event_type")
+        lazy val sharedSrc = ingestSrc()
+        def side(tpe: String) = {
+          val src = srcMode match {
+            case "legacy" => graft.Tables.adaptEventTs(
+                s.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(d))
+              .select("event_id", "user_id", "ts", "event_type")
+              .unionByName(s.readStream.schema(sentSchema).parquet(sent))
+            case "perside" => ingestSrc()
+            case _ => sharedSrc
+          }
+          src.filter(col("event_type") === tpe).drop("event_type")
+        }
         // NO sentinel filter inside the streaming plan: a filter that
         // excludes the ghost user is pushed below the watermark operator,
         // so the sentinel rows never reach it and the watermark FREEZES at
@@ -490,9 +544,20 @@ object Events {
           import s.implicits._
           def writeSentinel(h: Long): Unit = {
             val far = new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)
-            Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
+            val base = Seq((-2 * h, -1L, far, "click"), (-2 * h - 1, -1L, far, "view"))
               .toDF("event_id", "user_id", "ts", "event_type")
-              .write.mode("append").parquet(sent)
+            // ingest-dir modes read sentinels through the EVENTS schema:
+            // match the observed ts encoding (the nanos-as-long testdata
+            // generation stores LongType — write epoch nanos; adaptEventTs
+            // round-trips them exactly). Absent columns (value, props)
+            // read back as nulls; the 4-column projection drops them.
+            val enc = if (srcMode == "legacy") base
+              else if (schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType)
+                base.withColumn("ts", unix_micros(col("ts")) * 1000L)
+              else base
+            enc.write.mode("append")
+              .parquet(if (srcMode == "legacy") sent else inDir)
             q.processAllAvailable()
           }
           // ONE sentinel micro-batch advances the watermark past every real
